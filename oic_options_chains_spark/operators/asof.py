@@ -1,0 +1,80 @@
+"""As-of (backward) join and latest-row-per-key.
+
+Re-expresses the reference's correlated scalar subquery — "close price at
+the greatest ohlc.date <= folder date for this symbol" (reference:
+transform-load.2025-08-19.rkt:104-113) — as a window plan (SURVEY.md J2/W1).
+
+Scale notes: the window shuffles once on the key; with the fact table
+date-partitioned and the ``date <= d`` predicate pushed to the scan, each
+partition holds only the trailing history needed. No driver-side work.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_per_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Keep the single latest row per key, deterministically.
+
+    ``tiebreak`` columns break exact ties on ``order_col`` (descending), so
+    the result is reproducible under any partitioning (SURVEY.md W1).
+    """
+    ordering = [F.col(order_col).desc()] + [F.col(c).desc() for c in tiebreak]
+    w = Window.partitionBy(*keys).orderBy(*ordering)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_time: str,
+    right_time: str,
+    tiebreak: Sequence[str] = (),
+    how: str = "left",
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the right row with the
+    greatest ``right_time <= left_time`` within the same key group.
+
+    Implementation: equi-join on keys with the range predicate, then keep
+    the top-1 right row per left row via a window. For a small left side
+    (the reference's case: one (symbol, date) pair per file) Catalyst
+    broadcasts it and the range filter prunes before the window.
+    """
+    lt = F.col(f"__l.{left_time}")
+    rt = F.col(f"__r.{right_time}")
+    cond: Column = rt <= lt
+    for k in on:
+        cond = cond & (F.col(f"__l.{k}") == F.col(f"__r.{k}"))
+
+    joined = left.alias("__l").join(right.alias("__r"), on=cond, how=how)
+    left_cols = [F.col(f"__l.{c}") for c in left.columns]
+    right_cols = [
+        F.col(f"__r.{c}").alias(c)
+        for c in right.columns
+        if c not in set(on)
+    ]
+    ordering = [rt.desc_nulls_last()] + [
+        F.col(f"__r.{c}").desc_nulls_last() for c in tiebreak
+    ]
+    w = Window.partitionBy(*[F.col(f"__l.{c}") for c in left.columns]).orderBy(
+        *ordering
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*left_cols, *right_cols)
+    )

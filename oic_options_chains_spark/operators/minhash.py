@@ -1,0 +1,177 @@
+"""Near-duplicate detection: shingling, MinHash + LSH banding, SimHash.
+
+Scale design (the 100 TB path):
+- Shingles are exploded once, distinct-ed per doc (map-side combine), and
+  every downstream op is a groupBy/join on hash-bucketed keys — no pairwise
+  O(n^2) comparison ever materializes.
+- MinHash uses md5-derived permutations (portable + deterministic across
+  engines/versions, unlike murmur3 ``F.hash``); k seeds -> k rows per doc,
+  banded into b bands; candidate pairs come from a self-equi-join on
+  (band, band_key), which Spark shuffles on the band key — skew-safe
+  because identical band keys are exactly the near-duplicates.
+- SimHash packs to one integer per doc; near-dup candidates come from
+  exact-match on rotated bit segments (not implemented here yet).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from oic_options_chains_spark.operators.text import tokens
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array; empty array for short docs."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    make = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, make).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct (doc, shingle) pairs."""
+    return (
+        df.select(F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingle_df: DataFrame, id_col: str, num_hashes: int = 8
+) -> DataFrame:
+    """(doc, seed, minhash) rows: min over shingles of md5(seed || shingle).
+
+    md5-hex min is order-free and engine-portable. num_hashes rows per doc.
+    """
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])).alias("seed")
+    return (
+        shingle_df.select(F.col(id_col), F.col("shingle"), seeds)
+        .withColumn(
+            "h",
+            F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))),
+        )
+        .groupBy(id_col, "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_bands(sig_df: DataFrame, id_col: str, rows_per_band: int = 4) -> DataFrame:
+    """Collapse signatures into (doc, band, band_key) for bucket joins."""
+    banded = sig_df.withColumn(
+        "band", F.floor(F.col("seed") / rows_per_band).cast("int")
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("seed", "minhash")))
+    return banded.groupBy(id_col, "band").agg(
+        F.array_join(
+            F.transform(ordered, lambda s: s["minhash"]), ","
+        ).alias("band_key")
+    )
+
+
+def lsh_candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing any band bucket.
+
+    The self-join shuffles on (band, band_key) — the LSH bucket — so work
+    is proportional to bucket sizes, never to n^2.
+    """
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.band_key") == F.col("b.band_key"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    shingle_df: DataFrame,
+    id_col: str,
+    min_shared: int = 2,
+    min_jaccard_bp: int = 500,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs found by shared shingles.
+
+    Inverted-index join (shingle -> docs) keeps this linear in the number
+    of co-occurrences; jaccard is reported in floor'd basis points.
+    """
+    sizes = shingle_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = shingle_df.alias("a")
+    b = shingle_df.alias("b")
+    inter = (
+        a.join(
+            b,
+            on=[
+                F.col("a.shingle") == F.col("b.shingle"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = (
+        F.lit(10000.0)
+        * F.col("shared").cast("double")
+        / (
+            F.col("sa.sz").cast("double")
+            + F.col("sb.sz").cast("double")
+            - F.col("shared").cast("double")
+        )
+    )
+    return (
+        inter.join(sa, F.col("doc_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("doc_b") == F.col(f"sb.{id_col}"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("shared").cast("bigint").alias("shared"),
+            F.floor(jac).cast("bigint").alias("jaccard_bp"),
+        )
+        .filter(F.col("jaccard_bp") >= min_jaccard_bp)
+    )
+
+
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash over whitespace tokens, md5-derived bit projections.
+
+    Per token: the first 4 md5 hex chars give 16 bits; each bit votes
+    +1/-1; the sign of each bit's total sets the output bit. Exact integer
+    arithmetic — portable across engines.
+    """
+    toks = tokens(text)
+    tok_bits = F.transform(
+        toks, lambda x: F.conv(F.substring(F.md5(x), 1, 4), 16, 10).cast("int")
+    )
+    result = F.lit(0)
+    for bit in range(16):
+        votes = F.aggregate(
+            tok_bits,
+            F.lit(0),
+            lambda acc, v: acc
+            + F.when(v.bitwiseAND(F.lit(1 << bit)) != 0, F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        )
+        result = result + F.when(votes > 0, F.lit(1 << bit)).otherwise(F.lit(0))
+    return result.cast("int")

@@ -1,0 +1,106 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — one broadcast of the query vector, one
+scan, one top-k; correct at any scale but O(n) per query.
+
+Scale path: IVF-style sign-bucket partition pruning — vectors are assigned
+a coarse bucket from the sign bits of their leading dimensions; a query
+only scans its own bucket (1/2^b of the data for b bits). The bucket column
+is a plain string, so at 100 TB the table can be partitioned/bucketed by it
+and the probe becomes a partition-pruned scan.
+
+Determinism: elements are widened float->double (exact), the dot product is
+a left fold in array order (identical IEEE operation order in any engine),
+and reported scores are floor(1e6 * cosine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _fold_sum(arr: Column) -> Column:
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold dot product with float->double widening."""
+    return _fold_sum(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(_fold_sum(F.transform(a, lambda x: x.cast("double") * x.cast("double"))))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def sign_bucket(vec: Column, bits: int = 4) -> Column:
+    """Coarse IVF bucket: concatenated sign bits of the first ``bits`` dims."""
+    parts = [
+        F.when(F.element_at(vec, i + 1) > 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(bits)
+    ]
+    return F.concat(*parts)
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by cosine against a single-row ``query(query_vec)`` DataFrame.
+
+    Returns (id, score_e6, rank). The query side is broadcast; ranking uses
+    the raw double score with the id as tie-break.
+    """
+    scored = embeddings.crossJoin(F.broadcast(query)).select(
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("query_vec")).alias("__cos"),
+    )
+    w = Window.orderBy(F.col("__cos").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            F.floor(F.lit(1e6) * F.col("__cos")).cast("bigint").alias("score_e6"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 5,
+    bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucket-pruned top-k: only vectors in the query's sign bucket are
+    scored. Approximate (recall < 1) but scans 1/2^bits of the data."""
+    bucketed = embeddings.withColumn("__bucket", sign_bucket(F.col(vec_col), bits))
+    q = query.withColumn("__qbucket", sign_bucket(F.col("query_vec"), bits))
+    scored = bucketed.join(
+        F.broadcast(q), F.col("__bucket") == F.col("__qbucket")
+    ).select(
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("query_vec")).alias("__cos"),
+    )
+    w = Window.orderBy(F.col("__cos").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            F.floor(F.lit(1e6) * F.col("__cos")).cast("bigint").alias("score_e6"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -1,0 +1,108 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure built-in Column expressions (whole-stage codegen, no Python UDFs):
+tokenization, token/stopword counting, quality scoring, n-gram heuristic
+language ID, and document fingerprinting.
+
+Cross-engine determinism: ratios are computed in DOUBLE with a fixed
+operation order and then FLOOR-scaled to integers (basis points / milli
+units) — floor of bit-identical IEEE doubles is engine-independent,
+unlike round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "or")
+
+# Heuristic n-gram language-ID vocabularies over the synthetic corpus:
+# three "languages" distinguished by word families.
+LANG_VOCAB = {
+    "article": r"\b(the|a|of)\b",
+    "relational": r"\b(data|table|row|query)\b",
+    "perf": r"\b(fast|slow|big|small)\b",
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of lowercased text."""
+    return F.split(F.lower(text), " ")
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text)).cast("bigint")
+
+
+def token_count_re(text: Column, pattern: str = "[a-z0-9]+") -> Column:
+    """Regex (BPE-ish word-piece) token count."""
+    return F.regexp_count(F.lower(text), F.lit(pattern)).cast("bigint")
+
+
+def stopword_count(text: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    return F.size(
+        F.filter(tokens(text), lambda x: x.isin(*stopwords))
+    ).cast("bigint")
+
+
+def quality_metrics(text: Column) -> dict[str, Column]:
+    """Length/stopword/token-shape quality signals.
+
+    Returns integer-scaled metrics: stopword ratio in basis points,
+    mean token length in milli-chars.
+    """
+    toks = tokens(text)
+    n_tok = F.size(toks).cast("bigint")
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("bigint")
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
+    ).cast("bigint")
+    stop_ratio_bp = F.floor(
+        F.lit(10000.0) * n_stop.cast("double") / n_tok.cast("double")
+    ).cast("bigint")
+    mean_token_len_e3 = F.floor(
+        F.lit(1000.0) * tok_chars.cast("double") / n_tok.cast("double")
+    ).cast("bigint")
+    return {
+        "n_tokens": n_tok,
+        "n_stopwords": n_stop,
+        "token_chars": tok_chars,
+        "stop_ratio_bp": stop_ratio_bp,
+        "mean_token_len_e3": mean_token_len_e3,
+    }
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword-family hit counts (n-gram heuristic)."""
+    lowered = F.lower(text)
+    return {
+        name: F.regexp_count(lowered, F.lit(pat)).cast("int")
+        for name, pat in LANG_VOCAB.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax language label with a fixed priority tie-break."""
+    s = lang_scores(text)
+    a, r, p = s["article"], s["relational"], s["perf"]
+    return (
+        F.when((a >= r) & (a >= p), F.lit("article"))
+        .when(r >= p, F.lit("relational"))
+        .otherwise(F.lit("perf"))
+    )
+
+
+def normalize_text(text: Column) -> Column:
+    """Lowercase + whitespace collapse, the canonical form for hashing."""
+    return F.regexp_replace(F.lower(text), r"\s+", " ")
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+
+    md5 (not Spark's murmur3 ``hash``) so fingerprints are portable across
+    engines and stable across Spark versions.
+    """
+    return F.md5(normalize_text(text))

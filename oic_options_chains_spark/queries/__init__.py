@@ -1,0 +1,16 @@
+"""t2 query registry: every operator from SURVEY.md section 2 as a named
+(spark_query, oracle_sql) pair over the synthetic tables.
+
+``QUERIES[name](spark, sf_dir) -> DataFrame`` and ``ORACLE[name]`` is the
+equivalent DuckDB SQL. Column names and pinned output types match on both
+sides so the driver's order-insensitive value hash compares exactly
+(see FIXTURES.md section 2 for the domain -> synthetic mapping).
+"""
+
+from oic_options_chains_spark.queries.registry import ORACLE, QUERIES, register
+
+# Import for registration side effects.
+from oic_options_chains_spark.queries import core as _core  # noqa: E402,F401
+from oic_options_chains_spark.queries import extensions as _extensions  # noqa: E402,F401
+
+__all__ = ["QUERIES", "ORACLE", "register"]

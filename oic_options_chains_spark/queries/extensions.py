@@ -1,0 +1,341 @@
+"""Extension t2 queries: the large-scale training-data operators
+(deduplication, similarity search, text analysis) over the ``documents``
+and ``embeddings`` tables. These are first-class engine components for the
+100 TB target (see operators/minhash.py, operators/similarity.py,
+operators/text.py for the scale design notes).
+
+Same cross-engine determinism rules as queries/core.py; additionally all
+hashing is md5-based (portable), never engine-native hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oic_options_chains_spark.operators.minhash import (
+    doc_shingles,
+    lsh_bands,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash16,
+)
+from oic_options_chains_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+)
+from oic_options_chains_spark.operators.text import (
+    fingerprint,
+    lang_id,
+    lang_scores,
+    quality_metrics,
+    token_count_re,
+    token_count_ws,
+)
+from oic_options_chains_spark.queries.registry import register
+from oic_options_chains_spark.sources.registry import load_table
+
+_SHINGLE_SQL = """
+    toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    idx AS (SELECT doc_id, t,
+                   unnest(range(0, greatest(len(t) - 2, 0))) AS i
+            FROM toks),
+    sh AS (SELECT DISTINCT doc_id,
+                  t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS shingle
+           FROM idx)
+"""
+
+_SIG_SQL = (
+    "WITH "
+    + _SHINGLE_SQL
+    + """,
+    seeds AS (SELECT unnest(range(0, 8)) AS seed),
+    sig AS (
+      SELECT doc_id, CAST(seed AS INT) AS seed,
+             MIN(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
+      FROM sh CROSS JOIN seeds GROUP BY doc_id, seed)
+"""
+)
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens_ws,
+           CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens_re
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace and regex word-piece tokenizers."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_ws(F.col("text")).alias("n_tokens_ws"),
+        token_count_re(F.col("text")).alias("n_tokens_re"),
+    )
+
+
+@register(
+    "q_quality_score",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    m AS (SELECT doc_id,
+                 len(toks) AS n_tok,
+                 len(list_filter(toks,
+                     x -> list_contains(['the','a','of','and','or'], x))) AS n_stop,
+                 list_sum(list_transform(toks, x -> length(x))) AS tok_chars
+          FROM t)
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           CAST(n_stop AS BIGINT) AS n_stopwords,
+           CAST(tok_chars AS BIGINT) AS token_chars,
+           CAST(FLOOR((CAST(10000 AS DOUBLE) * n_stop) / n_tok) AS BIGINT) AS stop_ratio_bp,
+           CAST(FLOOR((CAST(1000 AS DOUBLE) * tok_chars) / n_tok) AS BIGINT) AS mean_token_len_e3
+    FROM m
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality signals: stopword ratio + token shape."""
+    d = load_table(spark, sf_dir, "documents")
+    m = quality_metrics(F.col("text"))
+    return d.select(
+        "doc_id",
+        m["n_tokens"].alias("n_tokens"),
+        m["n_stopwords"].alias("n_stopwords"),
+        m["token_chars"].alias("token_chars"),
+        m["stop_ratio_bp"].alias("stop_ratio_bp"),
+        m["mean_token_len_e3"].alias("mean_token_len_e3"),
+    )
+
+
+@register(
+    "q_lang_id",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '\b(the|a|of)\b')) AS INT) AS article_score,
+             CAST(len(regexp_extract_all(lower(text), '\b(data|table|row|query)\b')) AS INT) AS relational_score,
+             CAST(len(regexp_extract_all(lower(text), '\b(fast|slow|big|small)\b')) AS INT) AS perf_score
+      FROM documents)
+    SELECT doc_id, article_score, relational_score, perf_score,
+           CASE WHEN article_score >= relational_score AND article_score >= perf_score THEN 'article'
+                WHEN relational_score >= perf_score THEN 'relational'
+                ELSE 'perf' END AS lang_pred
+    FROM s
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-heuristic language ID: argmax of vocabulary-family hit counts
+    with fixed priority tie-break."""
+    d = load_table(spark, sf_dir, "documents")
+    s = lang_scores(F.col("text"))
+    return d.select(
+        "doc_id",
+        s["article"].alias("article_score"),
+        s["relational"].alias("relational_score"),
+        s["perf"].alias("perf_score"),
+        lang_id(F.col("text")).alias("lang_pred"),
+    )
+
+
+@register(
+    "q_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable document fingerprint (md5 of normalized text)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_exact",
+    oracle=r"""
+    WITH f AS (
+      SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+      FROM documents)
+    SELECT fingerprint, CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS copies
+    FROM f GROUP BY fingerprint
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the fingerprint, keep the lowest id."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("copies"),
+        )
+    )
+
+
+@register("q_minhash_signature", oracle=_SIG_SQL + "SELECT doc_id, seed, minhash FROM sig")
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures: 8 md5-permutation minima over 3-word shingles."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(doc_shingles(d, "doc_id", "text"), "doc_id")
+
+
+@register(
+    "q_minhash_lsh_pairs",
+    oracle=_SIG_SQL
+    + """,
+    bands AS (
+      SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+             string_agg(minhash, ',' ORDER BY seed) AS band_key
+      FROM sig GROUP BY doc_id, seed // 4)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+    """,
+)
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: candidate near-dup pairs from shared band buckets."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(doc_shingles(d, "doc_id", "text"), "doc_id")
+    return lsh_candidate_pairs(lsh_bands(sig, "doc_id"), "doc_id")
+
+
+@register(
+    "q_ngram_jaccard",
+    oracle="WITH "
+    + _SHINGLE_SQL
+    + """,
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+    SELECT i.doc_a, i.doc_b, CAST(i.shared AS BIGINT) AS shared,
+           CAST(FLOOR((CAST(10000 AS DOUBLE) * i.shared) / (sa.sz + sb.sz - i.shared)) AS BIGINT) AS jaccard_bp
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE FLOOR((CAST(10000 AS DOUBLE) * i.shared) / (sa.sz + sb.sz - i.shared)) >= 500
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted-index join."""
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(doc_shingles(d, "doc_id", "text"), "doc_id")
+
+
+@register(
+    "q_simhash",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    bits AS (SELECT doc_id,
+                    CAST(concat('0x', substr(md5(tok), 1, 4)) AS INT) AS tb
+             FROM tok),
+    votes AS (
+      SELECT doc_id, b.bit,
+             SUM(CASE WHEN (tb >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM bits CROSS JOIN (SELECT unnest(range(0, 16)) AS bit) b
+      GROUP BY doc_id, b.bit)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN 1 << bit ELSE 0 END) AS INT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signatures (md5 bit projections, exact integer votes)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash16(F.col("text")).alias("simhash"))
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+_COS_SQL = """
+      list_reduce(list_transform(list_zip(e.embedding, q.qv),
+                                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                  (acc, x) -> acc + x)
+      / (sqrt(list_reduce(list_transform(e.embedding,
+                                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                          (acc, x) -> acc + x))
+         * sqrt(list_reduce(list_transform(q.qv,
+                                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                            (acc, x) -> acc + x)))
+"""
+
+
+@register(
+    "q_ann_cosine",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, {_COS_SQL} AS cos
+      FROM embeddings e CROSS JOIN q),
+    ranked AS (
+      SELECT vec_id, cos,
+             row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM scored)
+    SELECT vec_id, CAST(FLOOR(1e6 * cos) AS BIGINT) AS score_e6,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against the vec_id=0 query vector."""
+    e = load_table(spark, sf_dir, "embeddings")
+    query = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("query_vec"))
+    return brute_force_topk(e, query, k=10)
+
+
+@register(
+    "q_ann_ivf",
+    oracle=f"""
+    WITH q AS (
+      SELECT embedding AS qv,
+             (CASE WHEN embedding[1] > 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[2] > 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[3] > 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[4] > 0 THEN '1' ELSE '0' END) AS qbucket
+      FROM embeddings WHERE vec_id = 0),
+    cand AS (
+      SELECT e.vec_id, e.embedding, q.qv
+      FROM embeddings e CROSS JOIN q
+      WHERE (CASE WHEN e.embedding[1] > 0 THEN '1' ELSE '0' END ||
+             CASE WHEN e.embedding[2] > 0 THEN '1' ELSE '0' END ||
+             CASE WHEN e.embedding[3] > 0 THEN '1' ELSE '0' END ||
+             CASE WHEN e.embedding[4] > 0 THEN '1' ELSE '0' END) = q.qbucket),
+    scored AS (SELECT vec_id, {_COS_SQL.replace("q.qv", "e.qv")} AS cos
+               FROM cand e),
+    ranked AS (
+      SELECT vec_id, cos,
+             row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM scored)
+    SELECT vec_id, CAST(FLOOR(1e6 * cos) AS BIGINT) AS score_e6,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style sign-bucket-pruned cosine top-5: the scale path — only the
+    query's coarse bucket is scanned."""
+    e = load_table(spark, sf_dir, "embeddings")
+    query = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("query_vec"))
+    return ivf_topk(e, query, k=5, bits=4)

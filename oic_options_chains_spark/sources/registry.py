@@ -1,0 +1,40 @@
+"""Loaders for the synthetic benchmark tables (TESTDATA.md).
+
+Plain parquet scans — column pruning and predicate pushdown are then free
+for every downstream query. No caching here: each query declares its own
+plan and AQE handles reuse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    assert name in TABLES, f"unknown table {name}"
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which the vectorized reader
+        # rejects; read nanos as long and integer-divide to microseconds
+        # (double division would lose precision on ~1.7e18 nanos).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
