@@ -15,14 +15,21 @@ Scale design (the 100 TB path):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from oic_options_chains_spark.operators.text import tokens
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as an array; empty array for short docs."""
+    """Word n-gram shingles as an array column; empty array for short docs.
+
+    NOTE: array-lambda form, for use inside array contexts only. Spark
+    evaluates higher-order-function lambdas interpreted (outside
+    whole-stage codegen) and re-evaluates the ``split`` per element — for
+    relational shingling always prefer ``doc_shingles`` (posexplode +
+    window lead), which is fully codegen'd and parallelizes after one
+    shuffle."""
     toks = tokens(text)
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     make = F.transform(
@@ -37,11 +44,25 @@ def shingles(text: Column, n: int = 3) -> Column:
 
 
 def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct (doc, shingle) pairs."""
-    return (
-        df.select(F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle"))
-        .distinct()
+    """Distinct (doc, shingle) pairs via posexplode + window lead.
+
+    One shuffle keyed on the doc id (the window partition); every stage is
+    whole-stage-codegen. At cluster scale the token rows are tiny relative
+    to the corpus and the id-keyed shuffle spreads CPU-heavy hashing
+    across executors regardless of input file splits."""
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias("pos", "tok"),
     )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
+    with_sh = tok.select(
+        F.col(id_col),
+        F.when(
+            F.lead("tok", n - 1).over(w).isNotNull(), F.concat_ws(" ", *parts)
+        ).alias("shingle"),
+    )
+    return with_sh.filter(F.col("shingle").isNotNull()).distinct()
 
 
 def minhash_signatures(
@@ -49,17 +70,27 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc, seed, minhash) rows: min over shingles of md5(seed || shingle).
 
-    md5-hex min is order-free and engine-portable. num_hashes rows per doc.
+    md5-hex min is order-free and engine-portable. All ``num_hashes``
+    hashes are computed per shingle row in one projection and aggregated
+    as k parallel mins in a single groupBy pass — no k-fold row explosion,
+    one shuffle keyed on the doc id. The long (doc, seed, minhash) shape
+    is exploded only after aggregation (k rows per doc).
     """
-    seeds = F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])).alias("seed")
-    return (
-        shingle_df.select(F.col(id_col), F.col("shingle"), seeds)
-        .withColumn(
-            "h",
-            F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))),
-        )
-        .groupBy(id_col, "seed")
-        .agg(F.min("h").alias("minhash"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"__h{i}")
+        for i in range(num_hashes)
+    ]
+    wide = shingle_df.groupBy(id_col).agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("seed"), F.col(f"__h{i}").alias("minhash")
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return wide.select(F.col(id_col), F.explode(pairs).alias("s")).select(
+        F.col(id_col), F.col("s.seed").alias("seed"), F.col("s.minhash").alias("minhash")
     )
 
 

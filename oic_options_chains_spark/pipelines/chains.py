@@ -16,6 +16,7 @@ from decimal import Decimal
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from oic_options_chains_spark.functions.literals import values_df
 from oic_options_chains_spark.operators.asof import latest_per_key
 from oic_options_chains_spark.operators.dedup import dedup_by_key
 from oic_options_chains_spark.operators.nearest import (
@@ -56,9 +57,11 @@ def build_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # 2. Expiry targets: nearest distinct shipdate to each +2k-week target.
     dates = li.select(F.col("l_shipdate").cast("date").alias("expiry")).distinct()
-    targets = spark.createDataFrame(
-        [(SNAPSHOT + dt.timedelta(days=d),) for d in WEEK_OFFSETS],
-        "target_date date",
+    targets = values_df(
+        spark,
+        "target_date",
+        [SNAPSHOT + dt.timedelta(days=d) for d in WEEK_OFFSETS],
+        "date",
     )
     expiry_winners = nearest_date_selection(
         dates, [], "expiry", targets, "target_date"
@@ -66,8 +69,8 @@ def build_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # 3. Strike targets: mark_price x rational multipliers, exact decimal —
     #    scaled into the quantity domain (1..50) for the synthetic tables.
-    mults = spark.createDataFrame(
-        [(Decimal(m),) for m in STRIKE_MULTIPLIERS], "mult decimal(6,4)"
+    mults = values_df(
+        spark, "mult", [Decimal(m) for m in STRIKE_MULTIPLIERS], "decimal(6,4)"
     )
     strike_targets = (
         marks.crossJoin(F.broadcast(mults))

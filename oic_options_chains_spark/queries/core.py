@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from oic_options_chains_spark.functions.cleaning import enum_map, sentinel_to_null
 from oic_options_chains_spark.functions.dates import prior_year_date
 from oic_options_chains_spark.functions.decimal_ops import trunc_n
+from oic_options_chains_spark.functions.literals import values_df
 from oic_options_chains_spark.operators.asof import latest_per_key
 from oic_options_chains_spark.operators.dedup import conflict_ignore_append
 from oic_options_chains_spark.operators.merge import upsert
@@ -220,9 +221,7 @@ def q_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tie-break: earliest date wins (fold with strict <, parse order)."""
     li = _t(spark, sf_dir, "lineitem")
     dates = li.select(F.col("l_shipdate").cast("date").alias("ship_date")).distinct()
-    targets = spark.createDataFrame(
-        [(d,) for d in NEAREST_TARGET_DATES], "target_date date"
-    )
+    targets = values_df(spark, "target_date", NEAREST_TARGET_DATES, "date")
     winners = nearest_date_selection(
         dates, [], "ship_date", targets, "target_date"
     ).select(
@@ -260,9 +259,11 @@ def q_nearest_strike(spark: SparkSession, sf_dir: str) -> DataFrame:
     qty = li.select(
         "l_returnflag", F.col("l_quantity").cast("decimal(10,2)").alias("qty")
     ).distinct()
-    targets = spark.createDataFrame(
-        [(Decimal("10.50"),), (Decimal("25.25"),), (Decimal("40.00"),)],
-        "target_qty decimal(10,2)",
+    targets = values_df(
+        spark,
+        "target_qty",
+        [Decimal("10.50"), Decimal("25.25"), Decimal("40.00")],
+        "decimal(10,2)",
     )
     return nearest_selection(qty, ["l_returnflag"], "qty", targets, "target_qty").select(
         "l_returnflag", "target_qty", F.col("qty").alias("nearest_qty")
