@@ -14,13 +14,21 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def prior_year_date(day_month: Column, snapshot_date: Column) -> Column:
+def prior_year_date(
+    day_month: Column, snapshot_date: Column, leap_hack: bool = True
+) -> Column:
     """Resolve a ``dd-MMM`` string to a date at-or-before ``snapshot_date``.
 
     Both arguments are Columns; ``snapshot_date`` must be DateType.
-    Returns DateType (SURVEY.md F18).
+    Returns DateType (SURVEY.md F18). ``leap_hack=False`` reproduces the
+    pre-2023 eras, which lacked the 29-Feb rewrite (transform-load.rkt:133)
+    — there an off-year 29-Feb parses to NULL instead.
     """
-    dm = F.regexp_replace(day_month, "^29-Feb$", "28-Feb")
+    dm = (
+        F.regexp_replace(day_month, "^29-Feb$", "28-Feb")
+        if leap_hack
+        else day_month
+    )
     this_year = F.to_date(
         F.concat(dm, F.lit("-"), F.year(snapshot_date).cast("string")),
         "dd-MMM-yyyy",

@@ -76,6 +76,47 @@ def brute_force_topk(
     )
 
 
+def near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, sign-bucket-pruned.
+
+    Candidate generation is a self-equi-join on the coarse sign bucket
+    (id_a < id_b to emit each pair once), so the shuffle is keyed on the
+    bucket — never the O(n^2) cross join. At 100 TB raise ``bits`` so
+    buckets stay executor-sized (each doubling halves expected bucket
+    size); recall loss only affects pairs whose cosine is low anyway,
+    since near-identical vectors share leading sign bits.
+    Returns (id_a, id_b, score_e6).
+    """
+    b = embeddings.select(
+        F.col(id_col), F.col(vec_col), sign_bucket(F.col(vec_col), bits).alias("__b")
+    )
+    a, c = b.alias("a"), b.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col(f"a.__b") == F.col(f"c.__b"))
+            & (F.col(f"a.{id_col}") < F.col(f"c.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"c.{id_col}").alias("id_b"),
+            cosine(F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}")).alias("__cos"),
+        )
+        .filter(F.col("__cos") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(F.lit(1e6) * F.col("__cos")).cast("bigint").alias("score_e6"),
+        )
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query: DataFrame,

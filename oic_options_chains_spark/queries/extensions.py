@@ -24,6 +24,7 @@ from oic_options_chains_spark.operators.minhash import (
 from oic_options_chains_spark.operators.similarity import (
     brute_force_topk,
     ivf_topk,
+    near_dup_pairs,
 )
 from oic_options_chains_spark.operators.text import (
     fingerprint,
@@ -263,6 +264,39 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash signatures (md5 bit projections, exact integer votes)."""
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", simhash16(F.col("text")).alias("simhash"))
+
+
+@register(
+    "q_dedup_embedding",
+    oracle="""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] > 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[2] > 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[3] > 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[4] > 0 THEN '1' ELSE '0' END) AS bucket
+      FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+        list_reduce(list_transform(list_zip(a.embedding, c.embedding),
+                                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                    (acc, x) -> acc + x)
+        / (sqrt(list_reduce(list_transform(a.embedding,
+                                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                            (acc, x) -> acc + x))
+           * sqrt(list_reduce(list_transform(c.embedding,
+                                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                              (acc, x) -> acc + x))) AS cos
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+    SELECT id_a, id_b, CAST(FLOOR(1e6 * cos) AS BIGINT) AS score_e6
+    FROM p WHERE cos >= 0.35
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: sign-bucket LSH candidates, exact
+    cosine verify at threshold 0.35."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return near_dup_pairs(e, threshold=0.35, bits=4)
 
 
 # --------------------------------------------------------------------------
