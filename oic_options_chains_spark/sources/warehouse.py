@@ -1,0 +1,60 @@
+"""Date-partitioned parquet warehouse with conflict-ignore appends.
+
+The reference's tables live in PostgreSQL with composite PKs and
+``ON CONFLICT DO NOTHING`` inserts (reference: schema.sql:23,
+transform-load.2025-08-19.rkt:209) — replays are free. Without an index,
+the same guarantee is an anti-join against the pruned existing partition
+before an append (SURVEY.md K1, operators/dedup.py), under the
+single-writer-per-partition discipline noted in SURVEY.md section 7.3.
+
+Scale: the table is ``partitionBy(date)`` (the reference's dated-folder
+layout made durable); an incoming day prunes the existing side to one
+partition, and AQE broadcasts it when small. At 100 TB, bucketing or
+Z-ordering by ``act_symbol`` inside each date partition keeps the
+reference's per-symbol queries one-file reads; a table format with MERGE
+(Delta/Iceberg) replaces the anti-join with a metadata-level upsert but
+the logical plan is identical.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from oic_options_chains_spark.operators.dedup import conflict_ignore_append, dedup_by_key
+
+
+def table_exists(table_dir: str) -> bool:
+    return os.path.isdir(table_dir) and any(
+        not name.startswith((".", "_")) for name in os.listdir(table_dir)
+    )
+
+
+def read_table(spark: SparkSession, table_dir: str) -> DataFrame:
+    return spark.read.parquet(table_dir)
+
+
+def append_day(
+    spark: SparkSession,
+    table_dir: str,
+    incoming: DataFrame,
+    pk: Sequence[str],
+    date_col: str = "date",
+) -> None:
+    """Idempotent single-date append: in-batch PK dedup, anti-join against
+    the existing date partition(s), then a partitioned append.
+
+    The existing side is filtered with a semi-join on the incoming dates,
+    so partition pruning keeps the read to the replayed day regardless of
+    table size.
+    """
+    batch = dedup_by_key(incoming, pk)
+    if table_exists(table_dir):
+        dates = batch.select(date_col).distinct()
+        existing = read_table(spark, table_dir).join(
+            dates, on=date_col, how="left_semi"
+        )
+        batch = conflict_ignore_append(existing, batch, pk)
+    batch.write.mode("append").partitionBy(date_col).parquet(table_dir)
