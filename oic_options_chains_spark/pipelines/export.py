@@ -1,0 +1,116 @@
+"""Export / restore pipelines (reference: dump-dolt.rkt:46-148,
+dump-dat.rkt:44-94, restore-from-dolt.rkt:45-71; SURVEY.md K4-K6).
+
+Each export is a pure projection the oracle can check (P1/P2/F22/F26/O1)
+plus a partitioned CSV write. The reference wrote one sorted CSV per date
+in a driver loop; here ``repartition(date)`` + ``sortWithinPartitions``
+yields the same per-date sorted files from one distributed write — no
+driver loop, any number of dates.
+
+The Dolt versioned-sink step itself (table import/commit/push) is a
+storage-format concern (Delta/Iceberg snapshot commit in a Spark stack)
+and stays outside the engine (K5 infra).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from oic_options_chains_spark.functions.decimal_ops import trunc_n
+
+_GREEKS = ("vol", "delta", "gamma", "theta", "vega", "rho")
+
+
+def dolt_option_chain_projection(df: DataFrame) -> DataFrame:
+    """The dump-dolt option_chain shape: text casts with trunc(bid,2) /
+    trunc(greek,4), sorted by (act_symbol, expiration, strike::numeric,
+    call_put) — the sort key uses the NUMERIC strike even though the
+    projected column is text (dump-dolt.rkt:54-73)."""
+    return (
+        df.orderBy(
+            "act_symbol",
+            "expiration",
+            F.col("strike").cast("decimal(18,3)"),
+            "call_put",
+        )
+        .select(
+            F.col("date").cast("string").alias("date"),
+            F.col("act_symbol").cast("string").alias("act_symbol"),
+            F.col("expiration").cast("string").alias("expiration"),
+            F.col("strike").cast("string").alias("strike"),
+            F.col("call_put").cast("string").alias("call_put"),
+            trunc_n(F.col("bid"), 2, "decimal(18,2)").cast("string").alias("bid"),
+            trunc_n(F.col("ask"), 2, "decimal(18,2)").cast("string").alias("ask"),
+            *[
+                trunc_n(F.col(g), 4, "decimal(18,4)").cast("string").alias(g)
+                for g in _GREEKS
+            ],
+        )
+    )
+
+
+def dolt_volatility_projection(df: DataFrame) -> DataFrame:
+    """The dump-dolt volatility_history shape: every column text-cast and
+    NULL-coalesced to '' for CSV, sorted by symbol (dump-dolt.rkt:96-130)."""
+    value_cols = [c for c in df.columns if c not in ("date", "act_symbol")]
+    return df.orderBy("act_symbol").select(
+        F.col("date").cast("string").alias("date"),
+        F.col("act_symbol").cast("string").alias("act_symbol"),
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("")).alias(c)
+            for c in value_cols
+        ],
+    )
+
+
+def dat_option_chain_projection(df: DataFrame) -> DataFrame:
+    """The dump-dat cleaned shape: only rows with EVERY quote/greek present
+    (P5), plain text casts (no trunc), 5-key sort (dump-dat.rkt:51-78)."""
+    notnull = F.lit(True)
+    for c in ("bid", "ask", *_GREEKS):
+        notnull = notnull & F.col(c).isNotNull()
+    return (
+        df.filter(notnull)
+        .orderBy("act_symbol", "expiration", "strike", "call_put", "date")
+        .select(
+            *[
+                F.col(c).cast("string").alias(c)
+                for c in (
+                    "act_symbol", "expiration", "strike", "call_put", "date",
+                    "bid", "ask", *_GREEKS,
+                )
+            ]
+        )
+    )
+
+
+def restore_option_chain_projection(df: DataFrame) -> DataFrame:
+    """The Dolt->warehouse restore shape: pre-model_value rows come back
+    with an explicit NULL model_value column (restore-from-dolt.rkt:50-64,
+    F27); the subsequent load is the same conflict-ignore append (K1) via
+    ``sources.warehouse.append_day``."""
+    cols = [
+        "act_symbol", "expiration", "strike", "call_put", "date",
+        "bid", "ask", *_GREEKS,
+    ]
+    return df.select(
+        *cols, F.lit(None).cast("decimal(18,3)").alias("model_value")
+    )
+
+
+def write_csv_by_date(df: DataFrame, out_dir: str, sort_cols: list[str]) -> None:
+    """Per-date sorted CSV files with header: one hash partition per date,
+    rows sorted inside each file — the distributed equivalent of the
+    reference's per-date export loop (dump-dolt.rkt:46-77)."""
+    (
+        # partition on a copy so the date column itself stays in the CSV
+        # body (the reference's files carry it as the first column)
+        df.withColumn("__pdate", F.col("date"))
+        .repartition(F.col("__pdate"))
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .partitionBy("__pdate")
+        .option("header", True)
+        .csv(out_dir)
+    )
