@@ -180,6 +180,24 @@ def normalize_chain(selected: DataFrame, ingest_date: dt.date, era: Era) -> Data
     return dedup_by_key(out, OPTION_CHAIN_PK)
 
 
+def chain_from_raw(
+    raw: DataFrame,
+    ohlc: DataFrame,
+    ingest_date: dt.date,
+    era: Era,
+    all_options: bool = False,
+) -> DataFrame:
+    """The curated ``option_chain`` DataFrame from an already-scanned raw
+    batch — shared by the batch entry point and the streaming wrapper
+    (streaming/incremental.py), which per T3 must run the IDENTICAL
+    transform per micro-batch."""
+    long_df = explode_sides(raw)
+    if all_options:
+        return normalize_chain(long_df, ingest_date, era)
+    marks = mark_prices(ohlc, ingest_date)
+    return normalize_chain(select_chain(long_df, marks, ingest_date, era), ingest_date, era)
+
+
 def chain_day(
     spark: SparkSession,
     base_dir: str,
@@ -193,8 +211,4 @@ def chain_day(
     transform-load.2025-08-19.rkt:147)."""
     era = era or era_for_date(ingest_date)
     raw = read_chain_files(spark, base_dir, ingest_date, era)
-    long_df = explode_sides(raw)
-    if all_options:
-        return normalize_chain(long_df, ingest_date, era)
-    marks = mark_prices(ohlc, ingest_date)
-    return normalize_chain(select_chain(long_df, marks, ingest_date, era), ingest_date, era)
+    return chain_from_raw(raw, ohlc, ingest_date, era, all_options)

@@ -1,0 +1,95 @@
+"""Incremental raw-zone ingestion as Structured Streaming (SURVEY.md
+section 2.9, T3-T5).
+
+The reference's daily cron replay — "process the folder named for today;
+any past date is replayable with ``-d``" (transform-load.2025-08-19.rkt:
+88-90,158) — is a file-source stream over ``base/yyyy-MM-dd/*.json`` with
+``Trigger.AvailableNow``:
+
+- T3: the checkpoint tracks which raw files are done, so each run
+  processes exactly the new ones and stops — the cron batch, minus the
+  bookkeeping.
+- T4: each micro-batch routes through the SAME batch transform
+  (``chain_from_raw``) into the conflict-ignore append, so a batch that
+  retries after a crash re-merges the same rows into a no-op:
+  exactly-once table effect from at-least-once delivery.
+- T5: per-file parse failures are already quarantine channels inside the
+  transforms, not exceptions, so one bad file never stalls the stream.
+
+No watermark is needed: late data is just a late file, and idempotent
+replay absorbs it (the reference had the same story). A continuous
+deployment would swap ``availableNow=True`` for a processing-time
+trigger unchanged.
+
+Scale: the file source lists only new files per batch; each batch is
+date-grouped driver-side (a distinct over at most a handful of ingest
+dates) and each date's transform is the same pruned single-partition
+plan as the batch path.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from oic_options_chains_spark.parse.eras import era_for_date
+from oic_options_chains_spark.pipelines.chains_raw import chain_from_raw
+from oic_options_chains_spark.schemas import CHAIN_RAW, OPTION_CHAIN_PK
+from oic_options_chains_spark.sources.warehouse import append_day
+
+_DATE_FROM_PATH = r"/(\d{4}-\d{2}-\d{2})/[^/]+$"
+
+
+def raw_chain_stream(spark: SparkSession, base_dir: str) -> DataFrame:
+    """File-source stream over every dated folder; symbol and ingest date
+    are derived from the file path exactly as in the batch reader."""
+    read_schema = T.StructType([f for f in CHAIN_RAW if f.name != "act_symbol"])
+    return (
+        spark.readStream.schema(read_schema)
+        .option("multiLine", "true")
+        .option("pathGlobFilter", "*.json")
+        .json(f"{base_dir}/*")
+        .withColumn(
+            "act_symbol",
+            F.regexp_extract(F.input_file_name(), r"([^/]+)\.json$", 1),
+        )
+        .withColumn(
+            "ingest_date",
+            F.regexp_extract(F.input_file_name(), _DATE_FROM_PATH, 1).cast("date"),
+        )
+    )
+
+
+def run_incremental_chain_load(
+    spark: SparkSession,
+    base_dir: str,
+    table_dir: str,
+    ohlc: DataFrame,
+    checkpoint_dir: str,
+    all_options: bool = False,
+) -> None:
+    """Drain all unprocessed raw files into the warehouse table, then stop."""
+
+    def process(batch: DataFrame, _batch_id: int) -> None:
+        dates = [
+            r.ingest_date
+            for r in batch.select("ingest_date").distinct().collect()
+            if r.ingest_date is not None
+        ]
+        for day in sorted(dates):
+            era = era_for_date(day)
+            raw = batch.filter(F.col("ingest_date") == F.lit(day)).drop("ingest_date")
+            curated = chain_from_raw(raw, ohlc, day, era, all_options=all_options)
+            append_day(spark, table_dir, curated, OPTION_CHAIN_PK)
+
+    (
+        raw_chain_stream(spark, base_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -1,0 +1,77 @@
+"""Incremental ingestion tests (T3/T4): AvailableNow drains only new
+files; replays and crash-retries are no-ops on the table."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+from decimal import Decimal
+
+import pytest
+
+from oic_options_chains_spark.schemas import OHLC
+
+DAY1 = dt.date(2025, 8, 18)
+DAY2 = dt.date(2025, 8, 19)
+
+
+def _rows() -> str:
+    return json.dumps(
+        [
+            {
+                "expirationdate": "2025-09-02",
+                "strike": 100.0,
+                "call_optionsymbol": "C1", "put_optionsymbol": "P1",
+                "call_bid": 1.0, "call_ask": 1.1, "call_theoprice": 1.05,
+                "call_ivint": 30.0, "call_delta": 0.5, "call_gamma": 0.01,
+                "call_theta": -0.05, "call_vega": 0.2, "call_rho": 0.04,
+                "put_bid": 2.0, "put_ask": 2.1, "put_theoprice": 2.05,
+                "put_ivint": 31.0, "put_delta": -0.5, "put_gamma": 0.01,
+                "put_theta": -0.04, "put_vega": 0.2, "put_rho": -0.04,
+            }
+        ]
+    )
+
+
+@pytest.fixture()
+def ohlc(spark):
+    return spark.createDataFrame(
+        [
+            ("AAA", dt.date(2025, 8, 15), Decimal("100.000")),
+            ("NEW", dt.date(2025, 8, 15), Decimal("100.000")),
+        ],
+        OHLC,
+    )
+
+
+def test_available_now_incremental(spark, ohlc, tmp_path):
+    from oic_options_chains_spark.sources.warehouse import read_table
+    from oic_options_chains_spark.streaming.incremental import (
+        run_incremental_chain_load,
+    )
+
+    base = tmp_path / "raw"
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    for day in (DAY1, DAY2):
+        (base / day.isoformat()).mkdir(parents=True)
+        (base / day.isoformat() / "AAA.json").write_text(_rows())
+
+    run_incremental_chain_load(spark, str(base), table, ohlc, ckpt)
+    first = read_table(spark, table)
+    assert first.count() == 4  # 1 strike x 2 sides x 2 days
+    assert {r.date for r in first.select("date").distinct().collect()} == {DAY1, DAY2}
+
+    # drained checkpoint: a second run sees no new files, appends nothing
+    run_incremental_chain_load(spark, str(base), table, ohlc, ckpt)
+    assert read_table(spark, table).count() == 4
+
+    # a late-arriving file (new symbol, old date) is picked up incrementally
+    (base / DAY2.isoformat() / "NEW.json").write_text(_rows())
+    run_incremental_chain_load(spark, str(base), table, ohlc, ckpt)
+    after = read_table(spark, table)
+    assert after.count() == 6
+    # T4: replaying the whole zone from a FRESH checkpoint double-delivers
+    # every file, but the conflict-ignore append keeps the table identical
+    run_incremental_chain_load(spark, str(base), table, ohlc, str(tmp_path / "ckpt2"))
+    assert read_table(spark, table).count() == 6
