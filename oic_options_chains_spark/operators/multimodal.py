@@ -1,0 +1,187 @@
+"""Multimodal (image/audio/video) columns as opaque binary + typed
+metadata.
+
+A 100 TB training-data pipeline carries media as ``binary`` columns with
+a typed metadata struct alongside — never decoded in the plan until a
+kernel needs pixels. The Spark-side plumbing here (schemas, Arrow batch
+shapes, mapInPandas signatures, zero-shuffle placement) is real and
+tested; the codec step itself is STUBBED because no image/audio library
+ships in this container:
+
+- ``decode_media`` with ``fake=False`` raises ``NotImplementedError`` at
+  the exact seam where Pillow/torchaudio/PyAV would slot in;
+- ``fake=True`` (the default, used by tests) derives deterministic
+  "decoded" stats from the bytes themselves (md5-seeded), so the full
+  distributed path — batch iteration, struct results, frame explode — is
+  exercised end-to-end with stable assertions.
+
+Scale notes: kernels run ``mapInPandas`` where the scan ran (no shuffle);
+``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds per-batch memory,
+which matters when single binaries are MBs — set it low for video. Frame
+sampling emits one row per sampled frame (a flatMap), so downstream
+shuffles see small fixed-size features, never the raw bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_KINDS = ("image", "audio", "video")
+
+# media fact table: content is opaque; meta is typed per kind
+MEDIA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("content", T.BinaryType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("format", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+IMAGE_FEATURES = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_luma", T.DoubleType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+FRAME_SAMPLES = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_digest", T.StringType(), False),
+    ]
+)
+
+
+def binary_meta(content: Column) -> dict[str, Column]:
+    """JVM-side metadata over an opaque binary column — no Python, no
+    decode: size and a portable content hash."""
+    return {
+        "n_bytes": F.octet_length(content).cast("bigint"),
+        "content_md5": F.md5(content),
+    }
+
+
+def _fake_image_stats(blob: bytes, dims: int) -> tuple[int, int, float, list[float]]:
+    """Deterministic stand-in for a real decoder: stats seeded from the
+    content digest. STUB — replace with Pillow at the marked seam."""
+    digest = hashlib.md5(blob).digest()
+    width = 16 + digest[0] % 64
+    height = 16 + digest[1] % 64
+    mean_luma = digest[2] / 255.0
+    feature = [b / 255.0 for b in digest[: dims]]
+    return width, height, mean_luma, feature
+
+
+def decode_media(df: DataFrame, fake: bool = True, feature_dims: int = 8) -> DataFrame:
+    """Decode + feature-extract images: ``MEDIA`` rows -> ``IMAGE_FEATURES``.
+
+    ``fake=False`` is the production seam: it raises until a real codec
+    (Pillow/libvips) is installed on the executors.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real image decode needs Pillow/libvips on the executors; "
+            "this container ships none (STUB seam — wire the codec here)"
+        )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                w, h, luma, feat = _fake_image_stats(bytes(blob), feature_dims)
+                out.append(
+                    {
+                        "media_id": mid,
+                        "width": w,
+                        "height": h,
+                        "mean_luma": luma,
+                        "feature": feat,
+                    }
+                )
+            yield pd.DataFrame(out, columns=IMAGE_FEATURES.fieldNames())
+
+    return df.select("media_id", "content").mapInPandas(run, IMAGE_FEATURES)
+
+
+def resize_images(df: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
+    """Resize kernel: same plumbing, new binary out. The fake keeps the
+    bytes opaque (digest-stamped) but the schema/flow is the real one."""
+    if not fake:
+        raise NotImplementedError(
+            "real resize needs an image codec on the executors (STUB seam)"
+        )
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), False),
+        ]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [
+                {
+                    "media_id": mid,
+                    "content": hashlib.md5(
+                        bytes(blob) + f":{width}x{height}".encode()
+                    ).digest(),
+                }
+                for mid, blob in zip(pdf["media_id"], pdf["content"])
+            ]
+            yield pd.DataFrame(rows, columns=out_schema.fieldNames())
+
+    return df.select("media_id", "content").mapInPandas(run, out_schema)
+
+
+def sample_frames(df: DataFrame, frame_bytes: int = 256, every_n: int = 2) -> DataFrame:
+    """Frame-sample videos: one output row per sampled frame (a flatMap in
+    mapInPandas — output length independent of input length). The fake
+    treats fixed-size byte windows as frames; a real build would hand the
+    bytes to PyAV at this seam."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(blob)
+                n_frames = max(len(raw) // frame_bytes, 1)
+                for idx in range(0, n_frames, every_n):
+                    window = raw[idx * frame_bytes : (idx + 1) * frame_bytes]
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": idx,
+                            "frame_digest": hashlib.md5(window).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=FRAME_SAMPLES.fieldNames())
+
+    return df.select("media_id", "content").mapInPandas(run, FRAME_SAMPLES)

@@ -267,6 +267,31 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary metadata (operators/multimodal.binary_meta): byte size
+    + portable content hash, all JVM-side — the documents' text bytes stand
+    in for a media blob column."""
+    from oic_options_chains_spark.operators.multimodal import binary_meta
+
+    d = load_table(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "UTF-8")
+    meta = binary_meta(blob)
+    return d.select(
+        "doc_id",
+        meta["n_bytes"].alias("n_bytes"),
+        meta["content_md5"].alias("content_md5"),
+    )
+
+
+@register(
     "q_dedup_embedding",
     oracle="""
     WITH b AS (

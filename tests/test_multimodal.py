@@ -1,0 +1,66 @@
+"""Multimodal plumbing tests: the decode seam is stubbed (no codec in
+this container) but the distributed path — schemas, Arrow batches,
+flatMap frame explode, determinism — is real."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from oic_options_chains_spark.operators.multimodal import (
+    FRAME_SAMPLES,
+    IMAGE_FEATURES,
+    MEDIA,
+    decode_media,
+    resize_images,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (i, "image" if i % 3 else "video", bytes([i % 251]) * (300 + i), ("raw", 64, 64, None, None))
+        for i in range(1, 21)
+    ]
+    return spark.createDataFrame(rows, MEDIA).repartition(4).cache()
+
+
+def test_decode_media_schema_and_determinism(media):
+    feats = decode_media(media, feature_dims=8)
+    assert feats.schema == IMAGE_FEATURES
+    rows = {r.media_id: r for r in feats.collect()}
+    assert len(rows) == 20
+    # deterministic: same bytes -> same fake stats, across partitions/runs
+    again = {r.media_id: r for r in decode_media(media, feature_dims=8).collect()}
+    assert all(rows[k] == again[k] for k in rows)
+    assert all(len(r.feature) == 8 for r in rows.values())
+    assert all(16 <= r.width < 80 for r in rows.values())
+
+
+def test_real_decode_is_marked_stub(media):
+    with pytest.raises(NotImplementedError, match="STUB seam"):
+        decode_media(media, fake=False)
+    with pytest.raises(NotImplementedError, match="STUB seam"):
+        resize_images(media, 32, 32, fake=False)
+
+
+def test_resize_preserves_ids_and_changes_bytes(media):
+    resized = resize_images(media, 32, 32)
+    rows = resized.collect()
+    assert len(rows) == 20
+    assert all(len(r.content) == 16 for r in rows)  # digest-sized fake
+
+
+def test_sample_frames_flatmap(media):
+    frames = sample_frames(media, frame_bytes=100, every_n=2)
+    assert frames.schema == FRAME_SAMPLES
+    by_id = frames.groupBy("media_id").count().collect()
+    # row 1 has 301 bytes -> 3 frames -> sampled idx {0, 2} = 2 rows
+    counts = {r.media_id: r["count"] for r in by_id}
+    assert counts[1] == 2
+    # frame digests match a direct recomputation (plumbing is faithful)
+    r = frames.filter((F.col("media_id") == 1) & (F.col("frame_idx") == 0)).collect()[0]
+    assert r.frame_digest == hashlib.md5((bytes([1]) * 301)[:100]).hexdigest()
