@@ -43,13 +43,20 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
-def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct (doc, shingle) pairs via posexplode + window lead.
+def doc_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """(doc, shingle) pairs via posexplode + window lead.
 
     One shuffle keyed on the doc id (the window partition); every stage is
     whole-stage-codegen. At cluster scale the token rows are tiny relative
     to the corpus and the id-keyed shuffle spreads CPU-heavy hashing
-    across executors regardless of input file splits."""
+    across executors regardless of input file splits.
+
+    ``distinct=True`` gives set semantics (required for Jaccard). MinHash
+    consumers pass ``distinct=False``: ``min`` is duplicate-insensitive,
+    and the doc-id window partitioning already co-locates each doc, so the
+    dedup pass is pure cost there."""
     tok = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias("pos", "tok"),
@@ -62,7 +69,19 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
             F.lead("tok", n - 1).over(w).isNotNull(), F.concat_ws(" ", *parts)
         ).alias("shingle"),
     )
-    return with_sh.filter(F.col("shingle").isNotNull()).distinct()
+    out = with_sh.filter(F.col("shingle").isNotNull())
+    return out.distinct() if distinct else out
+
+
+def _wide_minhash(shingle_df: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    """One row per doc with columns ``__h0..__h{k-1}``: all ``num_hashes``
+    md5-permutation minima in a single groupBy pass — no k-fold row
+    explosion, one shuffle keyed on the doc id."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"__h{i}")
+        for i in range(num_hashes)
+    ]
+    return shingle_df.groupBy(id_col).agg(*aggs)
 
 
 def minhash_signatures(
@@ -70,17 +89,10 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc, seed, minhash) rows: min over shingles of md5(seed || shingle).
 
-    md5-hex min is order-free and engine-portable. All ``num_hashes``
-    hashes are computed per shingle row in one projection and aggregated
-    as k parallel mins in a single groupBy pass — no k-fold row explosion,
-    one shuffle keyed on the doc id. The long (doc, seed, minhash) shape
-    is exploded only after aggregation (k rows per doc).
+    md5-hex min is order-free and engine-portable. The long shape is
+    exploded only after the wide aggregation (k rows per doc).
     """
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"__h{i}")
-        for i in range(num_hashes)
-    ]
-    wide = shingle_df.groupBy(id_col).agg(*aggs)
+    wide = _wide_minhash(shingle_df, id_col, num_hashes)
     pairs = F.array(
         *[
             F.struct(
@@ -91,6 +103,38 @@ def minhash_signatures(
     )
     return wide.select(F.col(id_col), F.explode(pairs).alias("s")).select(
         F.col(id_col), F.col("s.seed").alias("seed"), F.col("s.minhash").alias("minhash")
+    )
+
+
+def minhash_band_keys(
+    shingle_df: DataFrame, id_col: str, num_hashes: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """(doc, band, band_key) rows directly from the wide aggregation.
+
+    Fuses signature + banding: ``lsh_bands`` over the long signature form
+    costs a second doc-keyed shuffle plus a ``collect_list`` sort; here the
+    band keys are plain ``concat_ws`` over the wide columns, so the whole
+    path to LSH buckets is one shuffle. Band keys are identical to
+    ``lsh_bands``'s (minhashes joined by ',' in seed order)."""
+    assert num_hashes % rows_per_band == 0
+    wide = _wide_minhash(shingle_df, id_col, num_hashes)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"__h{b * rows_per_band + j}")
+                        for j in range(rows_per_band)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(num_hashes // rows_per_band)
+        ]
+    )
+    return wide.select(F.col(id_col), F.explode(bands).alias("s")).select(
+        F.col(id_col), F.col("s.band").alias("band"), F.col("s.band_key").alias("band_key")
     )
 
 

@@ -15,8 +15,8 @@ from pyspark.sql import functions as F
 
 from oic_options_chains_spark.operators.minhash import (
     doc_shingles,
-    lsh_bands,
     lsh_candidate_pairs,
+    minhash_band_keys,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash16,
@@ -194,7 +194,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures: 8 md5-permutation minima over 3-word shingles."""
     d = load_table(spark, sf_dir, "documents")
-    return minhash_signatures(doc_shingles(d, "doc_id", "text"), "doc_id")
+    return minhash_signatures(
+        doc_shingles(d, "doc_id", "text", distinct=False), "doc_id"
+    )
 
 
 @register(
@@ -212,10 +214,13 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding: candidate near-dup pairs from shared band buckets."""
+    """LSH banding: candidate near-dup pairs from shared band buckets.
+    Uses the fused signature+banding path (one doc-keyed shuffle)."""
     d = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(doc_shingles(d, "doc_id", "text"), "doc_id")
-    return lsh_candidate_pairs(lsh_bands(sig, "doc_id"), "doc_id")
+    bands = minhash_band_keys(
+        doc_shingles(d, "doc_id", "text", distinct=False), "doc_id"
+    )
+    return lsh_candidate_pairs(bands, "doc_id")
 
 
 @register(
