@@ -1,0 +1,59 @@
+"""Property tests for nearest-selection (J3/J4) — the invariants SURVEY.md
+section 5.2 commits to:
+
+- the winner's distance is <= every candidate's distance to the target;
+- on distance ties the SMALLEST candidate wins (the deterministic
+  re-expression of the reference's first-in-parse-order fold,
+  transform-load.2025-08-19.rkt:52-57 — parse order is ascending).
+
+Cases are packed into one DataFrame keyed by case_id so each hypothesis
+example costs a single Spark job.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from oic_options_chains_spark.operators.nearest import nearest_selection
+
+_case = st.tuples(
+    st.lists(st.integers(-1000, 1000), min_size=1, max_size=8, unique=True),
+    st.lists(st.integers(-1000, 1000), min_size=1, max_size=4, unique=True),
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_case, min_size=1, max_size=25))
+def test_nearest_selection_invariants(spark, cases):
+    cand_rows = [
+        (cid, Decimal(v)) for cid, (cands, _) in enumerate(cases) for v in cands
+    ]
+    target_rows = [
+        (cid, Decimal(t)) for cid, (_, targets) in enumerate(cases) for t in targets
+    ]
+    candidates = spark.createDataFrame(
+        cand_rows, "case_id int, value decimal(10,2)"
+    )
+    targets = spark.createDataFrame(
+        target_rows, "case_id int, target decimal(10,2)"
+    )
+    got = {
+        (r.case_id, r.target): (r.value, r.distance)
+        for r in nearest_selection(
+            candidates, ["case_id"], "value", targets, "target"
+        ).collect()
+    }
+    for cid, (cands, tgts) in enumerate(cases):
+        for t in tgts:
+            value, distance = got[(cid, Decimal(t))]
+            best = min(cands, key=lambda v: (abs(v - t), v))
+            assert value == Decimal(best)
+            assert distance == abs(Decimal(best) - Decimal(t))
+            assert all(distance <= abs(Decimal(v) - Decimal(t)) for v in cands)
