@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import datetime as dt
 from collections.abc import Iterator
-from html.parser import HTMLParser
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -40,74 +39,15 @@ from oic_options_chains_spark.parse.eras import (
     REQUIRED_MARKER,
     Era,
 )
+from oic_options_chains_spark.parse.html_tree import (
+    first_inner_table,
+    nested_tables,
+    parse_tables,
+)
 
 # ---------------------------------------------------------------------------
-# Pure-Python kernel
+# Pure-Python kernel (tree plumbing shared with html_chains via html_tree)
 # ---------------------------------------------------------------------------
-
-
-class _Cell:
-    __slots__ = ("texts", "tables")
-
-    def __init__(self) -> None:
-        self.texts: list[str] = []
-        self.tables: list[list] = []
-
-
-class _TableTreeParser(HTMLParser):
-    """Builds a tree of tables: table = list of rows, row = list of _Cell."""
-
-    def __init__(self) -> None:
-        super().__init__(convert_charrefs=True)
-        self.top_tables: list[list] = []
-        self._table_stack: list[list] = []
-        self._cell_stack: list[_Cell] = []
-
-    def handle_starttag(self, tag: str, attrs) -> None:
-        if tag == "table":
-            table: list = []
-            if self._cell_stack:
-                self._cell_stack[-1].tables.append(table)
-            else:
-                self.top_tables.append(table)
-            self._table_stack.append(table)
-        elif tag == "tr" and self._table_stack:
-            self._table_stack[-1].append([])
-        elif tag in ("td", "th") and self._table_stack:
-            rows = self._table_stack[-1]
-            if not rows:
-                rows.append([])
-            cell = _Cell()
-            rows[-1].append(cell)
-            self._cell_stack.append(cell)
-
-    def handle_endtag(self, tag: str) -> None:
-        if tag == "table" and self._table_stack:
-            self._table_stack.pop()
-        elif tag in ("td", "th") and self._cell_stack:
-            self._cell_stack.pop()
-
-    def handle_data(self, data: str) -> None:
-        text = data.replace("\xa0", " ").strip()
-        if text and self._cell_stack:
-            self._cell_stack[-1].texts.append(text)
-
-
-def _clean(html: str) -> str:
-    """The reference's pre-parse cleanup
-    (transform-load.2025-08-19.rkt:243-250)."""
-    out = (
-        html.replace("\r\n", "")
-        .replace("\n", "")
-        .replace("\t", "")
-        .replace("&nbsp;", " ")
-        .replace("<nobr>", "")
-        .replace("</nobr>", "")
-    )
-    while "  " in out:
-        out = out.replace("  ", " ")
-    return out
-
 
 # Where the volatility grid lives, per era (the sxpath outer path):
 #   2019:      html body table tr td (table LAST) (tr 1) (td 1) table
@@ -123,28 +63,16 @@ _GRID_STRATEGY = {
 }
 
 
-def _nested_tables(table: list) -> list[list]:
-    """Tables directly inside any cell of ``table``, document order."""
-    return [t for row in table for cell in row for t in cell.tables]
-
-
-def _first_inner_table(table: list) -> list:
-    for row in table:
-        if row and row[0].tables:
-            return row[0].tables[0]
-    raise ValueError("no inner table under (tr)(td 1)")
-
-
 def _locate_grid(top_tables: list[list], strategy: str) -> list:
     if strategy == "nested-last":
-        host = _nested_tables(top_tables[0])[-1]
+        host = nested_tables(top_tables[0])[-1]
     elif strategy == "top-last":
         host = top_tables[-1]
     elif strategy == "nested-second":
-        host = _nested_tables(top_tables[0])[1]
+        host = nested_tables(top_tables[0])[1]
     else:  # top-second
         host = top_tables[1]
-    return _first_inner_table(host)
+    return first_inner_table(host)
 
 
 # (row, td, text-segment) per field, 0-based; sxpath indices are 1-based
@@ -173,9 +101,7 @@ CELL_FIELDS = tuple(_LAYOUT["legacy"])  # stable output order
 
 def parse_history_cells(html: str, era: Era) -> dict[str, str | None]:
     """Ten raw volatility cells from one page. Raises on layout mismatch."""
-    parser = _TableTreeParser()
-    parser.feed(_clean(html))
-    grid = _locate_grid(parser.top_tables, _GRID_STRATEGY[era.name])
+    grid = _locate_grid(parse_tables(html), _GRID_STRATEGY[era.name])
     out: dict[str, str | None] = {}
     for field, coord in _LAYOUT[era.history_grid].items():
         if coord is None:

@@ -212,3 +212,38 @@ def chain_day(
     era = era or era_for_date(ingest_date)
     raw = read_chain_files(spark, base_dir, ingest_date, era)
     return chain_from_raw(raw, ohlc, ingest_date, era, all_options)
+
+
+def chain_day_html(
+    spark: SparkSession,
+    base_dir: str,
+    ingest_date: dt.date,
+    era: Era | None = None,
+    all_options: bool = False,
+) -> DataFrame:
+    """The legacy (pre-2023-11-16) path: chains scraped from HTML pages,
+    mark price scraped from the SAME page (X2) rather than joined from
+    ``ohlc``; selection and normalization are byte-identical to the JSON
+    era (transform-load.rkt:98-131)."""
+    from oic_options_chains_spark.parse.html_chains import (
+        chain_long_from_cells,
+        extract_chain_rows,
+        page_marks,
+    )
+    from oic_options_chains_spark.parse.html_vol import is_bad_page
+    from oic_options_chains_spark.pipelines.volatility import read_history_pages
+
+    era = era or era_for_date(ingest_date)
+    assert era.chain_format == "html", (
+        f"era {era.name} downloads JSON chains; use chain_day"
+    )
+    pages = read_history_pages(spark, base_dir, ingest_date)
+    good = pages.filter(~is_bad_page(F.col("content"), era))
+    cells = extract_chain_rows(good, era)
+    long_df = chain_long_from_cells(cells)
+    if all_options:
+        return normalize_chain(long_df, ingest_date, era)
+    marks = page_marks(cells)
+    return normalize_chain(
+        select_chain(long_df, marks, ingest_date, era), ingest_date, era
+    )
