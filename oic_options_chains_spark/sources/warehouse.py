@@ -22,6 +22,7 @@ import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from oic_options_chains_spark.operators.dedup import conflict_ignore_append, dedup_by_key
 
@@ -42,6 +43,7 @@ def append_day(
     incoming: DataFrame,
     pk: Sequence[str],
     date_col: str = "date",
+    cluster_by: Sequence[str] = (),
 ) -> None:
     """Idempotent single-date append: in-batch PK dedup, anti-join against
     the existing date partition(s), then a partitioned append.
@@ -49,6 +51,12 @@ def append_day(
     The existing side is filtered with a semi-join on the incoming dates,
     so partition pruning keeps the read to the replayed day regardless of
     table size.
+
+    ``cluster_by`` (typically ``["act_symbol"]``) hash-repartitions and
+    sorts rows inside each date partition before the write, so parquet
+    row-group min/max stats make per-symbol reads skip almost every file
+    — the poor man's Z-order for the reference's dominant access pattern
+    (one symbol, one day) without requiring a table format.
     """
     batch = dedup_by_key(incoming, pk)
     if table_exists(table_dir):
@@ -57,4 +65,8 @@ def append_day(
             dates, on=date_col, how="left_semi"
         )
         batch = conflict_ignore_append(existing, batch, pk)
+    if cluster_by:
+        batch = batch.repartition(
+            *[F.col(c) for c in cluster_by]
+        ).sortWithinPartitions(*cluster_by)
     batch.write.mode("append").partitionBy(date_col).parquet(table_dir)

@@ -93,3 +93,64 @@ def run_incremental_chain_load(
         .start()
         .awaitTermination()
     )
+
+
+def raw_page_stream(spark: SparkSession, base_dir: str) -> DataFrame:
+    """Wholetext stream over the dated HTML volatility pages."""
+    return (
+        spark.readStream.option("wholetext", "true")
+        .option("pathGlobFilter", "*.html")
+        .text(f"{base_dir}/*")
+        .withColumn(
+            "act_symbol",
+            F.regexp_extract(F.input_file_name(), r"([^/]+)\.html$", 1),
+        )
+        .withColumn(
+            "ingest_date",
+            F.regexp_extract(F.input_file_name(), _DATE_FROM_PATH, 1).cast("date"),
+        )
+        .select("act_symbol", F.col("value").alias("content"), "ingest_date")
+    )
+
+
+def run_incremental_vol_load(
+    spark: SparkSession,
+    base_dir: str,
+    table_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Drain unprocessed volatility pages into the warehouse table — the
+    same batch transform chain (bad-page filter -> X1 kernel -> relational
+    normalize) per micro-batch date."""
+    from oic_options_chains_spark.parse.html_vol import (
+        extract_history_cells,
+        is_bad_page,
+        normalize_history,
+    )
+    from oic_options_chains_spark.schemas import VOLATILITY_HISTORY_PK
+
+    def process(batch: DataFrame, _batch_id: int) -> None:
+        dates = [
+            r.ingest_date
+            for r in batch.select("ingest_date").distinct().collect()
+            if r.ingest_date is not None
+        ]
+        for day in sorted(dates):
+            era = era_for_date(day)
+            pages = batch.filter(F.col("ingest_date") == F.lit(day)).select(
+                "act_symbol", "content"
+            )
+            good = pages.filter(~is_bad_page(F.col("content"), era))
+            curated = normalize_history(
+                extract_history_cells(good, era), day, era
+            )
+            append_day(spark, table_dir, curated, VOLATILITY_HISTORY_PK)
+
+    (
+        raw_page_stream(spark, base_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

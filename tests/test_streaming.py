@@ -75,3 +75,31 @@ def test_available_now_incremental(spark, ohlc, tmp_path):
     # every file, but the conflict-ignore append keeps the table identical
     run_incremental_chain_load(spark, str(base), table, ohlc, str(tmp_path / "ckpt2"))
     assert read_table(spark, table).count() == 6
+
+
+def test_available_now_vol_pages(spark, tmp_path):
+    from oic_options_chains_spark.sources.warehouse import read_table
+    from oic_options_chains_spark.streaming.incremental import (
+        run_incremental_vol_load,
+    )
+    from tests.fixtures.html_vol import build_page
+
+    base = tmp_path / "raw"
+    table = str(tmp_path / "vol_table")
+    ckpt = str(tmp_path / "vol_ckpt")
+    day = base / "2025-08-19"
+    day.mkdir(parents=True)
+    (day / "AAA.html").write_text(build_page("2025-08-19"))
+    (day / "BAD.html").write_text("<html>No Options found</html>")
+
+    run_incremental_vol_load(spark, str(base), table, ckpt)
+    first = read_table(spark, table)
+    assert first.count() == 1
+    assert first.collect()[0].act_symbol == "AAA"
+
+    # new symbol arrives late; only it is processed, replay stays no-op
+    (day / "ZZZ.html").write_text(build_page("2025-08-19"))
+    run_incremental_vol_load(spark, str(base), table, ckpt)
+    assert read_table(spark, table).count() == 2
+    run_incremental_vol_load(spark, str(base), table, str(tmp_path / "ckpt_fresh"))
+    assert read_table(spark, table).count() == 2
