@@ -1,0 +1,160 @@
+"""Event-stream t2 queries over the ``events`` table: the batch faces of
+the streaming surface (SURVEY.md section 2.9) plus skew-safe aggregation.
+
+The reference is batch+cron with no event-time operators; these are the
+operations its Spark re-expression gains for free and a training-data
+pipeline needs — tumbling-window rollups, gap sessionization, JSON
+property access — each still DuckDB-oracle-checkable because the batch
+semantics of an event-time window are plain SQL.
+
+Determinism rules: monetary values are cast to decimal BEFORE summing
+(double summation is order-dependent across engines); window orderings
+carry ``event_id`` tie-breaks so ranks are stable under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from oic_options_chains_spark.queries.registry import register
+from oic_options_chains_spark.sources.registry import load_table
+
+
+@register(
+    "q_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bucket_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window rollup via ``F.window`` — identical code
+    under Structured Streaming with a watermark; in batch it is a plain
+    grouped aggregate Catalyst turns into one partial+final hash agg."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "q_session_gap",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0
+             END AS new_session
+      FROM ordered),
+    numbered AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged)
+    SELECT user_id, CAST(session_idx AS INT) AS session_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM numbered GROUP BY user_id, session_idx
+    """,
+)
+def q_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization: the batch equivalent of a session
+    window (lag -> boundary flag -> running sum -> per-session rollup).
+    One shuffle on user_id serves both windows AND the final grouped
+    aggregate — Catalyst reuses the partitioning. Gap comparison is in
+    microseconds (a seconds cast would truncate sub-second gaps and
+    disagree with the oracle's interval arithmetic)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull() | (gap_us > 30 * 60 * 1_000_000), 1
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    numbered = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("int")
+        .alias("session_idx"),
+    )
+    return numbered.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@register(
+    "q_json_props",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k
+    FROM events
+    """,
+)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property access on a string column (F30's general form)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+    )
+
+
+@register(
+    "q_salted_agg",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregate: explicit salt -> partial agg on
+    (key, salt) -> final agg on key. The oracle is the UNSALTED result —
+    salting must never change answers, only the shuffle's key cardinality.
+    (Spark's partial/final hash agg does this implicitly for commutative
+    aggregates; the explicit form is the pattern for when a hot key must
+    be split across reducers, e.g. a skewed join-side pre-agg.)"""
+    e = load_table(spark, sf_dir, "events")
+    salted = e.select(
+        "event_type",
+        (F.crc32(F.col("event_id").cast("string")) % 16).alias("__salt"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    partial = salted.groupBy("event_type", "__salt").agg(
+        F.count(F.lit(1)).alias("pn"), F.sum("v").alias("pv")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").cast("bigint").alias("n"),
+        F.sum("pv").cast("decimal(28,2)").alias("total_value"),
+    )
