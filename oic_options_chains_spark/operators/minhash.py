@@ -10,7 +10,8 @@ Scale design (the 100 TB path):
   (band, band_key), which Spark shuffles on the band key — skew-safe
   because identical band keys are exactly the near-duplicates.
 - SimHash packs to one integer per doc; near-dup candidates come from
-  exact-match on rotated bit segments (not implemented here yet).
+  exact-match on 8-bit signature halves (``simhash_near_pairs``), with an
+  exact Hamming verify on the candidates.
 """
 
 from __future__ import annotations
@@ -250,3 +251,50 @@ def simhash16(text: Column) -> Column:
         )
         result = result + F.when(votes > 0, F.lit(1 << bit)).otherwise(F.lit(0))
     return result.cast("int")
+
+
+def simhash_near_pairs(
+    sim_df: DataFrame, id_col: str, max_hamming: int = 2
+) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share at least one 8-bit
+    half of the 16-bit signature, then exact Hamming verify.
+
+    Pigeonhole: any pair within Hamming distance <= 2 of a 16-bit
+    signature differs in at most 2 bits, which cannot hit BOTH halves
+    unless split 1+1 — so a pair at distance <= 1 per half is always
+    found; the two segment-keyed equi-joins give high recall at bucket
+    cost, never O(n^2). Shuffles are keyed on the tiny segment values
+    plus the band id, exactly like MinHash LSH banding.
+
+    Returns (id_a, id_b, hamming).
+    """
+    segs = sim_df.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("seg"), F.col("simhash").bitwiseAND(F.lit(255)).alias("key")),
+                F.struct(F.lit(1).alias("seg"), F.shiftright(F.col("simhash"), 8).alias("key")),
+            )
+        ).alias("s"),
+    ).select(F.col(id_col), "simhash", F.col("s.seg").alias("seg"), F.col("s.key").alias("key"))
+    a, b = segs.alias("a"), segs.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.seg") == F.col("b.seg"),
+                F.col("a.key") == F.col("b.key"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("int").alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

@@ -247,10 +247,8 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(doc_shingles(d, "doc_id", "text"), "doc_id")
 
 
-@register(
-    "q_simhash",
-    oracle="""
-    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+_SIMHASH_SQL = """
+    toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
     tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
     bits AS (SELECT doc_id,
                     CAST(concat('0x', substr(md5(tok), 1, 4)) AS INT) AS tb
@@ -259,16 +257,49 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, b.bit,
              SUM(CASE WHEN (tb >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
       FROM bits CROSS JOIN (SELECT unnest(range(0, 16)) AS bit) b
-      GROUP BY doc_id, b.bit)
-    SELECT doc_id,
-           CAST(SUM(CASE WHEN v > 0 THEN 1 << bit ELSE 0 END) AS INT) AS simhash
-    FROM votes GROUP BY doc_id
-    """,
+      GROUP BY doc_id, b.bit),
+    sim AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN 1 << bit ELSE 0 END) AS INT) AS simhash
+      FROM votes GROUP BY doc_id)
+"""
+
+
+@register(
+    "q_simhash",
+    oracle="WITH " + _SIMHASH_SQL + "SELECT doc_id, simhash FROM sim",
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash signatures (md5 bit projections, exact integer votes)."""
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", simhash16(F.col("text")).alias("simhash"))
+
+
+@register(
+    "q_simhash_pairs",
+    oracle="WITH "
+    + _SIMHASH_SQL
+    + """,
+    segs AS (
+      SELECT doc_id, simhash, seg,
+             CASE WHEN seg = 0 THEN simhash & 255 ELSE simhash >> 8 END AS key
+      FROM sim CROSS JOIN (SELECT unnest(range(0, 2)) AS seg)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      FROM segs a JOIN segs b
+        ON a.seg = b.seg AND a.key = b.key AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 2
+    """,
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 8-bit-half bucket candidates, exact
+    Hamming verify at distance <= 2."""
+    from oic_options_chains_spark.operators.minhash import simhash_near_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    sim = d.select("doc_id", simhash16(F.col("text")).alias("simhash"))
+    return simhash_near_pairs(sim, "doc_id")
 
 
 @register(
