@@ -228,6 +228,35 @@ def ngram_jaccard_pairs(
     )
 
 
+def doc_simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, simhash) via relational bit votes — the scale form.
+
+    posexplode -> one md5+conv per token -> a single doc-keyed groupBy
+    holding 16 conditional-sum aggregates -> bit pack. Fully whole-stage-
+    codegen (the ``simhash16`` column form runs the votes as interpreted
+    array lambdas), one shuffle — and that exchange is REUSED by Spark
+    when the result self-joins (simhash_near_pairs), where the column
+    form would recompute every hash on both sides."""
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
+    )
+    tb = F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("int")
+    votes = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(tb.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+            ).alias(f"__v{b}")
+            for b in range(16)
+        ]
+    )
+    packed = None
+    for b in range(16):
+        term = F.when(F.col(f"__v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        packed = term if packed is None else packed + term
+    return votes.select(F.col(id_col), packed.cast("int").alias("simhash"))
+
+
 def simhash16(text: Column) -> Column:
     """16-bit SimHash over whitespace tokens, md5-derived bit projections.
 

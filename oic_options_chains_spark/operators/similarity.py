@@ -93,10 +93,19 @@ def near_dup_pairs(
     since near-identical vectors share leading sign bits.
     Returns (id_a, id_b, score_e6).
     """
+    # norms precomputed per VECTOR (n rows), not per pair: the per-pair
+    # work drops to one dot-product fold; dot/(na*nb) is bit-identical to
+    # computing both norms inside the pair.
     b = embeddings.select(
-        F.col(id_col), F.col(vec_col), sign_bucket(F.col(vec_col), bits).alias("__b")
+        F.col(id_col),
+        F.col(vec_col),
+        norm(F.col(vec_col)).alias("__n"),
+        sign_bucket(F.col(vec_col), bits).alias("__b"),
     )
     a, c = b.alias("a"), b.alias("c")
+    cos = dot(F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}")) / (
+        F.col("a.__n") * F.col("c.__n")
+    )
     return (
         a.join(
             c,
@@ -106,7 +115,7 @@ def near_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"c.{id_col}").alias("id_b"),
-            cosine(F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}")).alias("__cos"),
+            cos.alias("__cos"),
         )
         .filter(F.col("__cos") >= threshold)
         .select(

@@ -19,7 +19,6 @@ from oic_options_chains_spark.operators.minhash import (
     minhash_band_keys,
     minhash_signatures,
     ngram_jaccard_pairs,
-    simhash16,
 )
 from oic_options_chains_spark.operators.similarity import (
     brute_force_topk,
@@ -270,9 +269,12 @@ _SIMHASH_SQL = """
     oracle="WITH " + _SIMHASH_SQL + "SELECT doc_id, simhash FROM sim",
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash signatures (md5 bit projections, exact integer votes)."""
+    """16-bit SimHash signatures (md5 bit projections, exact integer
+    votes), in the relational one-shuffle form."""
+    from oic_options_chains_spark.operators.minhash import doc_simhash
+
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash16(F.col("text")).alias("simhash"))
+    return doc_simhash(d, "doc_id", "text")
 
 
 @register(
@@ -294,12 +296,15 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 8-bit-half bucket candidates, exact
-    Hamming verify at distance <= 2."""
-    from oic_options_chains_spark.operators.minhash import simhash_near_pairs
+    Hamming verify at distance <= 2. The doc-keyed aggregation exchange
+    is computed once and reused by both self-join sides."""
+    from oic_options_chains_spark.operators.minhash import (
+        doc_simhash,
+        simhash_near_pairs,
+    )
 
     d = load_table(spark, sf_dir, "documents")
-    sim = d.select("doc_id", simhash16(F.col("text")).alias("simhash"))
-    return simhash_near_pairs(sim, "doc_id")
+    return simhash_near_pairs(doc_simhash(d, "doc_id", "text"), "doc_id")
 
 
 @register(

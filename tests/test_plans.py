@@ -1,0 +1,80 @@
+"""Physical-plan regression tests: lock in the scale properties the
+operators were designed around (SURVEY.md section 4.2). A correctness-
+preserving edit that reintroduces a shuffle or loses a pushed filter
+should fail HERE, not at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from oic_options_chains_spark.queries import QUERIES
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    return {
+        name: _plan(QUERIES[name](spark, sf_dir))
+        for name in (
+            "q_partition_filter",
+            "q_semi_join",
+            "q_asof_price",
+            "q_minhash_lsh_pairs",
+            "q_export_projection",
+        )
+    }
+
+
+def test_filters_reach_the_scan(plans):
+    # P3/P4: the date range must be in PushedFilters, not a post-scan Filter
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual" in plans[
+        "q_partition_filter"
+    ]
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    # column pruning: a 2-column projection must not read the wide schema
+    df = QUERIES["q_partition_filter"](spark, sf_dir)
+    scan_lines = [l for l in _plan(df).splitlines() if "ReadSchema" in l]
+    assert scan_lines and "l_comment" not in scan_lines[0]
+
+
+def test_small_sides_broadcast(plans):
+    # J1: the universe side must broadcast — a sort-merge join here would
+    # shuffle the fact table at any scale
+    assert "BroadcastHashJoin" in plans["q_semi_join"]
+    assert "SortMergeJoin" not in plans["q_semi_join"]
+
+
+def test_no_cartesian_anywhere(plans):
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, name
+
+
+def test_projection_has_no_shuffle(plans):
+    # P1/P2: a pure projection+sort export must not hash-shuffle (the only
+    # exchange allowed is the range partitioning for the global sort)
+    assert "hashpartitioning" not in plans["q_export_projection"].lower()
+
+
+def test_minhash_single_doc_shuffle(plans):
+    # the fused signature+banding path: exactly one hashpartitioning on
+    # the doc id before the band-bucket join (plus the join's own bucket
+    # exchange) — a regression to the long-form banding doubles this
+    plan = plans["q_minhash_lsh_pairs"]
+    doc_exchanges = plan.lower().count("hashpartitioning(doc_id")
+    assert doc_exchanges <= 2, f"minhash path re-shuffles on doc_id: {doc_exchanges}"
+
+
+def test_python_stays_out_of_relational_queries(plans):
+    # every t2 query is JVM-only: no Python UDF evaluation nodes
+    for name, plan in plans.items():
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
