@@ -70,3 +70,41 @@ def append_day(
             *[F.col(c) for c in cluster_by]
         ).sortWithinPartitions(*cluster_by)
     batch.write.mode("append").partitionBy(date_col).parquet(table_dir)
+
+
+def overwrite_table(spark: SparkSession, table_dir: str, state: DataFrame) -> None:
+    """Replace the whole (small, SCD-0) table with a new merged state —
+    the storage step for the ``weekly`` upsert (K3): compute
+    ``operators.merge.upsert(read_table(...), batch)`` then persist here.
+    The state is checkpointed first, truncating the lineage so the write
+    plan no longer references the files it is replacing."""
+    state.localCheckpoint(eager=True).write.mode("overwrite").parquet(table_dir)
+
+
+def compact_partition(
+    spark: SparkSession,
+    table_dir: str,
+    date_value: str,
+    target_files: int = 1,
+    date_col: str = "date",
+    cluster_by: Sequence[str] = (),
+) -> None:
+    """Rewrite one date partition into ``target_files`` files.
+
+    Incremental appends (streaming micro-batches, late-file pickups)
+    accumulate small files per partition; at cluster scale that degrades
+    scan parallelism bookkeeping and footer overhead. Compaction is a
+    per-partition rewrite — prunable, idempotent, and safe under the
+    single-writer-per-partition discipline the appends already assume.
+    """
+    part_dir = f"{table_dir}/{date_col}={date_value}"
+    rows = spark.read.parquet(part_dir)
+    if cluster_by:
+        staged = rows.repartition(
+            target_files, *[F.col(c) for c in cluster_by]
+        ).sortWithinPartitions(*cluster_by)
+    else:
+        staged = rows.coalesce(target_files)
+    # checkpoint truncates lineage so the overwrite no longer reads its
+    # own source files
+    staged.localCheckpoint(eager=True).write.mode("overwrite").parquet(part_dir)

@@ -114,3 +114,29 @@ def test_append_day_idempotent(spark, raw_zone, ohlc, tmp_path):
     first = read_table(spark, table).count()
     append_day(spark, table, day, OPTION_CHAIN_PK)  # replay: a no-op (T4)
     assert read_table(spark, table).count() == first == 40
+
+
+def test_compact_partition(spark, raw_zone, ohlc, tmp_path):
+    import glob
+
+    from oic_options_chains_spark.pipelines.chains_raw import chain_day
+    from oic_options_chains_spark.schemas import OPTION_CHAIN_PK
+    from oic_options_chains_spark.sources.warehouse import (
+        append_day,
+        compact_partition,
+        read_table,
+    )
+
+    table = str(tmp_path / "chain")
+    day = chain_day(spark, raw_zone, ohlc, INGEST).cache()
+    # two incremental appends (as a micro-batched day would) -> small files
+    append_day(spark, table, day.filter(day.call_put == "Call"), OPTION_CHAIN_PK)
+    append_day(spark, table, day, OPTION_CHAIN_PK)
+    part = f"{table}/date={INGEST.isoformat()}"
+    assert len(glob.glob(f"{part}/*.parquet")) > 1
+    before = sorted(map(tuple, read_table(spark, table).collect()))
+
+    compact_partition(spark, table, INGEST.isoformat(), cluster_by=["act_symbol"])
+    assert len(glob.glob(f"{part}/*.parquet")) == 1
+    after = sorted(map(tuple, read_table(spark, table).collect()))
+    assert before == after

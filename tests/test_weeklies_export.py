@@ -138,3 +138,30 @@ def test_restore_roundtrip(spark, chain_table, tmp_path):
     # restore replay is as idempotent as the daily load (T4)
     append_day(spark, table, back, OPTION_CHAIN_PK)
     assert read_table(spark, table).count() == 3
+
+
+def test_weekly_table_persistence_roundtrip(spark, weekly_batch, tmp_path):
+    from oic_options_chains_spark.pipelines.weeklies import load_weeklies
+    from oic_options_chains_spark.sources.warehouse import (
+        overwrite_table,
+        read_table,
+        table_exists,
+    )
+
+    table = str(tmp_path / "weekly")
+    assert not table_exists(table)
+    # bootstrap: first load IS the state
+    overwrite_table(spark, table, weekly_batch)
+    assert read_table(spark, table).count() == 3
+
+    # merge a second batch against the PERSISTED state and overwrite
+    import datetime as dt
+
+    batch2 = spark.createDataFrame(
+        [("NEWCO", dt.date(2025, 1, 10), dt.date(2025, 8, 20))],
+        read_table(spark, table).schema,
+    )
+    merged = load_weeklies(read_table(spark, table), batch2)
+    overwrite_table(spark, table, merged)
+    rows = {r.act_symbol for r in read_table(spark, table).collect()}
+    assert rows == {"AAPL", "BRK.B", "MSFT", "NEWCO"}
