@@ -130,6 +130,9 @@ def run_incremental_vol_load(
     from oic_options_chains_spark.schemas import VOLATILITY_HISTORY_PK
 
     def process(batch: DataFrame, _batch_id: int) -> None:
+        # NOTE: pyspark Observation.get is not supported inside
+        # foreachBatch (py4j toPyRow assertion) — reconciliation counters
+        # (operators/metrics.observed_counts) are a batch-pipeline tool.
         dates = [
             r.ingest_date
             for r in batch.select("ingest_date").distinct().collect()
