@@ -35,6 +35,7 @@ HEADLINE = (
     "q_session_gap",
     "q_dedup_embedding",
     "q_simhash_pairs",
+    "q_chain_build",
 )
 
 # single-JVM local bench has ~±20% run-to-run noise; report the best of

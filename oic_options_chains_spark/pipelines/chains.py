@@ -34,12 +34,18 @@ WEEK_OFFSETS = (14, 28, 42, 56)
 STRIKE_MULTIPLIERS = ("0.70", "0.825", "1.00", "1.125", "1.30")
 
 
-def build_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+def build_chain(
+    spark: SparkSession, sf_dir: str, deterministic: bool = False
+) -> DataFrame:
     """Returns an option_chain-shaped DataFrame from the synthetic tables.
 
     Stand-ins (FIXTURES.md section 2): customer = symbol universe, orders =
     ohlc (as-of price), lineitem = raw chain rows keyed by shipdate
     (expiration) and quantity (strike).
+
+    ``deterministic=True`` resolves PK collisions with min(px) instead of
+    the reference-faithful arbitrary-winner conflict-ignore (its PK index
+    kept whichever row arrived first) so the result is oracle-hashable.
     """
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -144,4 +150,7 @@ def build_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.call_put").alias("call_put"),
         F.col("s.px").alias("px"),
     )
-    return dedup_by_key(long, ["symbol_key", "expiry", "strike", "call_put"])
+    pk = ["symbol_key", "expiry", "strike", "call_put"]
+    if deterministic:
+        return long.groupBy(*pk).agg(F.min("px").alias("px"))
+    return dedup_by_key(long, pk)

@@ -934,3 +934,70 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trim(parts.getItem(1)).alias("field_name"),
         F.trim(parts.getItem(2)).alias("field_segment"),
     )
+
+
+@register(
+    "q_chain_build",
+    oracle="""
+    WITH marks AS (
+      SELECT symbol_key, mark_price FROM (
+        SELECT o_custkey AS symbol_key,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS mark_price,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders WHERE o_orderdate <= TIMESTAMP '1998-06-30 00:00:00')
+      WHERE rn = 1),
+    targets AS (SELECT unnest([DATE '1998-07-14', DATE '1998-07-28',
+                               DATE '1998-08-11', DATE '1998-08-25']) AS target_date),
+    dates AS (SELECT DISTINCT CAST(l_shipdate AS DATE) AS expiry FROM lineitem),
+    expiry_winners AS (
+      SELECT DISTINCT expiry FROM (
+        SELECT t.target_date, d.expiry,
+               row_number() OVER (PARTITION BY t.target_date
+                                  ORDER BY abs(date_diff('day', t.target_date, d.expiry)),
+                                           d.expiry) AS rn
+        FROM dates d CROSS JOIN targets t) WHERE rn = 1),
+    mults AS (SELECT CAST(unnest(['0.70','0.825','1.00','1.125','1.30'])
+                     AS DECIMAL(6,4)) AS mult),
+    strike_targets AS (
+      SELECT DISTINCT symbol_key % 100 AS symbol_key,
+             CAST(round((mark_price * mult) % CAST(50.00 AS DECIMAL(10,2)), 2)
+                  AS DECIMAL(10,2)) AS target_strike
+      FROM marks CROSS JOIN mults),
+    chains AS (
+      SELECT l_suppkey % 100 AS symbol_key, w.expiry,
+             CAST(l_quantity AS DECIMAL(10,2)) AS strike,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS bid,
+             CAST(l_tax AS DECIMAL(18,2)) AS ask
+      FROM lineitem JOIN expiry_winners w ON CAST(l_shipdate AS DATE) = w.expiry),
+    strikes AS (SELECT DISTINCT symbol_key, expiry, strike FROM chains),
+    winners AS (
+      SELECT DISTINCT symbol_key, expiry, strike AS win_strike FROM (
+        SELECT s.symbol_key, s.expiry, s.strike,
+               row_number() OVER (PARTITION BY s.symbol_key, s.expiry, t.target_strike
+                                  ORDER BY abs(s.strike - t.target_strike), s.strike) AS rn
+        FROM strikes s JOIN strike_targets t ON s.symbol_key = t.symbol_key)
+      WHERE rn = 1),
+    kept AS (
+      SELECT c.symbol_key, c.expiry, c.strike, c.bid, c.ask
+      FROM chains c JOIN winners w
+        ON c.symbol_key = w.symbol_key AND c.expiry = w.expiry
+       AND c.strike = w.win_strike),
+    long AS (
+      SELECT symbol_key, expiry, strike, 'Call' AS call_put, bid AS px FROM kept
+      UNION ALL
+      SELECT symbol_key, expiry, strike, 'Put' AS call_put, ask AS px FROM kept)
+    SELECT symbol_key, expiry, strike, call_put, MIN(px) AS px
+    FROM long GROUP BY symbol_key, expiry, strike, call_put
+    """,
+)
+def q_chain_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLAGSHIP composite (pipelines/chains.build_chain, SURVEY.md
+    section 3.2 end-to-end): as-of mark price -> exact-decimal strike and
+    expiry targets -> nearest-expiry/nearest-strike selection -> side
+    explode -> PK resolution — the whole daily transform, hash-checked as
+    one plan. Deterministic mode resolves PK collisions with min(px)
+    (the reference's PK index kept an arbitrary first-arrival)."""
+    from oic_options_chains_spark.pipelines.chains import build_chain
+
+    return build_chain(spark, sf_dir, deterministic=True)
