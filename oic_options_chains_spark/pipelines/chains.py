@@ -93,6 +93,12 @@ def build_chain(
     )
 
     # 4. Candidate strikes per symbol at the winning expirations.
+    #    NOTE on the multi-scan plan: the strikes-distinct and kept-rows
+    #    consumers each re-scan the fact table with THEIR pruned column
+    #    sets (3 cols vs 5). Pinning a shared exchange was measured
+    #    slower — column pruning makes the narrow re-scan cheaper than
+    #    one wide reused shuffle, and at warehouse scale the date filter
+    #    prunes both scans to one partition anyway.
     chains = (
         li.join(
             F.broadcast(expiry_winners),
