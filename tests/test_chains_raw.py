@@ -140,3 +140,20 @@ def test_compact_partition(spark, raw_zone, ohlc, tmp_path):
     assert len(glob.glob(f"{part}/*.parquet")) == 1
     after = sorted(map(tuple, read_table(spark, table).collect()))
     assert before == after
+
+
+def test_corrupt_json_file_is_tolerated(spark, ohlc, tmp_path):
+    """A malformed chain file must not fail the day (T5): PERMISSIVE JSON
+    parsing yields null-field rows, which the both-sides filter drops."""
+    from oic_options_chains_spark.pipelines.chains_raw import chain_day
+
+    day = tmp_path / INGEST.isoformat()
+    day.mkdir()
+    (day / "AAA.json").write_text(json.dumps([_row(EXPIRIES[0], "100")]))
+    (day / "EVIL.json").write_text("{ not json at all")
+    (day / "EMPTY.json").write_text("[]")
+
+    out = chain_day(spark, str(tmp_path), ohlc, INGEST)
+    rows = out.collect()
+    assert {r.act_symbol for r in rows} == {"AAA"}
+    assert len(rows) == 2

@@ -57,3 +57,36 @@ def test_nearest_selection_invariants(spark, cases):
             assert value == Decimal(best)
             assert distance == abs(Decimal(best) - Decimal(t))
             assert all(distance <= abs(Decimal(v) - Decimal(t)) for v in cands)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),        # key
+            st.integers(0, 1000),     # orderable value
+            st.integers(-100, 100),   # payload
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_latest_per_key_invariants(spark, rows):
+    """latest_per_key: exactly one row per key; its order value is the key's
+    maximum; tie broken by the highest payload (the declared tiebreak)."""
+    from oic_options_chains_spark.operators.asof import latest_per_key
+
+    df = spark.createDataFrame(rows, "k int, v int, payload int")
+    got = {
+        r.k: (r.v, r.payload)
+        for r in latest_per_key(df, ["k"], "v", tiebreak=["payload"]).collect()
+    }
+    keys = {k for k, _, _ in rows}
+    assert set(got) == keys
+    for k in keys:
+        group = [(v, p) for kk, v, p in rows if kk == k]
+        assert got[k] == max(group)
