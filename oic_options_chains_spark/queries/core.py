@@ -1001,3 +1001,34 @@ def q_chain_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oic_options_chains_spark.pipelines.chains import build_chain
 
     return build_chain(spark, sf_dir, deterministic=True)
+
+
+@register(
+    "q_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+           CAST(grouping(l_returnflag) AS INT) AS g_flag,
+           CAST(grouping(l_linestatus) AS INT) AS g_status
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup with grouping indicators — the OLAP surface the
+    reference lacks and Spark provides natively (SURVEY.md section 2.4
+    'absent in reference'). Partial aggregation still applies per
+    grouping set; quantities summed as decimals for engine-portable
+    totals."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("sum_qty"),
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+    ).select(
+        "l_returnflag", "l_linestatus", "n", "sum_qty", "g_flag", "g_status"
+    )
