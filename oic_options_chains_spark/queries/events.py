@@ -158,3 +158,62 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").cast("bigint").alias("n"),
         F.sum("pv").cast("decimal(28,2)").alias("total_value"),
     )
+
+
+@register(
+    "q_moving_avg",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                AS DECIMAL(28,2)) AS rolling_1h_value
+    FROM events
+    """,
+)
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame: per-user trailing-1-hour value sum (the
+    frame-spec surface SURVEY.md section 2.5 reserves for W3). Long-typed
+    epoch-seconds ordering expresses the interval range portably; decimal
+    summation keeps the rolling total order-independent."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-(3600 * 1_000_000), 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("decimal(28,2)")
+        .alias("rolling_1h_value"),
+    )
+
+
+@register(
+    "q_topk_per_group",
+    oracle="""
+    SELECT user_id, event_id, CAST(rnk AS INT) AS rnk FROM (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id ASC) AS rnk
+      FROM events)
+    WHERE rnk <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic top-k per group (k=3 by value, id tie-break). Spark plans
+    the rank filter as WindowGroupLimit — a per-partition running top-k
+    that never materializes full groups."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        e.select("user_id", "event_id", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "event_id", F.col("rnk").cast("int").alias("rnk"))
+    )
