@@ -1032,3 +1032,71 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "l_returnflag", "l_linestatus", "n", "sum_qty", "g_flag", "g_status"
     )
+
+
+@register(
+    "q_intersect_except",
+    oracle="""
+    WITH cust_nations AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+    supp_nations AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier),
+    both_sides AS (SELECT nationkey FROM cust_nations
+                   INTERSECT SELECT nationkey FROM supp_nations),
+    cust_only AS (SELECT nationkey FROM cust_nations
+                  EXCEPT SELECT nationkey FROM supp_nations)
+    SELECT nationkey, 'both' AS presence FROM both_sides
+    UNION ALL
+    SELECT nationkey, 'customer_only' AS presence FROM cust_only
+    """,
+)
+def q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operations (absent in the reference,
+    SURVEY.md section 2.7 — standard surface the engine carries anyway).
+    Both plan as hash aggregates + semi/anti joins."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .select(F.col("s_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    both_sides = cust.intersect(supp).withColumn("presence", F.lit("both"))
+    cust_only = cust.exceptAll(supp).withColumn(
+        "presence", F.lit("customer_only")
+    )
+    return both_sides.unionAll(cust_only)
+
+
+@register(
+    "q_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS n_f,
+           CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS n_o,
+           CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                         FILTER (WHERE l_linestatus = 'F'), 0) AS DECIMAL(38,2)) AS qty_f,
+           CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                         FILTER (WHERE l_linestatus = 'O'), 0) AS DECIMAL(38,2)) AS qty_o
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide pivot by status — expressed as conditional aggregation (the
+    plan ``pivot()`` lowers to anyway: one pass, no per-value scans)."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+
+    def for_status(s: str):
+        cond = F.col("l_linestatus") == s
+        return [
+            F.count(F.when(cond, 1)).alias(f"n_{s.lower()}"),
+            F.coalesce(F.sum(F.when(cond, qty)), F.lit(0))
+            .cast("decimal(38,2)")
+            .alias(f"qty_{s.lower()}"),
+        ]
+
+    aggs = for_status("F") + for_status("O")
+    out = li.groupBy("l_returnflag").agg(*aggs)
+    return out.select("l_returnflag", "n_f", "n_o", "qty_f", "qty_o")
