@@ -154,3 +154,56 @@ def ivf_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def probe_buckets(vec: Column, bits: int = 4) -> Column:
+    """Multi-probe bucket set: the exact sign bucket plus each one-bit
+    flip — the IVF trick that recovers most recall lost to boundary
+    vectors while still scanning only (bits+1)/2^bits of the data."""
+    exact = sign_bucket(vec, bits)
+    probes = [exact]
+    for i in range(bits):
+        flipped = F.concat(
+            F.substring(exact, 1, i),
+            F.translate(F.substring(exact, i + 1, 1), "01", "10"),
+            F.substring(exact, i + 2, bits - i - 1),
+        )
+        probes.append(flipped)
+    return F.array(*probes)
+
+
+def ivf_multiprobe_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 5,
+    bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe IVF top-k: vectors in the query's bucket OR any one-bit
+    neighbor bucket are scored. The probe list is broadcast and exploded;
+    the join stays an equi-join on the bucket string, so at table scale
+    it is (bits+1) partition-pruned probes, never a scan."""
+    bucketed = embeddings.withColumn("__bucket", sign_bucket(F.col(vec_col), bits))
+    probes = query.select(
+        F.col("query_vec"),
+        F.explode(probe_buckets(F.col("query_vec"), bits)).alias("__bucket"),
+    )
+    scored = (
+        bucketed.join(F.broadcast(probes), on="__bucket")
+        .select(
+            F.col(id_col),
+            cosine(F.col(vec_col), F.col("query_vec")).alias("__cos"),
+        )
+        .distinct()
+    )
+    w = Window.orderBy(F.col("__cos").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            F.floor(F.lit(1e6) * F.col("__cos")).cast("bigint").alias("score_e6"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

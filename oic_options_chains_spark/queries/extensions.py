@@ -439,3 +439,50 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     query = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("query_vec"))
     return ivf_topk(e, query, k=5, bits=4)
+
+
+_QBUCKET_SQL = """
+             (CASE WHEN embedding[1] > 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[2] > 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[3] > 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[4] > 0 THEN '1' ELSE '0' END)
+"""
+
+
+@register(
+    "q_ann_multiprobe",
+    oracle=f"""
+    WITH q AS (
+      SELECT embedding AS qv, {_QBUCKET_SQL} AS qbucket
+      FROM embeddings WHERE vec_id = 0),
+    probes AS (
+      SELECT qv, unnest([
+        qbucket,
+        (CASE WHEN substr(qbucket,1,1)='1' THEN '0' ELSE '1' END) || substr(qbucket,2),
+        substr(qbucket,1,1) || (CASE WHEN substr(qbucket,2,1)='1' THEN '0' ELSE '1' END) || substr(qbucket,3),
+        substr(qbucket,1,2) || (CASE WHEN substr(qbucket,3,1)='1' THEN '0' ELSE '1' END) || substr(qbucket,4),
+        substr(qbucket,1,3) || (CASE WHEN substr(qbucket,4,1)='1' THEN '0' ELSE '1' END)
+      ]) AS bucket FROM q),
+    cand AS (
+      SELECT DISTINCT e.vec_id, e.embedding, p.qv
+      FROM embeddings e JOIN probes p
+        ON {_QBUCKET_SQL.replace("embedding", "e.embedding")} = p.bucket),
+    scored AS (SELECT vec_id, {_COS_SQL.replace("q.qv", "e.qv")} AS cos
+               FROM cand e),
+    ranked AS (
+      SELECT vec_id, cos,
+             row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM scored)
+    SELECT vec_id, CAST(FLOOR(1e6 * cos) AS BIGINT) AS score_e6,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF cosine top-5: the query's bucket plus every one-bit
+    neighbor — recall recovery at (bits+1)/2^bits scan cost."""
+    from oic_options_chains_spark.operators.similarity import ivf_multiprobe_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    query = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("query_vec"))
+    return ivf_multiprobe_topk(e, query, k=5, bits=4)
