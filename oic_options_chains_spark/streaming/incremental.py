@@ -157,3 +157,74 @@ def run_incremental_vol_load(
         .start()
         .awaitTermination()
     )
+
+
+def run_incremental_weeklies_load(
+    spark: SparkSession,
+    csv_dir: str,
+    table_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Drain unprocessed ``weeklyoptions.<date>.csv`` files into the
+    persisted ``weekly`` table (K3 upsert per micro-batch).
+
+    Unlike the fact tables this sink is a whole-table SCD-0 merge: each
+    batch's files are applied in file-date order against the CURRENT
+    persisted state, so a replayed batch converges to the same table
+    (upsert is idempotent for identical batches)."""
+    from oic_options_chains_spark.pipelines.weeklies import load_weeklies
+    from oic_options_chains_spark.sources.warehouse import (
+        overwrite_table,
+        read_table,
+        table_exists,
+    )
+
+    def process(batch: DataFrame, _batch_id: int) -> None:
+        days = [
+            r.file_date
+            for r in batch.select("file_date").distinct().collect()
+            if r.file_date is not None
+        ]
+        for day in sorted(days):
+            rows = batch.filter(F.col("file_date") == F.lit(day)).drop("file_date")
+            if table_exists(table_dir):
+                merged = load_weeklies(read_table(spark, table_dir), rows)
+            else:
+                merged = rows
+            overwrite_table(spark, table_dir, merged)
+
+    from oic_options_chains_spark.functions.cleaning import enum_map
+    from oic_options_chains_spark.operators.asof import latest_per_key
+    from oic_options_chains_spark.pipelines.weeklies import SYMBOL_ALIASES
+
+    lines = (
+        spark.readStream.option("pathGlobFilter", "weeklyoptions.*.csv")
+        .text(csv_dir)
+        .withColumn(
+            "file_date",
+            F.regexp_extract(
+                F.input_file_name(), r"weeklyoptions\.(\d{4}-\d{2}-\d{2})\.csv$", 1
+            ).cast("date"),
+        )
+    )
+    parts = F.split(F.col("value"), ",")
+    parsed = lines.select(
+        enum_map(F.trim(F.get(parts, 0)), SYMBOL_ALIASES).alias("act_symbol"),
+        F.try_to_timestamp(F.trim(F.get(parts, 2))).cast("date").alias(
+            "effective_date"
+        ),
+        F.col("file_date").alias("last_seen"),
+        "file_date",
+    ).filter(F.col("effective_date").isNotNull() & (F.col("act_symbol") != ""))
+
+    def process_with_dedup(batch: DataFrame, batch_id: int) -> None:
+        deduped = latest_per_key(batch, ["act_symbol", "file_date"], "effective_date")
+        process(deduped, batch_id)
+
+    (
+        parsed.writeStream.foreachBatch(process_with_dedup)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -103,3 +103,34 @@ def test_available_now_vol_pages(spark, tmp_path):
     assert read_table(spark, table).count() == 2
     run_incremental_vol_load(spark, str(base), table, str(tmp_path / "ckpt_fresh"))
     assert read_table(spark, table).count() == 2
+
+
+def test_available_now_weeklies(spark, tmp_path):
+    from oic_options_chains_spark.sources.warehouse import read_table
+    from oic_options_chains_spark.streaming.incremental import (
+        run_incremental_weeklies_load,
+    )
+
+    csv_dir = tmp_path / "weeklies"
+    csv_dir.mkdir()
+    table = str(tmp_path / "weekly_table")
+    ckpt = str(tmp_path / "weekly_ckpt")
+    (csv_dir / "weeklyoptions.2025-08-18.csv").write_text(
+        "header,line,nope\nAAPL, Apple, 2024-01-05\nBRKB, Berkshire, 2023-06-02\n"
+    )
+
+    run_incremental_weeklies_load(spark, str(csv_dir), table, ckpt)
+    state = {r.act_symbol: r for r in read_table(spark, table).collect()}
+    assert set(state) == {"AAPL", "BRK.B"}
+    assert state["AAPL"].last_seen == dt.date(2025, 8, 18)
+
+    # next day's file updates AAPL, adds MSFT, keeps BRK.B
+    (csv_dir / "weeklyoptions.2025-08-19.csv").write_text(
+        "AAPL, Apple, 2024-02-09\nMSFT, Microsoft, 2024-03-01\n"
+    )
+    run_incremental_weeklies_load(spark, str(csv_dir), table, ckpt)
+    state = {r.act_symbol: r for r in read_table(spark, table).collect()}
+    assert set(state) == {"AAPL", "BRK.B", "MSFT"}
+    assert state["AAPL"].effective_date == dt.date(2024, 2, 9)
+    assert state["AAPL"].last_seen == dt.date(2025, 8, 19)
+    assert state["BRK.B"].last_seen == dt.date(2025, 8, 18)  # untouched
