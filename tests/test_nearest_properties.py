@@ -90,3 +90,27 @@ def test_latest_per_key_invariants(spark, rows):
     for k in keys:
         group = [(v, p) for kk, v, p in rows if kk == k]
         assert got[k] == max(group)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(st.tuples(st.integers(0, 8), st.integers(-50, 50)),
+             min_size=0, max_size=30, unique_by=lambda r: r[0]),
+    st.lists(st.tuples(st.integers(0, 8), st.integers(-50, 50)),
+             min_size=0, max_size=30, unique_by=lambda r: r[0]),
+)
+def test_upsert_invariants(spark, target_rows, batch_rows):
+    """upsert (K3): result keys = target ∪ batch; batch payload wins on
+    overlap; target-only payloads untouched; no duplicate keys."""
+    from oic_options_chains_spark.operators.merge import upsert
+
+    schema = "k int, payload int"
+    target = spark.createDataFrame(target_rows, schema)
+    batch = spark.createDataFrame(batch_rows, schema)
+    got = {r.k: r.payload for r in upsert(target, batch, ["k"]).collect()}
+    t, b = dict(target_rows), dict(batch_rows)
+    assert got == {**t, **b}
