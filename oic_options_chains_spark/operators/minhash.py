@@ -327,3 +327,70 @@ def simhash_near_pairs(
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def ngram_jaccard_pairs_capped(
+    shingle_df: DataFrame,
+    id_col: str,
+    df_cap: int = 50,
+    min_shared: int = 2,
+    min_jaccard_bp: int = 500,
+) -> DataFrame:
+    """DF-capped Jaccard: shingles appearing in more than ``df_cap`` docs
+    are dropped from CANDIDATE GENERATION (they are stop-phrases that
+    contribute quadratic pair rows and near-zero identity signal), while
+    per-doc sizes and the similarity denominator still use the FULL
+    shingle sets — so reported Jaccard values are exact for every pair
+    that survives; only pairs whose overlap is entirely stop-phrases are
+    missed.
+
+    This is the 100 TB-safe form: shingle frequency is Zipfian, and an
+    uncapped inverted index turns the most common shingle's f docs into
+    f^2 join rows on one reducer. The cap bounds every bucket.
+    """
+    sizes = shingle_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    rare = (
+        shingle_df.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("shingle")
+    )
+    indexed = shingle_df.join(rare, on="shingle", how="left_semi")
+    a = indexed.alias("a")
+    b = indexed.alias("b")
+    inter = (
+        a.join(
+            b,
+            on=[
+                F.col("a.shingle") == F.col("b.shingle"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = (
+        F.lit(10000.0)
+        * F.col("shared").cast("double")
+        / (
+            F.col("sa.sz").cast("double")
+            + F.col("sb.sz").cast("double")
+            - F.col("shared").cast("double")
+        )
+    )
+    return (
+        inter.join(sa, F.col("doc_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("doc_b") == F.col(f"sb.{id_col}"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("shared").cast("bigint").alias("shared"),
+            F.floor(jac).cast("bigint").alias("jaccard_bp"),
+        )
+        .filter(F.col("jaccard_bp") >= min_jaccard_bp)
+    )

@@ -246,6 +246,39 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(doc_shingles(d, "doc_id", "text"), "doc_id")
 
 
+@register(
+    "q_ngram_jaccard_capped",
+    oracle="WITH "
+    + _SHINGLE_SQL
+    + """,
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50),
+    capped AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+    SELECT i.doc_a, i.doc_b, CAST(i.shared AS BIGINT) AS shared,
+           CAST(FLOOR((CAST(10000 AS DOUBLE) * i.shared) / (sa.sz + sb.sz - i.shared)) AS BIGINT) AS jaccard_bp
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE FLOOR((CAST(10000 AS DOUBLE) * i.shared) / (sa.sz + sb.sz - i.shared)) >= 500
+    """,
+)
+def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DF-capped Jaccard (the 100 TB-safe form): stop-phrase shingles with
+    document frequency > 50 are dropped from candidate generation — the
+    Zipf head that turns f docs into f^2 join rows on one reducer — while
+    similarity denominators still use full shingle sets."""
+    from oic_options_chains_spark.operators.minhash import ngram_jaccard_pairs_capped
+
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs_capped(
+        doc_shingles(d, "doc_id", "text"), "doc_id", df_cap=50
+    )
+
+
 _SIMHASH_SQL = """
     toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
     tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
