@@ -101,7 +101,7 @@ def q_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_latest_snapshot",
     oracle="""
     SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS snapshot_date,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS snapshot_price
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS snapshot_price
     FROM orders
     WHERE o_orderdate = (SELECT max(o_orderdate) FROM orders)
     """,
@@ -117,7 +117,10 @@ def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_custkey",
             F.col("o_orderdate").cast("date").alias("snapshot_date"),
-            F.col("o_totalprice").cast("decimal(18,2)").alias("snapshot_price"),
+            # Decimals stringify at the pinned scale on both engines — the
+            # only final representation the driver's value hash treats as
+            # equal across Spark Decimal('40.00') and DuckDB 40.00.
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias("snapshot_price"),
         )
     )
 
@@ -156,7 +159,7 @@ ASOF_DATE = dt.date(1998, 6, 30)
     WITH ranked AS (
       SELECT o_custkey,
              CAST(o_orderdate AS DATE) AS asof_date,
-             CAST(o_totalprice AS DECIMAL(18,2)) AS asof_price,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS asof_price,
              row_number() OVER (
                PARTITION BY o_custkey
                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
@@ -177,7 +180,7 @@ def q_asof_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "o_custkey",
         F.col("o_orderdate").cast("date").alias("asof_date"),
-        F.col("o_totalprice").cast("decimal(18,2)").alias("asof_price"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias("asof_price"),
     )
 
 
@@ -247,7 +250,8 @@ def q_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY q.l_returnflag, t.target_qty
                ORDER BY abs(q.qty - t.target_qty), q.qty) AS rn
       FROM qty q CROSS JOIN targets t)
-    SELECT l_returnflag, target_qty, qty AS nearest_qty
+    SELECT l_returnflag, CAST(target_qty AS VARCHAR) AS target_qty,
+           CAST(qty AS VARCHAR) AS nearest_qty
     FROM ranked WHERE rn = 1
     """,
 )
@@ -266,7 +270,9 @@ def q_nearest_strike(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(10,2)",
     )
     return nearest_selection(qty, ["l_returnflag"], "qty", targets, "target_qty").select(
-        "l_returnflag", "target_qty", F.col("qty").alias("nearest_qty")
+        "l_returnflag",
+        F.col("target_qty").cast("string").alias("target_qty"),
+        F.col("qty").cast("string").alias("nearest_qty"),
     )
 
 
@@ -490,7 +496,7 @@ def q_multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_restore_null_col",
     oracle="""
-    SELECT r_regionkey, r_name, CAST(NULL AS DECIMAL(10,2)) AS model_value
+    SELECT r_regionkey, r_name, CAST(CAST(NULL AS DECIMAL(10,2)) AS VARCHAR) AS model_value
     FROM region
     """,
 )
@@ -501,7 +507,7 @@ def q_restore_null_col(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select(
         "r_regionkey",
         "r_name",
-        F.lit(None).cast("decimal(10,2)").alias("model_value"),
+        F.lit(None).cast("decimal(10,2)").cast("string").alias("model_value"),
     )
 
 
@@ -625,8 +631,8 @@ def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_decimal_scale",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(0.001 AS DECIMAL(6,3)) AS DECIMAL(18,5)) AS price_milli,
-           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.125 AS DECIMAL(6,4)) AS DECIMAL(18,6)) AS target_1125
+           CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(0.001 AS DECIMAL(6,3)) AS DECIMAL(18,5)) AS VARCHAR) AS price_milli,
+           CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.125 AS DECIMAL(6,4)) AS DECIMAL(18,6)) AS VARCHAR) AS target_1125
     FROM lineitem
     """,
 )
@@ -641,9 +647,11 @@ def q_decimal_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         (price * F.lit(Decimal("0.001")).cast("decimal(6,3)"))
         .cast("decimal(18,5)")
+        .cast("string")
         .alias("price_milli"),
         (price * F.lit(Decimal("1.125")).cast("decimal(6,4)"))
         .cast("decimal(18,6)")
+        .cast("string")
         .alias("target_1125"),
     )
 
@@ -652,9 +660,9 @@ def q_decimal_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pct_decode",
     oracle="""
     SELECT p_partkey,
-           CAST(CAST(regexp_replace(CONCAT('1,2', CAST(p_size AS VARCHAR), '%'),
-                                    '[,%]', '', 'g') AS DECIMAL(28,6))
-                * CAST(0.01 AS DECIMAL(4,2)) AS DECIMAL(18,6)) AS pct_value
+           CAST(CAST(CAST(regexp_replace(CONCAT('1,2', CAST(p_size AS VARCHAR), '%'),
+                                         '[,%]', '', 'g') AS DECIMAL(28,6))
+                     * CAST(0.01 AS DECIMAL(4,2)) AS DECIMAL(18,6)) AS VARCHAR) AS pct_value
     FROM part
     """,
 )
@@ -665,7 +673,7 @@ def q_pct_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = _t(spark, sf_dir, "part")
     raw = F.concat(F.lit("1,2"), F.col("p_size").cast("string"), F.lit("%"))
-    return p.select("p_partkey", pct_decode(raw).alias("pct_value"))
+    return p.select("p_partkey", pct_decode(raw).cast("string").alias("pct_value"))
 
 
 @register(
@@ -783,12 +791,12 @@ def q_prior_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_trunc_decimal",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           CAST(trunc(CAST(l_extendedprice AS DECIMAL(18,2))
-                      * CAST(-0.0123 AS DECIMAL(6,4)) * 10000) / 10000
-                AS DECIMAL(38,4)) AS theta_trunc,
-           CAST(trunc(CAST(l_extendedprice AS DECIMAL(18,2))
-                      * CAST(0.0123 AS DECIMAL(6,4)) * 10000) / 10000
-                AS DECIMAL(38,4)) AS vega_trunc
+           CAST(CAST(trunc(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * CAST(-0.0123 AS DECIMAL(6,4)) * 10000) / 10000
+                     AS DECIMAL(38,4)) AS VARCHAR) AS theta_trunc,
+           CAST(CAST(trunc(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * CAST(0.0123 AS DECIMAL(6,4)) * 10000) / 10000
+                     AS DECIMAL(38,4)) AS VARCHAR) AS vega_trunc
     FROM lineitem
     """,
 )
@@ -803,8 +811,8 @@ def q_trunc_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        trunc_n(neg, 4, "decimal(38,4)").alias("theta_trunc"),
-        trunc_n(pos, 4, "decimal(38,4)").alias("vega_trunc"),
+        trunc_n(neg, 4, "decimal(38,4)").cast("string").alias("theta_trunc"),
+        trunc_n(pos, 4, "decimal(38,4)").cast("string").alias("vega_trunc"),
     )
 
 
@@ -838,8 +846,8 @@ def q_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM part)
     SELECT p_partkey,
            CASE WHEN sent IN ('N/A', '0.00') THEN NULL ELSE sent END AS cleaned,
-           CAST(CASE WHEN sent IN ('N/A', '0.00') THEN NULL ELSE sent END
-                AS DECIMAL(10,2)) AS cleaned_num
+           CAST(CAST(CASE WHEN sent IN ('N/A', '0.00') THEN NULL ELSE sent END
+                     AS DECIMAL(10,2)) AS VARCHAR) AS cleaned_num
     FROM raw
     """,
 )
@@ -856,7 +864,7 @@ def q_null_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "p_partkey",
         cleaned.alias("cleaned"),
-        cleaned.cast("decimal(10,2)").alias("cleaned_num"),
+        cleaned.cast("decimal(10,2)").cast("string").alias("cleaned_num"),
     )
 
 
@@ -864,11 +872,11 @@ def q_null_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_explode_sides",
     oracle="""
     SELECT l_orderkey, l_linenumber, 'Call' AS side,
-           CAST(l_extendedprice AS DECIMAL(18,2)) AS px
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS px
     FROM lineitem
     UNION ALL
     SELECT l_orderkey, l_linenumber, 'Put' AS side,
-           CAST(l_tax AS DECIMAL(18,2)) AS px
+           CAST(CAST(l_tax AS DECIMAL(18,2)) AS VARCHAR) AS px
     FROM lineitem
     """,
 )
@@ -888,7 +896,12 @@ def q_explode_sides(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return li.select(
         "l_orderkey", "l_linenumber", F.explode(sides).alias("s")
-    ).select("l_orderkey", "l_linenumber", F.col("s.side").alias("side"), F.col("s.px").alias("px"))
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("s.side").alias("side"),
+        F.col("s.px").cast("string").alias("px"),
+    )
 
 
 @register(
@@ -987,7 +1000,8 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT symbol_key, expiry, strike, 'Call' AS call_put, bid AS px FROM kept
       UNION ALL
       SELECT symbol_key, expiry, strike, 'Put' AS call_put, ask AS px FROM kept)
-    SELECT symbol_key, expiry, strike, call_put, MIN(px) AS px
+    SELECT symbol_key, expiry, CAST(strike AS VARCHAR) AS strike, call_put,
+           CAST(MIN(px) AS VARCHAR) AS px
     FROM long GROUP BY symbol_key, expiry, strike, call_put
     """,
 )
@@ -1000,7 +1014,16 @@ def q_chain_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the reference's PK index kept an arbitrary first-arrival)."""
     from oic_options_chains_spark.pipelines.chains import build_chain
 
-    return build_chain(spark, sf_dir, deterministic=True)
+    # build_chain keeps native decimal types for downstream consumers; the
+    # registered query stringifies the decimal outputs for the cross-engine
+    # value hash (scale-pinned rendering is identical on both engines).
+    return build_chain(spark, sf_dir, deterministic=True).select(
+        "symbol_key",
+        "expiry",
+        F.col("strike").cast("string").alias("strike"),
+        "call_put",
+        F.col("px").cast("string").alias("px"),
+    )
 
 
 @register(
@@ -1008,7 +1031,7 @@ def q_chain_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty,
            CAST(grouping(l_returnflag) AS INT) AS g_flag,
            CAST(grouping(l_linestatus) AS INT) AS g_status
     FROM lineitem
@@ -1026,6 +1049,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("l_quantity").cast("decimal(18,2)"))
         .cast("decimal(38,2)")
+        .cast("string")
         .alias("sum_qty"),
         F.grouping("l_returnflag").cast("int").alias("g_flag"),
         F.grouping("l_linestatus").cast("int").alias("g_status"),
@@ -1075,10 +1099,10 @@ def q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            CAST(COUNT(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS n_f,
            CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS n_o,
-           CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(18,2)))
-                         FILTER (WHERE l_linestatus = 'F'), 0) AS DECIMAL(38,2)) AS qty_f,
-           CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(18,2)))
-                         FILTER (WHERE l_linestatus = 'O'), 0) AS DECIMAL(38,2)) AS qty_o
+           CAST(CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                              FILTER (WHERE l_linestatus = 'F'), 0) AS DECIMAL(38,2)) AS VARCHAR) AS qty_f,
+           CAST(CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                              FILTER (WHERE l_linestatus = 'O'), 0) AS DECIMAL(38,2)) AS VARCHAR) AS qty_o
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -1094,6 +1118,7 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(cond, 1)).alias(f"n_{s.lower()}"),
             F.coalesce(F.sum(F.when(cond, qty)), F.lit(0))
             .cast("decimal(38,2)")
+            .cast("string")
             .alias(f"qty_{s.lower()}"),
         ]
 

@@ -27,7 +27,7 @@ from oic_options_chains_spark.sources.registry import load_table
     SELECT date_trunc('hour', ts) AS bucket_start,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS VARCHAR) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -43,6 +43,7 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)"))
             .cast("decimal(28,2)")
+            .cast("string")
             .alias("total_value"),
         )
         .select(
@@ -134,7 +135,7 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_salted_agg",
     oracle="""
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS VARCHAR) AS total_value
     FROM events GROUP BY event_type
     """,
 )
@@ -156,7 +157,7 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return partial.groupBy("event_type").agg(
         F.sum("pn").cast("bigint").alias("n"),
-        F.sum("pv").cast("decimal(28,2)").alias("total_value"),
+        F.sum("pv").cast("decimal(28,2)").cast("string").alias("total_value"),
     )
 
 
@@ -164,10 +165,10 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_moving_avg",
     oracle="""
     SELECT event_id, user_id, ts,
-           CAST(SUM(CAST(value AS DECIMAL(18,2)))
-                OVER (PARTITION BY user_id ORDER BY ts
-                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
-                AS DECIMAL(28,2)) AS rolling_1h_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                     OVER (PARTITION BY user_id ORDER BY ts
+                           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                     AS DECIMAL(28,2)) AS VARCHAR) AS rolling_1h_value
     FROM events
     """,
 )
@@ -189,6 +190,7 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,2)"))
         .over(w)
         .cast("decimal(28,2)")
+        .cast("string")
         .alias("rolling_1h_value"),
     )
 

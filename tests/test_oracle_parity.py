@@ -95,3 +95,20 @@ def test_all_queries_have_unique_names():
     assert len(QUERIES) == len(set(QUERIES))
     # every oracle key corresponds to a query
     assert set(ORACLE) <= set(QUERIES)
+
+
+def test_no_decimal_output_columns(spark, sf_dir):
+    """Driver-contract guard: the driver's order-insensitive value hash
+    canonicalizes decimals scale-insensitively (Decimal('40.00') != 40.0),
+    so a DecimalType in a FINAL output schema is a latent hash mismatch
+    whenever a value carries trailing zeros. Every registered query must
+    stringify (or float) decimal outputs; internal plans stay decimal."""
+    from pyspark.sql.types import DecimalType
+
+    offenders = {}
+    for name, fn in QUERIES.items():
+        schema = fn(spark, sf_dir).schema
+        bad = [f.name for f in schema.fields if isinstance(f.dataType, DecimalType)]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"decimal output columns break the driver hash: {offenders}"
