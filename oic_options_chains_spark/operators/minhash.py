@@ -9,9 +9,16 @@ Scale design (the 100 TB path):
   banded into b bands; candidate pairs come from a self-equi-join on
   (band, band_key), which Spark shuffles on the band key — skew-safe
   because identical band keys are exactly the near-duplicates.
-- SimHash packs to one integer per doc; near-dup candidates come from
-  exact-match on 8-bit signature halves (``simhash_near_pairs``), with an
-  exact Hamming verify on the candidates.
+- SimHash is 64-bit, carried as four 16-bit words per doc (w0..w3). The
+  words ARE the 4x16-bit LSH band keys: candidates come from exact-match
+  on any word (``simhash_near_pairs``), with an exact Hamming verify on
+  the candidates. By pigeonhole, any pair within Hamming distance 3 of a
+  64-bit signature leaves at least one word untouched, so recall at the
+  default threshold is exact. A 16-bit signature (the round-1 form) has
+  only 2^8 bucket keys — at corpus scale every bucket holds millions of
+  docs and the candidate join degenerates toward all-pairs; 16-bit
+  band keys give 65,536 buckets per band and signatures that can
+  actually separate ~10^9 documents.
 """
 
 from __future__ import annotations
@@ -228,37 +235,58 @@ def ngram_jaccard_pairs(
     )
 
 
-def doc_simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(doc, simhash) via relational bit votes — the scale form.
+SIMHASH_WORDS = 4  # 4 x 16-bit words = one 64-bit signature
 
-    posexplode -> one md5+conv per token -> a single doc-keyed groupBy
-    holding 16 conditional-sum aggregates -> bit pack. Fully whole-stage-
-    codegen (the ``simhash16`` column form runs the votes as interpreted
-    array lambdas), one shuffle — and that exchange is REUSED by Spark
-    when the result self-joins (simhash_near_pairs), where the column
-    form would recompute every hash on both sides."""
+
+def doc_simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, w0..w3): 64-bit SimHash via relational bit votes — the scale
+    form.
+
+    Word j of the signature takes its 16 bit projections from md5 hex
+    chars [4j+1, 4j+4] of each token. explode -> a single doc-keyed
+    groupBy holding 64 conditional-sum aggregates -> per-word bit pack.
+    Fully whole-stage-codegen (the ``simhash16`` column form runs votes
+    as interpreted array lambdas), one shuffle — and that exchange is
+    REUSED by Spark when the result self-joins (simhash_near_pairs).
+
+    The four-word representation (instead of one packed BIGINT) is
+    deliberate: bit 63 of a packed long is the sign bit and ANSI-mode
+    arithmetic on 2^63-scale literals overflows, while the words are
+    exactly the 4x16-bit LSH band keys downstream — no unpacking join."""
     tok = df.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
     )
-    tb = F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("int")
+    word_bits = [
+        F.conv(F.substring(F.md5(F.col("tok")), 4 * j + 1, 4), 16, 10).cast("int")
+        for j in range(SIMHASH_WORDS)
+    ]
     votes = tok.groupBy(id_col).agg(
         *[
             F.sum(
-                F.when(tb.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
-            ).alias(f"__v{b}")
+                F.when(word_bits[j].bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+            ).alias(f"__v{j}_{b}")
+            for j in range(SIMHASH_WORDS)
             for b in range(16)
         ]
     )
-    packed = None
-    for b in range(16):
-        term = F.when(F.col(f"__v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        packed = term if packed is None else packed + term
-    return votes.select(F.col(id_col), packed.cast("int").alias("simhash"))
+    words = []
+    for j in range(SIMHASH_WORDS):
+        packed = None
+        for b in range(16):
+            term = F.when(F.col(f"__v{j}_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            packed = term if packed is None else packed + term
+        words.append(packed.cast("int").alias(f"w{j}"))
+    return votes.select(F.col(id_col), *words)
 
 
 def simhash16(text: Column) -> Column:
     """16-bit SimHash over whitespace tokens, md5-derived bit projections.
+
+    VERIFICATION-ONLY column form (equals word 0 of ``doc_simhash``): the
+    array-lambda votes run interpreted and recompute per consumer, and 16
+    bits cannot separate a large corpus — the scale path is
+    ``doc_simhash`` + ``simhash_near_pairs``.
 
     Per token: the first 4 md5 hex chars give 16 bits; each bit votes
     +1/-1; the sign of each bit's total sets the output bit. Exact integer
@@ -283,31 +311,44 @@ def simhash16(text: Column) -> Column:
 
 
 def simhash_near_pairs(
-    sim_df: DataFrame, id_col: str, max_hamming: int = 2
+    sim_df: DataFrame, id_col: str, max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: candidates share at least one 8-bit
-    half of the 16-bit signature, then exact Hamming verify.
+    """Near-dup pairs by 64-bit SimHash: candidates share at least one of
+    the four 16-bit signature words, then exact Hamming verify.
 
-    Pigeonhole: any pair within Hamming distance <= 2 of a 16-bit
-    signature differs in at most 2 bits, which cannot hit BOTH halves
-    unless split 1+1 — so a pair at distance <= 1 per half is always
-    found; the two segment-keyed equi-joins give high recall at bucket
-    cost, never O(n^2). Shuffles are keyed on the tiny segment values
-    plus the band id, exactly like MinHash LSH banding.
+    Pigeonhole: a pair within Hamming distance <= 3 differs in at most 3
+    of the 64 bits, which can corrupt at most 3 of the 4 words — at least
+    one word matches exactly, so RECALL IS EXACT at the default
+    threshold. Each band's equi-join shuffles on (seg, word value):
+    65,536 buckets per band, and identical words on unrelated docs are
+    p=2^-16 collisions — bucket sizes stay bounded at corpus scale,
+    never O(n^2). (The round-1 8-bit halves gave only 256 buckets.)
 
     Returns (id_a, id_b, hamming).
     """
+    words = [f"w{j}" for j in range(SIMHASH_WORDS)]
     segs = sim_df.select(
         F.col(id_col),
-        F.col("simhash"),
+        *[F.col(w) for w in words],
         F.explode(
             F.array(
-                F.struct(F.lit(0).alias("seg"), F.col("simhash").bitwiseAND(F.lit(255)).alias("key")),
-                F.struct(F.lit(1).alias("seg"), F.shiftright(F.col("simhash"), 8).alias("key")),
+                *[
+                    F.struct(F.lit(j).alias("seg"), F.col(words[j]).alias("key"))
+                    for j in range(SIMHASH_WORDS)
+                ]
             )
         ).alias("s"),
-    ).select(F.col(id_col), "simhash", F.col("s.seg").alias("seg"), F.col("s.key").alias("key"))
+    ).select(
+        F.col(id_col),
+        *[F.col(w) for w in words],
+        F.col("s.seg").alias("seg"),
+        F.col("s.key").alias("key"),
+    )
     a, b = segs.alias("a"), segs.alias("b")
+    hamming = None
+    for w in words:
+        term = F.bit_count(F.col(f"a.{w}").bitwiseXOR(F.col(f"b.{w}")))
+        hamming = term if hamming is None else hamming + term
     pairs = (
         a.join(
             b,
@@ -320,9 +361,7 @@ def simhash_near_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).cast("int").alias("hamming"),
+            hamming.cast("int").alias("hamming"),
         )
         .distinct()
     )

@@ -279,31 +279,37 @@ def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 64-bit SimHash: word j of the signature takes 16 bit projections from
+# md5 hex chars [4j+1, 4j+4] of each token (operators/minhash.doc_simhash).
 _SIMHASH_SQL = """
     toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
     tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
-    bits AS (SELECT doc_id,
-                    CAST(concat('0x', substr(md5(tok), 1, 4)) AS INT) AS tb
-             FROM tok),
+    bits AS (SELECT doc_id, w.wrd,
+                    CAST(concat('0x', substr(md5(tok), 4 * w.wrd + 1, 4)) AS INT) AS tb
+             FROM tok CROSS JOIN (SELECT unnest(range(0, 4)) AS wrd) w),
     votes AS (
-      SELECT doc_id, b.bit,
+      SELECT doc_id, wrd, b.bit,
              SUM(CASE WHEN (tb >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
       FROM bits CROSS JOIN (SELECT unnest(range(0, 16)) AS bit) b
-      GROUP BY doc_id, b.bit),
+      GROUP BY doc_id, wrd, b.bit),
     sim AS (
       SELECT doc_id,
-             CAST(SUM(CASE WHEN v > 0 THEN 1 << bit ELSE 0 END) AS INT) AS simhash
+             CAST(SUM(CASE WHEN v > 0 AND wrd = 0 THEN 1 << bit ELSE 0 END) AS INT) AS w0,
+             CAST(SUM(CASE WHEN v > 0 AND wrd = 1 THEN 1 << bit ELSE 0 END) AS INT) AS w1,
+             CAST(SUM(CASE WHEN v > 0 AND wrd = 2 THEN 1 << bit ELSE 0 END) AS INT) AS w2,
+             CAST(SUM(CASE WHEN v > 0 AND wrd = 3 THEN 1 << bit ELSE 0 END) AS INT) AS w3
       FROM votes GROUP BY doc_id)
 """
 
 
 @register(
     "q_simhash",
-    oracle="WITH " + _SIMHASH_SQL + "SELECT doc_id, simhash FROM sim",
+    oracle="WITH " + _SIMHASH_SQL + "SELECT doc_id, w0, w1, w2, w3 FROM sim",
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash signatures (md5 bit projections, exact integer
-    votes), in the relational one-shuffle form."""
+    """64-bit SimHash signatures as four 16-bit words (md5 bit
+    projections, exact integer votes), in the relational one-shuffle
+    form. The words double as the LSH band keys downstream."""
     from oic_options_chains_spark.operators.minhash import doc_simhash
 
     d = load_table(spark, sf_dir, "documents")
@@ -316,21 +322,25 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _SIMHASH_SQL
     + """,
     segs AS (
-      SELECT doc_id, simhash, seg,
-             CASE WHEN seg = 0 THEN simhash & 255 ELSE simhash >> 8 END AS key
-      FROM sim CROSS JOIN (SELECT unnest(range(0, 2)) AS seg)),
+      SELECT doc_id, w0, w1, w2, w3, s.seg,
+             CASE s.seg WHEN 0 THEN w0 WHEN 1 THEN w1
+                        WHEN 2 THEN w2 ELSE w3 END AS key
+      FROM sim CROSS JOIN (SELECT unnest(range(0, 4)) AS seg) s),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+             CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
+                + bit_count(xor(a.w2, b.w2)) + bit_count(xor(a.w3, b.w3))
+                AS INT) AS hamming
       FROM segs a JOIN segs b
         ON a.seg = b.seg AND a.key = b.key AND a.doc_id < b.doc_id)
-    SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 2
+    SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3
     """,
 )
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 8-bit-half bucket candidates, exact
-    Hamming verify at distance <= 2. The doc-keyed aggregation exchange
-    is computed once and reused by both self-join sides."""
+    """64-bit SimHash near-dup pairs: 4x16-bit word-bucket candidates
+    (65,536 buckets per band), exact Hamming verify at distance <= 3 —
+    recall is exact by pigeonhole. The doc-keyed aggregation exchange is
+    computed once and reused by both self-join sides."""
     from oic_options_chains_spark.operators.minhash import (
         doc_simhash,
         simhash_near_pairs,

@@ -29,6 +29,7 @@ def plans(spark, sf_dir):
             "q_asof_price",
             "q_minhash_lsh_pairs",
             "q_export_projection",
+            "q_simhash_pairs",
         )
     }
 
@@ -72,6 +73,15 @@ def test_minhash_single_doc_shuffle(plans):
     plan = plans["q_minhash_lsh_pairs"]
     doc_exchanges = plan.lower().count("hashpartitioning(doc_id")
     assert doc_exchanges <= 2, f"minhash path re-shuffles on doc_id: {doc_exchanges}"
+
+
+def test_simhash_single_doc_shuffle(plans):
+    # the 64-bit relational SimHash: the doc-keyed vote aggregation is one
+    # exchange reused by both self-join sides — the column-lambda form
+    # recomputes every hash per side and re-shuffles
+    plan = plans["q_simhash_pairs"]
+    doc_exchanges = plan.lower().count("hashpartitioning(doc_id")
+    assert doc_exchanges <= 2, f"simhash path re-shuffles on doc_id: {doc_exchanges}"
 
 
 def test_python_stays_out_of_relational_queries(plans):
