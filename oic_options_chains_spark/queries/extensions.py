@@ -241,7 +241,12 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via an inverted-index join."""
+    """Exact n-gram Jaccard near-dup pairs via an inverted-index join.
+
+    VERIFICATION-ONLY, not the default dedup path: a shingle appearing in
+    f docs emits f^2 join rows on one reducer, and shingle frequency is
+    Zipfian — use ``q_ngram_jaccard_capped`` (the headline entry) at
+    scale."""
     d = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(doc_shingles(d, "doc_id", "text"), "doc_id")
 

@@ -76,12 +76,15 @@ def test_minhash_single_doc_shuffle(plans):
 
 
 def test_simhash_single_doc_shuffle(plans):
-    # the 64-bit relational SimHash: the doc-keyed vote aggregation is one
-    # exchange reused by both self-join sides — the column-lambda form
-    # recomputes every hash per side and re-shuffles
-    plan = plans["q_simhash_pairs"]
-    doc_exchanges = plan.lower().count("hashpartitioning(doc_id")
-    assert doc_exchanges <= 2, f"simhash path re-shuffles on doc_id: {doc_exchanges}"
+    # the 64-bit relational SimHash: one doc-keyed vote-aggregation
+    # exchange per self-join side (the (doc_id, tok) pre-count exchange
+    # is a separate, intentional combine stage) — the column-lambda form
+    # recomputes every hash per side and re-shuffles on doc_id
+    import re
+
+    plan = plans["q_simhash_pairs"].lower()
+    doc_only = len(re.findall(r"hashpartitioning\(doc_id#\d+l?, \d+\)", plan))
+    assert doc_only <= 2, f"simhash path re-shuffles on doc_id: {doc_only}"
 
 
 def test_python_stays_out_of_relational_queries(plans):
