@@ -16,8 +16,42 @@ and reported scores are floor(1e6 * cosine).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# Expected rows per sign bucket the planner aims for when deriving bits
+# from corpus size: small enough that a within-bucket self-join is one
+# executor's work, large enough that boundary recall loss stays low.
+DEFAULT_TARGET_BUCKET_ROWS = 1024
+
+
+def bits_for(
+    n_rows: int,
+    target_bucket_rows: int = DEFAULT_TARGET_BUCKET_ROWS,
+    max_bits: int = 16,
+) -> int:
+    """Sign-bucket bits so the EXPECTED bucket holds ~``target_bucket_rows``
+    vectors: ceil(log2(n / target)).
+
+    A fixed bit count is a scale bug: with b bits the within-bucket
+    self-join is O((n/2^b)^2) per bucket, so b must grow with log2(n) to
+    keep buckets executor-sized. ``max_bits`` caps the bucket key at
+    2^16 partitions (and at the vector dimensionality implicitly — the
+    bucket uses the leading ``bits`` dims' signs)."""
+    if n_rows <= target_bucket_rows:
+        return 1
+    return min(max_bits, max(1, math.ceil(math.log2(n_rows / target_bucket_rows))))
+
+
+def _resolve_bits(embeddings: DataFrame, bits: int | None) -> int:
+    """Derive bits from the corpus size when not pinned by the caller.
+
+    The ``count()`` is a one-off metadata action (parquet row counts come
+    from footers, no data scan). Callers that know their scale — or need
+    a deterministic plan for an oracle — pass ``bits`` explicitly."""
+    return bits if bits is not None else bits_for(embeddings.count())
 
 
 def _fold_sum(arr: Column) -> Column:
@@ -79,7 +113,7 @@ def brute_force_topk(
 def near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.35,
-    bits: int = 4,
+    bits: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -87,12 +121,14 @@ def near_dup_pairs(
 
     Candidate generation is a self-equi-join on the coarse sign bucket
     (id_a < id_b to emit each pair once), so the shuffle is keyed on the
-    bucket — never the O(n^2) cross join. At 100 TB raise ``bits`` so
-    buckets stay executor-sized (each doubling halves expected bucket
-    size); recall loss only affects pairs whose cosine is low anyway,
-    since near-identical vectors share leading sign bits.
+    bucket — never the O(n^2) cross join. ``bits`` defaults to
+    ``bits_for(count)`` so buckets stay executor-sized as the corpus
+    grows (each added bit halves expected bucket size); recall loss only
+    affects pairs whose cosine is low anyway, since near-identical
+    vectors share leading sign bits.
     Returns (id_a, id_b, score_e6).
     """
+    bits = _resolve_bits(embeddings, bits)
     # norms precomputed per VECTOR (n rows), not per pair: the per-pair
     # work drops to one dot-product fold; dot/(na*nb) is bit-identical to
     # computing both norms inside the pair.
@@ -130,12 +166,15 @@ def ivf_topk(
     embeddings: DataFrame,
     query: DataFrame,
     k: int = 5,
-    bits: int = 4,
+    bits: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Bucket-pruned top-k: only vectors in the query's sign bucket are
-    scored. Approximate (recall < 1) but scans 1/2^bits of the data."""
+    scored. Approximate (recall < 1) but scans 1/2^bits of the data.
+    ``bits`` defaults to ``bits_for(count)`` (bucket size tracks corpus
+    growth)."""
+    bits = _resolve_bits(embeddings, bits)
     bucketed = embeddings.withColumn("__bucket", sign_bucket(F.col(vec_col), bits))
     q = query.withColumn("__qbucket", sign_bucket(F.col("query_vec"), bits))
     scored = bucketed.join(
@@ -176,14 +215,16 @@ def ivf_multiprobe_topk(
     embeddings: DataFrame,
     query: DataFrame,
     k: int = 5,
-    bits: int = 4,
+    bits: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Multi-probe IVF top-k: vectors in the query's bucket OR any one-bit
     neighbor bucket are scored. The probe list is broadcast and exploded;
     the join stays an equi-join on the bucket string, so at table scale
-    it is (bits+1) partition-pruned probes, never a scan."""
+    it is (bits+1) partition-pruned probes, never a scan. ``bits``
+    defaults to ``bits_for(count)``."""
+    bits = _resolve_bits(embeddings, bits)
     bucketed = embeddings.withColumn("__bucket", sign_bucket(F.col(vec_col), bits))
     probes = query.select(
         F.col("query_vec"),

@@ -1,0 +1,65 @@
+"""Scale-derivation properties for the sign-bucket LSH/IVF bit widths.
+
+A fixed bucket count is the classic LSH scale bug: the within-bucket
+self-join is O((n/2^b)^2) per bucket, so b must track log2(n). These
+tests lock the derivation so no scale-path entry point regresses to a
+hard-coded width.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from oic_options_chains_spark.operators.similarity import (
+    DEFAULT_TARGET_BUCKET_ROWS,
+    bits_for,
+    near_dup_pairs,
+)
+from oic_options_chains_spark.sources.registry import load_table
+
+
+@given(
+    n1=st.integers(min_value=1, max_value=10**12),
+    n2=st.integers(min_value=1, max_value=10**12),
+)
+@settings(max_examples=200, deadline=None)
+def test_bits_monotone_in_corpus_size(n1, n2):
+    if n1 > n2:
+        n1, n2 = n2, n1
+    assert bits_for(n1) <= bits_for(n2)
+
+
+@given(n=st.integers(min_value=1, max_value=10**12))
+@settings(max_examples=200, deadline=None)
+def test_bits_bounded(n):
+    b = bits_for(n)
+    assert 1 <= b <= 16
+
+
+def test_bucket_count_tracks_corpus_growth():
+    # each 2x corpus growth adds exactly one bit (2x buckets) until the cap,
+    # keeping the EXPECTED bucket size ~constant at the target
+    t = DEFAULT_TARGET_BUCKET_ROWS
+    for k in range(1, 15):
+        n = t * (2**k)
+        assert bits_for(n) == k, (n, bits_for(n))
+        # expected bucket rows stay at the target as n doubles
+        assert n / (2 ** bits_for(n)) == t
+
+
+def test_bits_cap_and_floor():
+    assert bits_for(1) == 1
+    assert bits_for(DEFAULT_TARGET_BUCKET_ROWS) == 1
+    assert bits_for(10**12) == 16  # capped: partitioning, not sharding
+
+
+def test_derived_default_matches_explicit(spark, sf_dir):
+    # bits=None must behave exactly like passing bits_for(count) — the
+    # derivation changes the plan knob, never the operator semantics
+    e = load_table(spark, sf_dir, "embeddings")
+    derived = near_dup_pairs(e, threshold=0.35)
+    explicit = near_dup_pairs(e, threshold=0.35, bits=bits_for(e.count()))
+    assert sorted(map(tuple, derived.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
