@@ -35,7 +35,10 @@ STRIKE_MULTIPLIERS = ("0.70", "0.825", "1.00", "1.125", "1.30")
 
 
 def build_chain(
-    spark: SparkSession, sf_dir: str, deterministic: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    deterministic: bool = False,
+    all_options: bool = False,
 ) -> DataFrame:
     """Returns an option_chain-shaped DataFrame from the synthetic tables.
 
@@ -46,9 +49,26 @@ def build_chain(
     ``deterministic=True`` resolves PK collisions with min(px) instead of
     the reference-faithful arbitrary-winner conflict-ignore (its PK index
     kept whichever row arrived first) so the result is oracle-hashable.
-    """
+
+    ``all_options=True`` is the reference's ``--all-options`` passthrough
+    (transform-load.2025-08-19.rkt:147-152, the ``(if (all-options?)
+    all-options ...)`` branch): the nearest-expiry/nearest-strike
+    selection is skipped entirely and every raw chain row flows to the
+    side explode + PK resolution. The selection plan (as-of marks,
+    targets, argmin joins) is never even constructed — at scale the
+    passthrough is a straight partitioned scan."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+
+    if all_options:
+        kept = li.select(
+            (F.col("l_suppkey") % 100).alias("symbol_key"),
+            F.col("l_shipdate").cast("date").alias("expiry"),
+            F.col("l_quantity").cast("decimal(10,2)").alias("strike"),
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("bid"),
+            F.col("l_tax").cast("decimal(18,2)").alias("ask"),
+        )
+        return _explode_and_resolve(kept, deterministic)
 
     # 1. As-of mark price per "symbol" (custkey), J2/W1.
     marks = latest_per_key(
@@ -143,6 +163,11 @@ def build_chain(
         ],
     ).select(chains["symbol_key"], chains["expiry"], chains["strike"], "bid", "ask")
 
+    return _explode_and_resolve(kept, deterministic)
+
+
+def _explode_and_resolve(kept: DataFrame, deterministic: bool) -> DataFrame:
+    """Shared tail: wide->long side explode (F29) + PK resolution (K1)."""
     sides = F.array(
         F.struct(F.lit("Call").alias("call_put"), F.col("bid").alias("px")),
         F.struct(F.lit("Put").alias("call_put"), F.col("ask").alias("px")),

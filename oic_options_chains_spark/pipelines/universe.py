@@ -18,13 +18,31 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from oic_options_chains_spark.functions.cleaning import symbol_vendor_to_db
+from oic_options_chains_spark.sources.jdbc import jdbc_or_registered
 
 # reference: extract.rkt:79
 DEFAULT_ETFS = ("SPY", "MDY", "SLY", "SPSM")
+
+
+def load_holdings(
+    spark: SparkSession,
+    jdbc_url: str | None = None,
+    table: str = "spdr.etf_holding",
+    registered: DataFrame | None = None,
+    **jdbc_kwargs,
+) -> DataFrame:
+    """Holdings source (S4): live ``spark.read.jdbc`` against the
+    warehouse when a URL is configured (the reference queries Postgres,
+    extract.2023-11-16.rkt:126-161), a registered DataFrame otherwise.
+    Holdings are a tiny dimension — no partitioning options needed; the
+    latest-snapshot filter pushes into the remote query as a WHERE."""
+    return jdbc_or_registered(
+        spark, table, jdbc_url=jdbc_url, registered=registered, **jdbc_kwargs
+    )
 
 
 def latest_snapshot(holdings: DataFrame, etfs: Sequence[str] = DEFAULT_ETFS) -> DataFrame:

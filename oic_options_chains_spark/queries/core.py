@@ -1027,6 +1027,41 @@ def q_chain_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_chain_all_options",
+    oracle="""
+    WITH kept AS (
+      SELECT l_suppkey % 100 AS symbol_key,
+             CAST(l_shipdate AS DATE) AS expiry,
+             CAST(l_quantity AS DECIMAL(10,2)) AS strike,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS bid,
+             CAST(l_tax AS DECIMAL(18,2)) AS ask
+      FROM lineitem),
+    long AS (
+      SELECT symbol_key, expiry, strike, 'Call' AS call_put, bid AS px FROM kept
+      UNION ALL
+      SELECT symbol_key, expiry, strike, 'Put' AS call_put, ask AS px FROM kept)
+    SELECT symbol_key, expiry, CAST(strike AS VARCHAR) AS strike, call_put,
+           CAST(MIN(px) AS VARCHAR) AS px
+    FROM long GROUP BY symbol_key, expiry, strike, call_put
+    """,
+)
+def q_chain_all_options(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The --all-options passthrough (reference:
+    transform-load.2025-08-19.rkt:147-152): nearest-selection skipped,
+    every raw chain row explodes into both sides and flows to PK
+    resolution. Same final-decimal stringification as q_chain_build."""
+    from oic_options_chains_spark.pipelines.chains import build_chain
+
+    return build_chain(spark, sf_dir, deterministic=True, all_options=True).select(
+        "symbol_key",
+        "expiry",
+        F.col("strike").cast("string").alias("strike"),
+        "call_put",
+        F.col("px").cast("string").alias("px"),
+    )
+
+
+@register(
     "q_rollup",
     oracle="""
     SELECT l_returnflag, l_linestatus,

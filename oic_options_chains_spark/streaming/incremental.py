@@ -42,6 +42,24 @@ from oic_options_chains_spark.sources.warehouse import append_day
 
 _DATE_FROM_PATH = r"/(\d{4}-\d{2}-\d{2})/[^/]+$"
 
+# A micro-batch's file list spans at most a handful of dated folders —
+# even an AvailableNow drain of a year's backlog is ~365 distinct days.
+_MAX_DAYS_PER_BATCH = 10_000
+
+
+def _distinct_days(batch: DataFrame, col: str) -> list:
+    """Driver-side list of a micro-batch's distinct ingest days.
+
+    BOUNDED collect: cardinality is the number of distinct DATES in one
+    micro-batch, never its row count — the one shape of driver-side
+    iteration this codebase allows. The limit+assert is a tripwire so
+    the pattern cannot be copied onto an unbounded key unnoticed."""
+    rows = (
+        batch.select(col).distinct().limit(_MAX_DAYS_PER_BATCH + 1).collect()
+    )
+    assert len(rows) <= _MAX_DAYS_PER_BATCH, f"{col} cardinality exceeds day bound"
+    return sorted(r[0] for r in rows if r[0] is not None)
+
 
 def raw_chain_stream(spark: SparkSession, base_dir: str) -> DataFrame:
     """File-source stream over every dated folder; symbol and ingest date
@@ -74,12 +92,7 @@ def run_incremental_chain_load(
     """Drain all unprocessed raw files into the warehouse table, then stop."""
 
     def process(batch: DataFrame, _batch_id: int) -> None:
-        dates = [
-            r.ingest_date
-            for r in batch.select("ingest_date").distinct().collect()
-            if r.ingest_date is not None
-        ]
-        for day in sorted(dates):
+        for day in _distinct_days(batch, "ingest_date"):
             era = era_for_date(day)
             raw = batch.filter(F.col("ingest_date") == F.lit(day)).drop("ingest_date")
             curated = chain_from_raw(raw, ohlc, day, era, all_options=all_options)
@@ -133,12 +146,7 @@ def run_incremental_vol_load(
         # NOTE: pyspark Observation.get is not supported inside
         # foreachBatch (py4j toPyRow assertion) — reconciliation counters
         # (operators/metrics.observed_counts) are a batch-pipeline tool.
-        dates = [
-            r.ingest_date
-            for r in batch.select("ingest_date").distinct().collect()
-            if r.ingest_date is not None
-        ]
-        for day in sorted(dates):
+        for day in _distinct_days(batch, "ingest_date"):
             era = era_for_date(day)
             pages = batch.filter(F.col("ingest_date") == F.lit(day)).select(
                 "act_symbol", "content"
@@ -180,12 +188,7 @@ def run_incremental_weeklies_load(
     )
 
     def process(batch: DataFrame, _batch_id: int) -> None:
-        days = [
-            r.file_date
-            for r in batch.select("file_date").distinct().collect()
-            if r.file_date is not None
-        ]
-        for day in sorted(days):
+        for day in _distinct_days(batch, "file_date"):
             rows = batch.filter(F.col("file_date") == F.lit(day)).drop("file_date")
             if table_exists(table_dir):
                 merged = load_weeklies(read_table(spark, table_dir), rows)
