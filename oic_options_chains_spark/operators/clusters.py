@@ -1,0 +1,106 @@
+"""Connected components over near-duplicate pair graphs: the step that
+turns candidate PAIRS (MinHash/SimHash/embedding LSH output) into dedup
+DECISIONS — one canonical keeper per duplicate cluster.
+
+The reference has no equivalent (its PK index absorbs exact dupes only);
+this is the standard large-corpus dedup close-out: pairs form an
+undirected graph, each component is one duplicate cluster, the lowest id
+in a component is the keeper.
+
+Scale design:
+- Iterative min-label propagation: every round each node takes the min
+  of its own label and its neighbors' labels. One shuffle join + one
+  groupBy per round; converges in O(component diameter) rounds. Near-dup
+  components are dense (LSH pairs are near-cliques), so diameters are
+  tiny — the cap exists for adversarial chains, not expected data.
+- Labels are ``localCheckpoint``-ed each round: without truncation the
+  lineage doubles per iteration and planning time explodes (on a real
+  cluster use ``checkpoint`` against reliable storage so executor loss
+  cannot replay 20 joins).
+- The per-round convergence check is a single driver-side ``count`` of
+  changed labels — bounded scalar, not a collect of data.
+- The edge list is the LSH candidate output, i.e. already near-linear in
+  corpus size; nothing here materializes anything larger than it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """(id, cluster_id) for every id appearing in ``pairs``; cluster_id is
+    the component's minimum id. Raises if ``max_rounds`` is hit before
+    convergence (a correctness failure, not a soft timeout: unconverged
+    labels would split one true cluster into several)."""
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            .select(
+                labels["id"].alias("id"),
+                F.least(
+                    labels["label"], F.coalesce(F.col("nbr_label"), labels["label"])
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds"
+    )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """Per-document dedup verdict: (doc_id, cluster_id, is_keeper).
+
+    Documents in no pair are their own singleton cluster (kept). Within a
+    cluster the keeper is the minimum doc_id — and because cluster_id IS
+    the component minimum, the keeper test is a plain column comparison,
+    no second aggregation pass."""
+    cc = connected_components(pairs, id_a, id_b)
+    ids = docs.select(F.col(id_col))
+    return (
+        ids.join(cc, ids[id_col] == cc["id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn(
+            "is_keeper", (F.col(id_col) == F.col("cluster_id")).cast("int")
+        )
+    )

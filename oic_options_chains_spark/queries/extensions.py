@@ -223,6 +223,49 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_clusters",
+    oracle="WITH RECURSIVE "
+    + _SIG_SQL.removeprefix("WITH ")
+    + """,
+    bands AS (
+      SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+             string_agg(minhash, ',' ORDER BY seed) AS band_key
+      FROM sig GROUP BY doc_id, seed // 4),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+    cc AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+           FROM reach GROUP BY src)
+    SELECT d.doc_id,
+           COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+           CAST(CASE WHEN d.doc_id = COALESCE(cc.cluster_id, d.doc_id)
+                     THEN 1 ELSE 0 END AS INT) AS is_keeper
+    FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup close-out: LSH candidate pairs -> connected components ->
+    one keeper (min doc_id) per duplicate cluster, singletons kept. The
+    Spark side is iterative min-label propagation (operators/clusters);
+    the oracle is the same fixpoint as a recursive CTE."""
+    from oic_options_chains_spark.operators.clusters import dedup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    bands = minhash_band_keys(
+        doc_shingles(d, "doc_id", "text", distinct=False), "doc_id"
+    )
+    return dedup_clusters(d, lsh_candidate_pairs(bands, "doc_id"))
+
+
+@register(
     "q_ngram_jaccard",
     oracle="WITH "
     + _SHINGLE_SQL

@@ -1,0 +1,54 @@
+"""Connected-components dedup clustering: correctness on known graphs
+(the oracle parity test covers the LSH-fed composite)."""
+
+from __future__ import annotations
+
+import pytest
+
+from oic_options_chains_spark.operators.clusters import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+def _cc(spark, edges):
+    pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    return {
+        r.id: r.cluster_id for r in connected_components(pairs).collect()
+    }
+
+
+def test_two_components(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_path_graph_needs_propagation_rounds(spark):
+    # a 9-node path: the min label must travel 8 hops — exercises the
+    # iteration, not just the first join
+    edges = [(i, i + 1) for i in range(1, 9)]
+    got = _cc(spark, edges)
+    assert set(got.values()) == {1}
+    assert len(got) == 9
+
+
+def test_unconverged_raises(spark):
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)], "doc_a bigint, doc_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_rounds=2)
+
+
+def test_dedup_clusters_keeps_singletons(spark):
+    docs = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id bigint")
+    pairs = spark.createDataFrame([(2, 4), (4, 6)], "doc_a bigint, doc_b bigint")
+    rows = {r.doc_id: (r.cluster_id, r.is_keeper) for r in dedup_clusters(docs, pairs).collect()}
+    assert rows == {
+        1: (1, 1),
+        2: (2, 1),
+        3: (3, 1),
+        4: (2, 0),
+        5: (5, 1),
+        6: (2, 0),
+    }
