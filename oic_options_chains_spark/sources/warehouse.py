@@ -44,7 +44,8 @@ def append_day(
     pk: Sequence[str],
     date_col: str = "date",
     cluster_by: Sequence[str] = (),
-) -> None:
+    return_count: bool = False,
+) -> int | None:
     """Idempotent single-date append: in-batch PK dedup, anti-join against
     the existing date partition(s), then a partitioned append.
 
@@ -69,7 +70,15 @@ def append_day(
         batch = batch.repartition(
             *[F.col(c) for c in cluster_by]
         ).sortWithinPartitions(*cluster_by)
+    if return_count:
+        # recon path (streaming per-batch counters): checkpoint so the
+        # count and the write share one computation of the anti-join
+        batch = batch.localCheckpoint(eager=True)
+        n = batch.count()
+        batch.write.mode("append").partitionBy(date_col).parquet(table_dir)
+        return n
     batch.write.mode("append").partitionBy(date_col).parquet(table_dir)
+    return None
 
 
 def overwrite_table(spark: SparkSession, table_dir: str, state: DataFrame) -> None:

@@ -88,19 +88,53 @@ def run_incremental_chain_load(
     ohlc: DataFrame,
     checkpoint_dir: str,
     all_options: bool = False,
+    first_symbol: str | None = None,
+    last_symbol: str | None = None,
+    metrics_dir: str | None = None,
 ) -> None:
-    """Drain all unprocessed raw files into the warehouse table, then stop."""
+    """Drain all unprocessed raw files into the warehouse table, then stop.
 
-    def process(batch: DataFrame, _batch_id: int) -> None:
+    ``first_symbol``/``last_symbol`` are the reference's resume range
+    (extract-transform-load-with-first-symbol.sh:6, extract.rkt:96-103):
+    files outside the range are consumed by the stream (checkpointed as
+    done) but load nothing — exactly the resume semantics, where skipped
+    symbols were already handled by a previous run. Bounds are applied
+    conditionally so an unset bound never reaches the plan.
+
+    ``metrics_dir`` is the reference's per-run reconciliation counters
+    (transform-load.2025-08-19.rkt:425-427) as a table: one row per
+    (ingest day, micro-batch) with raw/attempted/loaded counts. Spark's
+    ``observe()`` cannot surface metrics inside ``foreachBatch`` (py4j
+    limitation), so the counts are explicit — ``failed`` here means
+    "attempted minus actually appended", i.e. replayed rows absorbed by
+    conflict-ignore, the same quantity the reference's failure counter
+    tracked under ON CONFLICT DO NOTHING."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
         for day in _distinct_days(batch, "ingest_date"):
             era = era_for_date(day)
             raw = batch.filter(F.col("ingest_date") == F.lit(day)).drop("ingest_date")
             curated = chain_from_raw(raw, ohlc, day, era, all_options=all_options)
-            append_day(spark, table_dir, curated, OPTION_CHAIN_PK)
+            if metrics_dir is None:
+                append_day(spark, table_dir, curated, OPTION_CHAIN_PK)
+                continue
+            curated = curated.localCheckpoint(eager=True)
+            attempted = curated.count()
+            loaded = append_day(
+                spark, table_dir, curated, OPTION_CHAIN_PK, return_count=True
+            )
+            spark.createDataFrame(
+                [(day, batch_id, attempted, loaded, attempted - loaded)],
+                "date date, batch_id long, attempted long, loaded long, failed long",
+            ).write.mode("append").parquet(metrics_dir)
 
+    stream = raw_chain_stream(spark, base_dir)
+    if first_symbol is not None:
+        stream = stream.filter(F.col("act_symbol") >= first_symbol)
+    if last_symbol is not None:
+        stream = stream.filter(F.col("act_symbol") <= last_symbol)
     (
-        raw_chain_stream(spark, base_dir)
-        .writeStream.foreachBatch(process)
+        stream.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -1,0 +1,59 @@
+"""K5 versioned snapshot sink: commit/list/read-back/replay semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+from oic_options_chains_spark.sources.snapshots import (
+    commit_snapshot,
+    list_snapshots,
+    read_snapshot,
+)
+
+
+@pytest.fixture()
+def snap_dir(tmp_path):
+    return str(tmp_path / "snapshots")
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "act_symbol string, px double")
+
+
+def test_commit_list_read_latest(spark, snap_dir):
+    commit_snapshot(_df(spark, [("A", 1.0)]), snap_dir, "2024-01-02", "daily")
+    commit_snapshot(_df(spark, [("A", 2.0), ("B", 3.0)]), snap_dir, "2024-01-03")
+    log = list_snapshots(snap_dir)
+    assert [e["snapshot_id"] for e in log] == ["2024-01-02", "2024-01-03"]
+    assert [e["rows"] for e in log] == [1, 2]
+    latest = read_snapshot(spark, snap_dir)
+    assert latest.count() == 2
+    old = read_snapshot(spark, snap_dir, "2024-01-02")
+    assert [r.px for r in old.collect()] == [1.0]
+
+
+def test_recommit_same_day_is_replay_not_duplicate(spark, snap_dir):
+    commit_snapshot(_df(spark, [("A", 1.0)]), snap_dir, "2024-01-02")
+    commit_snapshot(_df(spark, [("A", 9.0)]), snap_dir, "2024-01-02")
+    log = list_snapshots(snap_dir)
+    assert len(log) == 1 and log[0]["rows"] == 1
+    assert [r.px for r in read_snapshot(spark, snap_dir).collect()] == [9.0]
+
+
+def test_unknown_snapshot_raises(spark, snap_dir):
+    commit_snapshot(_df(spark, [("A", 1.0)]), snap_dir, "2024-01-02")
+    with pytest.raises(FileNotFoundError, match="not in manifest"):
+        read_snapshot(spark, snap_dir, "2023-12-31")
+    with pytest.raises(FileNotFoundError, match="no snapshots"):
+        read_snapshot(spark, snap_dir + "_missing")
+
+
+def test_snapshot_roundtrip_from_export_projection(spark, sf_dir, snap_dir):
+    # the real export path: projection -> commit -> read-back identical
+    from oic_options_chains_spark.queries import QUERIES
+
+    df = QUERIES["q_export_projection"](spark, sf_dir)
+    entry = commit_snapshot(df, snap_dir, "2024-01-05", "export")
+    back = read_snapshot(spark, snap_dir, "2024-01-05")
+    assert back.count() == entry["rows"] == df.count()
+    assert sorted(back.columns) == sorted(df.columns)

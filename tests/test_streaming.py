@@ -77,6 +77,61 @@ def test_available_now_incremental(spark, ohlc, tmp_path):
     assert read_table(spark, table).count() == 6
 
 
+def test_resume_from_symbol_range(spark, ohlc, tmp_path):
+    from oic_options_chains_spark.sources.warehouse import read_table
+    from oic_options_chains_spark.streaming.incremental import (
+        run_incremental_chain_load,
+    )
+
+    base = tmp_path / "raw"
+    table = str(tmp_path / "table")
+    day = base / DAY1.isoformat()
+    day.mkdir(parents=True)
+    (day / "AAA.json").write_text(_rows())
+    (day / "NEW.json").write_text(_rows())
+
+    # -f NEW: the resume run loads only symbols >= NEW
+    run_incremental_chain_load(
+        spark, str(base), table, ohlc, str(tmp_path / "ckpt"), first_symbol="NEW"
+    )
+    syms = {r.act_symbol for r in read_table(spark, table).collect()}
+    assert syms == {"NEW"}
+
+
+def test_per_batch_recon_metrics(spark, ohlc, tmp_path):
+    from oic_options_chains_spark.sources.warehouse import read_table
+    from oic_options_chains_spark.streaming.incremental import (
+        run_incremental_chain_load,
+    )
+
+    base = tmp_path / "raw"
+    table = str(tmp_path / "table")
+    metrics = str(tmp_path / "metrics")
+    day = base / DAY1.isoformat()
+    day.mkdir(parents=True)
+    (day / "AAA.json").write_text(_rows())
+
+    run_incremental_chain_load(
+        spark, str(base), table, ohlc, str(tmp_path / "c1"), metrics_dir=metrics
+    )
+    m1 = spark.read.parquet(metrics).collect()
+    assert len(m1) == 1
+    assert m1[0].attempted == m1[0].loaded == read_table(spark, table).count()
+    assert m1[0].failed == 0
+
+    # full replay from a fresh checkpoint: every attempted row is a
+    # conflict-ignore no-op, surfaced as failed (the reference's
+    # ON CONFLICT counter), loaded == 0
+    run_incremental_chain_load(
+        spark, str(base), table, ohlc, str(tmp_path / "c2"), metrics_dir=metrics
+    )
+    replay = sorted(
+        spark.read.parquet(metrics).collect(), key=lambda r: r.loaded
+    )
+    assert len(replay) == 2
+    assert replay[0].loaded == 0 and replay[0].failed == replay[0].attempted
+
+
 def test_available_now_vol_pages(spark, tmp_path):
     from oic_options_chains_spark.sources.warehouse import read_table
     from oic_options_chains_spark.streaming.incremental import (
