@@ -1,0 +1,79 @@
+"""Deterministic sampling and split assignment for training-data
+pipelines.
+
+``df.sample()`` is the wrong tool for corpus work: it is seeded per
+partition, so the SAME row flips in/out when file splits, partition
+counts, or Spark versions change. Everything here derives membership
+from a content hash of the row's key instead — fully reproducible across
+engines, re-runs, and repartitioning, and joinable (two tables sampled
+on the same key agree on membership).
+
+Scale: all pure column expressions (md5 + integer ops, whole-stage
+codegen); a sampled scan stays a scan with a cheap filter — no shuffle,
+no state. Per-group sampling is one WindowGroupLimit (running top-k per
+partition, never materializing full groups).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column, n_buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, n_buckets) from md5 of the key's string
+    form. Two hex bytes give 65,536 raw values — granular enough for
+    percent-level rates while staying engine-portable (DuckDB computes
+    the identical md5 on the identical string)."""
+    raw = F.conv(F.substring(F.md5(key.cast("string")), 1, 4), 16, 10).cast("int")
+    return raw % n_buckets
+
+
+def split_assign(
+    key: Column,
+    weights: Sequence[tuple[str, int]] = (("train", 90), ("val", 5), ("test", 5)),
+) -> Column:
+    """Named split from hash-bucket ranges, e.g. 90/5/5. Weights must sum
+    to 100. Membership is a pure function of the key: adding rows later
+    never reshuffles existing assignments (the property that keeps a
+    held-out set held out across corpus refreshes)."""
+    total = sum(w for _, w in weights)
+    assert total == 100, f"split weights must sum to 100, got {total}"
+    bucket = hash_bucket(key, 100)
+    expr = None
+    cum = 0
+    for name, w in weights[:-1]:
+        cum += w
+        branch = bucket < cum
+        expr = (
+            F.when(branch, F.lit(name))
+            if expr is None
+            else expr.when(branch, F.lit(name))
+        )
+    last = weights[-1][0]
+    return expr.otherwise(F.lit(last)) if expr is not None else F.lit(last)
+
+
+def sample_fraction(df: DataFrame, key: str, percent: int) -> DataFrame:
+    """Keep ~percent% of rows, deterministically by key hash."""
+    assert 0 <= percent <= 100
+    return df.filter(hash_bucket(F.col(key), 100) < percent)
+
+
+def sample_per_group(
+    df: DataFrame, group_cols: Sequence[str], key: str, k: int
+) -> DataFrame:
+    """k deterministic pseudo-random rows per group: rank by the key's
+    md5 (uniform, content-derived) with the key itself as tie-break.
+    Plans as WindowGroupLimit — a running top-k inside each hash
+    partition, so a group with millions of rows never materializes."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.md5(F.col(key).cast("string")).asc(), F.col(key).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -161,6 +161,117 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Deterministic sampling / splits / corpus statistics
+# --------------------------------------------------------------------------
+
+# the Spark-side hash_bucket, verbatim in DuckDB: two md5 hex bytes -> int
+_BUCKET_SQL = (
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100"
+)
+
+
+@register(
+    "q_split_assign",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {_BUCKET_SQL} < 90 THEN 'train'
+                WHEN {_BUCKET_SQL} < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment from a content hash
+    of the key — reproducible across engines, re-runs and repartitioning,
+    unlike seeded df.sample()."""
+    from oic_options_chains_spark.operators.sampling import split_assign
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", split_assign(F.col("doc_id")).alias("split"))
+
+
+@register(
+    "q_sample_hash",
+    oracle=f"SELECT doc_id FROM documents WHERE {_BUCKET_SQL} < 10",
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic sample: a scan plus a codegen'd filter — no
+    shuffle, and membership survives any repartitioning."""
+    from oic_options_chains_spark.operators.sampling import sample_fraction
+
+    d = load_table(spark, sf_dir, "documents")
+    return sample_fraction(d, "doc_id", 10).select("doc_id")
+
+
+@register(
+    "q_sample_per_group",
+    oracle="""
+    SELECT lang, doc_id FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 3
+    """,
+)
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 deterministic pseudo-random docs per language — WindowGroupLimit
+    keeps it a running top-k, never a full-group materialization."""
+    from oic_options_chains_spark.operators.sampling import sample_per_group
+
+    d = load_table(spark, sf_dir, "documents")
+    return sample_per_group(d, ["lang"], "doc_id", 3).select("lang", "doc_id")
+
+
+@register(
+    "q_length_histogram",
+    oracle="""
+    SELECT (length(text) // 100) * 100 AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS example_doc
+    FROM documents GROUP BY 1
+    """,
+)
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length histogram (100-char buckets) — the quality-filter
+    tuning view; one partial+final hash aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (F.floor(F.length("text") / 100) * 100).cast("bigint")
+    return d.groupBy(bucket.alias("bucket_lo")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("example_doc"),
+    )
+
+
+@register(
+    "q_term_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents)
+    SELECT term,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+           CAST(COUNT(*) AS BIGINT) AS term_freq
+    FROM tok GROUP BY term
+    """,
+)
+def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary statistics: document frequency + total term frequency
+    per term — the integer inputs TF-IDF weighting needs (the log itself
+    stays engine-local: libm last-ulp drift makes cross-engine float
+    hashing of log values unsound). One explode + one hash aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    )
+    return tok.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("doc_freq"),
+        F.count(F.lit(1)).alias("term_freq"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Deduplication
 # --------------------------------------------------------------------------
 
