@@ -1,0 +1,82 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``
+(SURVEY.md section 2.9's Spark-native extension surface).
+
+``first_seen_filter`` is streaming dedup with MEMORY of prior batches:
+the file-source pipelines in ``incremental.py`` get exactly-once table
+effects from idempotent sinks (anti-join per batch), which re-reads the
+existing partition every batch. When the sink is append-only (a message
+bus, a feature store, a downstream stream), the dedup has to live in the
+stream itself — keyed state, one flag per key.
+
+Scale notes:
+- State is per-key and tiny (one long), hash-partitioned by the group
+  key across executors; the state store checkpoints incrementally with
+  the query. Memory is O(distinct keys), the same budget a streaming
+  aggregation would hold.
+- A TTL matters at corpus scale: unbounded key spaces (content hashes)
+  would grow state forever. ``ttl_minutes`` maps to processing-time
+  timeout so idle keys age out — after expiry a duplicate would pass
+  again, the standard at-scale trade (bounded state, windowed dedup).
+- The Python kernel is Arrow-batched per key group (pandas in, pandas
+  out) — the contracted use of Python in this codebase, not a per-row
+  UDF.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def first_seen_filter(
+    stream: DataFrame,
+    key_cols: Sequence[str],
+    ttl_minutes: int | None = None,
+) -> DataFrame:
+    """Emit only the FIRST row ever seen per key, across micro-batches.
+
+    Within a batch the first row in arrival order wins (matching the
+    reference's PK first-arrival semantics); later batches emit nothing
+    for known keys until the key's state expires (``ttl_minutes``).
+    Output schema == input schema.
+    """
+    out_schema = stream.schema
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def dedup(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            # key already emitted in a prior batch: swallow, refresh TTL
+            if ttl_minutes is not None:
+                state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+            for _ in pdfs:
+                pass
+            return
+        first = None
+        for pdf in pdfs:
+            if first is None and len(pdf) > 0:
+                first = pdf.head(1)
+        state.update((1,))
+        if ttl_minutes is not None:
+            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+        if first is not None:
+            yield first
+
+    return stream.groupBy(*key_cols).applyInPandasWithState(
+        dedup,
+        outputStructType=out_schema,
+        stateStructType="seen long",
+        outputMode="append",
+        timeoutConf=timeout,
+    )
