@@ -83,6 +83,37 @@ def binary_meta(content: Column) -> dict[str, Column]:
     }
 
 
+def frame_manifest(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    chunk_bytes: int = 256,
+) -> DataFrame:
+    """Frame/chunk scheduling manifest — entirely JVM-side, no decode.
+
+    One row per fixed-size byte window: (id, frame_idx, byte_offset,
+    chunk_len). This is the planning half of frame sampling: at scale the
+    manifest is computed (and can be filtered/sampled/joined) WITHOUT
+    touching the blobs, and only the windows that survive planning are
+    handed to a codec kernel. ``sequence`` + ``posexplode`` stay inside
+    whole-stage codegen; zero Python, zero shuffle."""
+    n = F.octet_length(F.col(content_col)).cast("bigint")
+    withn = df.select(F.col(id_col), n.alias("__n")).filter(F.col("__n") > 0)
+    offs = F.sequence(
+        F.lit(0).cast("bigint"), F.col("__n") - 1, F.lit(chunk_bytes).cast("bigint")
+    )
+    return withn.select(
+        F.col(id_col), F.col("__n"), F.posexplode(offs).alias("frame_idx", "byte_offset")
+    ).select(
+        F.col(id_col),
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("byte_offset").cast("bigint").alias("byte_offset"),
+        F.least(F.lit(chunk_bytes).cast("bigint"), F.col("__n") - F.col("byte_offset")).alias(
+            "chunk_len"
+        ),
+    )
+
+
 def _fake_image_stats(blob: bytes, dims: int) -> tuple[int, int, float, list[float]]:
     """Deterministic stand-in for a real decoder: stats seeded from the
     content digest. STUB — replace with Pillow at the marked seam."""

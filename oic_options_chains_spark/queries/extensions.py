@@ -535,6 +535,33 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_frame_manifest",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    o AS (SELECT doc_id, n, unnest(range(0, n, 256)) AS off
+          FROM b WHERE n > 0)
+    SELECT doc_id,
+           CAST(off // 256 AS INT) AS frame_idx,
+           CAST(off AS BIGINT) AS byte_offset,
+           CAST(least(256, n - off) AS BIGINT) AS chunk_len
+    FROM o
+    """,
+)
+def q_frame_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media chunk-scheduling manifest (operators/multimodal.frame_manifest):
+    one row per 256-byte window of each blob, computed JVM-side without
+    ever decoding — the planning step that lets a 100 TB pipeline filter
+    and sample frames before any codec runs. Document text bytes stand in
+    for media blobs."""
+    from oic_options_chains_spark.operators.multimodal import frame_manifest
+
+    d = load_table(spark, sf_dir, "documents")
+    blobs = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("content"))
+    return frame_manifest(blobs, id_col="doc_id")
+
+
+@register(
     "q_dedup_embedding",
     oracle="""
     WITH b AS (
