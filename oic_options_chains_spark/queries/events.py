@@ -56,6 +56,50 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sliding_window",
+    oracle="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS s0, event_type,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events),
+    x AS (
+      SELECT s0 AS win_start, event_type, v FROM b
+      UNION ALL
+      SELECT s0 - INTERVAL '30 minutes' AS win_start, event_type, v FROM b)
+    SELECT win_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(CAST(SUM(v) AS DECIMAL(28,2)) AS VARCHAR) AS total_value
+    FROM x GROUP BY win_start, event_type
+    """,
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 30 minutes: each event lands in two
+    overlapping windows (the oracle expands the two start offsets
+    explicitly). Under Structured Streaming the same expression runs with
+    a watermark; in batch Catalyst plans the window expansion as a
+    projection + one hash aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .cast("string")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
     "q_session_gap",
     oracle="""
     WITH ordered AS (

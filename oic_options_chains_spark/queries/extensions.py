@@ -594,6 +594,69 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs(e, threshold=0.35, bits=4)
 
 
+@register(
+    "q_corpus_filter",
+    oracle=r"""
+    WITH f AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+      FROM documents),
+    keepers AS (
+      SELECT fingerprint, MIN(doc_id) AS doc_id FROM f GROUP BY fingerprint),
+    q AS (
+      SELECT doc_id,
+             len(string_split(lower(text), ' ')) AS n_tok,
+             len(list_filter(string_split(lower(text), ' '),
+                 x -> list_contains(['the','a','of','and','or'], x))) AS n_stop
+      FROM documents),
+    lang AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '\b(the|a|of)\b')) AS INT) AS a_s,
+             CAST(len(regexp_extract_all(lower(text), '\b(data|table|row|query)\b')) AS INT) AS r_s,
+             CAST(len(regexp_extract_all(lower(text), '\b(fast|slow|big|small)\b')) AS INT) AS p_s
+      FROM documents)
+    SELECT q.doc_id,
+           CAST(q.n_tok AS BIGINT) AS n_tokens,
+           CASE WHEN l.a_s >= l.r_s AND l.a_s >= l.p_s THEN 'article'
+                WHEN l.r_s >= l.p_s THEN 'relational'
+                ELSE 'perf' END AS lang_pred
+    FROM q
+    JOIN lang l ON q.doc_id = l.doc_id
+    JOIN keepers k ON q.doc_id = k.doc_id
+    WHERE q.n_tok BETWEEN 5 AND 1000
+      AND FLOOR((CAST(10000 AS DOUBLE) * q.n_stop) / q.n_tok) >= 200
+      AND (CASE WHEN l.a_s >= l.r_s AND l.a_s >= l.p_s THEN 'article'
+                WHEN l.r_s >= l.p_s THEN 'relational'
+                ELSE 'perf' END) IN ('article', 'relational')
+    """,
+)
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data admission pipeline — the query a corpus
+    build actually runs: exact-dedup keepers only, length window, minimum
+    stopword ratio (natural-text signal), language allowlist. One scan
+    feeds three column-expression families plus the fingerprint groupBy;
+    no operator here shuffles anything but the dedup aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    m = quality_metrics(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        m["n_tokens"].alias("n_tokens"),
+        m["stop_ratio_bp"].alias("stop_ratio_bp"),
+        lang_id(F.col("text")).alias("lang_pred"),
+        fingerprint(F.col("text")).alias("fingerprint"),
+    )
+    keepers = scored.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        scored.join(keepers.select("doc_id"), on="doc_id", how="left_semi")
+        .filter(
+            F.col("n_tokens").between(5, 1000)
+            & (F.col("stop_ratio_bp") >= 200)
+            & F.col("lang_pred").isin("article", "relational")
+        )
+        .select("doc_id", "n_tokens", "lang_pred")
+    )
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------

@@ -40,6 +40,38 @@ def test_unconverged_raises(spark):
         connected_components(pairs, max_rounds=2)
 
 
+def test_random_graphs_match_union_find(spark):
+    # property check against an independent union-find reference on
+    # seeded random graphs (dense, sparse, and disconnected shapes)
+    import random
+
+    def union_find_components(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    rng = random.Random(42)
+    for n_nodes, n_edges in [(12, 6), (20, 30), (30, 12)]:
+        edges = [
+            tuple(sorted(rng.sample(range(n_nodes), 2)))
+            for _ in range(n_edges)
+        ]
+        expected = union_find_components(edges)
+        got = _cc(spark, [(a, b) for a, b in edges])
+        assert got == expected, (n_nodes, n_edges, edges)
+
+
 def test_dedup_clusters_keeps_singletons(spark):
     docs = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id bigint")
     pairs = spark.createDataFrame([(2, 4), (4, 6)], "doc_a bigint, doc_b bigint")
