@@ -1027,6 +1027,70 @@ def q_chain_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_kmv_distinct",
+    oracle="""
+    WITH v AS (
+      SELECT DISTINCT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS s
+      FROM lineitem),
+    f AS (
+      SELECT CAST(concat('0x', substr(md5(s), 1, 13)) AS BIGINT)
+             / 4503599627370496.0 AS f
+      FROM v ORDER BY 1 LIMIT 64),
+    a AS (SELECT COUNT(*) AS n_minima, MAX(f) AS m FROM f)
+    SELECT CAST(n_minima AS BIGINT) AS n_minima,
+           CAST(CASE WHEN n_minima < 64 THEN n_minima
+                     ELSE FLOOR(63.0 / m) END AS BIGINT) AS estimate
+    FROM a
+    """,
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distinct-count sketch (operators/sketches): k=64
+    minimum md5 fractions of the distinct price strings -> (k-1)/m
+    estimator. Unlike HLL approx_count_distinct, every engine computes
+    the identical estimate, so it is oracle-checkable."""
+    from oic_options_chains_spark.operators.sketches import kmv_distinct_estimate
+
+    li = _t(spark, sf_dir, "lineitem")
+    priced = li.select(
+        F.col("l_extendedprice").cast("decimal(18,2)").cast("string").alias("price_s")
+    )
+    return kmv_distinct_estimate(priced, "price_s", k=64)
+
+
+@register(
+    "q_interval_join",
+    oracle="""
+    WITH iv AS (
+      SELECT o_custkey % 40 AS grp,
+             MIN(CAST(o_orderdate AS DATE)) AS start_date,
+             MAX(CAST(o_orderdate AS DATE)) AS end_date
+      FROM orders GROUP BY 1),
+    p AS (SELECT DISTINCT CAST(l_shipdate AS DATE) AS ship_date FROM lineitem)
+    SELECT p.ship_date, iv.grp, iv.start_date, iv.end_date
+    FROM p JOIN iv ON p.ship_date BETWEEN iv.start_date AND iv.end_date
+    """,
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join via the bucketed equi-join strategy
+    (operators/rangejoin.interval_join): intervals explode into month
+    buckets, points equi-join on their bucket, exact bounds filter after.
+    Never |points| x |intervals| — the non-equi join Spark would
+    otherwise plan as a nested loop."""
+    from oic_options_chains_spark.operators.rangejoin import interval_join
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    intervals = o.groupBy((F.col("o_custkey") % 40).alias("grp")).agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("start_date"),
+        F.max(F.col("o_orderdate").cast("date")).alias("end_date"),
+    )
+    points = li.select(F.col("l_shipdate").cast("date").alias("ship_date")).distinct()
+    return interval_join(
+        points, "ship_date", intervals, "start_date", "end_date"
+    ).select("ship_date", "grp", "start_date", "end_date")
+
+
+@register(
     "q_chain_all_options",
     oracle="""
     WITH kept AS (
