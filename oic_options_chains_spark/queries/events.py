@@ -240,6 +240,74 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_rollup_refresh",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bucket_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS VARCHAR) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate refresh (operators/rollup): the stored hourly
+    rollup of the first half of the stream, merged with the delta
+    aggregate of the second half — the oracle is the FULL recompute, so
+    the hash match proves incremental == batch. The monoid merge is what
+    a cron'd refresh or a foreachBatch sink runs per cycle."""
+    from oic_options_chains_spark.operators.rollup import refresh_rollup, rollup_delta
+
+    e = load_table(spark, sf_dir, "events")
+    split = F.lit("2024-02-01 00:00:00").cast("timestamp")
+    stored = rollup_delta(e.filter(F.col("ts") < split))
+    refreshed = refresh_rollup(stored, e.filter(F.col("ts") >= split))
+    return refreshed.select(
+        "bucket_start",
+        "event_type",
+        "n_events",
+        F.col("total_value").cast("string").alias("total_value"),
+    )
+
+
+@register(
+    "q_percentiles",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events),
+    p AS (SELECT unnest([50, 90, 99]) AS pct)
+    SELECT r.event_type, CAST(p.pct AS INT) AS pct, r.value AS pct_value
+    FROM r JOIN p ON r.rn = CAST(CEIL(p.pct * r.n / 100.0) AS BIGINT)
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles (p50/p90/p99 per event type) with a
+    pinned rank rule — rank ceil(p*n/100), id tie-break — because
+    engine-native percentile functions disagree on interpolation.
+    One window pass computes every requested percentile; the broadcast
+    percentile list joins on the rank equality."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    pcts = spark.range(0).sparkSession.createDataFrame(
+        [(50,), (90,), (99,)], "pct int"
+    )
+    return ranked.join(
+        F.broadcast(pcts),
+        on=F.col("rn")
+        == F.ceil(F.col("pct") * F.col("n") / F.lit(100.0)).cast("bigint"),
+    ).select("event_type", "pct", F.col("value").alias("pct_value"))
+
+
+@register(
     "q_topk_per_group",
     oracle="""
     SELECT user_id, event_id, CAST(rnk AS INT) AS rnk FROM (
