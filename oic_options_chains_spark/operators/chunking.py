@@ -1,0 +1,63 @@
+"""Token-window document chunking for training-data pipelines.
+
+Splitting long documents into fixed-size token windows (with overlap for
+context continuity) is the step between a cleaned corpus and a training
+shard: every downstream tokenizer/packer consumes chunks, not documents.
+
+Design: tokens -> arithmetic start offsets -> ``F.slice`` per offset ->
+``posexplode``. Everything is a built-in array expression (whole-stage
+codegen); chunking a document is embarrassingly row-local, so the
+operator adds NO shuffle — a chunked scan is still a scan. At 100 TB the
+only knob that matters is output row width: we emit the chunk text plus
+its token span so a downstream packer can regroup without re-tokenizing.
+
+Determinism: chunk boundaries are pure integer arithmetic on the token
+array; no RNG, no partition sensitivity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def chunk_starts(n_tokens: Column, window: int, step: int) -> Column:
+    """0-based start offsets: 0, step, 2*step, ... strictly below
+    n_tokens, so a trailing short chunk is kept (a training pipeline
+    must not silently drop document tails)."""
+    last = F.greatest(
+        F.lit(0), F.floor((n_tokens.cast("bigint") - 1) / step) * step
+    ).cast("int")
+    return F.sequence(F.lit(0), last, F.lit(step))
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+    window: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Explode each document into overlapping token windows.
+
+    Output: id_cols + (chunk_id, start_token, n_chunk_tokens, chunk_text).
+    ``chunk_id`` is the 0-based window index within the document;
+    consecutive chunks share ``overlap`` tokens.
+    """
+    assert 0 <= overlap < window, "overlap must be in [0, window)"
+    step = window - overlap
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    starts = chunk_starts(F.size(toks), window, step)
+    chunked = df.select(
+        *id_cols,
+        toks.alias("__toks"),
+        F.posexplode(starts).alias("chunk_id", "start_token"),
+    )
+    piece = F.slice(F.col("__toks"), F.col("start_token") + 1, window)
+    return chunked.select(
+        *id_cols,
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("start_token").cast("int").alias("start_token"),
+        F.size(piece).cast("int").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

@@ -62,6 +62,29 @@ def sample_fraction(df: DataFrame, key: str, percent: int) -> DataFrame:
     return df.filter(hash_bucket(F.col(key), 100) < percent)
 
 
+def global_shuffle(df: DataFrame, key: str, n_shards: int = 8) -> DataFrame:
+    """Deterministic global shuffle for training-shard export: every row
+    gets a (shard, position) derived purely from its key's md5, so the
+    "random" order is reproducible bit-for-bit across runs, engines and
+    cluster sizes — the property epoch-stable training data needs.
+
+    Plans as one hash-partitioned exchange (by shard) + per-shard sort;
+    at 100 TB that is the minimum possible work for a global permutation,
+    and each shard sorts independently (no global ordering bottleneck).
+    Writers chain ``.repartition(n_shards, "shard")`` +
+    ``sortWithinPartitions("position")`` to stream shards straight to
+    files."""
+    h = F.md5(F.col(key).cast("string"))
+    shard = (hash_bucket(F.col(key), n_shards)).cast("int").alias("shard")
+    w = Window.partitionBy("shard").orderBy(F.col("__h").asc(), F.col(key).asc())
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", shard)
+        .withColumn("position", F.row_number().over(w).cast("bigint"))
+        .drop("__h")
+    )
+
+
 def sample_per_group(
     df: DataFrame, group_cols: Sequence[str], key: str, k: int
 ) -> DataFrame:

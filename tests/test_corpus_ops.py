@@ -1,0 +1,116 @@
+"""Unit tests for the corpus-preparation operators: chunking,
+decontamination, repetition gates, BM25 weighting, and the deterministic
+global shuffle (oracle parity for the registered queries lives in
+test_oracle_parity.py — these cover the operator semantics directly on
+crafted inputs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oic_options_chains_spark.operators.chunking import chunk_documents
+from oic_options_chains_spark.operators.decontam import contamination_counts
+from oic_options_chains_spark.operators.ranking import bm25_components
+from oic_options_chains_spark.operators.repetition import repetition_metrics
+from oic_options_chains_spark.operators.sampling import global_shuffle
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_chunks_cover_document_without_gaps(spark):
+    words = " ".join(f"w{i}" for i in range(150))
+    out = chunk_documents(_docs(spark, [words]), window=64, overlap=16)
+    rows = sorted(out.collect(), key=lambda r: r.chunk_id)
+    # starts advance by window-overlap and the tail chunk is kept
+    assert [r.start_token for r in rows] == [0, 48, 96, 144]
+    assert [r.n_chunk_tokens for r in rows] == [64, 64, 54, 6]
+    # stitching the non-overlapping prefix of each chunk rebuilds the doc
+    stitched = []
+    for r in rows:
+        stitched.extend(r.chunk_text.split(" ")[: 64 - 16])
+    assert stitched == words.split(" ")[: len(stitched)]
+    assert set(stitched) == set(words.split(" "))
+
+
+def test_chunk_short_doc_is_single_chunk(spark):
+    out = chunk_documents(_docs(spark, ["only three words"]), window=64, overlap=16)
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0].chunk_text == "only three words"
+    assert rows[0].n_chunk_tokens == 3
+
+
+def test_contamination_flags_shared_trigrams(spark):
+    corpus = _docs(
+        spark,
+        [
+            "alpha beta gamma delta epsilon",  # contains benchmark trigram
+            "one two three four five",  # disjoint
+        ],
+    )
+    bench = spark.createDataFrame(
+        [(100, "x alpha beta gamma y")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_overlap, r.contaminated)
+        for r in contamination_counts(corpus, bench).collect()
+    }
+    assert got[0] == (1, True)  # 'alpha beta gamma' shared
+    assert got[1] == (0, False)
+
+
+def test_repetition_metrics_flag_degenerate_docs(spark):
+    df = _docs(
+        spark,
+        [
+            "spam spam spam spam",  # top token = 4/4, all bigrams equal
+            "a b c d",  # no repetition
+        ],
+    ).select("doc_id", *[v.alias(k) for k, v in repetition_metrics(F.col("text")).items()])
+    got = {r.doc_id: r for r in df.collect()}
+    assert got[0].top_token_bp == 10000
+    assert got[0].dup_bigram_bp == 6666  # 3 bigrams, 1 distinct -> floor(2/3)
+    assert got[1].top_token_bp == 2500
+    assert got[1].dup_bigram_bp == 0
+
+
+def test_bm25_factors_are_monotone(spark):
+    df = _docs(
+        spark,
+        [
+            "common common common rare",
+            "common filler words here",
+            "common unrelated text body",
+        ],
+    )
+    out = bm25_components(df)
+    rows = {(r.doc_id, r.term): r for r in out.collect()}
+    # idf falls with document frequency: 'rare' (df=1) > 'common' (df=3)
+    assert (
+        rows[(0, "rare")].idf_rational_e6 > rows[(0, "common")].idf_rational_e6
+    )
+    # saturated tf grows with tf but sub-linearly (tf=3 < 3x tf=1 weight)
+    same_len_doc = rows[(0, "common")]
+    one_hit = rows[(2, "common")]
+    assert same_len_doc.tf_sat_e6 > one_hit.tf_sat_e6
+    assert same_len_doc.tf_sat_e6 < 3 * one_hit.tf_sat_e6
+
+
+def test_global_shuffle_is_deterministic_and_dense(spark):
+    df = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    a = global_shuffle(df, "doc_id", n_shards=8)
+    b = global_shuffle(df.repartition(13), "doc_id", n_shards=8)
+    ra = {r.doc_id: (r.shard, r.position) for r in a.collect()}
+    rb = {r.doc_id: (r.shard, r.position) for r in b.collect()}
+    assert ra == rb  # partitioning-independent
+    # positions are dense 1..n within every shard
+    by_shard: dict[int, list[int]] = {}
+    for shard, pos in ra.values():
+        by_shard.setdefault(shard, []).append(pos)
+    for shard, positions in by_shard.items():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    assert len(by_shard) == 8

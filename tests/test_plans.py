@@ -87,6 +87,22 @@ def test_simhash_single_doc_shuffle(plans):
     assert doc_only <= 2, f"simhash path re-shuffles on doc_id: {doc_only}"
 
 
+def test_row_local_corpus_ops_are_shuffle_free(spark, sf_dir):
+    # chunking and repetition gates are per-document array math: a
+    # chunked/filtered corpus scan must stay a scan (zero exchanges)
+    for name in ("q_chunk_docs", "q_repetition"):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "Exchange" not in plan, f"{name} gained a shuffle"
+
+
+def test_decontamination_benchmark_broadcasts(spark, sf_dir):
+    # the eval-set shingle side is small by definition; the corpus probe
+    # must be a broadcast hash join, never a corpus-wide sort-merge
+    plan = _plan(QUERIES["q_decontaminate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_python_stays_out_of_relational_queries(plans):
     # every t2 query is JVM-only: no Python UDF evaluation nodes
     for name, plan in plans.items():
