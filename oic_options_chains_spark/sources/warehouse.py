@@ -81,6 +81,54 @@ def append_day(
     return None
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 32,
+    sort_cols: Sequence[str] = (),
+) -> None:
+    """Persist a table hash-bucketed (and optionally sorted) by join key.
+
+    Bucketing is the storage-level answer to the warehouse's dominant
+    join pattern (chains x universe on the symbol key): two tables
+    bucketed on the same key with the same bucket count join with ZERO
+    exchanges — each task reads bucket i from both sides — and with
+    ``sort_cols`` matching the join key the per-task sort disappears too.
+    At 100 TB that converts the nightly enrichment join from a full
+    corpus shuffle into a file-aligned merge.
+
+    Written through the session catalog (``saveAsTable`` with an explicit
+    ``path``) because bucket metadata lives in the catalog, not parquet;
+    plain ``spark.read.parquet`` of the same files would forget the
+    bucketing and reintroduce the shuffle. To also drop the merge-join
+    sort, readers must set
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` — safe
+    here because this writer guarantees one file per bucket (see below).
+    """
+    # One file per bucket: repartition on the bucket hash first (same
+    # murmur3 HashPartitioning the bucket spec uses). Spark only trusts
+    # sortBy metadata — and skips the merge-join sort — when a bucket is
+    # a single file; a multi-task write otherwise leaves one file per
+    # (task, bucket) and reintroduces per-task sorts at read time.
+    staged = df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+    writer = (
+        staged.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
+def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
+    """Catalog read that preserves bucket metadata (see write_bucketed)."""
+    return spark.table(table_name)
+
+
 def overwrite_table(spark: SparkSession, table_dir: str, state: DataFrame) -> None:
     """Replace the whole (small, SCD-0) table with a new merged state —
     the storage step for the ``weekly`` upsert (K3): compute
