@@ -17,7 +17,7 @@ array; no RNG, no partition sensitivity.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -29,6 +29,49 @@ def chunk_starts(n_tokens: Column, window: int, step: int) -> Column:
         F.lit(0), F.floor((n_tokens.cast("bigint") - 1) / step) * step
     ).cast("int")
     return F.sequence(F.lit(0), last, F.lit(step))
+
+
+def pack_stream_offsets(
+    df: DataFrame,
+    key: str = "doc_id",
+    n_tokens_col: str = "n_tokens",
+    context: int = 256,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Concat-then-split sequence packing: documents are laid out in a
+    deterministic pseudo-random stream (md5 order) and the stream is cut
+    into fixed ``context``-token training sequences. Each document gets
+    its stream offset, the sequence index its first token lands in, and
+    the offset inside that sequence — everything a packer needs to emit
+    fixed-length rows without re-tokenizing.
+
+    Scale: a single global cumsum would serialize on one task, so the
+    stream is sharded first (content-hash, like sampling.global_shuffle)
+    and each shard packs independently — one exchange, then per-shard
+    window cumsum. Sequences never cross shards, which is exactly how a
+    distributed packer writes shard files anyway.
+    """
+    from oic_options_chains_spark.operators.sampling import hash_bucket
+
+    k = F.col(key)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.md5(k.cast("string")).asc(), k.asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = F.col(n_tokens_col).cast("bigint")
+    return (
+        df.withColumn("shard", hash_bucket(k, n_shards).cast("int"))
+        .withColumn("__cum", F.sum(toks).over(w))
+        .select(
+            key,
+            "shard",
+            toks.alias("n_tokens"),
+            (F.col("__cum") - toks).alias("stream_start"),
+            F.floor((F.col("__cum") - toks) / context).cast("bigint").alias("seq_index"),
+            ((F.col("__cum") - toks) % context).cast("bigint").alias("seq_offset"),
+        )
+    )
 
 
 def chunk_documents(

@@ -94,6 +94,19 @@ def lang_id(text: Column) -> Column:
     )
 
 
+def redact_terms(text: Column, pattern: str, replacement: str = "<TERM>") -> dict[str, Column]:
+    """Denylist scrubbing / PII-style redaction: replace every match of
+    ``pattern`` and count what was removed (the audit trail a compliance
+    pass needs). Pure regexp column expressions — a redacted scan is
+    still a scan. The pattern must stay in the RE2-compatible subset so
+    the same semantics hold on any engine (no backrefs, no lookaround)."""
+    lowered = F.lower(text)
+    return {
+        "redacted": F.regexp_replace(lowered, pattern, replacement),
+        "n_redacted": F.regexp_count(lowered, F.lit(pattern)).cast("bigint"),
+    }
+
+
 def normalize_text(text: Column) -> Column:
     """Lowercase + whitespace collapse, the canonical form for hashing."""
     return F.regexp_replace(F.lower(text), r"\s+", " ")

@@ -12,11 +12,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from oic_options_chains_spark.operators.chunking import chunk_documents
+from oic_options_chains_spark.operators.chunking import (
+    chunk_documents,
+    pack_stream_offsets,
+)
 from oic_options_chains_spark.operators.decontam import contamination_counts
 from oic_options_chains_spark.operators.ranking import bm25_components
 from oic_options_chains_spark.operators.repetition import repetition_metrics
 from oic_options_chains_spark.operators.sampling import global_shuffle
+from oic_options_chains_spark.operators.text import redact_terms, token_count_ws
 from oic_options_chains_spark.queries.registry import register
 from oic_options_chains_spark.sources.registry import load_table
 
@@ -168,6 +172,114 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus shuffles total; vocabulary and avgdl broadcast back."""
     d = load_table(spark, sf_dir, "documents")
     return bm25_components(d)
+
+
+@register(
+    "q_pack_sequences",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+                        AS n_tokens,
+                      CAST(concat('0x',
+                           substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                           AS INT) % 8 AS shard,
+                      md5(CAST(doc_id AS VARCHAR)) AS hh
+               FROM documents),
+    c AS (SELECT doc_id, shard, n_tokens,
+                 SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY hh, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM t)
+    SELECT doc_id, CAST(shard AS INT) AS shard, n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS stream_start,
+           CAST((cum - n_tokens) // 256 AS BIGINT) AS seq_index,
+           CAST((cum - n_tokens) % 256 AS BIGINT) AS seq_offset
+    FROM c
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-split sequence packing: md5-ordered document stream
+    cut into 256-token training sequences, sharded so the cumsum never
+    serializes on one task."""
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", token_count_ws(F.col("text")).alias("n_tokens")
+    )
+    return pack_stream_offsets(sized, key="doc_id", context=256, n_shards=8)
+
+
+@register(
+    "q_redact",
+    oracle=r"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(text), '\b(the|a|of|and|or)\b',
+                              '<TERM>', 'g')) AS redacted_md5,
+           CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|or)\b'))
+                AS BIGINT) AS n_redacted
+    FROM documents
+    """,
+)
+def q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denylist scrubbing / PII-style redaction with an audit count; the
+    redacted text is md5-digested to keep the output narrow."""
+    d = load_table(spark, sf_dir, "documents")
+    r = redact_terms(F.col("text"), r"\b(the|a|of|and|or)\b")
+    return d.select(
+        "doc_id",
+        F.md5(r["redacted"]).alias("redacted_md5"),
+        r["n_redacted"].alias("n_redacted"),
+    )
+
+
+@register(
+    "q_embed_quantize",
+    oracle="""
+    WITH x AS (SELECT vec_id,
+                      list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xs
+               FROM embeddings),
+    s AS (SELECT vec_id, xs,
+                 sqrt(list_reduce(list_transform(xs, v -> v * v),
+                                  (a, b) -> a + b)) AS nrm,
+                 list_max(list_transform(xs, v -> abs(v))) AS mx
+          FROM x),
+    q AS (SELECT vec_id, nrm,
+                 CASE WHEN mx = 0 THEN ''
+                      ELSE array_to_string(
+                             list_transform(xs,
+                               v -> CAST(CAST(FLOOR(127.0 * v / mx) AS BIGINT)
+                                         AS VARCHAR)), ',')
+                 END AS qs
+          FROM s)
+    SELECT vec_id,
+           CAST(FLOOR(1000000.0 * nrm) AS BIGINT) AS norm_e6,
+           md5(qs) AS quant_md5
+    FROM q
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding post-processing: L2 norm plus symmetric int8-style
+    quantization (max-abs scale), digested for a narrow output. Pure
+    array expressions over the scan — no shuffle; the float->double
+    widening and IEEE +,*,/,sqrt chain is bit-identical on any engine."""
+    e = load_table(spark, sf_dir, "embeddings")
+    xs = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    nrm = F.sqrt(F.aggregate(F.transform(xs, lambda v: v * v), F.lit(0.0),
+                             lambda a, b: a + b))
+    mx = F.array_max(F.transform(xs, F.abs))
+    qs = F.when(mx == 0, F.lit("")).otherwise(
+        F.array_join(
+            F.transform(
+                xs,
+                lambda v: F.floor(F.lit(127.0) * v / mx).cast("bigint").cast("string"),
+            ),
+            ",",
+        )
+    )
+    return e.select(
+        "vec_id",
+        F.floor(F.lit(1e6) * nrm).cast("bigint").alias("norm_e6"),
+        F.md5(qs).alias("quant_md5"),
+    )
 
 
 @register(

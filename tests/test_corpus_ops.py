@@ -100,6 +100,40 @@ def test_bm25_factors_are_monotone(spark):
     assert same_len_doc.tf_sat_e6 < 3 * one_hit.tf_sat_e6
 
 
+def test_pack_offsets_form_contiguous_streams(spark):
+    from oic_options_chains_spark.operators.chunking import pack_stream_offsets
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 90 + 10).alias("n_tokens")
+    )
+    rows = pack_stream_offsets(df, n_tokens_col="n_tokens", context=256).collect()
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, docs in by_shard.items():
+        docs.sort(key=lambda r: r.stream_start)
+        # each doc starts exactly where the previous one ended
+        pos = 0
+        for r in docs:
+            assert r.stream_start == pos
+            assert r.seq_index == pos // 256
+            assert r.seq_offset == pos % 256
+            pos += r.n_tokens
+
+
+def test_quantize_values_within_int8_range(spark, sf_dir):
+    from oic_options_chains_spark.sources.registry import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    xs = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    mx = F.array_max(F.transform(xs, F.abs))
+    q = F.transform(xs, lambda v: F.floor(F.lit(127.0) * v / mx).cast("int"))
+    row = e.select(
+        F.min(F.array_min(q)).alias("lo"), F.max(F.array_max(q)).alias("hi")
+    ).collect()[0]
+    assert -128 <= row.lo <= row.hi <= 127
+
+
 def test_global_shuffle_is_deterministic_and_dense(spark):
     df = spark.range(0, 500).select(F.col("id").alias("doc_id"))
     a = global_shuffle(df, "doc_id", n_shards=8)
