@@ -1,0 +1,90 @@
+"""Watermarked event-time window aggregation — the Structured Streaming
+face of the batch window queries (queries/events.py q_tumbling_window /
+q_sliding_window).
+
+Semantics (the contract the test locks):
+- Event-time tumbling windows, counted per key.
+- A watermark bounds state: windows stay open (and buffered in the state
+  store) only until the watermark passes their end, then they are
+  finalized, emitted once (append mode), and their state is dropped.
+- Rows older than the watermark are DROPPED before aggregation — the
+  late-data policy that keeps emitted results immutable, which is what
+  an idempotent downstream sink (warehouse partition, message bus)
+  needs. A pipeline that must not lose late rows routes them to a
+  side channel instead (compare incremental.py's quarantine pattern).
+
+Scale: state is O(open windows x keys), hash-partitioned by group key;
+the watermark is what makes that bounded at 100 TB/day — without it the
+state store grows with total history. Aggregation is the built-in
+streaming hash aggregate (JVM, incremental checkpoints), not Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_counts(
+    stream: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str] = (),
+    window_duration: str = "1 hour",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling event-time counts with a late-data watermark.
+
+    Output: window_start, window_end, key_cols..., n. In append mode a
+    window row is emitted exactly once, when the watermark passes the
+    window end.
+    """
+    return (
+        stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(
+            F.window(F.col(ts_col), window_duration).alias("win"), *key_cols
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *key_cols,
+            "n",
+        )
+    )
+
+
+def run_windowed_counts_once(
+    spark,
+    source_dir: str,
+    schema,
+    ts_col: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_cols: Sequence[str] = (),
+    window_duration: str = "1 hour",
+    watermark_delay: str = "10 minutes",
+) -> None:
+    """One AvailableNow drain of the windowed aggregation into a parquet
+    sink. Re-running after new files land continues from the checkpoint:
+    the watermark persists across runs, so finalized windows emit in the
+    run whose data pushes the watermark past their end — and never
+    again."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    agg = windowed_counts(
+        stream,
+        ts_col,
+        key_cols=key_cols,
+        window_duration=window_duration,
+        watermark_delay=watermark_delay,
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

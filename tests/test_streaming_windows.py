@@ -1,0 +1,82 @@
+"""Watermarked streaming window semantics across restarts: a window is
+emitted exactly once when the watermark passes its end, and rows later
+than the watermark are dropped before aggregation (emitted results are
+immutable)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql.types import StringType, StructField, StructType, TimestampType
+
+from oic_options_chains_spark.streaming.windows import run_windowed_counts_once
+
+SCHEMA = StructType(
+    [
+        StructField("ts", TimestampType(), False),
+        StructField("kind", StringType(), False),
+    ]
+)
+
+
+def _t(h, m=0):
+    return dt.datetime(2024, 3, 1, h, m)
+
+
+def _add_file(spark, src, name, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+        os.path.join(src, name)
+    )
+
+
+def _emitted(spark, out):
+    try:
+        return {
+            (r.window_start, r.kind): r.n
+            for r in spark.read.parquet(out).collect()
+        }
+    except Exception:
+        return {}
+
+
+def test_window_emits_once_and_drops_late_rows(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def run():
+        run_windowed_counts_once(
+            spark, src + "/*", SCHEMA, "ts", out, ckpt, key_cols=["kind"],
+            window_duration="1 hour", watermark_delay="10 minutes",
+        )
+
+    # Run 1: two rows in the 10:00 window plus a 12:00 row that pushes
+    # the watermark to 11:50. AvailableNow runs a final flush batch after
+    # the watermark commit, so the 10:00 window (end 11:00 <= 11:50)
+    # emits within this run already.
+    _add_file(
+        spark, src, "b1",
+        [(_t(10, 0), "a"), (_t(10, 30), "a"), (_t(12, 0), "b")],
+    )
+    run()
+    assert _emitted(spark, out) == {(_t(10, 0), "a"): 2}
+
+    # Run 2: a 13:00 row (keeps the stream moving) and a LATE 10:45 row —
+    # older than the persisted 11:50 watermark, so it must neither
+    # re-open nor re-emit the finalized 10:00 window: emitted results
+    # are immutable.
+    _add_file(spark, src, "b2", [(_t(13, 0), "b"), (_t(10, 45), "a")])
+    run()
+    got = _emitted(spark, out)
+    assert got == {(_t(10, 0), "a"): 2}
+
+    # Run 3: advance far enough to close everything else; the 10:00
+    # window must not re-emit or change.
+    _add_file(spark, src, "b3", [(_t(20, 0), "b")])
+    run()
+    got = _emitted(spark, out)
+    assert got[(_t(10, 0), "a")] == 2
+    assert got[(_t(12, 0), "b")] == 1
+    assert got[(_t(13, 0), "b")] == 1
