@@ -62,6 +62,61 @@ def sample_fraction(df: DataFrame, key: str, percent: int) -> DataFrame:
     return df.filter(hash_bucket(F.col(key), 100) < percent)
 
 
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    key: str,
+    weights: dict[str, int],
+) -> DataFrame:
+    """Deterministic corpus mixing: downsample sources so the output hits
+    target mixture proportions (DoReMi-style static weights).
+
+    Given integer weights w_s (sources absent from ``weights`` are
+    excluded), the largest total T is found such that every source can
+    supply its share (T = min_s floor(n_s * W / w_s), W = sum w_s), then
+    each source keeps its quota k_s = floor(w_s * T / W) — the docs with
+    the lowest md5 rank, so membership is content-deterministic like
+    every sampler here.
+
+    Scale: the per-source counts and quotas are a vocabulary-of-sources-
+    sized table (broadcast); the corpus itself pays one source-keyed
+    window rank. All quota math is integer (DIV), exact on any engine.
+    Output: df columns + ``rank`` (1-based within source, md5 order).
+    """
+    assert weights and all(w > 0 for w in weights.values())
+    total_w = sum(weights.values())
+    pairs: list = []
+    for s, w in weights.items():
+        pairs.extend([F.lit(s), F.lit(w)])
+    wmap = F.create_map(*pairs)
+
+    cnt = (
+        df.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("w", wmap[F.col(source_col)])
+        .filter(F.col("w").isNotNull())
+    )
+    cap = cnt.select(
+        F.min(F.expr(f"n * {total_w} DIV w")).alias("t_total")
+    )
+    quota = (
+        cnt.crossJoin(F.broadcast(cap))
+        .select(
+            F.col(source_col),
+            F.expr(f"w * t_total DIV {total_w}").alias("quota"),
+        )
+    )
+    w_rank = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col(key).cast("string")).asc(), F.col(key).asc()
+    )
+    return (
+        df.join(F.broadcast(quota), source_col)
+        .withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+        .filter(F.col("rank") <= F.col("quota"))
+        .drop("quota")
+    )
+
+
 def global_shuffle(df: DataFrame, key: str, n_shards: int = 8) -> DataFrame:
     """Deterministic global shuffle for training-shard export: every row
     gets a (shard, position) derived purely from its key's md5, so the

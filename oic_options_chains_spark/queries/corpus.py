@@ -175,6 +175,42 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_mixture_sample",
+    oracle="""
+    WITH w(source, w) AS (VALUES ('src0', 3), ('src1', 1), ('src2', 1),
+                                 ('src3', 2), ('src5', 3)),
+    cnt AS (SELECT d.source, COUNT(*) AS n, ANY_VALUE(w.w) AS w
+            FROM documents d JOIN w USING (source)
+            GROUP BY d.source),
+    cap AS (SELECT MIN(n * 10 // w) AS t_total FROM cnt),
+    quota AS (SELECT source, w * t_total // 10 AS quota
+              FROM cnt CROSS JOIN cap),
+    ranked AS (SELECT d.doc_id, d.source,
+                      row_number() OVER (
+                        PARTITION BY d.source
+                        ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id)
+                        AS rank
+               FROM documents d JOIN w USING (source))
+    SELECT r.doc_id, r.source, CAST(r.rank AS BIGINT) AS rank
+    FROM ranked r JOIN quota q USING (source)
+    WHERE r.rank <= q.quota
+    """,
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source mixing: weights 3/1/1/2/3 over five sources
+    (the rest excluded); every source fills its integer quota from the
+    largest total all sources can jointly supply."""
+    from oic_options_chains_spark.operators.sampling import mixture_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    out = mixture_sample(
+        d, "source", "doc_id",
+        {"src0": 3, "src1": 1, "src2": 1, "src3": 2, "src5": 3},
+    )
+    return out.select("doc_id", "source", "rank")
+
+
+@register(
     "q_pack_sequences",
     oracle="""
     WITH t AS (SELECT doc_id,

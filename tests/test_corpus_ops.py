@@ -134,6 +134,34 @@ def test_quantize_values_within_int8_range(spark, sf_dir):
     assert -128 <= row.lo <= row.hi <= 127
 
 
+def test_mixture_sample_hits_quotas_and_excludes(spark):
+    from oic_options_chains_spark.operators.sampling import mixture_sample
+
+    rows = []
+    sizes = {"a": 100, "b": 40, "c": 500, "x": 30}
+    i = 0
+    for src, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, src))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixture_sample(df, "source", "doc_id", {"a": 2, "b": 1, "c": 2})
+    got = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # binding source is 'b': T = min(100*5//2, 40*5//1, 500*5//2) = 200
+    # quotas: a=2*200//5=80, b=40, c=80; 'x' excluded entirely
+    assert got == {"a": 80, "b": 40, "c": 80}
+    # determinism under repartitioning
+    out2 = mixture_sample(
+        df.repartition(7), "source", "doc_id", {"a": 2, "b": 1, "c": 2}
+    )
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in out2.collect()
+    )
+
+
 def test_global_shuffle_is_deterministic_and_dense(spark):
     df = spark.range(0, 500).select(F.col("id").alias("doc_id"))
     a = global_shuffle(df, "doc_id", n_shards=8)
