@@ -39,6 +39,11 @@ HEADLINE = (
     "q_dedup_embedding",
     "q_simhash_pairs",
     "q_chain_build",
+    # round-2 corpus-prep additions
+    "q_chunk_docs",
+    "q_decontaminate",
+    "q_bm25",
+    "q_pack_sequences",
 )
 
 # single-JVM local bench has ~±20% run-to-run noise; report the best of
@@ -97,8 +102,12 @@ def main() -> None:
                 for name, t in timings.items()
                 if base_q.get(name)
             }
-            if baseline.get("total"):
-                out["vs_r01_total"] = round(total / baseline["total"], 2)
+            # totals compared over the SHARED query set only, so adding
+            # new headline entries never reads as a regression
+            shared_now = sum(t for n, t in timings.items() if base_q.get(n))
+            shared_base = sum(v for n, v in base_q.items() if n in timings)
+            if shared_base:
+                out["vs_r01_total"] = round(shared_now / shared_base, 2)
     except (OSError, ValueError):
         pass
 
