@@ -29,6 +29,48 @@ from pyspark.sql import functions as F
 from oic_options_chains_spark.operators.minhash import doc_shingles
 
 
+def boilerplate_scores(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    df_threshold: int = 3,
+) -> DataFrame:
+    """Corpus-wide boilerplate gate (C4/RefinedWeb style): a shingle that
+    appears in >= df_threshold distinct documents is boilerplate; each
+    document is scored by how much of it is made of such shingles.
+
+    Unlike repetition_metrics (intra-document) and contamination_counts
+    (vs an external benchmark), this is a corpus-global signal: it needs
+    the shingle document-frequency table. The plan is a shingle-keyed
+    hash aggregate (map-side combine), one shingle-keyed equi-join of
+    the corpus shingles against that DF table, and a doc-keyed score
+    aggregate — strictly linear, no self-join or pairwise work. The
+    Zipf head makes the join key skewed; AQE's skew-join splitting (on
+    in session.py) handles that, and a DF-capped variant (drop shingles
+    with df > cap from scoring, cf. minhash.ngram_jaccard_pairs_capped)
+    is the fallback if a head shingle ever dominates a reducer.
+
+    Returns id_col + (n_shingles, n_boiler, boiler_bp).
+    """
+    sh = doc_shingles(corpus, id_col=id_col, text_col=text_col, n=n)
+    freq = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    flagged = sh.join(freq, "shingle").select(
+        id_col, (F.col("df") >= df_threshold).cast("int").alias("is_boiler")
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum("is_boiler").cast("bigint").alias("n_boiler"),
+        F.floor(
+            F.lit(10000.0)
+            * F.sum("is_boiler").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).cast("bigint").alias("boiler_bp"),
+    )
+
+
 def contamination_counts(
     corpus: DataFrame,
     benchmark: DataFrame,

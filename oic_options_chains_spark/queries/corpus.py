@@ -16,7 +16,10 @@ from oic_options_chains_spark.operators.chunking import (
     chunk_documents,
     pack_stream_offsets,
 )
-from oic_options_chains_spark.operators.decontam import contamination_counts
+from oic_options_chains_spark.operators.decontam import (
+    boilerplate_scores,
+    contamination_counts,
+)
 from oic_options_chains_spark.operators.ranking import bm25_components
 from oic_options_chains_spark.operators.repetition import repetition_metrics
 from oic_options_chains_spark.operators.sampling import global_shuffle
@@ -93,6 +96,36 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_overlap",
         F.col("contaminated").cast("int").alias("contaminated"),
     )
+
+
+@register(
+    "q_boilerplate",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+                  FROM documents),
+    idx AS (SELECT doc_id, t,
+                   unnest(range(0, greatest(len(t) - 2, 0))) AS i
+            FROM toks),
+    sh AS (SELECT DISTINCT doc_id,
+                  t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS shingle
+           FROM idx),
+    freq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN freq.df >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boiler,
+           CAST(FLOOR(10000.0 *
+                CAST(SUM(CASE WHEN freq.df >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS boiler_bp
+    FROM sh JOIN freq USING (shingle)
+    GROUP BY sh.doc_id
+    """,
+)
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global boilerplate gate: fraction of each document's
+    3-gram shingles that appear in >= 3 distinct documents."""
+    d = load_table(spark, sf_dir, "documents")
+    return boilerplate_scores(d, df_threshold=3)
 
 
 @register(

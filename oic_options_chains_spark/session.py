@@ -19,6 +19,47 @@ import os
 from pyspark.sql import SparkSession
 
 
+def cluster_conf(
+    total_cores: int = 1000 * 8,
+    executor_mem_gb: int = 32,
+    executor_cores: int = 8,
+    input_tb: float = 100.0,
+) -> dict[str, str]:
+    """Recommended conf for the real deployment (not used by local
+    tests): sizes the shuffle/scan knobs from cluster shape instead of
+    leaving Spark's single-node defaults in place.
+
+    The arithmetic, so reviewers can check it rather than trust it:
+    - shuffle partitions = 3x total cores, floored at the value where an
+      even spread of the largest shuffle stage (~input size) keeps each
+      partition under ~2x maxPartitionBytes. AQE coalesces the excess at
+      runtime, so erring high is cheap; erring low OOMs.
+    - maxPartitionBytes 256 MB: with ~4 concurrent tasks per executor
+      core-group sharing executor_mem_gb, a 256 MB columnar split
+      decompresses to ~1-2 GB peak — inside a 32 GB executor's working
+      set with room for shuffle buffers.
+    - broadcast threshold 64 MB: dimension tables (universe, calendars,
+      quota/vocab tables here) are well under it; 64 MB x concurrent
+      joins stays far from executor memory.
+    - Kryo + zstd shuffle: CPU-cheap wins that matter at petabyte
+      shuffle volume, no semantic effect.
+    """
+    shuffle_parts = max(3 * total_cores, int(input_tb * 1024 * 1024 / 512))
+    return {
+        "spark.executor.cores": str(executor_cores),
+        "spark.executor.memory": f"{executor_mem_gb}g",
+        "spark.sql.shuffle.partitions": str(shuffle_parts),
+        "spark.sql.files.maxPartitionBytes": str(256 * 1024 * 1024),
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        "spark.io.compression.codec": "zstd",
+        "spark.sql.parquet.compression.codec": "zstd",
+    }
+
+
 def get_spark(
     app_name: str = "oic-options-chains-spark",
     shuffle_partitions: int | None = None,

@@ -176,3 +176,18 @@ def test_global_shuffle_is_deterministic_and_dense(spark):
     for shard, positions in by_shard.items():
         assert sorted(positions) == list(range(1, len(positions) + 1))
     assert len(by_shard) == 8
+
+
+def test_cluster_conf_scales_with_cluster_shape():
+    from oic_options_chains_spark.session import cluster_conf
+
+    small = cluster_conf(total_cores=800, input_tb=1.0)
+    big = cluster_conf(total_cores=8000, input_tb=100.0)
+    # shuffle partitions track cores (3x) and never let the largest
+    # stage's partitions exceed ~512 MB of input each
+    assert int(small["spark.sql.shuffle.partitions"]) >= 3 * 800
+    assert int(big["spark.sql.shuffle.partitions"]) >= 3 * 8000
+    assert int(big["spark.sql.shuffle.partitions"]) >= 100 * 1024 * 1024 // 512
+    # scan splits and broadcast threshold are fixed, memory-derived caps
+    assert int(big["spark.sql.files.maxPartitionBytes"]) == 256 * 1024 * 1024
+    assert int(big["spark.sql.autoBroadcastJoinThreshold"]) == 64 * 1024 * 1024
