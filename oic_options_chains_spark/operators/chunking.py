@@ -21,12 +21,18 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def chunk_starts(n_tokens: Column, window: int, step: int) -> Column:
-    """0-based start offsets: 0, step, 2*step, ... strictly below
-    n_tokens, so a trailing short chunk is kept (a training pipeline
-    must not silently drop document tails)."""
+def chunk_starts(n_tokens: Column, window: int, overlap: int) -> Column:
+    """0-based start offsets: 0, step, 2*step, ... where step =
+    window - overlap. A start is emitted only while it contributes NEW
+    tokens (start < n_tokens - overlap): the document tail is always
+    covered — possibly by a short final chunk — but never by a redundant
+    chunk whose content lies entirely inside the previous one. This
+    also guarantees every chunk except the last is exactly ``window``
+    tokens."""
+    step = window - overlap
+    lim = F.greatest(n_tokens.cast("bigint") - overlap, F.lit(1))
     last = F.greatest(
-        F.lit(0), F.floor((n_tokens.cast("bigint") - 1) / step) * step
+        F.lit(0), F.floor((lim - 1) / step) * step
     ).cast("int")
     return F.sequence(F.lit(0), last, F.lit(step))
 
@@ -88,9 +94,8 @@ def chunk_documents(
     consecutive chunks share ``overlap`` tokens.
     """
     assert 0 <= overlap < window, "overlap must be in [0, window)"
-    step = window - overlap
     toks = F.split(F.lower(F.col(text_col)), " ")
-    starts = chunk_starts(F.size(toks), window, step)
+    starts = chunk_starts(F.size(toks), window, overlap)
     chunked = df.select(
         *id_cols,
         toks.alias("__toks"),

@@ -35,7 +35,7 @@ from oic_options_chains_spark.sources.registry import load_table
                FROM documents),
     s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
     st AS (SELECT doc_id, toks, n,
-                  unnest(range(0, greatest(n, 1), 48)) AS start
+                  unnest(range(0, greatest(n - 16, 1), 48)) AS start
            FROM s)
     SELECT doc_id,
            CAST(start // 48 AS INT) AS chunk_id,
@@ -52,6 +52,49 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunked corpus scan is still a shuffle-free scan."""
     d = load_table(spark, sf_dir, "documents")
     return chunk_documents(d, window=64, overlap=16)
+
+
+@register(
+    "q_chunk_dedup",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+               FROM documents),
+    s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+    st AS (SELECT doc_id, toks, n,
+                  unnest(range(0, greatest(n - 16, 1), 48)) AS start
+           FROM s),
+    ch AS (SELECT doc_id, start,
+                  md5(array_to_string(
+                        toks[start + 1 : least(start + 64, n)], ' '))
+                    AS chunk_fp
+           FROM st)
+    SELECT chunk_fp,
+           CAST(COUNT(*) AS BIGINT) AS copies,
+           CAST(MIN(doc_id * 100000 + start) AS BIGINT) AS keeper
+    FROM ch GROUP BY chunk_fp
+    """,
+)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity exact dedup — the practical unit for RAG/training
+    stores: chunk (64/16 windows), fingerprint each chunk, hash-groupBy.
+    Composition of chunk_documents + the dedup_exact pattern; the keeper
+    key packs (doc_id, start) so ties resolve deterministically."""
+    d = load_table(spark, sf_dir, "documents")
+    ch = chunk_documents(d, window=64, overlap=16)
+    return (
+        ch.select(
+            "doc_id",
+            "start_token",
+            F.md5(F.col("chunk_text")).alias("chunk_fp"),
+        )
+        .groupBy("chunk_fp")
+        .agg(
+            F.count(F.lit(1)).alias("copies"),
+            F.min(
+                F.col("doc_id") * 100000 + F.col("start_token")
+            ).cast("bigint").alias("keeper"),
+        )
+    )
 
 
 @register(
