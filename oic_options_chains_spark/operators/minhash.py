@@ -456,3 +456,50 @@ def ngram_jaccard_pairs_capped(
         )
         .filter(F.col("jaccard_bp") >= min_jaccard_bp)
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., MOSS): hash every k-gram,
+    slide a w-hash window over the sequence, keep each window's minimum —
+    the fingerprint set that guarantees any shared run of w+k-1 tokens
+    between two documents shares at least one fingerprint, at ~2/(w+1)
+    the density of full shingling.
+
+    Fully relational: the positional k-gram hashes come from the same
+    posexplode + window-lead shape as doc_shingles, the rolling minimum
+    is a rows-frame window min, and the fingerprint set is a distinct —
+    one doc-keyed shuffle total, per-doc work linear in tokens. md5 (not
+    engine-native hash) keeps the selected minima identical on any
+    engine, so the fingerprint SET is portable, not just same-sized.
+
+    Output: (id_col, fingerprint) distinct pairs.
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias("pos", "tok"),
+    )
+    w_lead = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w_lead) for j in range(1, k)]
+    grams = tok.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.when(
+            F.lead("tok", k - 1).over(w_lead).isNotNull(),
+            F.md5(F.concat_ws(" ", *parts)),
+        ).alias("h"),
+    ).filter(F.col("h").isNotNull())
+    w_roll = (
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    )
+    rolled = grams.select(
+        F.col(id_col),
+        F.min("h").over(w_roll).alias("fingerprint"),
+        F.count(F.lit(1)).over(w_roll).alias("__n"),
+    ).filter(F.col("__n") == w)
+    return rolled.select(id_col, "fingerprint").distinct()

@@ -142,6 +142,38 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_winnow",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+                  FROM documents),
+    idx AS (SELECT doc_id, t,
+                   unnest(range(0, greatest(len(t) - 2, 0))) AS i
+            FROM toks),
+    grams AS (SELECT doc_id, i AS pos,
+                     md5(t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) AS h
+              FROM idx),
+    rolled AS (SELECT doc_id,
+                      MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS BETWEEN CURRENT ROW
+                                   AND 3 FOLLOWING) AS fingerprint,
+                      COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS BETWEEN CURRENT ROW
+                                     AND 3 FOLLOWING) AS n
+               FROM grams)
+    SELECT DISTINCT doc_id, fingerprint FROM rolled WHERE n = 4
+    """,
+)
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint sets (k=3-gram hashes, window w=4): any
+    shared 6-token run between two documents is guaranteed to share a
+    fingerprint, at a fraction of full-shingle density."""
+    from oic_options_chains_spark.operators.minhash import winnow_fingerprints
+
+    d = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(d, k=3, w=4)
+
+
+@register(
     "q_boilerplate",
     oracle="""
     WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t

@@ -138,6 +138,44 @@ def overwrite_table(spark: SparkSession, table_dir: str, state: DataFrame) -> No
     state.localCheckpoint(eager=True).write.mode("overwrite").parquet(table_dir)
 
 
+def expire_raw_days(
+    base_dir: str,
+    keep_days: int,
+    today: str,
+    loaded_dates: set[str] | None = None,
+) -> list[str]:
+    """Raw-zone retention (SURVEY K7): delete dated raw folders older
+    than ``keep_days`` before ``today`` (ISO yyyy-MM-dd folder names,
+    the reference's layout). A folder is only expired if it has been
+    loaded (``loaded_dates``, when given) — retention must never destroy
+    the only copy of unprocessed data.
+
+    Driver-side file ops by design: the raw zone is a directory tree,
+    not a table; at deploy scale this maps to object-store lifecycle
+    rules, and this function is the testable local analog. Returns the
+    list of expired folder names (for the run log / recon metrics).
+    """
+    import datetime as dt
+    import re
+    import shutil
+
+    cutoff = dt.date.fromisoformat(today) - dt.timedelta(days=keep_days)
+    expired = []
+    if not os.path.isdir(base_dir):
+        return expired
+    for name in sorted(os.listdir(base_dir)):
+        if not re.fullmatch(r"\d{4}-\d{2}-\d{2}", name):
+            continue
+        day = dt.date.fromisoformat(name)
+        if day >= cutoff:
+            continue
+        if loaded_dates is not None and name not in loaded_dates:
+            continue
+        shutil.rmtree(os.path.join(base_dir, name))
+        expired.append(name)
+    return expired
+
+
 def compact_partition(
     spark: SparkSession,
     table_dir: str,

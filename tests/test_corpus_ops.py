@@ -180,6 +180,34 @@ def test_global_shuffle_is_deterministic_and_dense(spark):
     assert len(by_shard) == 8
 
 
+def test_winnowing_guarantees_shared_fingerprint_for_shared_runs(spark):
+    from oic_options_chains_spark.operators.minhash import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w+k-1
+    df = _docs(
+        spark,
+        [
+            f"intro words here {shared} closing remarks",
+            f"totally different opening {shared} and another tail",
+            "no overlap with anything else at all whatsoever",
+        ],
+    )
+    fps = winnow_fingerprints(df, k=3, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    # the MOSS guarantee: a shared (w+k-1)-token run -> >=1 shared fp
+    assert by_doc[0] & by_doc[1]
+    # token-disjoint docs share nothing (md5 of distinct shingles)
+    assert not (by_doc[0] & by_doc[2])
+    assert not (by_doc[1] & by_doc[2])
+    # winnowing is a subset of full shingle hashes, strictly sparser
+    from oic_options_chains_spark.operators.minhash import doc_shingles
+
+    n_shingles = doc_shingles(df, "doc_id", "text").count()
+    assert len(fps) < n_shingles
+
+
 def test_cluster_conf_scales_with_cluster_shape():
     from oic_options_chains_spark.session import cluster_conf
 
@@ -193,3 +221,26 @@ def test_cluster_conf_scales_with_cluster_shape():
     # scan splits and broadcast threshold are fixed, memory-derived caps
     assert int(big["spark.sql.files.maxPartitionBytes"]) == 256 * 1024 * 1024
     assert int(big["spark.sql.autoBroadcastJoinThreshold"]) == 64 * 1024 * 1024
+
+
+def test_raw_zone_retention_spares_unloaded_days(tmp_path):
+    import os
+
+    from oic_options_chains_spark.sources.warehouse import expire_raw_days
+
+    base = str(tmp_path / "raw")
+    for d in ("2024-01-01", "2024-01-05", "2024-02-01", "not-a-date"):
+        os.makedirs(os.path.join(base, d))
+        open(os.path.join(base, d, "f.json"), "w").write("{}")
+
+    expired = expire_raw_days(
+        base, keep_days=10, today="2024-02-05",
+        loaded_dates={"2024-01-01"},  # 01-05 is old but never loaded
+    )
+    assert expired == ["2024-01-01"]
+    left = sorted(os.listdir(base))
+    assert left == ["2024-01-05", "2024-02-01", "not-a-date"]
+
+    # without the loaded-set guard, all sufficiently old dated dirs go
+    expired2 = expire_raw_days(base, keep_days=10, today="2024-02-05")
+    assert expired2 == ["2024-01-05"]
