@@ -56,12 +56,16 @@ def bm25_components(
     floor-scaled to micro-units (engine-portable integers).
     """
     tf = term_frequencies(df, text_col=text_col, id_col=id_col)
-    n_docs = df.count()
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    # avgdl AND the corpus size come from the same one-row aggregate —
+    # no eager df.count() (that would be a full extra corpus scan at
+    # plan-construction time). Every document has >= 1 token (split of
+    # "" is [""]), so count(dl) == count(corpus).
     avgdl_row = dl.agg(
         (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
             "avgdl"
-        )
+        ),
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
     )
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
 
@@ -75,7 +79,7 @@ def bm25_components(
     tf_sat = (tfd * F.lit(K1 + 1.0)) / (
         tfd + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * dld / F.col("avgdl"))
     )
-    n = F.lit(float(n_docs))
+    n = F.col("n_docs")
     dfd = F.col("doc_freq").cast("double")
     idf_rational = (n - dfd + F.lit(0.5)) / (dfd + F.lit(0.5))
     return scored.select(

@@ -256,7 +256,7 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ad AS (SELECT CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
            FROM dl),
     dfq AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term),
-    nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents)
+    nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM dl)
     SELECT tf.doc_id, tf.term,
            CAST(tf.tf AS BIGINT) AS tf,
            CAST(dfq.doc_freq AS BIGINT) AS doc_freq,
