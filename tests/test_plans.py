@@ -103,6 +103,22 @@ def test_decontamination_benchmark_broadcasts(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_pack_sequences_single_corpus_exchange(spark, sf_dir):
+    # sharded packing: ONE shard-keyed exchange feeds the window cumsum;
+    # a second corpus-wide exchange means the shard column stopped
+    # pre-partitioning the window
+    plan = _plan(QUERIES["q_pack_sequences"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_mixture_quota_table_broadcasts(spark, sf_dir):
+    # the per-source quota table is sources-sized: it must broadcast back
+    # onto the corpus, never sort-merge
+    plan = _plan(QUERIES["q_mixture_sample"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_python_stays_out_of_relational_queries(plans):
     # every t2 query is JVM-only: no Python UDF evaluation nodes
     for name, plan in plans.items():
