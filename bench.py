@@ -46,9 +46,10 @@ HEADLINE = (
     "q_pack_sequences",
 )
 
-# single-JVM local bench has ~±20% run-to-run noise; report the best of
-# N full executions per query so timings track plan changes, not GC luck
-RUNS_PER_QUERY = 2
+# single-JVM local bench has ~±20-30% run-to-run noise (ambient load
+# included); report the best of N full executions per query so timings
+# track plan changes, not GC or box luck
+RUNS_PER_QUERY = 3
 
 
 def main() -> None:
