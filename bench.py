@@ -44,6 +44,7 @@ HEADLINE = (
     "q_decontaminate",
     "q_bm25",
     "q_pack_sequences",
+    "q_corpus_build",
 )
 
 # single-JVM local bench has ~±20-30% run-to-run noise (ambient load

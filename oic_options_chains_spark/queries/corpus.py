@@ -23,7 +23,11 @@ from oic_options_chains_spark.operators.decontam import (
 from oic_options_chains_spark.operators.ranking import bm25_components
 from oic_options_chains_spark.operators.repetition import repetition_metrics
 from oic_options_chains_spark.operators.sampling import global_shuffle
-from oic_options_chains_spark.operators.text import redact_terms, token_count_ws
+from oic_options_chains_spark.operators.text import (
+    quality_metrics,
+    redact_terms,
+    token_count_ws,
+)
 from oic_options_chains_spark.queries.registry import register
 from oic_options_chains_spark.sources.registry import load_table
 
@@ -423,6 +427,92 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.floor(F.lit(1e6) * nrm).cast("bigint").alias("norm_e6"),
         F.md5(qs).alias("quant_md5"),
+    )
+
+
+@register(
+    "q_corpus_build",
+    oracle=r"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+                 FROM documents),
+    cnt AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t),
+    top AS (SELECT doc_id, MAX(c) AS top_n, SUM(c) AS n_tok
+            FROM cnt GROUP BY doc_id),
+    stq AS (SELECT doc_id,
+                   SUM(CASE WHEN t IN ('the','a','of','and','or')
+                            THEN c ELSE 0 END) AS n_stop
+            FROM cnt GROUP BY doc_id),
+    fp AS (SELECT doc_id,
+                  md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
+                    AS fingerprint
+           FROM documents),
+    adm AS (SELECT top.doc_id, top.n_tok, fp.fingerprint
+            FROM top JOIN stq USING (doc_id) JOIN fp USING (doc_id)
+            WHERE top.n_tok BETWEEN 5 AND 1000
+              AND FLOOR(10000.0 * CAST(n_stop AS DOUBLE)
+                        / CAST(top.n_tok AS DOUBLE)) >= 200
+              AND FLOOR(10000.0 * CAST(top_n AS DOUBLE)
+                        / CAST(top.n_tok AS DOUBLE)) < 5000),
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM adm GROUP BY fingerprint),
+    kept AS (SELECT adm.doc_id, adm.n_tok
+             FROM adm JOIN keep USING (doc_id)),
+    tr AS (SELECT doc_id, n_tok FROM kept
+           WHERE CAST(concat('0x',
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+                 % 100 < 90),
+    sh AS (SELECT doc_id, n_tok,
+                  CAST(concat('0x',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+                       % 8 AS shard,
+                  md5(CAST(doc_id AS VARCHAR)) AS hh
+           FROM tr),
+    c AS (SELECT doc_id, shard, n_tok,
+                 SUM(n_tok) OVER (
+                   PARTITION BY shard ORDER BY hh, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM sh)
+    SELECT doc_id, CAST(shard AS INT) AS shard,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           CAST(cum - n_tok AS BIGINT) AS stream_start,
+           CAST((cum - n_tok) // 256 AS BIGINT) AS seq_index,
+           CAST((cum - n_tok) % 256 AS BIGINT) AS seq_offset
+    FROM c
+    """,
+)
+def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-side flagship composite — a full training-data build in
+    one plan: quality gates (token window, stopword floor, top-token
+    repetition cap) -> exact-dedup keepers -> deterministic 90% train
+    split -> sharded concat-split sequence packing. Mirrors what
+    q_chain_build is for the options side: every stage is an operator
+    this package ships, composed and hash-checked end-to-end."""
+    from oic_options_chains_spark.operators.sampling import split_assign
+    from oic_options_chains_spark.operators.text import fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    q = quality_metrics(F.col("text"))
+    r = repetition_metrics(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fingerprint"),
+        q["n_tokens"].alias("n_tokens"),
+        q["stop_ratio_bp"].alias("stop_ratio_bp"),
+        r["top_token_bp"].alias("top_token_bp"),
+    )
+    admitted = scored.filter(
+        F.col("n_tokens").between(5, 1000)
+        & (F.col("stop_ratio_bp") >= 200)
+        & (F.col("top_token_bp") < 5000)
+    )
+    keepers = admitted.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = admitted.join(
+        keepers.select("doc_id"), on="doc_id", how="left_semi"
+    )
+    train = kept.filter(split_assign(F.col("doc_id")) == "train")
+    return pack_stream_offsets(
+        train.select("doc_id", "n_tokens"), context=256, n_shards=8
     )
 
 
