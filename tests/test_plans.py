@@ -119,6 +119,15 @@ def test_mixture_quota_table_broadcasts(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_corpus_build_two_exchanges_keepers_broadcast(spark, sf_dir):
+    # the corpus flagship: fingerprint-agg + shard-window are the ONLY
+    # exchanges; the keeper set comes back as a broadcast semi join
+    plan = _plan(QUERIES["q_corpus_build"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_python_stays_out_of_relational_queries(plans):
     # every t2 query is JVM-only: no Python UDF evaluation nodes
     for name, plan in plans.items():
