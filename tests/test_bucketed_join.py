@@ -75,3 +75,34 @@ def test_unbucketed_same_join_shuffles(spark, tmp_path, no_broadcast):
     )
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" in plan
+
+
+def test_date_partitioned_join_uses_dynamic_partition_pruning(
+    spark, tmp_path, no_broadcast
+):
+    """The warehouse's dominant enrichment join (date-partitioned fact x
+    filtered dim) must prune fact partitions at runtime via DPP — at
+    100 TB this is the difference between scanning one day and a year."""
+    from pyspark.sql import functions as F
+
+    facts = spark.range(0, 5000).select(
+        (F.date_add(F.lit("2024-01-01"), (F.col("id") % 30).cast("int")))
+        .alias("date"),
+        F.col("id").alias("qty"),
+    )
+    facts.write.partitionBy("date").parquet(str(tmp_path / "fact"))
+    dims = spark.range(0, 30).select(
+        F.date_add(F.lit("2024-01-01"), F.col("id").cast("int")).alias("date"),
+        (F.col("id") % 3).alias("grp"),
+    )
+    dims.write.parquet(str(tmp_path / "dim"))
+
+    f = spark.read.parquet(str(tmp_path / "fact"))
+    d = spark.read.parquet(str(tmp_path / "dim")).filter(F.col("grp") == 0)
+    plan = (
+        f.join(d, "date")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "dynamicpruning" in plan.lower(), plan
