@@ -38,3 +38,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every benchmark table as a temp view so the whole engine
+    is drivable from ``spark.sql`` — the SQL face of the API (the same
+    table names the DuckDB oracles use, so a query's oracle SQL is
+    usually runnable on Spark verbatim). Views are lazy scans: pruning
+    and pushdown still reach the parquet."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

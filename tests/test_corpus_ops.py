@@ -244,3 +244,21 @@ def test_raw_zone_retention_spares_unloaded_days(tmp_path):
     # without the loaded-set guard, all sufficiently old dated dirs go
     expired2 = expire_raw_days(base, keep_days=10, today="2024-02-05")
     assert expired2 == ["2024-01-05"]
+
+
+def test_sql_views_drive_the_engine(spark, sf_dir):
+    from oic_options_chains_spark.sources.registry import TABLES, register_views
+
+    register_views(spark, sf_dir)
+    for t in TABLES:
+        assert spark.catalog.tableExists(t)
+    got = spark.sql(
+        "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang"
+    ).collect()
+    assert sum(r.n for r in got) == spark.table("documents").count()
+    # pushdown still reaches the scan through the view
+    plan = (
+        spark.sql("SELECT doc_id FROM documents WHERE doc_id = 7")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,7)]" in plan
