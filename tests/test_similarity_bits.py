@@ -63,3 +63,20 @@ def test_derived_default_matches_explicit(spark, sf_dir):
     assert sorted(map(tuple, derived.collect())) == sorted(
         map(tuple, explicit.collect())
     )
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """The recall/cost trade the multi-probe variant exists for: probing
+    the query bucket plus its 1-bit neighbors must recover at least as
+    much of the brute-force top-10 as the single-bucket scan, and a
+    non-trivial fraction of the truth (deterministic on the fixed
+    synthetic embeddings)."""
+    from oic_options_chains_spark.queries import QUERIES
+
+    brute = {r.vec_id for r in QUERIES["q_ann_cosine"](spark, sf_dir).collect()}
+    ivf = {r.vec_id for r in QUERIES["q_ann_ivf"](spark, sf_dir).collect()}
+    multi = {
+        r.vec_id for r in QUERIES["q_ann_multiprobe"](spark, sf_dir).collect()
+    }
+    assert len(brute & multi) >= len(brute & ivf)
+    assert len(brute & multi) >= len(brute) // 2
