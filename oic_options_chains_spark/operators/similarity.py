@@ -248,3 +248,47 @@ def ivf_multiprobe_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def batch_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Top-k per QUERY for a whole batch of query vectors — the shape
+    retrieval actually takes in a training pipeline (hard-negative
+    mining, nearest-neighbor eval): thousands of queries against the
+    corpus in one plan, not one broadcast per query.
+
+    The query batch is broadcast (queries are the small side by
+    definition here); every corpus partition scores all queries locally,
+    then ONE query-keyed exchange feeds a WindowGroupLimit running top-k
+    — per-query state is k rows, never the full score matrix. At larger
+    query batches the same plan degrades gracefully: the broadcast is
+    the only piece to revisit (swap for an IVF bucket join when the
+    batch itself stops fitting in memory).
+
+    Returns (query_id_col, id_col, score_e6, rank).
+    """
+    scored = embeddings.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias("__cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.floor(F.lit(1e6) * F.col("__cos")).cast("bigint").alias("score_e6"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -698,6 +698,36 @@ def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ann_batch",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id, {_COS_SQL} AS cos
+      FROM embeddings e CROSS JOIN q),
+    ranked AS (
+      SELECT query_id, vec_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, CAST(FLOOR(1e6 * cos) AS BIGINT) AS score_e6,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def q_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched retrieval: cosine top-3 per query for a 5-vector query
+    batch in one plan — one broadcast, one query-keyed WindowGroupLimit."""
+    from oic_options_chains_spark.operators.similarity import batch_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return batch_topk(e, queries, k=3)
+
+
+@register(
     "q_ann_ivf",
     oracle=f"""
     WITH q AS (
