@@ -292,3 +292,50 @@ def batch_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def batch_topk_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    bits: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Bucket-pruned batched retrieval — batch_topk's 100 TB form: both
+    sides get a sign bucket and candidates come from a bucket EQUI-JOIN,
+    so each corpus row is scored only against queries sharing its coarse
+    bucket (~n_queries/2^bits instead of all of them), and the join key
+    is the bucket — the corpus never shuffles when the query side
+    broadcasts. Recall matches single-probe IVF per query; compose with
+    neighbor-bucket probe expansion (cf. ivf_multiprobe_topk) when
+    recall needs the extra buckets.
+
+    Returns (query_id_col, id_col, score_e6, rank).
+    """
+    bits = _resolve_bits(embeddings, bits)
+    eb = embeddings.withColumn("__bucket", sign_bucket(F.col(vec_col), bits))
+    qb = queries.withColumn(
+        "__bucket", sign_bucket(F.col(query_vec_col), bits)
+    )
+    cand = eb.join(F.broadcast(qb), "__bucket")
+    scored = cand.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias("__cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.floor(F.lit(1e6) * F.col("__cos")).cast("bigint").alias("score_e6"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -727,6 +727,48 @@ def q_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch_topk(e, queries, k=3)
 
 
+_QBUCKET_SQL = """
+             (CASE WHEN embedding[1] > 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[2] > 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[3] > 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[4] > 0 THEN '1' ELSE '0' END)
+"""
+
+
+@register(
+    "q_ann_batch_ivf",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv, {_QBUCKET_SQL} AS qbucket
+      FROM embeddings WHERE vec_id < 5),
+    cand AS (
+      SELECT q.query_id, e.vec_id, e.embedding, q.qv
+      FROM embeddings e JOIN q
+        ON {_QBUCKET_SQL.replace("embedding", "e.embedding")} = q.qbucket),
+    scored AS (SELECT query_id, vec_id, {_COS_SQL.replace("q.qv", "e.qv")} AS cos
+               FROM cand e),
+    ranked AS (
+      SELECT query_id, vec_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, CAST(FLOOR(1e6 * cos) AS BIGINT) AS score_e6,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def q_ann_batch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-join batched retrieval: each corpus row scored only against
+    the queries sharing its sign bucket — batch ANN's scale form."""
+    from oic_options_chains_spark.operators.similarity import batch_topk_ivf
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return batch_topk_ivf(e, queries, k=3, bits=4)
+
+
 @register(
     "q_ann_ivf",
     oracle=f"""
@@ -761,14 +803,6 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     query = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("query_vec"))
     return ivf_topk(e, query, k=5, bits=4)
-
-
-_QBUCKET_SQL = """
-             (CASE WHEN embedding[1] > 0 THEN '1' ELSE '0' END ||
-              CASE WHEN embedding[2] > 0 THEN '1' ELSE '0' END ||
-              CASE WHEN embedding[3] > 0 THEN '1' ELSE '0' END ||
-              CASE WHEN embedding[4] > 0 THEN '1' ELSE '0' END)
-"""
 
 
 @register(
