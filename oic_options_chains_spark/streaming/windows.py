@@ -55,6 +55,39 @@ def windowed_counts(
     )
 
 
+def sessionized_counts(
+    stream: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str] = (),
+    gap: str = "30 minutes",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Event-time SESSION windows: rows within ``gap`` of each other per
+    key merge into one session (dynamic extent, unlike tumbling). The
+    state store holds open sessions and merges them as rows arrive; the
+    watermark closes a session once no row can extend it (its end + gap
+    is behind the watermark), emits it exactly once, and drops its
+    state — the same boundedness argument as windowed_counts, with
+    session count instead of open windows.
+
+    This is the streaming face of the batch q_session_gap query (lag +
+    cumulative flag there, merging keyed state here).
+    """
+    return (
+        stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("win"), *key_cols
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            *key_cols,
+            "n",
+        )
+    )
+
+
 def run_windowed_counts_once(
     spark,
     source_dir: str,

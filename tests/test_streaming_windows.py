@@ -40,6 +40,60 @@ def _emitted(spark, out):
         return {}
 
 
+def test_session_windows_merge_and_close_behind_watermark(spark, tmp_path):
+    from oic_options_chains_spark.streaming.windows import sessionized_counts
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def run():
+        stream = spark.readStream.schema(SCHEMA).parquet(src + "/*")
+        q = (
+            sessionized_counts(
+                stream, "ts", key_cols=["kind"],
+                gap="30 minutes", watermark_delay="10 minutes",
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def emitted():
+        try:
+            return {
+                (r.session_start, r.kind): (r.session_end, r.n)
+                for r in spark.read.parquet(out).collect()
+            }
+        except Exception:
+            return {}
+
+    # 10:00 and 10:10 merge into one session (gap 30m); 12:00 starts a
+    # second session AND pushes the watermark to 11:50, which closes the
+    # first (its end 10:40 < 11:50) during the AvailableNow flush.
+    _add_file(
+        spark, src, "s1",
+        [(_t(10, 0), "a"), (_t(10, 10), "a"), (_t(12, 0), "a")],
+    )
+    run()
+    got = emitted()
+    assert got == {(_t(10, 0), "a"): (_t(10, 40), 2)}
+
+    # 12:20 extends the open 12:00 session (within gap); 15:00 pushes
+    # the watermark past its extended end, so it emits merged: 12:00 ->
+    # 12:50, two rows. The closed first session must not re-emit.
+    _add_file(spark, src, "s2", [(_t(12, 20), "a"), (_t(15, 0), "a")])
+    run()
+    got = emitted()
+    assert got[(_t(10, 0), "a")] == (_t(10, 40), 2)
+    assert got[(_t(12, 0), "a")] == (_t(12, 50), 2)
+
+
 def test_window_emits_once_and_drops_late_rows(spark, tmp_path):
     src = str(tmp_path / "src")
     out = str(tmp_path / "out")
