@@ -45,18 +45,38 @@ def asof_join(
     right_time: str,
     tiebreak: Sequence[str] = (),
     how: str = "left",
+    direction: str = "backward",
+    tolerance_days: int | None = None,
 ) -> DataFrame:
-    """Backward as-of join: for each left row, attach the right row with the
-    greatest ``right_time <= left_time`` within the same key group.
+    """As-of join: for each left row, attach the nearest right row in the
+    chosen ``direction`` within the same key group — the full
+    backward/forward/tolerance trio of pandas ``merge_asof`` / kdb
+    ``aj``, with the reference's semantic (backward, unbounded) as the
+    default.
+
+    - ``backward``: greatest ``right_time <= left_time``
+      (transform-load.2025-08-19.rkt:104-113);
+    - ``forward``: smallest ``right_time >= left_time``;
+    - ``tolerance_days`` bounds the match window — at warehouse scale
+      this is also the pruning lever: a bounded lookback turns "all
+      history" into N date partitions on the scan.
 
     Implementation: equi-join on keys with the range predicate, then keep
     the top-1 right row per left row via a window. For a small left side
     (the reference's case: one (symbol, date) pair per file) Catalyst
     broadcasts it and the range filter prunes before the window.
     """
+    assert direction in ("backward", "forward")
     lt = F.col(f"__l.{left_time}")
     rt = F.col(f"__r.{right_time}")
-    cond: Column = rt <= lt
+    if direction == "backward":
+        cond: Column = rt <= lt
+        if tolerance_days is not None:
+            cond = cond & (F.datediff(lt, rt) <= tolerance_days)
+    else:
+        cond = rt >= lt
+        if tolerance_days is not None:
+            cond = cond & (F.datediff(rt, lt) <= tolerance_days)
     for k in on:
         cond = cond & (F.col(f"__l.{k}") == F.col(f"__r.{k}"))
 
@@ -67,9 +87,14 @@ def asof_join(
         for c in right.columns
         if c not in set(on)
     ]
-    ordering = [rt.desc_nulls_last()] + [
-        F.col(f"__r.{c}").desc_nulls_last() for c in tiebreak
-    ]
+    if direction == "backward":
+        ordering = [rt.desc_nulls_last()] + [
+            F.col(f"__r.{c}").desc_nulls_last() for c in tiebreak
+        ]
+    else:
+        ordering = [rt.asc_nulls_last()] + [
+            F.col(f"__r.{c}").asc_nulls_last() for c in tiebreak
+        ]
     w = Window.partitionBy(*[F.col(f"__l.{c}") for c in left.columns]).orderBy(
         *ordering
     )

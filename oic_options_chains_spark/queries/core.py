@@ -184,6 +184,61 @@ def q_asof_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_asof_tolerance",
+    oracle="""
+    WITH cand AS (
+      SELECT o_custkey,
+             CAST(o_orderdate AS DATE) AS next_date,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS next_price,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-06-30 00:00:00'
+        AND datediff('day', DATE '1998-06-30', CAST(o_orderdate AS DATE)) <= 30
+    )
+    SELECT c.c_custkey, cand.next_date, cand.next_price
+    FROM customer c
+    LEFT JOIN cand ON c.c_custkey = cand.o_custkey AND cand.rn = 1
+    """,
+)
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance: earliest order ON/after the as-of
+    date within 30 days per customer, NULL when none — completing the
+    merge_asof backward/forward/tolerance trio on operators/asof.py. The
+    tolerance doubles as the scan-pruning lever at warehouse scale."""
+    from oic_options_chains_spark.operators.asof import asof_join
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.lit(ASOF_DATE).cast("timestamp").alias("target_ts")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        "o_orderdate",
+        "o_totalprice",
+        "o_orderkey",
+    )
+    out = asof_join(
+        c,
+        o,
+        on=["c_custkey"],
+        left_time="target_ts",
+        right_time="o_orderdate",
+        tiebreak=["o_orderkey"],
+        direction="forward",
+        tolerance_days=30,
+    )
+    return out.select(
+        "c_custkey",
+        F.col("o_orderdate").cast("date").alias("next_date"),
+        F.col("o_totalprice")
+        .cast("decimal(18,2)")
+        .cast("string")
+        .alias("next_price"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Nearest-selection (SURVEY.md J3/J4/A4/W2/O4)
 # --------------------------------------------------------------------------
