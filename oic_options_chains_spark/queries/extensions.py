@@ -334,6 +334,78 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_edit_verify",
+    oracle=_SIG_SQL
+    + r""",
+    bands AS (
+      SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+             string_agg(minhash, ',' ORDER BY seed) AS band_key
+      FROM sig GROUP BY doc_id, seed // 4),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id),
+    nrm AS (SELECT doc_id,
+                   regexp_replace(lower(text), '\s+', ' ', 'g') AS norm
+            FROM documents)
+    SELECT p.doc_a, p.doc_b,
+           CAST(levenshtein(na.norm, nb.norm) AS BIGINT) AS edit_dist,
+           CAST(FLOOR(10000.0 * levenshtein(na.norm, nb.norm)
+                / greatest(length(na.norm), length(nb.norm))) AS BIGINT)
+             AS dist_bp,
+           CAST(CASE WHEN FLOOR(10000.0 * levenshtein(na.norm, nb.norm)
+                     / greatest(length(na.norm), length(nb.norm))) <= 2000
+                     THEN 1 ELSE 0 END AS INT) AS verified
+    FROM pairs p
+    JOIN nrm na ON p.doc_a = na.doc_id
+    JOIN nrm nb ON p.doc_b = nb.doc_id
+    """,
+)
+def q_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of LSH candidates — the exact-verify
+    stage a dedup pipeline runs on the (small) candidate set, never on
+    all pairs: Levenshtein over normalized text, scaled to basis points
+    of the longer doc, verified at <= 20%. Levenshtein is the classic DP
+    on both engines, so the distances agree exactly."""
+    from oic_options_chains_spark.operators.text import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    bands = minhash_band_keys(
+        doc_shingles(d, "doc_id", "text", distinct=False), "doc_id"
+    )
+    pairs = lsh_candidate_pairs(bands, "doc_id")
+    nrm = d.select("doc_id", normalize_text(F.col("text")).alias("norm"))
+    j = (
+        pairs.join(
+            nrm.select(
+                F.col("doc_id").alias("doc_a"), F.col("norm").alias("norm_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            nrm.select(
+                F.col("doc_id").alias("doc_b"), F.col("norm").alias("norm_b")
+            ),
+            "doc_b",
+        )
+    )
+    lev = F.levenshtein(F.col("norm_a"), F.col("norm_b"))
+    dist_bp = F.floor(
+        F.lit(10000.0)
+        * lev.cast("double")
+        / F.greatest(F.length("norm_a"), F.length("norm_b")).cast("double")
+    ).cast("bigint")
+    return j.select(
+        "doc_a",
+        "doc_b",
+        lev.cast("bigint").alias("edit_dist"),
+        dist_bp.alias("dist_bp"),
+        (dist_bp <= 2000).cast("int").alias("verified"),
+    )
+
+
+@register(
     "q_dedup_clusters",
     oracle="WITH RECURSIVE "
     + _SIG_SQL.removeprefix("WITH ")
