@@ -88,6 +88,38 @@ def sessionized_counts(
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "15 minutes",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream equi-join with an event-time interval bound: a left
+    row matches right rows with the same key whose timestamp lies in
+    [left_ts - within, left_ts + within].
+
+    Both sides are watermarked and the interval condition is what makes
+    the join's state FINITE: each side buffers only rows the other side
+    could still match (watermark + within), then drops them — without
+    the time bound a stream-stream join would buffer both streams
+    forever. This is the streaming form of the batch interval join
+    (operators/rangejoin.py), with the same correctness and a state
+    budget of O(rate x window) per key.
+    """
+    lw = left.withWatermark(left_ts, watermark_delay).alias("l")
+    rw = right.withWatermark(right_ts, watermark_delay).alias("r")
+    lts, rts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (rts >= lts - F.expr(f"INTERVAL {within}"))
+        & (rts <= lts + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, on=cond, how="inner")
+
+
 def run_windowed_counts_once(
     spark,
     source_dir: str,

@@ -134,3 +134,53 @@ def test_window_emits_once_and_drops_late_rows(spark, tmp_path):
     assert got[(_t(10, 0), "a")] == 2
     assert got[(_t(12, 0), "b")] == 1
     assert got[(_t(13, 0), "b")] == 1
+
+
+def test_stream_stream_interval_join_matches_within_bound(spark, tmp_path):
+    from oic_options_chains_spark.streaming.windows import interval_join_streams
+
+    srca = str(tmp_path / "a")
+    srcb = str(tmp_path / "b")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(srca)
+    os.makedirs(srcb)
+
+    # left: orders; right: fills — match within 15 minutes per kind
+    _add_file(
+        spark, srca, "a1",
+        [(_t(10, 0), "x"), (_t(11, 0), "x"), (_t(10, 0), "y")],
+    )
+    _add_file(
+        spark, srcb, "b1",
+        [(_t(10, 10), "x"),   # matches 10:00 x (10 min)
+         (_t(11, 40), "x"),   # matches nothing (40 min from 11:00)
+         (_t(10, 14), "y")],  # matches 10:00 y (14 min)
+    )
+
+    left = spark.readStream.schema(SCHEMA).parquet(srca + "/*")
+    right = (
+        spark.readStream.schema(SCHEMA).parquet(srcb + "/*")
+        .withColumnRenamed("ts", "fill_ts")
+    )
+    from pyspark.sql import functions as F
+
+    joined = interval_join_streams(
+        left, right, key="kind", left_ts="ts", right_ts="fill_ts",
+        within="15 minutes",
+    ).select(F.col("l.kind").alias("kind"), F.col("l.ts").alias("ts"), "fill_ts")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {(r.kind, r.ts, r.fill_ts) for r in spark.read.parquet(out).collect()}
+    assert got == {
+        ("x", _t(10, 0), _t(10, 10)),
+        ("y", _t(10, 0), _t(10, 14)),
+    }
