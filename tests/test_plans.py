@@ -119,12 +119,14 @@ def test_mixture_quota_table_broadcasts(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
-def test_corpus_build_two_exchanges_keepers_broadcast(spark, sf_dir):
-    # the corpus flagship: fingerprint-agg + shard-window are the ONLY
-    # exchanges; the keeper set comes back as a broadcast semi join
+def test_corpus_build_single_scan_two_exchanges(spark, sf_dir):
+    # the corpus flagship: ONE corpus scan (keeper selection is a
+    # fingerprint window-min, not a groupBy + join back, so the
+    # interpreted gate lambdas run once per doc) and exactly two
+    # exchanges (fingerprint window + shard window)
     plan = _plan(QUERIES["q_corpus_build"](spark, sf_dir))
+    assert plan.count("FileScan") == 1, plan
     assert plan.count("Exchange hashpartitioning") == 2, plan
-    assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
 
