@@ -45,9 +45,17 @@ def interval_join(
 ) -> DataFrame:
     """Rows of ``points`` x ``intervals`` where
     ``start_col <= point_col <= end_col`` (inclusive bounds, the SQL
-    BETWEEN semantics). Output carries all columns of both inputs."""
+    BETWEEN semantics). Output carries all columns of both inputs.
+
+    Degenerate intervals are handled identically by BOTH strategies so
+    they are interchangeable: an interval with ``start > end`` or a NULL
+    bound matches nothing and is dropped up front (the SQL BETWEEN
+    answer — without the pre-filter the bucket strategy would instead
+    raise at runtime, since ``F.sequence`` with a positive step errors
+    when start > stop)."""
     p = F.col(point_col)
     s, e = F.col(start_col), F.col(end_col)
+    intervals = intervals.filter(s <= e)  # also drops NULL-bounded rows
     if strategy == "broadcast":
         return points.join(
             F.broadcast(intervals), on=(p >= s) & (p <= e), how="inner"

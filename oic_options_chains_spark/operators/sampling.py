@@ -78,6 +78,12 @@ def mixture_sample(
     the lowest md5 rank, so membership is content-deterministic like
     every sampler here.
 
+    The min runs over the WEIGHTS table, not the sources present in the
+    data: a weighted source with zero rows contributes n_s = 0 and forces
+    T = 0 (empty output), which is the only answer consistent with
+    "every source can supply its share". Sources in the data but not in
+    ``weights`` are still excluded.
+
     Scale: the per-source counts and quotas are a vocabulary-of-sources-
     sized table (broadcast); the corpus itself pays one source-keyed
     window rank. All quota math is integer (DIV), exact on any engine.
@@ -85,16 +91,20 @@ def mixture_sample(
     """
     assert weights and all(w > 0 for w in weights.values())
     total_w = sum(weights.values())
-    pairs: list = []
-    for s, w in weights.items():
-        pairs.extend([F.lit(s), F.lit(w)])
-    wmap = F.create_map(*pairs)
-
+    wtab = df.sparkSession.createDataFrame(
+        list(weights.items()), schema=f"{source_col} string, w int"
+    )
     cnt = (
-        df.groupBy(source_col)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("w", wmap[F.col(source_col)])
-        .filter(F.col("w").isNotNull())
+        wtab.join(
+            df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n")),
+            on=source_col,
+            how="left",
+        )
+        .select(
+            source_col,
+            "w",
+            F.coalesce(F.col("__n"), F.lit(0)).alias("n"),
+        )
     )
     cap = cnt.select(
         F.min(F.expr(f"n * {total_w} DIV w")).alias("t_total")

@@ -17,6 +17,7 @@ and reported scores are floor(1e6 * cosine).
 from __future__ import annotations
 
 import math
+import weakref
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -45,13 +46,28 @@ def bits_for(
     return min(max_bits, max(1, math.ceil(math.log2(n_rows / target_bucket_rows))))
 
 
+# bits resolved per DataFrame object, so repeated calls on the same input
+# (e.g. near_dup_pairs then ivf_topk over one embeddings table) pay the
+# sizing count() once. Weak keys: entries die with the DataFrame.
+_BITS_CACHE: weakref.WeakKeyDictionary[DataFrame, int] = weakref.WeakKeyDictionary()
+
+
 def _resolve_bits(embeddings: DataFrame, bits: int | None) -> int:
     """Derive bits from the corpus size when not pinned by the caller.
 
-    The ``count()`` is a one-off metadata action (parquet row counts come
-    from footers, no data scan). Callers that know their scale — or need
-    a deterministic plan for an oracle — pass ``bits`` explicitly."""
-    return bits if bits is not None else bits_for(embeddings.count())
+    For a bare parquet scan the ``count()`` is metadata-only (row counts
+    come from footers); any upstream filter/join/projection makes it a
+    real extra job, so callers on derived inputs — or needing a
+    deterministic plan for an oracle — should pass ``bits`` explicitly.
+    The resolved value is cached per DataFrame object, so only the first
+    call on a given input pays the count."""
+    if bits is not None:
+        return bits
+    cached = _BITS_CACHE.get(embeddings)
+    if cached is None:
+        cached = bits_for(embeddings.count())
+        _BITS_CACHE[embeddings] = cached
+    return cached
 
 
 def _fold_sum(arr: Column) -> Column:

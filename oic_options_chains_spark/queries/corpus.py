@@ -74,7 +74,7 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM st)
     SELECT chunk_fp,
            CAST(COUNT(*) AS BIGINT) AS copies,
-           CAST(MIN(doc_id * 100000 + start) AS BIGINT) AS keeper
+           CAST(MIN(doc_id * 4294967296 + start) AS BIGINT) AS keeper
     FROM ch GROUP BY chunk_fp
     """,
 )
@@ -82,7 +82,10 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-granularity exact dedup — the practical unit for RAG/training
     stores: chunk (64/16 windows), fingerprint each chunk, hash-groupBy.
     Composition of chunk_documents + the dedup_exact pattern; the keeper
-    key packs (doc_id, start) so ties resolve deterministically."""
+    key packs (doc_id, start) as doc_id * 2^32 + start so ties resolve
+    deterministically — a 2^32 shift keeps start_token in its own bit
+    range for any document under 4B tokens (a decimal shift like 1e5
+    would let a >=100k-token document corrupt the doc_id ordering)."""
     d = load_table(spark, sf_dir, "documents")
     ch = chunk_documents(d, window=64, overlap=16)
     return (
@@ -95,7 +98,7 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("copies"),
             F.min(
-                F.col("doc_id") * 100000 + F.col("start_token")
+                F.col("doc_id") * F.lit(4294967296) + F.col("start_token")
             ).cast("bigint").alias("keeper"),
         )
     )
@@ -291,9 +294,9 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH w(source, w) AS (VALUES ('src0', 3), ('src1', 1), ('src2', 1),
                                  ('src3', 2), ('src5', 3)),
-    cnt AS (SELECT d.source, COUNT(*) AS n, ANY_VALUE(w.w) AS w
-            FROM documents d JOIN w USING (source)
-            GROUP BY d.source),
+    cnt AS (SELECT w.source, COUNT(d.doc_id) AS n, ANY_VALUE(w.w) AS w
+            FROM w LEFT JOIN documents d USING (source)
+            GROUP BY w.source),
     cap AS (SELECT MIN(n * 10 // w) AS t_total FROM cnt),
     quota AS (SELECT source, w * t_total // 10 AS quota
               FROM cnt CROSS JOIN cap),

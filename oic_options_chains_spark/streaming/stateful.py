@@ -36,12 +36,16 @@ def first_seen_filter(
     key_cols: Sequence[str],
     ttl_minutes: int | None = None,
 ) -> DataFrame:
-    """Emit only the FIRST row ever seen per key, across micro-batches.
+    """Emit only one row ever per key, across micro-batches.
 
-    Within a batch the first row in arrival order wins (matching the
-    reference's PK first-arrival semantics); later batches emit nothing
-    for known keys until the key's state expires (``ttl_minutes``).
-    Output schema == input schema.
+    Within a batch an ARBITRARY row wins: rows reach the keyed kernel
+    after a shuffle by key, which guarantees no intra-batch ordering —
+    matching the reference's PK semantics, where whichever duplicate
+    arrives first is kept and arrival order under concurrency is itself
+    arbitrary. Callers that need a deterministic winner should order on
+    an explicit sequence column upstream or aggregate with min_by.
+    Later batches emit nothing for known keys until the key's state
+    expires (``ttl_minutes``). Output schema == input schema.
     """
     out_schema = stream.schema
     timeout = (

@@ -262,3 +262,44 @@ def test_sql_views_drive_the_engine(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,7)]" in plan
+
+
+def test_mixture_sample_empty_weighted_source_forces_empty_output(spark):
+    from oic_options_chains_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(20)] + [(100 + i, "b") for i in range(10)],
+        "doc_id long, source string",
+    )
+    # 'ghost' is weighted but has zero rows: it cannot supply its share,
+    # so the joint total T is 0 and the mixture is empty (the invariant
+    # "every weighted source can supply its share" holds vacuously).
+    out = mixture_sample(df, "source", "doc_id", {"a": 1, "b": 1, "ghost": 1})
+    assert out.count() == 0
+    # dropping the ghost restores the normal quotas
+    ok = mixture_sample(df, "source", "doc_id", {"a": 1, "b": 1})
+    got = {
+        r.source: r.n
+        for r in ok.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == {"a": 10, "b": 10}
+
+
+def test_chunk_dedup_keeper_survives_100k_token_documents(spark, tmp_path):
+    """The keeper packs (doc_id, start_token) as doc_id*2^32 + start: a
+    document with >=100k tokens must not let start_token overflow into
+    the doc_id ordering (the old decimal 1e5 shift did exactly that)."""
+    from oic_options_chains_spark.queries import QUERIES
+
+    big = " ".join(["x"] * 100_016)  # chunks at starts 0, 48, ..., 100000
+    small = " ".join(["x"] * 64)     # identical 64-token chunk text
+    spark.createDataFrame(
+        [(1, big, "src0"), (2, small, "src0")],
+        "doc_id long, text string, source string",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = QUERIES["q_chunk_dedup"](spark, str(tmp_path))
+    full = out.filter(F.col("copies") > 1).collect()
+    assert len(full) == 1  # every full 64-token chunk has identical text
+    keeper = full[0].keeper
+    # keeper must decode to the smallest (doc_id, start) pair: doc 1, start 0
+    assert (keeper // 4294967296, keeper % 4294967296) == (1, 0)

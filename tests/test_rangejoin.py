@@ -74,3 +74,22 @@ def test_day_granularity(spark):
     )
     got = interval_join(pts, "p", ivs, "s", "e", "bucket", granularity="day")
     assert [r.p for r in got.collect()] == [dt.date(2024, 1, 1)]
+
+
+def test_malformed_and_null_intervals_drop_identically(spark):
+    pts = spark.createDataFrame([(dt.date(2024, 1, 15),)], "p date")
+    ivs = spark.createDataFrame(
+        [
+            (1, dt.date(2024, 1, 1), dt.date(2024, 1, 31)),   # valid: matches
+            (2, dt.date(2024, 3, 1), dt.date(2024, 1, 1)),    # start > end
+            (3, None, dt.date(2024, 12, 31)),                 # NULL start
+            (4, dt.date(2024, 1, 1), None),                   # NULL end
+        ],
+        "iv int, s date, e date",
+    )
+    # bucket must not raise on the inverted interval (F.sequence with a
+    # positive step errors when start > stop) and both strategies agree
+    got_b = sorted(map(tuple, interval_join(pts, "p", ivs, "s", "e", "bucket").collect()))
+    got_n = sorted(map(tuple, interval_join(pts, "p", ivs, "s", "e", "broadcast").collect()))
+    assert got_b == got_n
+    assert [r[1] for r in got_b] == [1]

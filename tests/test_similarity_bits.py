@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from oic_options_chains_spark.operators.similarity import (
     DEFAULT_TARGET_BUCKET_ROWS,
@@ -80,3 +81,25 @@ def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
     }
     assert len(brute & multi) >= len(brute & ivf)
     assert len(brute & multi) >= len(brute) // 2
+
+
+def test_resolve_bits_counts_once_per_dataframe(spark, monkeypatch):
+    from oic_options_chains_spark.operators import similarity
+
+    df = spark.range(0, 5000).select(F.col("id").alias("vec_id"))
+    calls = {"n": 0}
+    cls = type(df)  # the concrete class (pyspark.sql.classic), not the ABC
+    real_count = cls.count
+
+    def counting(self):
+        calls["n"] += 1
+        return real_count(self)
+
+    monkeypatch.setattr(cls, "count", counting)
+    b1 = similarity._resolve_bits(df, None)
+    b2 = similarity._resolve_bits(df, None)
+    assert b1 == b2 == similarity.bits_for(5000)
+    assert calls["n"] == 1  # second resolve served from the per-DF cache
+    # an explicit bits argument never touches the data
+    assert similarity._resolve_bits(df, 7) == 7
+    assert calls["n"] == 1
