@@ -267,35 +267,34 @@ def doc_simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # 16x per word per row.
     tokc = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("__n"))
     hashed = tokc.select(F.col(id_col), F.col("__n"), F.md5(F.col("tok")).alias("__h"))
-    tb = hashed.select(
-        F.col(id_col),
-        F.col("__n"),
+    # The 64 vote aggregates and the 4 bit-packers are built as SQL
+    # expression STRINGS, not composed Column objects: each F.col/F.when
+    # node is a py4j round-trip, and at this width the Column form spends
+    # ~2s per plan just constructing the query in Python — more than the
+    # query takes to run at sf0.1. One parsed expr per output column
+    # keeps plan-build O(columns) instead of O(AST nodes).
+    tb = hashed.selectExpr(
+        id_col,
+        "__n",
         *[
-            F.conv(F.substring(F.col("__h"), 4 * j + 1, 4), 16, 10)
-            .cast("int")
-            .alias(f"__tb{j}")
+            f"CAST(conv(substring(__h, {4 * j + 1}, 4), 16, 10) AS INT) AS __tb{j}"
             for j in range(SIMHASH_WORDS)
         ],
     )
     votes = tb.groupBy(id_col).agg(
         *[
-            F.sum(
-                F.when(
-                    F.col(f"__tb{j}").bitwiseAND(F.lit(1 << b)) != 0, F.col("__n")
-                ).otherwise(-F.col("__n"))
-            ).alias(f"__v{j}_{b}")
+            F.expr(f"sum(IF((__tb{j} & {1 << b}) != 0, __n, -__n)) AS __v{j}_{b}")
             for j in range(SIMHASH_WORDS)
             for b in range(16)
         ]
     )
-    words = []
-    for j in range(SIMHASH_WORDS):
-        packed = None
-        for b in range(16):
-            term = F.when(F.col(f"__v{j}_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-            packed = term if packed is None else packed + term
-        words.append(packed.cast("int").alias(f"w{j}"))
-    return votes.select(F.col(id_col), *words)
+    word_exprs = [
+        " + ".join(f"IF(__v{j}_{b} > 0, {1 << b}, 0)" for b in range(16))
+        for j in range(SIMHASH_WORDS)
+    ]
+    return votes.selectExpr(
+        id_col, *[f"CAST({e} AS INT) AS w{j}" for j, e in enumerate(word_exprs)]
+    )
 
 
 def simhash16(text: Column) -> Column:
