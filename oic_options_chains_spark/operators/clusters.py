@@ -25,7 +25,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -103,4 +103,47 @@ def dedup_clusters(
         .withColumn(
             "is_keeper", (F.col(id_col) == F.col("cluster_id")).cast("int")
         )
+    )
+
+
+def keeper_by_quality(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """Quality-aware dedup close-out: (doc_id, cluster_id, keeper_id,
+    is_keeper), keeping the HIGHEST-``quality_col`` document per
+    near-duplicate cluster (min doc_id breaks ties) instead of the
+    smallest id.
+
+    This is the production nuance ``dedup_clusters`` skips: when a
+    cluster mixes a clean copy and a truncated/boilerplated copy, id
+    order keeps an arbitrary one — quality order keeps the right one.
+    One window max_by over the cluster (cluster partitions are duplicate-
+    group-sized, no skew), after the same label-propagation components.
+    """
+    cc = connected_components(pairs, id_a, id_b)
+    base = docs.select(F.col(id_col), F.col(quality_col))
+    clustered = (
+        base.join(cc, base[id_col] == cc["id"], "left")
+        .select(
+            base[id_col].alias(id_col),
+            F.coalesce(F.col("cluster_id"), base[id_col]).alias("cluster_id"),
+            F.col(quality_col),
+        )
+    )
+    w = Window.partitionBy("cluster_id")
+    # keeper = max quality, then min id: one min over an invertible
+    # (neg quality, id) struct — no row_number shuffle round-trip
+    keeper = F.min(
+        F.struct((-F.col(quality_col)).alias("q"), F.col(id_col).alias("i"))
+    ).over(w)["i"]
+    return clustered.select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        keeper.alias("keeper_id"),
+        (F.col(id_col) == keeper).cast("int").alias("is_keeper"),
     )

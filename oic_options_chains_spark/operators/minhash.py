@@ -502,3 +502,49 @@ def winnow_fingerprints(
         F.count(F.lit(1)).over(w_roll).alias("__n"),
     ).filter(F.col("__n") == w)
     return rolled.select(id_col, "fingerprint").distinct()
+
+
+def signature_agreement(
+    shingle_df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """Estimated Jaccard per candidate pair from MinHash signature
+    agreement: est = (matching seeds) / num_hashes, reported as
+    floor-scaled basis points alongside the raw match count.
+
+    The estimator-quality query every corpus dedup pipeline should ship:
+    E[matches/k] IS the true Jaccard, so comparing ``est_bp`` against the
+    exact shingle Jaccard (q_ngram_jaccard) measures how trustworthy the
+    sketch parameters are before committing a 100 TB run to them.
+
+    Plan shape: the wide signature table (one row per doc, k columns)
+    joins the pair list twice by doc id — broadcast-sized pair lists stay
+    map-side; the match count is a k-term integer sum, no explode.
+    Returns (doc_a, doc_b, sig_matches, est_bp).
+    """
+    wide = _wide_minhash(shingle_df, id_col, num_hashes)
+    a = wide.select(
+        F.col(id_col).alias("__ida"),
+        *[F.col(f"__h{i}").alias(f"__a{i}") for i in range(num_hashes)],
+    )
+    b = wide.select(
+        F.col(id_col).alias("__idb"),
+        *[F.col(f"__h{i}").alias(f"__b{i}") for i in range(num_hashes)],
+    )
+    matches = " + ".join(
+        f"IF(__a{i} = __b{i}, 1, 0)" for i in range(num_hashes)
+    )
+    return (
+        pairs.join(a, pairs[id_a] == a["__ida"])
+        .join(b, pairs[id_b] == b["__idb"])
+        .selectExpr(
+            f"{id_a}",
+            f"{id_b}",
+            f"CAST({matches} AS BIGINT) AS sig_matches",
+            f"CAST(FLOOR(CAST(10000 AS DOUBLE) * ({matches}) / {num_hashes}) AS BIGINT) AS est_bp",
+        )
+    )

@@ -355,3 +355,59 @@ def batch_topk_ivf(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    k: int = 4,
+    max_score_e6: int = 950_000,
+    bits: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic hard-negative mining for contrastive training: for
+    every anchor vector, the k most-similar OTHER vectors from its own
+    sign bucket whose cosine stays below ``max_score_e6`` (near-identical
+    vectors above the ceiling are presumed duplicates/positives, not
+    negatives).
+
+    Same candidate topology as ``near_dup_pairs`` — a self-equi-join on
+    the coarse sign bucket, so candidates are exactly the vectors hard
+    negatives should come from (similar region, different item) and the
+    shuffle is bucket-keyed, never O(n^2). Per-anchor selection is one
+    WindowGroupLimit (running top-k, score desc, candidate id as the
+    deterministic tie-break). Returns (id_col, neg_id, score_e6, slot)
+    with slot = 1..k.
+    """
+    bits = _resolve_bits(embeddings, bits)
+    b = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        norm(F.col(vec_col)).alias("__n"),
+        sign_bucket(F.col(vec_col), bits).alias("__b"),
+    )
+    a, c = b.alias("a"), b.alias("c")
+    cos = dot(F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}")) / (
+        F.col("a.__n") * F.col("c.__n")
+    )
+    scored = (
+        a.join(
+            c,
+            (F.col("a.__b") == F.col("c.__b"))
+            & (F.col(f"a.{id_col}") != F.col(f"c.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias(id_col),
+            F.col(f"c.{id_col}").alias("neg_id"),
+            F.floor(F.lit(1e6) * cos).cast("bigint").alias("score_e6"),
+        )
+        .filter(F.col("score_e6") < max_score_e6)
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_e6").desc(), F.col("neg_id").asc()
+    )
+    return (
+        scored.withColumn("slot", F.row_number().over(w))
+        .filter(F.col("slot") <= k)
+        .select(id_col, "neg_id", "score_e6", F.col("slot").cast("int").alias("slot"))
+    )

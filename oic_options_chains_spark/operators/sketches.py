@@ -1,4 +1,5 @@
-"""Distinct-count sketching: KMV (k minimum values).
+"""Distinct-count sketching: KMV (k minimum values) and a deterministic
+HyperLogLog.
 
 ``approx_count_distinct`` (HLL) is the built-in, but its estimate is
 implementation-defined — unusable where two engines (or two runs of a
@@ -6,7 +7,11 @@ changing implementation) must agree. KMV is the deterministic
 alternative: hash every distinct value to a uniform fraction, keep the k
 smallest; the k-th smallest fraction m estimates the distinct count as
 (k-1)/m. Everything is md5-derived, so ANY engine computes the
-bit-identical sketch and estimate.
+bit-identical sketch and estimate. ``hll_distinct_estimate`` is the
+register-based sketch in the same portable style: md5 buckets + integer
+rank-of-first-set-bit registers, with every floating step either exact
+(power-of-two scaling) or a shared literal (the log-based small-range
+table is precomputed once and embedded in both engines' plans).
 
 Determinism details that matter cross-engine:
 - The fraction is the first 13 md5 hex chars (52 bits) over 2^52 — the
@@ -67,4 +72,76 @@ def kmv_distinct_estimate(df: DataFrame, col: str, k: int = 64) -> DataFrame:
         .otherwise(F.floor(F.lit(float(k - 1)) / F.col("__m")))
         .cast("bigint")
         .alias("estimate"),
+    )
+
+
+def hll_linear_table(m: int) -> list[int]:
+    """Small-range correction lookup: floor(m * ln(m / V)) for V zero
+    registers, V = 1..m. Computed ONCE here with the driver's libm and
+    embedded as integer literals in both the Spark plan and the DuckDB
+    oracle — the log itself never runs inside either engine, so last-ulp
+    libm differences cannot desynchronize hashed outputs."""
+    import math
+
+    return [int(math.floor(m * math.log(m / v))) for v in range(1, m + 1)]
+
+
+def hll_registers(df: DataFrame, col: str, b: int = 8) -> DataFrame:
+    """(reg, rho) HyperLogLog registers, md5-derived and engine-portable.
+
+    Register index: the first b/4 md5 hex chars (b bits). Rank: position
+    of the first set bit in the next 52 bits (13 hex chars), computed as
+    integer/string ops only — ``53 - length(bin(v))``, with v = 0 mapping
+    to rho = 53. One groupBy over distinct hashes; map-side combine makes
+    the shuffle at most m * partitions rows at any corpus size.
+
+    Registers never observed are ABSENT (the estimator treats them as
+    rho = 0); b must be a multiple of 4 so the bucket is a whole hex
+    prefix."""
+    assert b % 4 == 0 and 4 <= b <= 16, "b must be 4, 8, 12, or 16"
+    hx = b // 4
+    h = df.select(F.md5(F.col(col).cast("string")).alias("__h")).distinct()
+    r = h.selectExpr(
+        f"CAST(conv(substring(__h, 1, {hx}), 16, 10) AS INT) AS reg",
+        f"CAST(conv(substring(__h, {hx + 1}, 13), 16, 10) AS BIGINT) AS __v",
+    )
+    return r.groupBy("reg").agg(
+        F.expr("MAX(IF(__v = 0, 53, 53 - length(bin(__v)))) AS rho")
+    )
+
+
+def hll_distinct_estimate(df: DataFrame, col: str, b: int = 8) -> DataFrame:
+    """One row: (m, n_zero_regs, sum_scaled, raw_est, estimate).
+
+    The harmonic mean runs in scaled integers — sum of 2^(53 - rho) with
+    absent registers contributing 2^53 — so the cross-partition summation
+    order cannot perturb a float. The only divisions are double ops in a
+    fixed order on both engines; the small-range branch (raw estimate
+    <= 2.5m with empty registers present, the standard HLL correction)
+    reads the precomputed ``hll_linear_table`` instead of evaluating a
+    log in-engine. Standard error ~1.04/sqrt(2^b)."""
+    m = 1 << b
+    alpha = 0.7213 / (1 + 1.079 / m) if b >= 7 else (0.697 if b == 6 else 0.673)
+    table = ", ".join(str(x) for x in hll_linear_table(m))
+    num = f"(CAST({alpha!r} AS DOUBLE) * CAST({m * m} AS DOUBLE) * CAST(9007199254740992 AS DOUBLE))"
+    s = hll_registers(df, col, b).agg(
+        F.expr("COUNT(*) AS __n_regs"),
+        # COALESCE so an EMPTY input yields sum_scaled = m * 2^53 and a
+        # raw estimate that the all-zero-registers branch maps to ~0
+        F.expr(
+            "COALESCE(SUM(shiftleft(CAST(1 AS BIGINT), 53 - rho)), CAST(0 AS BIGINT)) AS __t_seen"
+        ),
+    )
+    return s.selectExpr(
+        f"CAST({m} AS BIGINT) AS m",
+        f"CAST({m} - __n_regs AS BIGINT) AS n_zero_regs",
+        f"__t_seen + shiftleft(CAST(1 AS BIGINT), 53) * ({m} - __n_regs) AS sum_scaled",
+        f"CAST(FLOOR({num} / CAST(__t_seen + shiftleft(CAST(1 AS BIGINT), 53) * ({m} - __n_regs) AS DOUBLE)) AS BIGINT) AS raw_est",
+    ).selectExpr(
+        "m",
+        "n_zero_regs",
+        "sum_scaled",
+        "raw_est",
+        f"CAST(IF(raw_est <= {(5 * m) // 2} AND n_zero_regs > 0, "
+        f"element_at(array({table}), CAST(n_zero_regs AS INT)), raw_est) AS BIGINT) AS estimate",
     )

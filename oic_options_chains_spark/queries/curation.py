@@ -1,0 +1,371 @@
+"""Dataset-curation t2 queries (round 3): distinct-count sketching,
+hard-negative mining, quality-aware dedup close-out, sketch-quality
+measurement, source-priority dedup, vocabulary/OOV prep, and dataset
+manifests — the governance and QA layer over the corpus operators.
+
+Same cross-engine rules as the rest of queries/: md5 for all hashing,
+integer or exact-power-of-two math in every hashed output, no log/ln
+inside either engine (the HLL small-range table is precomputed into both
+plans), no DecimalType in any final schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from oic_options_chains_spark.operators.minhash import (
+    doc_shingles,
+    lsh_candidate_pairs,
+    minhash_band_keys,
+    signature_agreement,
+)
+from oic_options_chains_spark.operators.sketches import (
+    hll_distinct_estimate,
+    hll_linear_table,
+)
+from oic_options_chains_spark.queries.extensions import _SIG_SQL
+from oic_options_chains_spark.queries.registry import register
+from oic_options_chains_spark.sources.registry import load_table
+
+_HLL_ALPHA_256 = 0.7213 / (1 + 1.079 / 256)
+_HLL_NUM_256 = (
+    f"(CAST({_HLL_ALPHA_256!r} AS DOUBLE) * CAST(65536 AS DOUBLE)"
+    " * CAST(9007199254740992 AS DOUBLE))"
+)
+_HLL_TABLE_256 = ", ".join(str(x) for x in hll_linear_table(256))
+
+# The recursive-CTE component fixpoint over LSH candidate pairs, shared
+# by the cluster queries here (same construction as q_dedup_clusters).
+_CC_SQL = (
+    "WITH RECURSIVE "
+    + _SIG_SQL.removeprefix("WITH ")
+    + """,
+    bands AS (
+      SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+             string_agg(minhash, ',' ORDER BY seed) AS band_key
+      FROM sig GROUP BY doc_id, seed // 4),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+    cc AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+           FROM reach GROUP BY src)
+"""
+)
+
+
+@register(
+    "q_hll_distinct",
+    oracle=f"""
+    WITH h AS (SELECT md5(CAST(user_id AS VARCHAR)) AS h
+               FROM events GROUP BY 1),
+    r AS (SELECT CAST(concat('0x', substring(h, 1, 2)) AS INT) AS reg,
+                 CAST(concat('0x', substring(h, 3, 13)) AS BIGINT) AS v
+          FROM h),
+    m AS (SELECT reg, MAX(IF(v = 0, 53, 53 - length(bin(v)))) AS rho
+          FROM r GROUP BY reg),
+    s AS (SELECT COUNT(*) AS n_regs,
+                 COALESCE(SUM((CAST(1 AS BIGINT) << (53 - rho))),
+                          CAST(0 AS BIGINT)) AS t
+          FROM m),
+    e AS (SELECT CAST(256 AS BIGINT) AS m,
+                 CAST(256 - n_regs AS BIGINT) AS n_zero_regs,
+                 t + (CAST(1 AS BIGINT) << 53) * (256 - n_regs) AS sum_scaled,
+                 CAST(FLOOR({_HLL_NUM_256}
+                      / CAST(t + (CAST(1 AS BIGINT) << 53) * (256 - n_regs)
+                             AS DOUBLE)) AS BIGINT) AS raw_est
+          FROM s)
+    SELECT m, n_zero_regs, sum_scaled, raw_est,
+           CAST(IF(raw_est <= 640 AND n_zero_regs > 0,
+                   ([{_HLL_TABLE_256}])[CAST(n_zero_regs AS INT)],
+                   raw_est) AS BIGINT) AS estimate
+    FROM e
+    """,
+)
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog (b=8) over the event-stream user ids:
+    md5 registers, integer rank math, scaled-integer harmonic sum, and a
+    precomputed small-range table — bit-identical on any engine, unlike
+    ``approx_count_distinct``."""
+    e = load_table(spark, sf_dir, "events")
+    return hll_distinct_estimate(e, "user_id", b=8)
+
+
+@register(
+    "q_hard_negatives",
+    oracle="""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] > 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[2] > 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[3] > 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[4] > 0 THEN '1' ELSE '0' END) AS bucket,
+             sqrt(list_reduce(list_transform(embedding,
+                                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                              (acc, x) -> acc + x)) AS nrm
+      FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS vec_id, c.vec_id AS neg_id,
+             CAST(FLOOR(1e6 *
+               list_reduce(list_transform(list_zip(a.embedding, c.embedding),
+                                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                           (acc, x) -> acc + x) / (a.nrm * c.nrm))
+               AS BIGINT) AS score_e6
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+    f AS (SELECT * FROM p WHERE score_e6 < 950000),
+    r AS (SELECT vec_id, neg_id, score_e6,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY score_e6 DESC, neg_id ASC) AS slot
+          FROM f)
+    SELECT vec_id, neg_id, score_e6, CAST(slot AS INT) AS slot
+    FROM r WHERE slot <= 4
+    """,
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard negatives: per anchor, the 4 most
+    similar same-sign-bucket vectors under a 0.95-cosine duplicate
+    ceiling. Bucket-keyed self-join + WindowGroupLimit — the near-dup
+    candidate topology reused for mining, never O(n^2)."""
+    from oic_options_chains_spark.operators.similarity import hard_negatives
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return hard_negatives(e, k=4, max_score_e6=950_000, bits=4)
+
+
+@register(
+    "q_cluster_keeper",
+    oracle=_CC_SQL
+    + """,
+    q AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tok
+          FROM documents),
+    cl AS (SELECT d.doc_id,
+                  COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+                  q.n_tok
+           FROM documents d
+           JOIN q ON q.doc_id = d.doc_id
+           LEFT JOIN cc ON d.doc_id = cc.doc_id),
+    k AS (SELECT doc_id, cluster_id,
+                 FIRST_VALUE(doc_id) OVER (PARTITION BY cluster_id
+                                           ORDER BY n_tok DESC, doc_id ASC)
+                   AS keeper_id
+          FROM cl)
+    SELECT doc_id, cluster_id, keeper_id,
+           CAST(CASE WHEN doc_id = keeper_id THEN 1 ELSE 0 END AS INT)
+             AS is_keeper
+    FROM k
+    """,
+)
+def q_cluster_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup close-out: LSH pairs -> connected components
+    -> keep the LONGEST document per cluster (token count, id
+    tie-break) instead of the smallest id — the production keeper rule
+    that preserves the clean copy over the truncated one."""
+    from oic_options_chains_spark.operators.clusters import keeper_by_quality
+    from oic_options_chains_spark.operators.text import token_count_ws
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(
+        minhash_band_keys(doc_shingles(d, "doc_id", "text", distinct=False), "doc_id"),
+        "doc_id",
+    )
+    scored = d.select(
+        "doc_id", token_count_ws(F.col("text")).alias("n_tok")
+    )
+    return keeper_by_quality(scored, pairs, quality_col="n_tok")
+
+
+@register(
+    "q_minhash_estimate",
+    oracle=_SIG_SQL
+    + """,
+    bands AS (
+      SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+             string_agg(minhash, ',' ORDER BY seed) AS band_key
+      FROM sig GROUP BY doc_id, seed // 4),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id)
+    SELECT p.doc_a, p.doc_b,
+           CAST(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
+                AS BIGINT) AS sig_matches,
+           CAST(FLOOR(CAST(10000 AS DOUBLE)
+                * SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
+                / 8) AS BIGINT) AS est_bp
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.doc_a
+    JOIN sig sb ON sb.doc_id = p.doc_b AND sb.seed = sa.seed
+    GROUP BY p.doc_a, p.doc_b
+    """,
+)
+def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality measurement: MinHash-estimated Jaccard (signature
+    agreement / 8) for every LSH candidate pair — compare against
+    q_ngram_jaccard to validate sketch parameters before a full-corpus
+    run commits to them."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(d, "doc_id", "text", distinct=False)
+    pairs = lsh_candidate_pairs(minhash_band_keys(sh, "doc_id"), "doc_id")
+    return signature_agreement(sh, pairs, "doc_id", num_hashes=8)
+
+
+@register(
+    "q_priority_dedup",
+    oracle=r"""
+    WITH f AS (SELECT doc_id, source,
+                      md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
+                        AS fingerprint,
+                      CASE WHEN source = 'src0' THEN 0
+                           WHEN source = 'src2' THEN 1
+                           ELSE 2 END AS priority
+               FROM documents),
+    k AS (SELECT doc_id, fingerprint,
+                 FIRST_VALUE(doc_id) OVER (PARTITION BY fingerprint
+                                           ORDER BY priority ASC, doc_id ASC)
+                   AS keeper_id
+          FROM f)
+    SELECT doc_id, keeper_id,
+           CAST(CASE WHEN doc_id = keeper_id THEN 1 ELSE 0 END AS INT) AS kept
+    FROM k
+    """,
+)
+def q_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-priority exact dedup: within an identical-content group,
+    keep the copy from the most-trusted source (src0 > src2 > rest),
+    doc_id as the tie-break — the cross-source rule real corpus merges
+    need (curated copy wins over crawled copy)."""
+    from oic_options_chains_spark.operators.text import fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    pri = (
+        F.when(F.col("source") == "src0", 0)
+        .when(F.col("source") == "src2", 1)
+        .otherwise(2)
+    )
+    scored = d.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fingerprint"),
+        pri.alias("__p"),
+    )
+    w = Window.partitionBy("fingerprint")
+    keeper = F.min(F.struct(F.col("__p"), F.col("doc_id").alias("i"))).over(w)["i"]
+    return scored.select(
+        "doc_id",
+        keeper.alias("keeper_id"),
+        (F.col("doc_id") == keeper).cast("int").alias("kept"),
+    )
+
+
+@register(
+    "q_token_vocab",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+                 FROM documents),
+    c AS (SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+          FROM tok GROUP BY token HAVING COUNT(*) >= 5)
+    SELECT token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           CAST(row_number() OVER (ORDER BY tf DESC, token ASC) AS BIGINT)
+             AS vocab_id
+    FROM c
+    """,
+)
+def q_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep vocabulary: corpus term/document frequencies with
+    frequency-ranked ids (tf >= 5). The rank sort runs over the bounded
+    vocabulary, never the corpus."""
+    from oic_options_chains_spark.operators.vocab import token_vocab
+
+    d = load_table(spark, sf_dir, "documents")
+    return token_vocab(d, min_tf=5)
+
+
+@register(
+    "q_oov_rate",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+                 FROM documents),
+    c AS (SELECT token FROM tok GROUP BY token HAVING COUNT(*) >= 5)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN c.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(FLOOR(CAST(10000 AS DOUBLE)
+                * SUM(CASE WHEN c.token IS NULL THEN 1 ELSE 0 END)
+                / COUNT(*)) AS BIGINT) AS oov_bp
+    FROM tok t LEFT JOIN c ON t.token = c.token
+    GROUP BY t.doc_id
+    """,
+)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus vocabulary
+    — the post-hoc gate that catches mis-languaged or binary-garbage
+    documents the earlier quality filters passed. Vocab broadcasts; the
+    corpus never reshuffles."""
+    from oic_options_chains_spark.operators.vocab import oov_stats, token_vocab
+
+    d = load_table(spark, sf_dir, "documents")
+    return oov_stats(d, token_vocab(d, min_tf=5))
+
+
+@register(
+    "q_dataset_manifest",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, source, n_chars,
+             len(string_split(lower(text), ' ')) AS n_tok,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                  AS INT) % 100 AS b,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS idh
+      FROM documents),
+    t AS (SELECT doc_id, source, n_chars, n_tok, idh,
+                 CASE WHEN b < 90 THEN 'train'
+                      WHEN b < 95 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM s)
+    SELECT source, split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(idh) AS BIGINT) AS id_checksum,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM t GROUP BY source, split
+    """,
+)
+def q_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card manifest per (source, split): row/token/char totals
+    plus an order-insensitive integer id checksum — the audit artifact a
+    training-data release ships so any engine can re-derive and verify
+    membership without comparing raw rows. One corpus aggregation."""
+    from oic_options_chains_spark.operators.sampling import split_assign
+    from oic_options_chains_spark.operators.text import token_count_ws
+
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        token_count_ws(F.col("text")).alias("n_tok"),
+        split_assign(F.col("doc_id")).alias("split"),
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("idh"),
+    )
+    return s.groupBy("source", "split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("sum_tokens"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.sum("idh").cast("bigint").alias("id_checksum"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        F.max("doc_id").cast("bigint").alias("max_doc_id"),
+    )
