@@ -45,6 +45,10 @@ HEADLINE = (
     "q_bm25",
     "q_pack_sequences",
     "q_corpus_build",
+    # round-3 curation additions
+    "q_hll_distinct",
+    "q_hard_negatives",
+    "q_dataset_manifest",
 )
 
 # single-JVM local bench has ~±20-30% run-to-run noise (ambient load

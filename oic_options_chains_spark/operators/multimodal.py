@@ -216,3 +216,55 @@ def sample_frames(df: DataFrame, frame_bytes: int = 256, every_n: int = 2) -> Da
             yield pd.DataFrame(rows, columns=FRAME_SAMPLES.fieldNames())
 
     return df.select("media_id", "content").mapInPandas(run, FRAME_SAMPLES)
+
+
+# magic-byte prefixes (hex, uppercase) -> canonical format label
+MAGIC_PREFIXES: tuple[tuple[str, str], ...] = (
+    ("89504E470D0A1A0A", "png"),
+    ("FFD8FF", "jpeg"),
+    ("47494638", "gif"),
+    ("52494646", "riff"),  # wav/avi/webp container; see wav_sample_rate
+    ("494433", "mp3"),
+    ("255044462D", "pdf"),
+)
+
+
+def sniff_format(content: Column) -> Column:
+    """Container-format detection from magic bytes — pure JVM column ops
+    (hex + prefix match), no Python, no decode. The at-scale use: route
+    blobs to the right codec kernel, or quarantine mislabeled media,
+    WITHOUT reading past the first 8 bytes of anything."""
+    head = F.hex(F.substring(content, 1, 8))
+    expr = None
+    for prefix, label in MAGIC_PREFIXES:
+        cond = head.startswith(prefix)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    return expr.otherwise(F.lit("unknown"))
+
+
+def png_dimensions(content: Column) -> dict[str, Column]:
+    """Width/height from a PNG IHDR chunk (bytes 17-20 / 21-24,
+    big-endian) — header metadata with zero decode. NULL for non-PNG
+    blobs, so the projection is safe over a mixed-format column."""
+    is_png = F.hex(F.substring(content, 1, 8)) == "89504E470D0A1A0A"
+    be = lambda pos: (  # noqa: E731
+        F.conv(F.hex(F.substring(content, pos, 4)), 16, 10).cast("int")
+    )
+    return {
+        "width": F.when(is_png, be(17)),
+        "height": F.when(is_png, be(21)),
+    }
+
+
+def wav_sample_rate(content: Column) -> Column:
+    """Sample rate from a RIFF/WAVE fmt chunk (bytes 25-28,
+    LITTLE-endian, assembled byte-wise — there is no little-endian conv).
+    NULL unless the RIFF + WAVE magics both match."""
+    is_wav = (F.hex(F.substring(content, 1, 4)) == "52494646") & (
+        F.hex(F.substring(content, 9, 4)) == "57415645"
+    )
+    byte = lambda pos: (  # noqa: E731
+        F.conv(F.hex(F.substring(content, pos, 1)), 16, 10).cast("bigint")
+    )
+    rate = byte(25) + byte(26) * 256 + byte(27) * 65536 + byte(28) * 16777216
+    return F.when(is_wav, rate.cast("int"))

@@ -369,3 +369,76 @@ def q_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("min_doc_id"),
         F.max("doc_id").cast("bigint").alias("max_doc_id"),
     )
+
+
+@register(
+    "q_media_headers",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             CASE
+               WHEN doc_id % 3 = 0 THEN
+                 (unhex('89504E470D0A1A0A0000000D49484452') ||
+                  unhex(lpad(hex(16 + doc_id % 1024), 8, '0')) ||
+                  unhex(lpad(hex(16 + (doc_id * 7) % 1024), 8, '0')) ||
+                  unhex('08060000') || encode(text))
+               WHEN doc_id % 3 = 1 THEN (unhex('FFD8FFE0') || encode(text))
+               ELSE encode(text)
+             END AS content
+      FROM documents),
+    h AS (SELECT doc_id, hex(content) AS hx FROM b),
+    p AS (SELECT doc_id, hx,
+                 CASE
+                   WHEN starts_with(hx, '89504E470D0A1A0A') THEN 'png'
+                   WHEN starts_with(hx, 'FFD8FF') THEN 'jpeg'
+                   WHEN starts_with(hx, '47494638') THEN 'gif'
+                   WHEN starts_with(hx, '52494646') THEN 'riff'
+                   WHEN starts_with(hx, '494433') THEN 'mp3'
+                   WHEN starts_with(hx, '255044462D') THEN 'pdf'
+                   ELSE 'unknown'
+                 END AS format
+          FROM h)
+    SELECT doc_id, format,
+           CASE WHEN format = 'png'
+                THEN CAST(concat('0x', substring(hx, 33, 8)) AS INT) END AS width,
+           CASE WHEN format = 'png'
+                THEN CAST(concat('0x', substring(hx, 41, 8)) AS INT) END AS height,
+           CAST(length(hx) // 2 AS BIGINT) AS n_bytes
+    FROM p
+    """,
+)
+def q_media_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-free media metadata: magic-byte format sniffing plus PNG
+    IHDR dimension parsing as pure JVM binary/hex expressions — the
+    route-and-quarantine step a 100 TB media pipeline runs before any
+    decoder touches a blob. Blobs are synthesized here (a valid PNG
+    header, a JPEG magic, or raw text by doc_id ring) since the test
+    tables carry no real media; the parsers are the production ones."""
+    from oic_options_chains_spark.operators.multimodal import (
+        png_dimensions,
+        sniff_format,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    png = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A0000000D49484452")),
+        F.unhex(F.lpad(F.hex(16 + F.col("doc_id") % 1024), 8, "0")),
+        F.unhex(F.lpad(F.hex(16 + (F.col("doc_id") * 7) % 1024), 8, "0")),
+        F.unhex(F.lit("08060000")),
+        F.encode(F.col("text"), "UTF-8"),
+    )
+    jpeg = F.concat(F.unhex(F.lit("FFD8FFE0")), F.encode(F.col("text"), "UTF-8"))
+    blob = (
+        F.when(F.col("doc_id") % 3 == 0, png)
+        .when(F.col("doc_id") % 3 == 1, jpeg)
+        .otherwise(F.encode(F.col("text"), "UTF-8"))
+    )
+    b = d.select(F.col("doc_id"), blob.alias("content"))
+    dims = png_dimensions(F.col("content"))
+    return b.select(
+        "doc_id",
+        sniff_format(F.col("content")).alias("format"),
+        dims["width"].alias("width"),
+        dims["height"].alias("height"),
+        F.octet_length(F.col("content")).cast("bigint").alias("n_bytes"),
+    )

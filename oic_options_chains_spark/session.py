@@ -41,6 +41,13 @@ def cluster_conf(
     - broadcast threshold 64 MB: dimension tables (universe, calendars,
       quota/vocab tables here) are well under it; 64 MB x concurrent
       joins stays far from executor memory.
+    - runtime bloom filters: when one side of a shuffle join carries a
+      selective filter, the optimizer builds a bloom filter from it and
+      pushes membership onto the other side's SCAN — at 100 TB that
+      turns "shuffle everything, drop most of it" into "drop most of it
+      at the scan". Creation threshold raised to cover fact-sized build
+      sides (the default 10 MB only covers dimensions);
+      ``tests/test_plans.py`` locks the injection.
     - Kryo + zstd shuffle: CPU-cheap wins that matter at petabyte
       shuffle volume, no semantic effect.
     """
@@ -54,6 +61,8 @@ def cluster_conf(
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
         "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
         "spark.io.compression.codec": "zstd",
         "spark.sql.parquet.compression.codec": "zstd",

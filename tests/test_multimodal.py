@@ -64,3 +64,56 @@ def test_sample_frames_flatmap(media):
     # frame digests match a direct recomputation (plumbing is faithful)
     r = frames.filter((F.col("media_id") == 1) & (F.col("frame_idx") == 0)).collect()[0]
     assert r.frame_digest == hashlib.md5((bytes([1]) * 301)[:100]).hexdigest()
+
+
+def test_sniff_format_on_genuine_magic_bytes(spark):
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from oic_options_chains_spark.operators.multimodal import (
+        png_dimensions,
+        sniff_format,
+        wav_sample_rate,
+    )
+
+    # a genuine minimal PNG header (IHDR 640x480) and WAV header (44100 Hz)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + b"\x00\x00\x00\x0dIHDR"
+        + struct.pack(">II", 640, 480)
+        + b"\x08\x06\x00\x00"
+    )
+    wav = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<IHH", 16, 1, 1)
+        + struct.pack("<I", 44100)
+    )
+    rows = [
+        (1, bytearray(png)),
+        (2, bytearray(b"\xff\xd8\xff\xe0 jpeg payload")),
+        (3, bytearray(b"GIF89a...")),
+        (4, bytearray(wav)),
+        (5, bytearray(b"ID3\x04 mp3 payload")),
+        (6, bytearray(b"%PDF-1.7 ...")),
+        (7, bytearray(b"plain text, no magic")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    dims = png_dimensions(F.col("content"))
+    got = {
+        r.media_id: r
+        for r in df.select(
+            "media_id",
+            sniff_format(F.col("content")).alias("fmt"),
+            dims["width"].alias("w"),
+            dims["height"].alias("h"),
+            wav_sample_rate(F.col("content")).alias("sr"),
+        ).collect()
+    }
+    assert [got[i].fmt for i in range(1, 8)] == [
+        "png", "jpeg", "gif", "riff", "mp3", "pdf", "unknown"
+    ]
+    assert (got[1].w, got[1].h) == (640, 480)
+    assert got[4].sr == 44100
+    # non-matching kinds stay NULL, never garbage
+    assert got[2].w is None and got[1].sr is None and got[7].w is None

@@ -134,3 +134,44 @@ def test_python_stays_out_of_relational_queries(plans):
     # every t2 query is JVM-only: no Python UDF evaluation nodes
     for name, plan in plans.items():
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark, sf_dir):
+    """cluster_conf enables runtime bloom filters: a selective filter on
+    one side of a shuffle join must push a bloom membership test onto
+    the other side's scan (the 100 TB 'drop it at the scan' property)."""
+    from pyspark.sql import functions as F
+
+    keep = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": None,
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": None,
+        "spark.sql.autoBroadcastJoinThreshold": None,
+    }
+    for k in keep:
+        try:
+            keep[k] = spark.conf.get(k)
+        except Exception:
+            keep[k] = None
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # local testdata is far below the real-scan thresholds; zero it so
+        # the injection logic (not the sizing heuristic) is what's tested
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        # force a shuffle join: broadcast joins get no runtime filter
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderstatus") == "F"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan
+    finally:
+        for k, v in keep.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
