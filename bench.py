@@ -49,6 +49,8 @@ HEADLINE = (
     "q_hll_distinct",
     "q_hard_negatives",
     "q_dataset_manifest",
+    "q_kmeans",
+    "q_ann_ivf_kmeans",
 )
 
 # single-JVM local bench has ~±20-30% run-to-run noise (ambient load

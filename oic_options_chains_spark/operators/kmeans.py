@@ -1,0 +1,202 @@
+"""Distributed Lloyd k-means over an embedding column, plus the IVF
+coarse-quantizer retrieval built on it.
+
+The reference engine has no clustering operator; this extends the
+training-data surface (SURVEY.md extensions): k-means is the standard
+coarse quantizer for IVF approximate-nearest-neighbor (FAISS-style) and
+the standard domain-discovery step over document embeddings.
+
+Cross-engine exactness design (the whole point of this layout):
+
+- Embeddings are quantized once: ``q = floor(x * 4096)`` per element.
+  4096 is a power of two, so the multiply is exact in IEEE double and
+  the floor is engine-independent.
+- All cross-row state is INTEGER: centroids are kept as per-dimension
+  quantized sums ``sarr`` plus a member count ``n`` (the true centroid
+  is the rational sarr/n, never materialized as a float). Integer sums
+  are order-independent, so the result cannot drift with partitioning,
+  speculative re-execution, or AQE re-planning — and matches a DuckDB
+  oracle bit-for-bit.
+- Distance uses the expansion  ||x - s/n||^2 = a - 2*b/n + ss/n^2  with
+  a = sum(q^2), b = sum(q*s), ss = sum(s^2) all integers, evaluated in
+  ONE fixed-shape double expression (see ``_dist``). IEEE +,-,*,/ with
+  identical operand order gives identical doubles on every engine, so
+  argmin assignments agree everywhere. Ties break to the lowest cid.
+
+Shuffle budget per Lloyd iteration (the 100 TB shape):
+
+- Assignment is a PURE PROJECTION: the k centroids are collapsed into a
+  single-row array and broadcast, and the argmin is a per-row
+  ``aggregate`` fold over that array — zero shuffle, stays in codegen.
+- The update is one ``posexplode`` + ``groupBy(cid, pos)`` — n*dim rows
+  partially aggregated map-side down to k*dim per task, so the exchange
+  carries ~k*dim*tasks rows, not data-sized.
+
+Scale caveat: ``ss = sum_pos(s_p^2)`` overflows int64 when a cluster's
+per-dimension quantized sum exceeds ~3e9 (≈ 750k members at |x| <= 1 and
+QUANT=4096). Past that, compute ``ss`` in decimal(38,0) (still exact and
+order-independent) and cast to double only inside ``_dist``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT = 4096  # power of two: float * QUANT is exact in IEEE double
+
+
+def quantize(embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, qarr) with qarr[i] = floor(embedding[i] * 4096) as bigint."""
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(vec_col, lambda x: F.floor(x.cast("double") * QUANT)).alias("qarr"),
+    )
+
+
+def _fold_sum_long(arr: Column) -> Column:
+    return F.aggregate(arr, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+
+
+def _dist(a: Column, b: Column, n: Column, ss: Column) -> Column:
+    """||x - s/n||^2 from integer moments. KEEP THE SHAPE IN SYNC with the
+    oracle SQL in queries/clustering.py: a - 2.0*b/n + ss/(n*n), all
+    operands cast to double first, left-to-right evaluation."""
+    nd = n.cast("double")
+    return a.cast("double") - F.lit(2.0) * b.cast("double") / nd + ss.cast("double") / (nd * nd)
+
+
+def _centroid_state(assigned: DataFrame) -> DataFrame:
+    """(cid, sarr, n, ss) from (vec_id, qarr, cid) member rows.
+
+    One narrow exchange: posexplode to (cid, pos, q), groupBy(cid, pos)
+    with map-side partial sums, then re-assemble per-cid arrays.
+    """
+    long = assigned.select("cid", F.posexplode("qarr").alias("pos", "q"))
+    sums = long.groupBy("cid", "pos").agg(F.sum("q").alias("s"))
+    arrays = sums.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda e: e["s"]
+        ).alias("sarr"),
+        F.sum(F.col("s") * F.col("s")).alias("ss"),
+    )
+    counts = assigned.groupBy("cid").agg(F.count("*").alias("n"))
+    return arrays.join(counts, "cid")
+
+
+def assign_clusters(qv: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, qarr, cid): argmin-distance assignment as a pure projection.
+
+    The k centroids are collapsed to ONE row holding a cid-sorted array
+    of (cid, sarr, n, ss) structs, broadcast, and folded per input row —
+    no shuffle, no window. Strict ``<`` over the cid-ascending array
+    breaks distance ties toward the lowest cid (mirrors the oracle's
+    ``ORDER BY d, cid``).
+    """
+    packed = centroids.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "sarr", "n", "ss"))).alias("cents")
+    )
+    a = _fold_sum_long(F.zip_with("qarr", "qarr", lambda x, y: x * y))
+    with_a = qv.withColumn("a", a).crossJoin(F.broadcast(packed))
+
+    def step(acc: Column, c: Column) -> Column:
+        b = _fold_sum_long(F.zip_with(F.col("qarr"), c["sarr"], lambda x, y: x * y))
+        d = _dist(F.col("a"), b, c["n"], c["ss"])
+        better = d < acc["d"]
+        return F.struct(
+            F.when(better, d).otherwise(acc["d"]).alias("d"),
+            F.when(better, c["cid"]).otherwise(acc["cid"]).alias("cid"),
+        )
+
+    init = F.struct(
+        F.lit(float("inf")).alias("d"), F.lit(-1).cast("bigint").alias("cid")
+    )
+    best = F.aggregate(F.col("cents"), init, step)
+    return with_a.select("vec_id", "qarr", best["cid"].alias("cid"))
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Run ``iters`` Lloyd iterations; return (assignments, centroids).
+
+    assignments: (vec_id, qarr, cid); centroids: (cid, sarr, n, ss).
+    Init is deterministic: the k rows with the lowest ids seed singleton
+    clusters (cid = seed vec_id). A cluster that loses all members drops
+    out (standard Lloyd degeneracy — inner joins on both engines agree).
+
+    The loop builds one lazy plan; centroid subtrees are k rows, so plan
+    growth is the only cost of staying fully declarative. For deep
+    iteration counts persist the (tiny) centroid state per round.
+    """
+    qv = quantize(embeddings, id_col, vec_col)
+    seeds = qv.filter(F.col("vec_id") < k)
+    # each centroid state is k rows but is referenced by every later
+    # iteration (and by both consumers of the fit) — cache it so the
+    # lineage is evaluated once, not once per reference; the footprint
+    # is k * dim longs regardless of corpus size
+    centroids = _centroid_state(
+        seeds.select("vec_id", "qarr", F.col("vec_id").alias("cid"))
+    ).cache()
+    assigned = None
+    for _ in range(iters):
+        assigned = assign_clusters(qv, centroids)
+        centroids = _centroid_state(assigned).cache()
+    return assigned, centroids
+
+
+def ivf_kmeans_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 8,
+    iters: int = 2,
+    n_probe: int = 2,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF retrieval with a k-means coarse quantizer: probe the query's
+    ``n_probe`` nearest cells, exact-rank only their members.
+
+    (vec_id, dist, rank): dist is the EXACT integer squared distance in
+    quantized space — sum((qx-qy)^2) — so the output is hash-stable with
+    no float in the final schema. At scale the win is the probe
+    semi-join: only n_probe/k of the corpus is scanned for ranking, and
+    both the probe list and the query vector are broadcast.
+    """
+    assigned, centroids = kmeans_fit(embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+
+    # the query row needs only its quantized vector — read it off the
+    # scan, not off the full fit lineage
+    qrow = (
+        quantize(embeddings, id_col, vec_col)
+        .filter(F.col("vec_id") == query_id)
+        .select(F.col("qarr").alias("q_qarr"))
+    )
+    a_q = _fold_sum_long(F.zip_with("q_qarr", "q_qarr", lambda x, y: x * y))
+    scored_cells = centroids.crossJoin(F.broadcast(qrow.withColumn("qa", a_q)))
+    b = _fold_sum_long(F.zip_with(F.col("q_qarr"), F.col("sarr"), lambda x, y: x * y))
+    d = _dist(F.col("qa"), b, F.col("n"), F.col("ss"))
+    probe = (
+        scored_cells.select("cid", d.alias("d"))
+        .withColumn("rn", F.row_number().over(Window.orderBy("d", "cid")))
+        .filter(F.col("rn") <= n_probe)
+        .select("cid")
+    )
+
+    cand = (
+        assigned.join(F.broadcast(probe), "cid", "semi")
+        .filter(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(qrow))
+    )
+    dist = _fold_sum_long(
+        F.zip_with(F.col("qarr"), F.col("q_qarr"), lambda x, y: (x - y) * (x - y))
+    )
+    ranked = cand.select("vec_id", dist.alias("dist")).withColumn(
+        "rank", F.row_number().over(Window.orderBy("dist", "vec_id")).cast("int")
+    )
+    return ranked.filter(F.col("rank") <= topk)

@@ -10,6 +10,7 @@ sides so the driver's order-insensitive value hash compares exactly
 from oic_options_chains_spark.queries.registry import ORACLE, QUERIES, register
 
 # Import for registration side effects.
+from oic_options_chains_spark.queries import clustering as _clustering  # noqa: E402,F401
 from oic_options_chains_spark.queries import core as _core  # noqa: E402,F401
 from oic_options_chains_spark.queries import corpus as _corpus  # noqa: E402,F401
 from oic_options_chains_spark.queries import curation as _curation  # noqa: E402,F401

@@ -1,0 +1,123 @@
+"""Clustering t2 queries: exact-integer Lloyd k-means and the IVF
+retrieval built on its cells (the FAISS-style coarse-quantizer path).
+
+The DuckDB oracle unrolls the Lloyd iterations as CTE blocks over the
+LONG form (vec_id, pos, q); the Spark side runs the wide array form in
+``operators/kmeans.py``. Both keep every cross-row aggregate integer and
+share one fixed-shape double distance expression, so assignments — and
+therefore every output value — match bit-for-bit (see the module
+docstring in operators/kmeans.py for the exactness argument).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oic_options_chains_spark.operators.kmeans import ivf_kmeans_topk, kmeans_fit
+from oic_options_chains_spark.queries.registry import register
+from oic_options_chains_spark.sources.registry import load_table
+
+_K = 8
+_ITERS = 2
+
+# d must match operators/kmeans._dist exactly: a - 2.0*b/n + ss/(n*n),
+# every operand cast to double, left-to-right.
+_D_SQL = (
+    "CAST(a.a AS DOUBLE) - 2.0 * CAST(b{i}.b AS DOUBLE) / CAST(m.n AS DOUBLE)"
+    " + CAST(m.ss AS DOUBLE) / (CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE))"
+)
+
+
+def _kmeans_cte(k: int = _K, iters: int = _ITERS) -> str:
+    """WITH-clause prefix computing a{iters} (assignments) and
+    c{iters}/m{iters} (final centroid sums and moments)."""
+    parts = [
+        f"""qv AS (
+      SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 4096) AS BIGINT) AS q
+      FROM embeddings),
+    av AS (SELECT vec_id, SUM(q*q) AS a FROM qv GROUP BY vec_id),
+    c0 AS (SELECT vec_id AS cid, pos, q AS s FROM qv WHERE vec_id < {k}),
+    m0 AS (SELECT cid, CAST(1 AS BIGINT) AS n, SUM(s*s) AS ss FROM c0 GROUP BY cid)"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        d_expr = _D_SQL.format(i=i)
+        parts.append(
+            f""",
+    b{i} AS (SELECT v.vec_id, c.cid, SUM(v.q * c.s) AS b
+             FROM qv v JOIN c{p} c ON v.pos = c.pos GROUP BY v.vec_id, c.cid),
+    d{i} AS (SELECT b{i}.vec_id, b{i}.cid, {d_expr} AS d
+             FROM b{i} JOIN m{p} m ON b{i}.cid = m.cid
+                       JOIN av a ON b{i}.vec_id = a.vec_id),
+    a{i} AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+               FROM d{i}) WHERE rn = 1),
+    c{i} AS (SELECT a.cid, v.pos, SUM(v.q) AS s
+             FROM a{i} a JOIN qv v ON a.vec_id = v.vec_id GROUP BY a.cid, v.pos),
+    m{i} AS (SELECT s.cid, n.n, s.ss FROM
+               (SELECT cid, SUM(s*s) AS ss FROM c{i} GROUP BY cid) s
+               JOIN (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n
+                     FROM a{i} GROUP BY cid) n ON s.cid = n.cid)"""
+        )
+    return "WITH " + "".join(parts)
+
+
+@register(
+    "q_kmeans",
+    oracle=f"""
+    {_kmeans_cte()}
+    SELECT a.vec_id, a.cid AS cluster_id, m.n AS cluster_n
+    FROM a{_ITERS} a JOIN m{_ITERS} m ON a.cid = m.cid
+    """,
+)
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations, k=8, deterministic lowest-id seeding: every
+    vector's final cell plus its cell population. Assignment is a
+    broadcast-fold projection (zero shuffle); each update is one
+    map-side-combined (cid, pos) exchange."""
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = kmeans_fit(e, k=_K, iters=_ITERS)
+    return assigned.join(centroids.select("cid", "n"), "cid").select(
+        "vec_id",
+        F.col("cid").alias("cluster_id"),
+        F.col("n").alias("cluster_n"),
+    )
+
+
+@register(
+    "q_ann_ivf_kmeans",
+    oracle=f"""
+    {_kmeans_cte()},
+    qq AS (SELECT pos, q FROM qv WHERE vec_id = 0),
+    bq AS (SELECT c.cid, SUM(q0.q * c.s) AS b
+           FROM qq q0 JOIN c{_ITERS} c ON q0.pos = c.pos GROUP BY c.cid),
+    dq AS (SELECT bq.cid,
+                  CAST(a.a AS DOUBLE) - 2.0 * CAST(bq.b AS DOUBLE) / CAST(m.n AS DOUBLE)
+                    + CAST(m.ss AS DOUBLE) / (CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE)) AS d
+           FROM bq JOIN m{_ITERS} m ON bq.cid = m.cid
+                   CROSS JOIN (SELECT a FROM av WHERE vec_id = 0) a),
+    probe AS (SELECT cid FROM (
+                SELECT cid, row_number() OVER (ORDER BY d, cid) AS rn FROM dq)
+              WHERE rn <= 2),
+    cand AS (SELECT a.vec_id FROM a{_ITERS} a JOIN probe p ON a.cid = p.cid
+             WHERE a.vec_id <> 0),
+    dist AS (SELECT c.vec_id, SUM((v.q - q0.q) * (v.q - q0.q)) AS dist
+             FROM cand c JOIN qv v ON v.vec_id = c.vec_id
+                         JOIN qq q0 ON v.pos = q0.pos
+             GROUP BY c.vec_id)
+    SELECT vec_id, dist, CAST(rank AS INT) AS rank FROM (
+      SELECT vec_id, dist,
+             row_number() OVER (ORDER BY dist, vec_id) AS rank FROM dist)
+    WHERE rank <= 5
+    """,
+)
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 for query vec_id=0 with the k-means coarse quantizer:
+    probe the 2 nearest of 8 cells, exact integer-squared-distance rank
+    inside them only — the retrieval path where corpus scan cost drops
+    by n_probe/k while the quantizer stays hash-exact."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_kmeans_topk(e, query_id=0, k=_K, iters=_ITERS, n_probe=2, topk=5)
