@@ -1,0 +1,137 @@
+"""Language-model prep operators: TF-IDF keyword extraction, bigram
+next-token statistics, and the BPE pair-count step.
+
+These close the tokenizer/LM loop over the corpus layer: after gates and
+dedup (operators/text.py, minhash.py) and vocabulary/OOV prep
+(operators/vocab.py), a training pipeline needs per-document keywords
+(retrieval filtering / topic balancing), an n-gram next-token table
+(contamination probes, cheap perplexity proxies), and the pair-frequency
+aggregation at the core of BPE tokenizer training.
+
+Cross-engine rules (same as the rest of the extension surface): every
+cross-row aggregate is an integer count; the only float is the per-row
+tf/df division in TF-IDF ranking — a single IEEE divide with fixed
+operand order, identical on both engines, and it never reaches the
+output schema.
+
+Scale notes: all three operators reduce an exploded corpus with map-side
+combine onto VOCABULARY-sized keys (terms, token pairs, char pairs), so
+the shuffles carry dictionary-sized data, not corpus-sized. The per-doc
+TF-IDF window partitions by doc_id (parallel); the bigram window
+partitions by the left token (vocabulary keys); only the BPE top-N rank
+is a single-reducer sort, over an alphabet-pair domain that is bounded
+by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _term_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
+    )
+
+
+def tfidf_topk_terms(
+    df: DataFrame,
+    topk: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, term, tf, df, rank): each document's ``topk`` most
+    characteristic terms by tf/df ranking.
+
+    For ranking WITHIN a document the corpus size N cancels out of
+    tf * idf, so the score is the rational tf/df — evaluated as one
+    per-row double divide (deterministic), tie-broken on term. The df
+    side is a term-keyed aggregate (vocabulary-sized) broadcast back
+    onto the tf side, so the corpus-sized relation shuffles once, on
+    (doc, term)."""
+    terms = _term_rows(df, id_col, text_col)
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = terms.groupBy("term").agg(
+        F.count_distinct(F.col(id_col)).alias("df")
+    )
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "score", F.col("tf").cast("double") / F.col("df").cast("double")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= topk)
+        .select(id_col, "term", "tf", "df", "rank")
+    )
+
+
+def bigram_next_token(
+    df: DataFrame,
+    min_pairs: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(token, next_token, pair_n): the modal successor of every token
+    with at least ``min_pairs`` observed continuations — the next-token
+    table of a bigram LM (contamination probes, cheap perplexity
+    proxies, autocomplete-style QA of a corpus).
+
+    Adjacent pairs come from zipping the token array against itself
+    shifted by one — shuffle-free until the pair-count aggregate, which
+    lands on vocabulary-squared-bounded (in practice Zipf-tiny) keys."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    pairs = df.select(
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("token"), b.alias("next_token")),
+            )
+        ).alias("p")
+    ).select("p.token", "p.next_token")
+    counts = pairs.groupBy("token", "next_token").agg(
+        F.count(F.lit(1)).alias("pair_n")
+    )
+    w = Window.partitionBy("token").orderBy(
+        F.col("pair_n").desc(), F.col("next_token").asc()
+    )
+    return (
+        counts.filter(F.col("pair_n") >= min_pairs)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("token", "next_token", F.col("pair_n").cast("bigint").alias("pair_n"))
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    topk: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """(pair, pair_n, rank): the ``topk`` most frequent adjacent
+    character pairs across all token occurrences — exactly the statistic
+    the first BPE merge maximizes (Sennrich et al. 2016), weighted by
+    occurrence because the corpus is NOT pre-grouped by word.
+
+    Each token of length L contributes its L-1 two-char substrings; the
+    count aggregate reduces onto alphabet-pair keys map-side, so the
+    exchange is character-set-sized. Only the final top-N rank is a
+    single-reducer sort, over that same bounded domain."""
+    tok = df.select(
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token")
+    ).filter(F.length("token") >= 2)
+    pair = tok.select(
+        F.explode(F.sequence(F.lit(1), F.length("token") - 1)).alias("i"),
+        F.col("token"),
+    ).select(F.col("token").substr(F.col("i"), F.lit(2)).alias("pair"))
+    counts = pair.groupBy("pair").agg(F.count(F.lit(1)).alias("pair_n"))
+    w = Window.orderBy(F.col("pair_n").desc(), F.col("pair").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= topk)
+        .select("pair", F.col("pair_n").cast("bigint").alias("pair_n"), "rank")
+    )

@@ -1,0 +1,107 @@
+"""LM/tokenizer-prep t2 queries over ``operators/lm.py``: TF-IDF
+keywords, the bigram next-token table, and BPE pair counts.
+
+Oracle notes: tokenization is the shared convention —
+``string_split(lower(text), ' ')`` — and every output column is integer
+or string. The tf/df ranking divide is the one double, mirrored with
+identical operand order on both engines and absent from the schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from oic_options_chains_spark.operators.lm import (
+    bigram_next_token,
+    bpe_pair_counts,
+    tfidf_topk_terms,
+)
+from oic_options_chains_spark.queries.registry import register
+from oic_options_chains_spark.sources.registry import load_table
+
+
+@register(
+    "q_keywords_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY doc_id, term),
+    dfreq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+              FROM tok GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             CAST(tf.tf AS DOUBLE) / CAST(dfreq.df AS DOUBLE) AS score
+      FROM tf JOIN dfreq ON tf.term = dfreq.term)
+    SELECT doc_id, term, tf, df, CAST(rank AS INT) AS rank FROM (
+      SELECT doc_id, term, tf, df,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term ASC) AS rank
+      FROM scored)
+    WHERE rank <= 3
+    """,
+)
+def q_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf/df (N cancels for
+    within-doc ranking, so no log and no corpus constant): one corpus
+    shuffle on (doc, term), vocabulary-sized df broadcast back."""
+    d = load_table(spark, sf_dir, "documents")
+    return tfidf_topk_terms(d, topk=3)
+
+
+@register(
+    "q_bigram_model",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token,
+             unnest(range(0, len(string_split(lower(text), ' ')))) AS pos
+      FROM documents),
+    pairs AS (
+      SELECT a.token AS token, b.token AS next_token
+      FROM tok a JOIN tok b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+    counts AS (
+      SELECT token, next_token, CAST(COUNT(*) AS BIGINT) AS pair_n
+      FROM pairs GROUP BY token, next_token)
+    SELECT token, next_token, pair_n FROM (
+      SELECT token, next_token, pair_n,
+             row_number() OVER (PARTITION BY token
+                                ORDER BY pair_n DESC, next_token ASC) AS rn
+      FROM counts WHERE pair_n >= 3)
+    WHERE rn = 1
+    """,
+)
+def q_bigram_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal successor per token (support >= 3): the bigram-LM next-token
+    table. Spark builds pairs shuffle-free by zipping the token array
+    against its own shift; the oracle proves the same relation with a
+    positional self-join."""
+    d = load_table(spark, sf_dir, "documents")
+    return bigram_next_token(d, min_pairs=3)
+
+
+@register(
+    "q_bpe_pairs",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
+    pair AS (
+      SELECT substring(token, CAST(i AS INT), 2) AS pair
+      FROM (SELECT token, unnest(range(1, len(token))) AS i
+            FROM tok WHERE len(token) >= 2)),
+    counts AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS pair_n
+               FROM pair GROUP BY pair)
+    SELECT pair, pair_n, CAST(rank AS INT) AS rank FROM (
+      SELECT pair, pair_n,
+             row_number() OVER (ORDER BY pair_n DESC, pair ASC) AS rank
+      FROM counts)
+    WHERE rank <= 20
+    """,
+)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent character pairs weighted by occurrence — the
+    argmax statistic of the first BPE merge. Alphabet-pair keys reduce
+    map-side; only the bounded-domain top-N sort is single-reducer."""
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_pair_counts(d, topk=20)
