@@ -89,6 +89,36 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def dot_pre(a: Column, b: Column) -> Column:
+    """Dot over arrays ALREADY cast to double (``_pair_prep``): the same
+    IEEE multiply/accumulate sequence as ``dot``, minus two casts per
+    element per pair. On bucket self-joins the fold runs once per
+    CANDIDATE PAIR (n_pairs >> n_rows), so hoisting the casts to the
+    per-vector prep measurably cuts the dominant loop. (A flat
+    ``a[0]*b[0]+...`` expression string was measured SLOWER here: at
+    dim=64 it trips the codegen huge-method fallback and the whole
+    stage goes interpreted.)"""
+    return _fold_sum(F.zip_with(a, b, lambda x, y: x * y))
+
+
+def _pair_prep(
+    embeddings: DataFrame, id_col: str, vec_col: str, bits: int
+) -> DataFrame:
+    """(id, __v, __n, __b): per-vector prep for bucket self-join scoring.
+
+    The double-cast vector, its norm, and the coarse bucket are computed
+    once per VECTOR so the per-pair work is a single ``dot_pre`` fold
+    plus one divide; the raw float vector is dropped to halve the join
+    payload."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return embeddings.select(
+        F.col(id_col),
+        v.alias("__v"),
+        norm(F.col(vec_col)).alias("__n"),
+        sign_bucket(F.col(vec_col), bits).alias("__b"),
+    )
+
+
 def sign_bucket(vec: Column, bits: int = 4) -> Column:
     """Coarse IVF bucket: concatenated sign bits of the first ``bits`` dims."""
     parts = [
@@ -145,17 +175,12 @@ def near_dup_pairs(
     Returns (id_a, id_b, score_e6).
     """
     bits = _resolve_bits(embeddings, bits)
-    # norms precomputed per VECTOR (n rows), not per pair: the per-pair
-    # work drops to one dot-product fold; dot/(na*nb) is bit-identical to
-    # computing both norms inside the pair.
-    b = embeddings.select(
-        F.col(id_col),
-        F.col(vec_col),
-        norm(F.col(vec_col)).alias("__n"),
-        sign_bucket(F.col(vec_col), bits).alias("__b"),
-    )
+    # norms and double-cast vectors precomputed per VECTOR (n rows), not
+    # per pair: the per-pair work drops to one dot-product fold;
+    # dot/(na*nb) is bit-identical to computing both norms inside the pair.
+    b = _pair_prep(embeddings, id_col, vec_col, bits)
     a, c = b.alias("a"), b.alias("c")
-    cos = dot(F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}")) / (
+    cos = dot_pre(F.col("a.__v"), F.col("c.__v")) / (
         F.col("a.__n") * F.col("c.__n")
     )
     return (
@@ -380,14 +405,9 @@ def hard_negatives(
     with slot = 1..k.
     """
     bits = _resolve_bits(embeddings, bits)
-    b = embeddings.select(
-        F.col(id_col),
-        F.col(vec_col),
-        norm(F.col(vec_col)).alias("__n"),
-        sign_bucket(F.col(vec_col), bits).alias("__b"),
-    )
+    b = _pair_prep(embeddings, id_col, vec_col, bits)
     a, c = b.alias("a"), b.alias("c")
-    cos = dot(F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}")) / (
+    cos = dot_pre(F.col("a.__v"), F.col("c.__v")) / (
         F.col("a.__n") * F.col("c.__n")
     )
     scored = (
