@@ -99,19 +99,16 @@ def assign_clusters(qv: DataFrame, centroids: DataFrame) -> DataFrame:
     a = _fold_sum_long(F.zip_with("qarr", "qarr", lambda x, y: x * y))
     with_a = qv.withColumn("a", a).crossJoin(F.broadcast(packed))
 
-    def step(acc: Column, c: Column) -> Column:
+    def scored(c: Column) -> Column:
         b = _fold_sum_long(F.zip_with(F.col("qarr"), c["sarr"], lambda x, y: x * y))
         d = _dist(F.col("a"), b, c["n"], c["ss"])
-        better = d < acc["d"]
-        return F.struct(
-            F.when(better, d).otherwise(acc["d"]).alias("d"),
-            F.when(better, c["cid"]).otherwise(acc["cid"]).alias("cid"),
-        )
+        return F.struct(d.alias("d"), c["cid"].alias("cid"))
 
-    init = F.struct(
-        F.lit(float("inf")).alias("d"), F.lit(-1).cast("bigint").alias("cid")
-    )
-    best = F.aggregate(F.col("cents"), init, step)
+    # transform + array_min computes each centroid distance ONCE; a
+    # fold with when/otherwise branches evaluates it twice per step
+    # (condition + kept value) — measured ~2x on this interpreted-HOF
+    # hot loop. Struct ordering (d, then cid) IS the tie-break.
+    best = F.array_min(F.transform(F.col("cents"), scored))
     return with_a.select("vec_id", "qarr", best["cid"].alias("cid"))
 
 
