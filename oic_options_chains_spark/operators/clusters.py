@@ -147,3 +147,53 @@ def keeper_by_quality(
         keeper.alias("keeper_id"),
         (F.col(id_col) == keeper).cast("int").alias("is_keeper"),
     )
+
+
+def pagerank_int(
+    edges: DataFrame,
+    iters: int = 2,
+    damping_pct: int = 85,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Fixed-point integer PageRank over a directed edge list (src, dst).
+
+    The Pregel shape in DataFrames: per iteration, join ranks onto edges
+    by src (contribution = rank div degree, EXACT integer division) and
+    re-aggregate by dst — two key-partitioned shuffles per iteration,
+    nothing driver-side. All state is integer micro-units (rank starts
+    at ``scale``, teleport is (100-damping_pct)% of scale, damped sums
+    use ``(85 * s) div 100``), so results are order-independent and
+    engine-exact: float division + floor would round at the ulp and
+    disagree across engines near integer quotients, integer ``div``
+    cannot.
+
+    Assumes every node has out-degree >= 1 (true for symmetrized edge
+    lists — pass both directions for an undirected graph); dangling-mass
+    redistribution is deliberately out of scope. At 100 TB the edge join
+    is the skew risk (hub nodes); salt the src key or let AQE skew-split
+    it — the rank side is node-sized, not edge-sized.
+
+    Returns (node, pr, degree).
+    """
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    pr = deg.select(
+        F.col("src").alias("node"), F.lit(scale).cast("bigint").alias("pr")
+    )
+    teleport = scale - scale * damping_pct // 100
+    for _ in range(iters):
+        contrib = (
+            edges.join(deg, "src")
+            .join(pr, F.col("src") == F.col("node"))
+            .select(F.col("dst"), F.expr("pr div deg").alias("c"))
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        pr = sums.select(
+            F.col("dst").alias("node"),
+            (
+                F.lit(teleport)
+                + F.expr(f"({damping_pct} * s) div 100")
+            ).cast("bigint").alias("pr"),
+        )
+    return pr.join(deg, pr["node"] == deg["src"]).select(
+        "node", "pr", F.col("deg").cast("bigint").alias("degree")
+    )

@@ -121,3 +121,56 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     by n_probe/k while the quantizer stays hash-exact."""
     e = load_table(spark, sf_dir, "embeddings")
     return ivf_kmeans_topk(e, query_id=0, k=_K, iters=_ITERS, n_probe=2, topk=5)
+
+
+_PR_ITER_SQL = """,
+    i{i} AS (SELECT e.dst AS node, SUM(p.pr // d.deg) AS s
+             FROM edges e JOIN deg d ON e.src = d.node
+                          JOIN p{p} p ON e.src = p.node
+             GROUP BY e.dst),
+    p{i} AS (SELECT i.node, CAST(150000 + (85 * i.s) // 100 AS BIGINT) AS pr
+             FROM i{i} i)"""
+
+
+@register(
+    "q_pagerank",
+    oracle="""
+    WITH eo AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    edges AS (
+      SELECT 'c' || CAST(c AS VARCHAR) AS src, 's' || CAST(s AS VARCHAR) AS dst
+      FROM eo
+      UNION ALL
+      SELECT 's' || CAST(s AS VARCHAR), 'c' || CAST(c AS VARCHAR) FROM eo),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM edges GROUP BY src),
+    p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM deg)"""
+    + _PR_ITER_SQL.format(i=1, p=0)
+    + _PR_ITER_SQL.format(i=2, p=1)
+    + """
+    SELECT p.node, p.pr, d.deg AS degree
+    FROM p2 p JOIN deg d ON p.node = d.node
+    """,
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-iteration integer PageRank over the symmetrized customer <->
+    supplier trade graph (distinct pairs via orders x lineitem). The
+    curation use: rank sources/domains by graph centrality before
+    sampling. Exact fixed-point arithmetic end to end — see
+    operators/clusters.pagerank_int."""
+    from oic_options_chains_spark.operators.clusters import pagerank_int
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    cnode = F.concat(F.lit("c"), F.col("c").cast("string"))
+    snode = F.concat(F.lit("s"), F.col("s").cast("string"))
+    edges = pairs.select(cnode.alias("src"), snode.alias("dst")).unionAll(
+        pairs.select(snode.alias("src"), cnode.alias("dst"))
+    )
+    return pagerank_int(edges, iters=2)

@@ -331,3 +331,143 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("user_id", "event_id", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+@register(
+    "q_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + INTERVAL 24 HOUR GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        AND e.ts <= s2.t2 + INTERVAL 24 HOUR GROUP BY e.user_id),
+    u AS (SELECT DISTINCT user_id FROM events),
+    depths AS (
+      SELECT u.user_id,
+             CASE WHEN s3.user_id IS NOT NULL THEN 3
+                  WHEN s2.user_id IS NOT NULL THEN 2
+                  WHEN s1.user_id IS NOT NULL THEN 1
+                  ELSE 0 END AS depth
+      FROM u LEFT JOIN s1 ON u.user_id = s1.user_id
+             LEFT JOIN s2 ON u.user_id = s2.user_id
+             LEFT JOIN s3 ON u.user_id = s3.user_id),
+    tot AS (SELECT COUNT(*) AS n_total FROM depths)
+    SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(FLOOR(10000.0 * COUNT(*) / tot.n_total) AS BIGINT) AS share_bp
+    FROM depths CROSS JOIN tot
+    GROUP BY depth, tot.n_total
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-step funnel (view -> click -> purchase): each step's
+    earliest qualifying time must strictly follow the previous step's,
+    within a 24-hour conversion window (interval arithmetic stays in
+    exact microseconds on both engines). All three step aggregates and
+    the joins key on user_id, so one hash partitioning serves the whole
+    chain; the 4-row depth histogram with basis-point shares is the only
+    global collapse."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.expr("INTERVAL 24 HOURS")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    u = e.select("user_id").distinct()
+    depths = (
+        u.join(s1.select("user_id", F.lit(1).alias("d1")), "user_id", "left")
+        .join(s2.select("user_id", F.lit(1).alias("d2")), "user_id", "left")
+        .join(s3.select("user_id", F.lit(1).alias("d3")), "user_id", "left")
+        .select(
+            F.when(F.col("d3").isNotNull(), 3)
+            .when(F.col("d2").isNotNull(), 2)
+            .when(F.col("d1").isNotNull(), 1)
+            .otherwise(0)
+            .alias("depth")
+        )
+    )
+    tot = depths.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        depths.groupBy("depth")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "depth",
+            F.col("n_users").cast("bigint").alias("n_users"),
+            F.floor(
+                F.lit(10000.0) * F.col("n_users") / F.col("n_total")
+            )
+            .cast("bigint")
+            .alias("share_bp"),
+        )
+    )
+
+
+@register(
+    "q_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS active_week
+      FROM events),
+    joined AS (
+      SELECT f.cohort_week,
+             CAST(date_diff('day', f.cohort_week, a.active_week) // 7 AS INT)
+               AS week_offset,
+             a.user_id
+      FROM activity a JOIN firsts f ON a.user_id = f.user_id)
+    SELECT cohort_week, week_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM joined GROUP BY cohort_week, week_offset
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users bucketed by first-seen ISO
+    week, counted in each later week they return. Both engines truncate
+    to ISO Monday, offsets are exact integer day arithmetic. The
+    first-seen aggregate, the activity distinct, and their join all key
+    on user_id — one partitioning, then a cohort-keyed rollup whose key
+    space is weeks^2/2, tiny at any corpus size."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("active_week")
+    ).distinct()
+    joined = activity.join(firsts, "user_id").select(
+        "cohort_week",
+        (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7)
+        .cast("int")
+        .alias("week_offset"),
+        "user_id",
+    )
+    return joined.groupBy("cohort_week", "week_offset").agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_users")
+    )

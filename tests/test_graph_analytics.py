@@ -1,0 +1,94 @@
+"""pagerank_int and the funnel/cohort event analytics."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from oic_options_chains_spark.operators.clusters import pagerank_int
+
+
+def test_pagerank_hand_computed(spark):
+    # undirected path a - b - c (symmetrized): deg a=1, b=2, c=1
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")], "src string, dst string"
+    )
+    got = {r.node: (r.pr, r.degree) for r in pagerank_int(edges, iters=1).collect()}
+    # iter1: contrib a->b = 1000000//1, b->a = b->c = 1000000//2, c->b = 1000000//1
+    # pr(a) = pr(c) = 150000 + 85*500000//100 = 575000
+    # pr(b) = 150000 + 85*2000000//100 = 1850000
+    assert got == {"a": (575000, 1), "b": (1850000, 2), "c": (575000, 1)}
+
+
+def test_pagerank_mass_conservation_ish(spark):
+    # on a regular graph (cycle), ranks stay exactly at scale
+    n = 6
+    rows = [(f"n{i}", f"n{(i + 1) % n}") for i in range(n)] + [
+        (f"n{(i + 1) % n}", f"n{i}") for i in range(n)
+    ]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    prs = {r.node: r.pr for r in pagerank_int(edges, iters=3).collect()}
+    assert set(prs.values()) == {1_000_000}
+
+
+def test_pagerank_determinism_under_partitioning(spark):
+    rows = [(f"u{i % 7}", f"v{i % 5}") for i in range(60)] + [
+        (f"v{i % 5}", f"u{i % 7}") for i in range(60)
+    ]
+    e1 = spark.createDataFrame(rows, "src string, dst string").repartition(1)
+    e2 = spark.createDataFrame(rows, "src string, dst string").repartition(13, "dst")
+    r1 = sorted(tuple(r) for r in pagerank_int(e1, iters=2).collect())
+    r2 = sorted(tuple(r) for r in pagerank_int(e2, iters=2).collect())
+    assert r1 == r2
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+
+
+def test_funnel_requires_order_and_window(spark, monkeypatch):
+    from oic_options_chains_spark.queries.events import q_funnel
+    import oic_options_chains_spark.queries.events as ev_mod
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def mins(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    rows = [
+        # user 1: full ordered funnel within windows -> depth 3
+        (1, mins(0), 1, "view"),
+        (2, mins(10), 1, "click"),
+        (3, mins(20), 1, "purchase"),
+        # user 2: click BEFORE view -> depth 1
+        (4, mins(0), 2, "click"),
+        (5, mins(10), 2, "view"),
+        # user 3: purchase 25h after click -> depth 2 (window expired)
+        (6, mins(0), 3, "view"),
+        (7, mins(10), 3, "click"),
+        (8, mins(10 + 25 * 60), 3, "purchase"),
+        # user 4: no view at all -> depth 0
+        (9, mins(0), 4, "error"),
+    ]
+    monkeypatch.setattr(ev_mod, "load_table", lambda spark, sf, name: _ev(spark, rows))
+    got = {r.depth: r.n_users for r in q_funnel(spark, "unused").collect()}
+    assert got == {3: 1, 1: 1, 2: 1, 0: 1}
+
+
+def test_cohort_retention_offsets(spark, monkeypatch):
+    import oic_options_chains_spark.queries.events as ev_mod
+    from oic_options_chains_spark.queries.events import q_cohort_retention
+
+    # Monday 2024-01-01; user 1 active week 0 and week 2, user 2 week 0
+    rows = [
+        (1, datetime.datetime(2024, 1, 2), 1, "view"),
+        (2, datetime.datetime(2024, 1, 17), 1, "view"),
+        (3, datetime.datetime(2024, 1, 4), 2, "click"),
+    ]
+    monkeypatch.setattr(ev_mod, "load_table", lambda spark, sf, name: _ev(spark, rows))
+    got = {
+        (str(r.cohort_week), r.week_offset): r.n_users
+        for r in q_cohort_retention(spark, "unused").collect()
+    }
+    assert got == {("2024-01-01", 0): 2, ("2024-01-01", 2): 1}
