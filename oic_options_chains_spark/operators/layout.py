@@ -1,0 +1,74 @@
+"""Data-layout operators: z-order interleaving and pruning-stats
+manifests — the file-skipping side of a 100 TB warehouse.
+
+Partition pruning (sources/warehouse.py) only helps predicates on the
+partition column. For everything else, scan cost is governed by how well
+row-group/file min-max stats isolate a predicate — which is a DATA
+LAYOUT property: sort by ``zorder_key(a, b)`` before writing and range
+predicates on EITHER column touch a small band of files, because bit
+interleaving keeps both dimensions' locality in one sort key (the
+Delta/Iceberg OPTIMIZE ZORDER mechanism, expressed as a plain column).
+
+``partition_stats`` is the manifest the skipping decision reads: per
+bucket, min/max/count per column — tiny, broadcastable, and exactly
+what ``sources/snapshots.py`` persists alongside data at deploy.
+
+Everything is integer bit arithmetic (shiftleft/and/sum), so the keys
+are engine-exact and the operators stay in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key(cols: list[Column], bits: int = 16) -> Column:
+    """Interleave the low ``bits`` bits of each column into one bigint.
+
+    Bit b of column j lands at position b*len(cols)+j, so consecutive
+    key values alternate between dimensions — a space-filling curve
+    coarse enough for file assignment. Columns are masked to ``bits``
+    (callers rank/bucket unbounded domains first; bits*len(cols) must
+    stay <= 63). Built as a flat sum of shift/mask terms: pure integer
+    codegen, no UDF, no interleave loop at row time."""
+    n = len(cols)
+    if bits * n > 63:
+        raise ValueError(f"bits*cols = {bits * n} exceeds a signed 64-bit key")
+    parts = []
+    for j, c in enumerate(cols):
+        masked = c.cast("bigint").bitwiseAND(F.lit((1 << bits) - 1))
+        for b in range(bits):
+            bit = F.shiftright(masked, b).bitwiseAND(F.lit(1))
+            parts.append(F.shiftleft(bit, b * n + j))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + p
+    return out
+
+
+def zorder_key_sql(cols: list[str], bits: int = 16) -> str:
+    """The same key as ``zorder_key`` as one SQL string (oracle mirror /
+    selectExpr fast path — one parsed expression instead of bits*cols
+    Column objects)."""
+    n = len(cols)
+    terms = []
+    for j, c in enumerate(cols):
+        m = f"(CAST({c} AS BIGINT) & {(1 << bits) - 1})"
+        for b in range(bits):
+            terms.append(f"((({m} >> {b}) & 1) << {b * n + j})")
+    return " + ".join(terms)
+
+
+def partition_stats(
+    df: DataFrame, bucket: Column, cols: list[str]
+) -> DataFrame:
+    """Pruning manifest: per ``bucket``, row count plus min/max of each
+    named column. One map-side-combined aggregate onto bucket keys
+    (file-count-sized); the output is what a scan planner intersects
+    with a predicate's range to decide which buckets to read."""
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    return df.groupBy(bucket.alias("bucket")).agg(*aggs)
