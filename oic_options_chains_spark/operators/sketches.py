@@ -145,3 +145,142 @@ def hll_distinct_estimate(df: DataFrame, col: str, b: int = 8) -> DataFrame:
         f"CAST(IF(raw_est <= {(5 * m) // 2} AND n_zero_regs > 0, "
         f"element_at(array({table}), CAST(n_zero_regs AS INT)), raw_est) AS BIGINT) AS estimate",
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter manifests (equality-predicate file skipping)
+# --------------------------------------------------------------------------
+
+BLOOM_WORD_BITS = 32  # words hold 32 used bits: shiftleft never reaches
+# bit 63, where signed-overflow semantics diverge across engines (DuckDB
+# raises on 1<<63, Spark wraps)
+
+
+def _bloom_positions(key: Column, k: int, m_bits: int) -> list[Column]:
+    """k hash positions in [0, m_bits): disjoint 8-hex-char (32-bit)
+    md5 chunks of the key's string form, mod m_bits — the md5-derived
+    portable-hash idiom every sketch here shares."""
+    h = F.md5(key.cast("string"))
+    return [
+        F.conv(F.substring(h, 8 * j + 1, 8), 16, 10).cast("bigint") % m_bits
+        for j in range(k)
+    ]
+
+
+def bloom_words(
+    df: DataFrame,
+    key: Column,
+    bucket: Column,
+    m_bits: int = 1024,
+    k: int = 3,
+) -> DataFrame:
+    """Per-bucket Bloom filter as (bucket, word_idx, word) rows — the
+    equality-predicate companion of the min/max manifest
+    (operators/layout.partition_stats): min/max skips range predicates,
+    the Bloom manifest skips ``key = ?`` probes on high-cardinality
+    columns where ranges are useless.
+
+    Relational build: k positions per row -> one map-side-combined
+    bit_or onto (bucket, word_idx) keys, so the exchange carries at most
+    buckets * m_bits/32 rows regardless of data size. Long form instead
+    of a packed array so two manifests merge by the same bit_or
+    aggregate (associative, order-independent, engine-exact integers).
+    """
+    pos = F.explode(F.array(*_bloom_positions(key, k, m_bits))).alias("__p")
+    bits = df.select(bucket.alias("bucket"), pos).select(
+        "bucket",
+        (F.col("__p") / BLOOM_WORD_BITS).cast("bigint").alias("word_idx"),
+        # shiftleft needs a column bit count -> SQL form (the Column API
+        # only takes a literal)
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(__p % {BLOOM_WORD_BITS} AS INT))").alias("__m"),
+    )
+    return bits.groupBy("bucket", "word_idx").agg(F.bit_or("__m").alias("word"))
+
+
+def bloom_probe(
+    manifest: DataFrame,
+    probes: DataFrame,
+    probe_col: str,
+    m_bits: int = 1024,
+    k: int = 3,
+) -> DataFrame:
+    """(probe value, n_buckets_maybe): how many buckets a ``key = probe``
+    scan must still read after Bloom skipping. A bucket survives iff ALL
+    k probe bits are set, i.e. it contributes k matching (word_idx,
+    bit-set) rows — counted with one broadcast join of the (tiny) probe
+    bit list against the manifest. No per-bucket loop, no UDF."""
+    pb = probes.select(
+        F.col(probe_col),
+        F.posexplode(
+            F.array(*_bloom_positions(F.col(probe_col), k, m_bits))
+        ).alias("__j", "__p"),
+    ).select(
+        probe_col,
+        "__j",
+        (F.col("__p") / BLOOM_WORD_BITS).cast("bigint").alias("word_idx"),
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(__p % {BLOOM_WORD_BITS} AS INT))").alias("__m"),
+    )
+    hits = (
+        manifest.join(F.broadcast(pb), "word_idx")
+        .filter(F.col("word").bitwiseAND(F.col("__m")) == F.col("__m"))
+        .select(probe_col, "bucket", "__j")
+        .distinct()
+        .groupBy(probe_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("__nbits"))
+        .filter(F.col("__nbits") == k)
+    )
+    return hits.groupBy(probe_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets_maybe")
+    )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch (frequency estimation / heavy hitters)
+# --------------------------------------------------------------------------
+
+
+def cms_counters(
+    df: DataFrame,
+    key: Column,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min sketch as (row_idx, pos, cnt) counter rows: row i
+    counts occurrences at position md5-chunk_i(key) % width.
+
+    depth*width bounded counter keys with map-side partial sums — the
+    sketch build shuffles a dictionary, not the data. Counters are plain
+    integer sums, so sketches merge by adding counters (the distributed
+    aggregation property CMS exists for) and match any engine exactly."""
+    rows = df.select(
+        F.posexplode(
+            F.array(*_bloom_positions(key, depth, width))
+        ).alias("row_idx", "pos")
+    )
+    return rows.groupBy("row_idx", "pos").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    probe_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """(probe value, est): min over the sketch rows of the probed
+    counter — the CMS point estimate (an upper bound on the true count;
+    collisions only inflate). Probe side is rows*depth tiny and
+    broadcast."""
+    pb = probes.select(
+        F.col(probe_col),
+        F.posexplode(
+            F.array(*_bloom_positions(F.col(probe_col), depth, width))
+        ).alias("row_idx", "pos"),
+    )
+    return (
+        sketch.join(F.broadcast(pb), ["row_idx", "pos"])
+        .groupBy(probe_col)
+        .agg(F.min("cnt").cast("bigint").alias("est"))
+    )

@@ -442,3 +442,51 @@ def q_media_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
         dims["height"].alias("height"),
         F.octet_length(F.col("content")).cast("bigint").alias("n_bytes"),
     )
+
+
+@register(
+    "q_cms_heavyhitters",
+    oracle="""
+    WITH rows_ AS (
+      SELECT CAST(user_id AS VARCHAR) AS s, user_id FROM events),
+    cells AS (
+      SELECT j AS row_idx,
+             CAST('0x' || substr(md5(s), 8*j + 1, 8) AS BIGINT) % 256 AS pos
+      FROM rows_ CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
+    sketch AS (
+      SELECT row_idx, pos, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM cells GROUP BY row_idx, pos),
+    probes AS (SELECT DISTINCT user_id FROM events WHERE user_id < 5),
+    pcells AS (
+      SELECT user_id, j AS row_idx,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 8*j + 1, 8)
+                  AS BIGINT) % 256 AS pos
+      FROM probes CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
+    est AS (
+      SELECT p.user_id, CAST(MIN(s.cnt) AS BIGINT) AS est
+      FROM pcells p JOIN sketch s ON p.row_idx = s.row_idx AND p.pos = s.pos
+      GROUP BY p.user_id),
+    truth AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n
+              FROM events WHERE user_id < 5 GROUP BY user_id)
+    SELECT t.user_id, e.est, t.true_n
+    FROM truth t JOIN est e ON t.user_id = e.user_id
+    """,
+)
+def q_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates vs truth for 5 probe users:
+    the mergeable counter sketch (depth 4 x width 256, md5-chunk rows)
+    whose build shuffles a bounded counter dictionary, never the event
+    stream. est >= true_n by construction; the driver hash locks the
+    exact counter arithmetic on both engines."""
+    from oic_options_chains_spark.operators.sketches import cms_counters, cms_estimate
+
+    e = load_table(spark, sf_dir, "events")
+    sketch = cms_counters(e, F.col("user_id"), depth=4, width=256)
+    probes = e.select("user_id").filter(F.col("user_id") < 5).distinct()
+    est = cms_estimate(sketch, probes, "user_id", depth=4, width=256)
+    truth = (
+        e.filter(F.col("user_id") < 5)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_n"))
+    )
+    return truth.join(est, "user_id").select("user_id", "est", "true_n")

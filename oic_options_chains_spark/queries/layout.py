@@ -68,3 +68,77 @@ def q_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", F.col("o_orderdate")).cast("date"),
         ["o_orderkey", "o_custkey"],
     )
+
+
+@register(
+    "q_bloom_skipping",
+    oracle="""
+    WITH rows_ AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS bucket,
+             CAST(o_custkey AS VARCHAR) AS s, o_custkey
+      FROM orders),
+    bits AS (
+      SELECT bucket,
+             CAST('0x' || substr(md5(s), 8*j + 1, 8) AS BIGINT) % 1024 AS p
+      FROM rows_ CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)),
+    manifest AS (
+      SELECT bucket, p // 32 AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS word
+      FROM bits GROUP BY bucket, p // 32),
+    probes AS (SELECT DISTINCT o_custkey FROM orders WHERE o_custkey < 8),
+    pbits AS (
+      SELECT o_custkey, j,
+             CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 8*j + 1, 8)
+                  AS BIGINT) % 1024 AS p
+      FROM probes CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)),
+    pm AS (SELECT o_custkey, j, p // 32 AS word_idx,
+                  CAST(1 AS BIGINT) << CAST(p % 32 AS INT) AS mask
+           FROM pbits),
+    hits AS (
+      SELECT pm.o_custkey, m.bucket
+      FROM manifest m JOIN pm ON m.word_idx = pm.word_idx
+      WHERE (m.word & pm.mask) = pm.mask
+      GROUP BY pm.o_custkey, m.bucket
+      HAVING COUNT(DISTINCT pm.j) = 3),
+    maybe AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_buckets_maybe
+              FROM hits GROUP BY o_custkey),
+    truth AS (
+      SELECT o_custkey,
+             CAST(COUNT(DISTINCT date_trunc('month', o_orderdate)) AS BIGINT)
+               AS n_buckets_true
+      FROM orders WHERE o_custkey < 8 GROUP BY o_custkey)
+    SELECT t.o_custkey, COALESCE(m.n_buckets_maybe, 0) AS n_buckets_maybe,
+           t.n_buckets_true
+    FROM truth t LEFT JOIN maybe m ON t.o_custkey = m.o_custkey
+    """,
+)
+def q_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-manifest file skipping for equality predicates: build a
+    per-month Bloom filter over o_custkey (operators/sketches.bloom_words
+    — the companion of the min/max manifest for high-cardinality keys),
+    then probe 8 customers and report how many month-buckets a
+    ``o_custkey = ?`` scan still reads vs the true month count. maybe >=
+    true always; the gap is the false-positive cost of m/k sizing."""
+    from oic_options_chains_spark.operators.sketches import bloom_probe, bloom_words
+
+    o = load_table(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate")).cast("date")
+    manifest = bloom_words(o, F.col("o_custkey"), month, m_bits=1024, k=3)
+    probes = o.select("o_custkey").filter(F.col("o_custkey") < 8).distinct()
+    maybe = bloom_probe(manifest, probes, "o_custkey", m_bits=1024, k=3)
+    truth = (
+        o.filter(F.col("o_custkey") < 8)
+        .groupBy("o_custkey")
+        .agg(
+            F.count_distinct(F.date_trunc("month", F.col("o_orderdate")))
+            .cast("bigint")
+            .alias("n_buckets_true")
+        )
+    )
+    return truth.join(maybe, "o_custkey", "left").select(
+        "o_custkey",
+        F.coalesce(F.col("n_buckets_maybe"), F.lit(0).cast("bigint")).alias(
+            "n_buckets_maybe"
+        ),
+        "n_buckets_true",
+    )
