@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = (
     "region",
@@ -27,12 +28,21 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     assert name in TABLES, f"unknown table {name}"
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which the vectorized reader
-        # rejects; read nanos as long and integer-divide to microseconds
-        # (double division would lose precision on ~1.7e18 nanos).
+        # Some generator versions write events.ts as parquet TIMESTAMP(NANOS),
+        # which the vectorized reader rejects; read nanos as long and
+        # integer-divide to microseconds (double division would lose precision
+        # on ~1.7e18 nanos). Other versions write TIMESTAMP(MICROS) without
+        # isAdjustedToUTC, which arrives as TIMESTAMP_NTZ — cast to TIMESTAMP
+        # (session tz is pinned UTC in session.py, so the cast is wall-clock
+        # identical) so downstream unix_micros()/window() calls resolve.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(dt, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
