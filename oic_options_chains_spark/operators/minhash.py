@@ -341,6 +341,13 @@ def simhash_near_pairs(
     p=2^-16 collisions — bucket sizes stay bounded at corpus scale,
     never O(n^2). (The round-1 8-bit halves gave only 256 buckets.)
 
+    Pairs matching in several bands are emitted ONCE, from their first
+    matching band: each side carries all four words, so "some earlier
+    band j < seg also matches" is a post-join column predicate — a free
+    codegen filter replacing the candidate-wide ``distinct()`` exchange
+    (at corpus scale the candidate set is the largest intermediate in
+    the query; not shuffling it again matters more than anything here).
+
     Returns (id_a, id_b, hamming).
     """
     words = [f"w{j}" for j in range(SIMHASH_WORDS)]
@@ -366,6 +373,12 @@ def simhash_near_pairs(
     for w in words:
         term = F.bit_count(F.col(f"a.{w}").bitwiseXOR(F.col(f"b.{w}")))
         hamming = term if hamming is None else hamming + term
+    earlier_band = None
+    for j in range(SIMHASH_WORDS):
+        c = (F.col("a.seg") > F.lit(j)) & (
+            F.col(f"a.w{j}") == F.col(f"b.w{j}")
+        )
+        earlier_band = c if earlier_band is None else earlier_band | c
     pairs = (
         a.join(
             b,
@@ -375,12 +388,12 @@ def simhash_near_pairs(
                 F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
             ],
         )
+        .filter(~earlier_band)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             hamming.cast("int").alias("hamming"),
         )
-        .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
 
