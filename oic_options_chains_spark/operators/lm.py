@@ -135,3 +135,58 @@ def bpe_pair_counts(
         .filter(F.col("rank") <= topk)
         .select("pair", F.col("pair_n").cast("bigint").alias("pair_n"), "rank")
     )
+
+
+def bigram_coverage(
+    df: DataFrame,
+    min_df: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_bigrams, n_hits): how much of each document's bigram
+    stream is covered by the corpus's own common bigrams (those seen in
+    at least ``min_df`` distinct documents) — the integer-exact stand-in
+    for an n-gram LM perplexity gate (CCNet-style quality filtering):
+    low-coverage documents are the distribution outliers a perplexity
+    filter would flag, with no floating-point log in either engine.
+
+    Plan: one corpus shuffle builds the bigram document frequencies
+    (vocabulary-pair keys, map-side combined); the qualifying reference
+    set joins back onto the per-document bigram stream (left join keyed
+    on the bigram — Zipf-small reference relation, broadcastable), then
+    a per-document count/sum. Documents with fewer than two tokens keep
+    (0, 0) via the final left join from the input relation."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram"),
+    )
+    ref = (
+        pairs.groupBy("bigram")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .filter(F.col("__df") >= min_df)
+        .select("bigram", F.lit(1).alias("__hit"))
+    )
+    per_doc = (
+        pairs.join(F.broadcast(ref), "bigram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).alias("n_hits"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+        )
+    )

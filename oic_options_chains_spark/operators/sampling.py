@@ -165,3 +165,122 @@ def sample_per_group(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def stratified_split(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    key: str,
+    weights: Sequence[tuple[str, int]] = (("test", 5), ("val", 5), ("train", 90)),
+    out: str = "split",
+) -> DataFrame:
+    """EXACT proportional split within every stratum: each stratum of n
+    rows contributes floor(n*w/100) rows to each named bucket (remainder
+    to the last), unlike ``split_assign`` whose hash buckets only hit the
+    proportions in expectation — the guarantee an eval set stratified by
+    language/source needs so no stratum is accidentally unsampled.
+
+    Rows are ranked within their stratum by md5(key) (content-derived
+    pseudo-random order, key as tie-break), and assignment compares
+    rank*100 against n*cum_weight in exact integer math. One window per
+    stratum (hash-partitioned, parallel across strata) plus the stratum
+    counts — no global sort, no driver round-trip.
+
+    Reference scope: extends the reference's fixed hold-out filters
+    (extract.rkt:96-103 resume ranges) to proportion-guaranteed strata.
+    """
+    total = sum(w for _, w in weights)
+    assert total == 100, f"split weights must sum to 100, got {total}"
+    w_rank = Window.partitionBy(*strata_cols).orderBy(
+        F.md5(F.col(key).cast("string")).asc(), F.col(key).asc()
+    )
+    w_n = Window.partitionBy(*strata_cols)
+    ranked = df.withColumn("__r", F.row_number().over(w_rank).cast("bigint")).withColumn(
+        "__n", F.count(F.lit(1)).over(w_n).cast("bigint")
+    )
+    expr = None
+    cum = 0
+    for name, w in weights[:-1]:
+        cum += w
+        branch = F.col("__r") * 100 <= F.col("__n") * cum
+        expr = (
+            F.when(branch, F.lit(name))
+            if expr is None
+            else expr.when(branch, F.lit(name))
+        )
+    last = weights[-1][0]
+    assigned = expr.otherwise(F.lit(last)) if expr is not None else F.lit(last)
+    return ranked.withColumn(out, assigned).drop("__r", "__n")
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    out: str = "rank",
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Exact 1-based global rank over a TOTAL order (pass a unique
+    tie-break — e.g. the primary key — as the last order column), without
+    the single-reducer ``Window.orderBy()`` collapse.
+
+    Two-phase zipWithIndex in pure DataFrame ops: range-repartition on
+    the order columns (ties land in one range, so ranks never straddle a
+    boundary), rank locally per range partition, then add each range's
+    row-count offset. The offset table is one row per range — its cumsum
+    window is bounded by the partition count, never by the data — and
+    broadcasts back. At 100 TB this is two corpus-sized exchanges (the
+    range shuffle + the per-range window's hash shuffle) and one
+    metadata-sized aggregate; the alternative global window is one
+    executor sorting the entire corpus.
+    """
+    if num_ranges is None:
+        num_ranges = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    cols = [F.col(c).asc() for c in order_cols]
+    d = df.repartitionByRange(num_ranges, *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    counts = d.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_cum = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(w_cum), F.lit(0)).alias("__off"),
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*cols)
+    return (
+        d.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            out, (F.col("__off") + F.row_number().over(w_local)).cast("bigint")
+        )
+        .drop("__pid", "__off")
+    )
+
+
+def rank_bins(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    n_bins: int = 10,
+    out: str = "bin",
+) -> DataFrame:
+    """Equal-count curriculum bins 1..n_bins over a deterministic total
+    order: bin = (rank-1)*n_bins div n + 1 — the engine-portable even
+    distribution (SQL NTILE's remainder placement differs between
+    engines' documentation and is avoided on purpose).
+
+    Rank comes from ``global_rank`` (distributed two-phase, no global
+    sort) and n from a 1-row count broadcast — both scale-safe. Length
+    or quality binning feeds curriculum schedules and balanced batch
+    packing."""
+    ranked = global_rank(df, order_cols, out="__rank")
+    n = df.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn(
+            out,
+            F.expr(f"CAST((__rank - 1) * {n_bins} div __total + 1 AS INT)"),
+        )
+        .drop("__rank", "__total")
+    )

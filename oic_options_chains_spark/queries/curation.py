@@ -490,3 +490,97 @@ def q_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("true_n"))
     )
     return truth.join(est, "user_id").select("user_id", "est", "true_n")
+
+
+@register(
+    "q_stratified_split",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS r,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN r * 100 <= n * 5 THEN 'test'
+                WHEN r * 100 <= n * 10 THEN 'val'
+                ELSE 'train' END AS split
+    FROM ranked
+    """,
+)
+def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language 5/5/90 split (operators/sampling.stratified_split):
+    every stratum contributes floor-exact counts to test/val — the
+    guarantee hash bucketing (q_split_assign) only gives in expectation.
+    One parallel window per stratum, integer threshold math."""
+    from oic_options_chains_spark.operators.sampling import stratified_split
+
+    d = load_table(spark, sf_dir, "documents")
+    return stratified_split(d, ["lang"], "doc_id").select("doc_id", "lang", "split")
+
+
+@register(
+    "q_quality_bins",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY n_chars ASC, doc_id ASC) AS r,
+             COUNT(*) OVER () AS n
+      FROM documents)
+    SELECT doc_id, n_chars, CAST((r - 1) * 10 // n + 1 AS INT) AS bin
+    FROM ranked
+    """,
+)
+def q_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-count length deciles for curriculum scheduling
+    (operators/sampling.rank_bins): exact global rank via the two-phase
+    range-repartition form — no single-reducer global window — then the
+    engine-portable (rank-1)*bins div n + 1 assignment."""
+    from oic_options_chains_spark.operators.sampling import rank_bins
+
+    d = load_table(spark, sf_dir, "documents")
+    return rank_bins(d, ["n_chars", "doc_id"], n_bins=10).select(
+        "doc_id", "n_chars", "bin"
+    )
+
+
+@register(
+    "q_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 10 < 8),
+    new AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END) AS fp
+      FROM documents WHERE doc_id % 10 >= 2)
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.fp <> n.fp THEN 'changed'
+                ELSE 'kept' END AS status,
+           o.fp AS old_fp, n.fp AS new_fp
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-to-release dataset diff (operators/cdc.snapshot_diff):
+    one full-outer co-partitioned join classifying every doc as
+    added/removed/changed/kept by content fingerprint. The two versions
+    are carved from the documents table (80% old, 80% new, a 1-in-7
+    text mutation) so the oracle proves all four statuses."""
+    from oic_options_chains_spark.operators.cdc import snapshot_diff
+
+    d = load_table(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 10 < 8).select(
+        "doc_id", F.md5(F.col("text")).alias("fp")
+    )
+    new = d.filter(F.col("doc_id") % 10 >= 2).select(
+        "doc_id",
+        F.md5(
+            F.when(F.col("doc_id") % 7 == 0, F.upper(F.col("text"))).otherwise(
+                F.col("text")
+            )
+        ).alias("fp"),
+    )
+    return snapshot_diff(old, new, "doc_id")

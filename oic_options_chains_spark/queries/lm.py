@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from oic_options_chains_spark.operators.lm import (
+    bigram_coverage,
     bigram_next_token,
     bpe_pair_counts,
     tfidf_topk_terms,
@@ -105,3 +106,40 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side; only the bounded-domain top-N sort is single-reducer."""
     d = load_table(spark, sf_dir, "documents")
     return bpe_pair_counts(d, topk=20)
+
+
+@register(
+    "q_bigram_coverage",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token,
+             unnest(range(0, len(string_split(lower(text), ' ')))) AS pos
+      FROM documents),
+    pairs AS (
+      SELECT a.doc_id, a.token || ' ' || b.token AS bigram
+      FROM tok a JOIN tok b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+    ref AS (
+      SELECT bigram FROM (
+        SELECT bigram, COUNT(DISTINCT doc_id) AS df
+        FROM pairs GROUP BY bigram)
+      WHERE df >= 20),
+    per_doc AS (
+      SELECT p.doc_id, COUNT(*) AS n_bigrams,
+             SUM(CASE WHEN r.bigram IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+      FROM pairs p LEFT JOIN ref r ON p.bigram = r.bigram
+      GROUP BY p.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
+    FROM documents d LEFT JOIN per_doc h ON d.doc_id = h.doc_id
+    """,
+)
+def q_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document common-bigram coverage (operators/lm.bigram_coverage):
+    the integer-exact perplexity-gate stand-in — documents whose bigram
+    stream rarely intersects the corpus's frequent bigrams are the
+    outliers an n-gram LM filter would flag. Shuffle-free pair build
+    (array shift zip), vocabulary-sized reference broadcast back."""
+    d = load_table(spark, sf_dir, "documents")
+    return bigram_coverage(d, min_df=20)
