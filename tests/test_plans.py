@@ -175,3 +175,25 @@ def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bigram_coverage_reference_broadcasts(spark, sf_dir):
+    # the qualifying-bigram set must broadcast back onto the corpus-sized
+    # pair stream — a shuffle join here re-exchanges the whole corpus
+    plan = _plan(QUERIES["q_bigram_coverage"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_snapshot_diff_single_copartitioned_join(spark, sf_dir):
+    # one full-outer equi-join, no cartesian, no window
+    plan = _plan(QUERIES["q_snapshot_diff"](spark, sf_dir))
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_stratified_split_windows_partition_by_stratum(spark, sf_dir):
+    # the rank window must partition by the stratum (parallel across
+    # strata), never run as a partition-less global sort
+    opt = _optimized(QUERIES["q_stratified_split"](spark, sf_dir))
+    assert "windowspecdefinition(lang" in opt
