@@ -120,11 +120,20 @@ def hll_distinct_estimate(df: DataFrame, col: str, b: int = 8) -> DataFrame:
     <= 2.5m with empty registers present, the standard HLL correction)
     reads the precomputed ``hll_linear_table`` instead of evaluating a
     log in-engine. Standard error ~1.04/sqrt(2^b)."""
+    return hll_estimate_from_registers(hll_registers(df, col, b), b)
+
+
+def hll_estimate_from_registers(regs: DataFrame, b: int = 8) -> DataFrame:
+    """Estimate from an explicit (reg, rho) register relation — the seam
+    that makes the sketch MERGEABLE: registers built per shard/source
+    (``hll_group_registers``) union-merge with a MAX per register, and
+    this estimator is oblivious to where they came from. Same integer
+    harmonic-sum math as ``hll_distinct_estimate``."""
     m = 1 << b
     alpha = 0.7213 / (1 + 1.079 / m) if b >= 7 else (0.697 if b == 6 else 0.673)
     table = ", ".join(str(x) for x in hll_linear_table(m))
     num = f"(CAST({alpha!r} AS DOUBLE) * CAST({m * m} AS DOUBLE) * CAST(9007199254740992 AS DOUBLE))"
-    s = hll_registers(df, col, b).agg(
+    s = regs.agg(
         F.expr("COUNT(*) AS __n_regs"),
         # COALESCE so an EMPTY input yields sum_scaled = m * 2^53 and a
         # raw estimate that the all-zero-registers branch maps to ~0
@@ -145,6 +154,43 @@ def hll_distinct_estimate(df: DataFrame, col: str, b: int = 8) -> DataFrame:
         f"CAST(IF(raw_est <= {(5 * m) // 2} AND n_zero_regs > 0, "
         f"element_at(array({table}), CAST(n_zero_regs AS INT)), raw_est) AS BIGINT) AS estimate",
     )
+
+
+def hll_group_registers(
+    df: DataFrame, col: str, group_col: str, b: int = 8
+) -> DataFrame:
+    """(grp, reg, rho): one HLL register set PER GROUP — the shard-local
+    sketches of a sharded/per-source pipeline. Merging groups is
+    MAX(rho) per register (set union is exact under the sketch), so a
+    100 TB corpus can sketch each source/day/shard independently and
+    combine the bounded register relations afterwards — no re-scan of
+    the raw data to get the union's distinct count.
+
+    Same md5 register/rank derivation as ``hll_registers``; the shuffle
+    carries at most groups * m rows after map-side combine."""
+    assert b % 4 == 0 and 4 <= b <= 16, "b must be 4, 8, 12, or 16"
+    hx = b // 4
+    h = df.select(
+        F.col(group_col).alias("grp"),
+        F.md5(F.col(col).cast("string")).alias("__h"),
+    ).distinct()
+    r = h.selectExpr(
+        "grp",
+        f"CAST(conv(substring(__h, 1, {hx}), 16, 10) AS INT) AS reg",
+        f"CAST(conv(substring(__h, {hx + 1}, 13), 16, 10) AS BIGINT) AS __v",
+    )
+    return r.groupBy("grp", "reg").agg(
+        F.expr("MAX(IF(__v = 0, 53, 53 - length(bin(__v)))) AS rho")
+    )
+
+
+def hll_merge_registers(shard_regs: DataFrame) -> DataFrame:
+    """Union-merge shard register sets into one (reg, rho) relation:
+    MAX per register. Associative and commutative, so any merge tree —
+    per-executor partials, per-day rollups, cross-cluster combination —
+    yields the identical global sketch."""
+    return shard_regs.groupBy("reg").agg(F.max("rho").alias("rho"))
+
 
 
 # --------------------------------------------------------------------------

@@ -584,3 +584,77 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fp"),
     )
     return snapshot_diff(old, new, "doc_id")
+
+
+@register(
+    "q_hll_merge",
+    oracle=f"""
+    WITH h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT event_type,
+                 CAST(concat('0x', substring(h, 1, 2)) AS INT) AS reg,
+                 CAST(concat('0x', substring(h, 3, 13)) AS BIGINT) AS v
+          FROM h),
+    shard AS (SELECT event_type, reg,
+                     MAX(IF(v = 0, 53, 53 - length(bin(v)))) AS rho
+              FROM r GROUP BY event_type, reg),
+    merged AS (SELECT reg, MAX(rho) AS rho FROM shard GROUP BY reg),
+    agg AS (SELECT COUNT(*) AS n_regs,
+                   COALESCE(SUM((CAST(1 AS BIGINT) << (53 - rho))),
+                            CAST(0 AS BIGINT)) AS t
+            FROM merged),
+    est AS (SELECT CAST(256 - n_regs AS BIGINT) AS n_zero_regs,
+                   CAST(FLOOR({_HLL_NUM_256}
+                        / CAST(t + (CAST(1 AS BIGINT) << 53) * (256 - n_regs)
+                               AS DOUBLE)) AS BIGINT) AS raw_est
+            FROM agg),
+    m_est AS (SELECT CAST(IF(raw_est <= 640 AND n_zero_regs > 0,
+                             ([{_HLL_TABLE_256}])[CAST(n_zero_regs AS INT)],
+                             raw_est) AS BIGINT) AS merged_estimate
+              FROM est),
+    dh AS (SELECT md5(CAST(user_id AS VARCHAR)) AS h FROM events GROUP BY 1),
+    dr AS (SELECT CAST(concat('0x', substring(h, 1, 2)) AS INT) AS reg,
+                  CAST(concat('0x', substring(h, 3, 13)) AS BIGINT) AS v
+           FROM dh),
+    dm AS (SELECT reg, MAX(IF(v = 0, 53, 53 - length(bin(v)))) AS rho
+           FROM dr GROUP BY reg),
+    dagg AS (SELECT COUNT(*) AS n_regs,
+                    COALESCE(SUM((CAST(1 AS BIGINT) << (53 - rho))),
+                             CAST(0 AS BIGINT)) AS t
+             FROM dm),
+    dest AS (SELECT CAST(256 - n_regs AS BIGINT) AS n_zero_regs,
+                    CAST(FLOOR({_HLL_NUM_256}
+                         / CAST(t + (CAST(1 AS BIGINT) << 53) * (256 - n_regs)
+                                AS DOUBLE)) AS BIGINT) AS raw_est
+             FROM dagg),
+    d_est AS (SELECT CAST(IF(raw_est <= 640 AND n_zero_regs > 0,
+                             ([{_HLL_TABLE_256}])[CAST(n_zero_regs AS INT)],
+                             raw_est) AS BIGINT) AS direct_estimate
+              FROM dest)
+    SELECT CAST(256 AS BIGINT) AS m, direct_estimate, merged_estimate
+    FROM d_est CROSS JOIN m_est
+    """,
+)
+def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch mergeability, proven in-data: per-event-type HLL register
+    sets (the shard-local sketches) union-merged with MAX per register
+    give the SAME estimate as sketching the whole stream directly —
+    the associativity that lets 100 TB sketch per source/day/shard and
+    combine bounded register relations instead of re-scanning raw data
+    (operators/sketches.hll_group_registers / hll_merge_registers)."""
+    from oic_options_chains_spark.operators.sketches import (
+        hll_distinct_estimate,
+        hll_estimate_from_registers,
+        hll_group_registers,
+        hll_merge_registers,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    shard = hll_group_registers(e, "user_id", "event_type", b=8)
+    merged = hll_estimate_from_registers(
+        hll_merge_registers(shard), b=8
+    ).selectExpr("estimate AS merged_estimate")
+    direct = hll_distinct_estimate(e, "user_id", b=8).selectExpr(
+        "m", "estimate AS direct_estimate"
+    )
+    return direct.crossJoin(merged)

@@ -48,3 +48,49 @@ def test_merge_equals_global_sketch(spark):
     )
     direct = kmv_minima(a.unionAll(b), "v", k)
     assert [r.f for r in merged.collect()] == [r.f for r in direct.collect()]
+
+
+def test_hll_shard_merge_equals_direct(spark, sf_dir):
+    from oic_options_chains_spark.operators.sketches import (
+        hll_distinct_estimate,
+        hll_estimate_from_registers,
+        hll_group_registers,
+        hll_merge_registers,
+    )
+    from oic_options_chains_spark.sources.registry import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    direct = hll_distinct_estimate(e, "user_id", b=8).collect()[0]
+    merged_regs = hll_merge_registers(
+        hll_group_registers(e, "user_id", "event_type", b=8)
+    )
+    merged = hll_estimate_from_registers(merged_regs, b=8).collect()[0]
+    # union-merge of shard sketches is EXACT: identical registers,
+    # identical estimate — not merely close
+    assert merged["estimate"] == direct["estimate"]
+    assert merged["sum_scaled"] == direct["sum_scaled"]
+
+
+def test_hll_merge_associativity(spark):
+    from oic_options_chains_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_group_registers,
+        hll_merge_registers,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 5}") for i in range(2000)], "v bigint, grp string"
+    )
+    regs = hll_group_registers(df, "v", "grp", b=8)
+    # merge all 5 at once vs merge {g0,g1} first then the rest: same sketch
+    all_at_once = hll_merge_registers(regs)
+    first = hll_merge_registers(regs.filter("grp IN ('g0','g1')"))
+    rest = hll_merge_registers(regs.filter("grp NOT IN ('g0','g1')"))
+    staged = hll_merge_registers(
+        first.selectExpr("'a' AS grp", "reg", "rho").unionByName(
+            rest.selectExpr("'b' AS grp", "reg", "rho")
+        )
+    )
+    a = hll_estimate_from_registers(all_at_once, b=8).collect()[0]
+    b = hll_estimate_from_registers(staged, b=8).collect()[0]
+    assert a == b
