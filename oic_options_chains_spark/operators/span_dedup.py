@@ -1,0 +1,134 @@
+"""Exact duplicated-SPAN removal: delete every token run that repeats
+elsewhere in the corpus, keeping one canonical copy — the substring-level
+dedup step (Lee et al. 2021, "Deduplicating Training Data Makes Language
+Models Better") that document-level dedup (minhash.py) cannot do:
+boilerplate headers, license blocks, and quoted chunks that recur inside
+otherwise-unique documents.
+
+Semantics: an n-token window is DUPLICATED if its token sequence occurs
+at more than one (doc, position). The first occurrence in (doc_id,
+start) order is canonical and stays; every other occurrence's token span
+is removed. Overlapping and adjacent removed spans merge (gaps-and-
+islands), so a long repeated region is deleted as one block, and the
+surviving tokens are re-joined in order.
+
+Plan shape at 100 TB — all relational, no UDF:
+- window fingerprints build ARRAY-SIDE per document (transform over the
+  token array), so the only corpus-sized exchanges are: (1) the
+  fingerprint window that ranks occurrences (hash-partitioned on the
+  fingerprint; a Zipf-hot fingerprint serializes one partition's linear
+  scan, but rank>1 filtering streams — nothing materializes per group),
+  (2) the per-document island window and rebuild (both partition by
+  doc_id and can share one exchange), and (3) the anti-join of tokens
+  against removed positions, co-partitioned on (doc, pos).
+- Removed-position explode is bounded by the corpus token count; the
+  rebuild's collect_list holds one document's tokens — the same scale as
+  the input row itself.
+
+Reference scope: extends K1/K2's row-identity dedup
+(transform-load.2025-08-19.rkt ON CONFLICT DO NOTHING) to sub-row
+content identity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_spans(
+    df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, clean_text, n_tokens, n_kept, n_removed) with every
+    non-canonical duplicated n-token span deleted. Documents shorter
+    than ``n`` tokens pass through whole; a fully-duplicated document
+    comes back with ``clean_text = ''``."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    base = df.select(F.col(id_col), toks.alias("__t"))
+
+    # Window fingerprints, built array-side: start i covers tokens
+    # [i, i+n). sequence() is guarded — with stop < start it would
+    # generate a DESCENDING range, not an empty one.
+    starts = F.when(
+        F.size("__t") >= n, F.sequence(F.lit(0), F.size("__t") - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda i: F.md5(F.concat_ws(" ", F.slice("__t", i + 1, n))),
+            )
+        ).alias("start", "fp"),
+    )
+
+    # Canonical occurrence = rank 1 in (doc, start) order per
+    # fingerprint; every later occurrence is a span to remove.
+    w_fp = Window.partitionBy("fp").orderBy(F.col(id_col).asc(), F.col("start").asc())
+    flagged = (
+        grams.withColumn("__rn", F.row_number().over(w_fp))
+        .filter(F.col("__rn") > 1)
+        .select(F.col(id_col), F.col("start"), (F.col("start") + n).alias("end"))
+    )
+
+    # Gaps-and-islands merge of overlapping/adjacent spans per document.
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("start", "end")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("start", "end")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_prev = flagged.withColumn("__prev_max", F.max("end").over(w_prev))
+    islands = with_prev.withColumn(
+        "__island",
+        F.sum(
+            F.when(
+                F.col("__prev_max").isNull()
+                | (F.col("start") > F.col("__prev_max")),
+                1,
+            ).otherwise(0)
+        ).over(w_run),
+    )
+    spans = islands.groupBy(id_col, "__island").agg(
+        F.min("start").alias("s"), F.max("end").alias("e")
+    )
+
+    # Token-level removal: explode spans to positions, anti-join.
+    removed = spans.select(
+        F.col(id_col), F.explode(F.sequence(F.col("s"), F.col("e") - 1)).alias("pos")
+    )
+    tokens = base.select(F.col(id_col), F.posexplode("__t").alias("pos", "token"))
+    kept = tokens.join(removed, on=[id_col, "pos"], how="left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                lambda x: x["token"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+    )
+
+    totals = base.select(
+        F.col(id_col), F.size("__t").cast("bigint").alias("n_tokens")
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.col("n_tokens"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )

@@ -546,3 +546,68 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_shuffle(d, "doc_id", n_shards=8).select(
         "doc_id", "shard", "position"
     )
+
+
+@register(
+    "q_span_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    starts AS (
+      SELECT doc_id, t, unnest(range(0, greatest(len(t) - 7, 0))) AS i
+      FROM toks),
+    grams AS (
+      SELECT doc_id, CAST(i AS INT) AS start,
+             md5(array_to_string(t[i + 1 : i + 8], ' ')) AS fp
+      FROM starts),
+    occ AS (
+      SELECT doc_id, start,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id, start) AS rn
+      FROM grams),
+    flagged AS (SELECT doc_id, start, start + 8 AS e FROM occ WHERE rn > 1),
+    wprev AS (
+      SELECT doc_id, start, e,
+             MAX(e) OVER (PARTITION BY doc_id ORDER BY start, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM flagged),
+    isl AS (
+      SELECT doc_id, start, e,
+             SUM(CASE WHEN prev_max IS NULL OR start > prev_max
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY start, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM wprev),
+    spans AS (SELECT doc_id, island, MIN(start) AS s, MAX(e) AS e
+              FROM isl GROUP BY doc_id, island),
+    rem AS (SELECT doc_id, unnest(range(s, e)) AS pos FROM spans),
+    tok AS (SELECT doc_id, unnest(t) AS token,
+                   unnest(range(0, len(t))) AS pos
+            FROM toks),
+    kept AS (
+      SELECT k.doc_id, k.pos, k.token
+      FROM tok k ANTI JOIN rem r ON k.doc_id = r.doc_id AND k.pos = r.pos),
+    reb AS (
+      SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS clean_text,
+             CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           COALESCE(r.clean_text, '') AS clean_text,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(len(t.t) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+    FROM toks t LEFT JOIN reb r ON t.doc_id = r.doc_id
+    """,
+)
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span removal (operators/span_dedup.dedup_spans):
+    every non-canonical repeated 8-token window is deleted and adjacent
+    deletions merge — the substring-level dedup document-level LSH
+    cannot express. All-relational: array-side fingerprints, one
+    fingerprint-ranked window, gaps-and-islands span merge, co-
+    partitioned anti-join, ordered rebuild."""
+    from oic_options_chains_spark.operators.span_dedup import dedup_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return dedup_spans(d, n=8)
