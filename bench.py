@@ -51,6 +51,8 @@ HEADLINE = (
     "q_dataset_manifest",
     "q_kmeans",
     "q_ann_ivf_kmeans",
+    "q_span_dedup",
+    "q_stratified_split",
 )
 
 # single-JVM local bench has ~±20-30% run-to-run noise (ambient load
