@@ -63,7 +63,15 @@ def kmv_distinct_estimate(df: DataFrame, col: str, k: int = 64) -> DataFrame:
     """One row: (n_minima, estimate). Below saturation the sketch has
     seen every distinct value and the estimate IS the exact count; at
     saturation the k-th minimum m gives floor((k-1)/m)."""
-    agg = kmv_minima(df, col, k).agg(
+    return kmv_estimate_from_minima(kmv_minima(df, col, k), k)
+
+
+def kmv_estimate_from_minima(minima: DataFrame, k: int = 64) -> DataFrame:
+    """Estimate from an explicit minima relation (single column ``f``) —
+    the mergeable seam: per-shard minima union and re-limit
+    (``kmv_merge_minima``) into exactly the global sketch, because the k
+    smallest of a union are always among each side's k smallest."""
+    agg = minima.agg(
         F.count(F.lit(1)).alias("n_minima"), F.max("f").alias("__m")
     )
     return agg.select(
@@ -73,6 +81,36 @@ def kmv_distinct_estimate(df: DataFrame, col: str, k: int = 64) -> DataFrame:
         .cast("bigint")
         .alias("estimate"),
     )
+
+
+def kmv_group_minima(
+    df: DataFrame, col: str, group_col: str, k: int = 64
+) -> DataFrame:
+    """(grp, f): each group's k smallest hash fractions — the shard-local
+    KMV sketches. Plans as one WindowGroupLimit per group (running top-k
+    inside each hash partition), so a group with billions of distinct
+    values never materializes."""
+    from pyspark.sql import Window
+
+    dv = df.select(F.col(group_col).alias("grp"), F.col(col)).distinct()
+    f = dv.select("grp", hash_fraction(F.col(col)).alias("f"))
+    w = Window.partitionBy("grp").orderBy(F.col("f").asc())
+    return (
+        f.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("grp", "f")
+    )
+
+
+def kmv_merge_minima(shard_minima: DataFrame, k: int = 64) -> DataFrame:
+    """Union-merge shard minima: distinct, then re-take the k smallest —
+    EXACT with respect to the union of the underlying sets (the k
+    smallest overall are among every shard's k smallest). The distinct
+    matters: a value living in several shards contributes its fraction
+    once per shard, and double-counting a minimum would shrink the
+    estimate. Input is <= shards * k rows, so both the distinct and the
+    TakeOrderedAndProject are sketch-sized."""
+    return shard_minima.select("f").distinct().orderBy("f").limit(k)
 
 
 def hll_linear_table(m: int) -> list[int]:

@@ -658,3 +658,63 @@ def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m", "estimate AS direct_estimate"
     )
     return direct.crossJoin(merged)
+
+
+@register(
+    "q_kmv_merge",
+    oracle="""
+    WITH dv AS (SELECT DISTINCT event_type, user_id FROM events),
+    f AS (
+      SELECT event_type,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+                  AS BIGINT) / 4503599627370496.0 AS f
+      FROM dv),
+    gm AS (
+      SELECT event_type, f,
+             row_number() OVER (PARTITION BY event_type ORDER BY f) AS rn
+      FROM f),
+    merged AS (
+      SELECT DISTINCT f FROM gm WHERE rn <= 64 ORDER BY f LIMIT 64),
+    ma AS (SELECT COUNT(*) AS n_minima, MAX(f) AS m FROM merged),
+    m_est AS (
+      SELECT CAST(CASE WHEN n_minima < 64 THEN n_minima
+                       ELSE FLOOR(63.0 / m) END AS BIGINT) AS merged_estimate
+      FROM ma),
+    direct AS (
+      SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+                  AS BIGINT) / 4503599627370496.0 AS f
+      FROM (SELECT DISTINCT user_id FROM events)
+      ORDER BY 1 LIMIT 64),
+    da AS (SELECT COUNT(*) AS n_minima, MAX(f) AS m FROM direct),
+    d_est AS (
+      SELECT CAST(n_minima AS BIGINT) AS n_minima,
+             CAST(CASE WHEN n_minima < 64 THEN n_minima
+                       ELSE FLOOR(63.0 / m) END AS BIGINT) AS direct_estimate
+      FROM da)
+    SELECT n_minima, direct_estimate, merged_estimate
+    FROM d_est CROSS JOIN m_est
+    """,
+)
+def q_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV mergeability, proven in-data: per-event-type minima lists
+    union-merged (distinct + re-take k) give the IDENTICAL estimate as
+    sketching the whole stream — k smallest of a union are among each
+    shard's k smallest (operators/sketches.kmv_group_minima /
+    kmv_merge_minima). The shard sketches are WindowGroupLimit running
+    top-k; the merge is a k-sized TakeOrderedAndProject."""
+    from oic_options_chains_spark.operators.sketches import (
+        kmv_distinct_estimate,
+        kmv_estimate_from_minima,
+        kmv_group_minima,
+        kmv_merge_minima,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    shard = kmv_group_minima(e, "user_id", "event_type", k=64)
+    merged = kmv_estimate_from_minima(kmv_merge_minima(shard, k=64), k=64).selectExpr(
+        "estimate AS merged_estimate"
+    )
+    direct = kmv_distinct_estimate(
+        e.select(F.col("user_id").cast("string").alias("user_id")), "user_id", k=64
+    ).selectExpr("n_minima", "estimate AS direct_estimate")
+    return direct.crossJoin(merged)

@@ -94,3 +94,28 @@ def test_hll_merge_associativity(spark):
     a = hll_estimate_from_registers(all_at_once, b=8).collect()[0]
     b = hll_estimate_from_registers(staged, b=8).collect()[0]
     assert a == b
+
+
+def test_kmv_shard_merge_equals_direct(spark):
+    from pyspark.sql import functions as F
+
+    from oic_options_chains_spark.operators.sketches import (
+        kmv_distinct_estimate,
+        kmv_estimate_from_minima,
+        kmv_group_minima,
+        kmv_merge_minima,
+    )
+
+    # values deliberately shared across groups: the merge's distinct
+    # must stop a cross-shard value from double-counting as two minima
+    df = spark.createDataFrame(
+        [(i % 300, f"g{i % 4}") for i in range(3000)], "v bigint, grp string"
+    )
+    direct = kmv_distinct_estimate(
+        df.select(F.col("v").cast("string").alias("v")), "v", k=64
+    ).collect()[0]
+    merged = kmv_estimate_from_minima(
+        kmv_merge_minima(kmv_group_minima(df, "v", "grp", k=64), k=64), k=64
+    ).collect()[0]
+    assert merged["estimate"] == direct["estimate"]
+    assert merged["n_minima"] == direct["n_minima"]
