@@ -162,24 +162,40 @@ def near_dup_pairs(
     bits: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, sign-bucket-pruned.
 
     Candidate generation is a self-equi-join on the coarse sign bucket
-    (id_a < id_b to emit each pair once), so the shuffle is keyed on the
-    bucket — never the O(n^2) cross join. ``bits`` defaults to
-    ``bits_for(count)`` so buckets stay executor-sized as the corpus
-    grows (each added bit halves expected bucket size); recall loss only
-    affects pairs whose cosine is low anyway, since near-identical
-    vectors share leading sign bits.
+    (id_a < id_b to emit each pair once) — never the O(n^2) cross join.
+    ``bits`` defaults to ``bits_for(count)`` so buckets stay
+    executor-sized as the corpus grows (each added bit halves expected
+    bucket size); recall loss only affects pairs whose cosine is low
+    anyway, since near-identical vectors share leading sign bits.
     Returns (id_a, id_b, score_e6).
+
+    ``broadcast_candidates=True`` (default) broadcasts the candidate
+    side and hash-repartitions the probe side with an explicit
+    partition count: the interpreted-fold cosine is CPU-dense at tiny
+    byte sizes, so probe parallelism must come from an exchange AQE
+    cannot coalesce away, not from the scan's file-split count (one
+    compact parquet file = one core otherwise; measured 4x slower at
+    sf0.1 on the sibling ``hard_negatives``). At warehouse scale pass
+    ``False`` for the bucket-keyed shuffle join.
     """
     bits = _resolve_bits(embeddings, bits)
     # norms and double-cast vectors precomputed per VECTOR (n rows), not
     # per pair: the per-pair work drops to one dot-product fold;
     # dot/(na*nb) is bit-identical to computing both norms inside the pair.
     b = _pair_prep(embeddings, id_col, vec_col, bits)
-    a, c = b.alias("a"), b.alias("c")
+    if broadcast_candidates:
+        n_parts = int(
+            embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        a = b.repartition(n_parts, F.col(id_col)).alias("a")
+        c = F.broadcast(b).alias("c")
+    else:
+        a, c = b.alias("a"), b.alias("c")
     cos = dot_pre(F.col("a.__v"), F.col("c.__v")) / (
         F.col("a.__n") * F.col("c.__n")
     )
@@ -389,6 +405,7 @@ def hard_negatives(
     bits: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """Deterministic hard-negative mining for contrastive training: for
     every anchor vector, the k most-similar OTHER vectors from its own
@@ -398,15 +415,35 @@ def hard_negatives(
 
     Same candidate topology as ``near_dup_pairs`` — a self-equi-join on
     the coarse sign bucket, so candidates are exactly the vectors hard
-    negatives should come from (similar region, different item) and the
-    shuffle is bucket-keyed, never O(n^2). Per-anchor selection is one
-    WindowGroupLimit (running top-k, score desc, candidate id as the
-    deterministic tie-break). Returns (id_col, neg_id, score_e6, slot)
-    with slot = 1..k.
+    negatives should come from (similar region, different item). Per-
+    anchor selection is one WindowGroupLimit (running top-k, score desc,
+    candidate id as the deterministic tie-break). Returns (id_col,
+    neg_id, score_e6, slot) with slot = 1..k.
+
+    ``broadcast_candidates=True`` (default) pins the candidate side as
+    the broadcast build and hash-repartitions the ANCHOR side on
+    ``id_col`` with an explicit partition count. Both halves matter: the
+    probe's parallelism must come from the exchange, not the scan's
+    file-split count (a compact embeddings table reads as ONE input
+    partition, which would run every interpreted-fold cosine on a
+    single core — measured 4x slower at sf0.1), and the explicit count
+    stops AQE coalescing the few-megabyte-but-CPU-heavy exchange back
+    to one task. The same partitioning then feeds the per-anchor window
+    for free — the PAIRS relation (the big intermediate) never
+    shuffles. At warehouse scale, where the candidate side exceeds
+    executor memory, pass ``False`` to fall back to the bucket-keyed
+    shuffle join (never O(n^2); the window then re-exchanges pairs).
     """
     bits = _resolve_bits(embeddings, bits)
     b = _pair_prep(embeddings, id_col, vec_col, bits)
-    a, c = b.alias("a"), b.alias("c")
+    if broadcast_candidates:
+        n_parts = int(
+            embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        a = b.repartition(n_parts, F.col(id_col)).alias("a")
+        c = F.broadcast(b).alias("c")
+    else:
+        a, c = b.alias("a"), b.alias("c")
     cos = dot_pre(F.col("a.__v"), F.col("c.__v")) / (
         F.col("a.__n") * F.col("c.__n")
     )

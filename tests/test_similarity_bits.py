@@ -103,3 +103,23 @@ def test_resolve_bits_counts_once_per_dataframe(spark, monkeypatch):
     # an explicit bits argument never touches the data
     assert similarity._resolve_bits(df, 7) == 7
     assert calls["n"] == 1
+
+
+def test_hard_negative_join_strategies_agree(spark, sf_dir):
+    from oic_options_chains_spark.operators.similarity import hard_negatives
+    from oic_options_chains_spark.sources.registry import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    bc = hard_negatives(e, k=4, bits=4, broadcast_candidates=True)
+    sh = hard_negatives(e, k=4, bits=4, broadcast_candidates=False)
+    assert sorted(map(tuple, bc.collect())) == sorted(map(tuple, sh.collect()))
+
+
+def test_near_dup_join_strategies_agree(spark, sf_dir):
+    from oic_options_chains_spark.operators.similarity import near_dup_pairs
+    from oic_options_chains_spark.sources.registry import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    bc = near_dup_pairs(e, bits=4, broadcast_candidates=True)
+    sh = near_dup_pairs(e, bits=4, broadcast_candidates=False)
+    assert sorted(map(tuple, bc.collect())) == sorted(map(tuple, sh.collect()))
