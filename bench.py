@@ -53,6 +53,7 @@ HEADLINE = (
     "q_ann_ivf_kmeans",
     "q_span_dedup",
     "q_stratified_split",
+    "q_curation_build",
 )
 
 # single-JVM local bench has ~±20-30% run-to-run noise (ambient load

@@ -718,3 +718,98 @@ def q_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.col("user_id").cast("string").alias("user_id")), "user_id", k=64
     ).selectExpr("n_minima", "estimate AS direct_estimate")
     return direct.crossJoin(merged)
+
+
+@register(
+    "q_curation_build",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    starts AS (
+      SELECT doc_id, t, unnest(range(0, greatest(len(t) - 7, 0))) AS i
+      FROM toks),
+    grams AS (
+      SELECT doc_id, CAST(i AS INT) AS start,
+             md5(array_to_string(t[i + 1 : i + 8], ' ')) AS fp
+      FROM starts),
+    occ AS (
+      SELECT doc_id, start,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id, start) AS rn
+      FROM grams),
+    flagged AS (SELECT doc_id, start, start + 8 AS e FROM occ WHERE rn > 1),
+    wprev AS (
+      SELECT doc_id, start, e,
+             MAX(e) OVER (PARTITION BY doc_id ORDER BY start, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM flagged),
+    isl AS (
+      SELECT doc_id, start, e,
+             SUM(CASE WHEN prev_max IS NULL OR start > prev_max
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY start, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM wprev),
+    spans AS (SELECT doc_id, island, MIN(start) AS s, MAX(e) AS e
+              FROM isl GROUP BY doc_id, island),
+    rem AS (SELECT doc_id, SUM(e - s) AS n_removed FROM spans GROUP BY doc_id),
+    stats AS (
+      SELECT d.doc_id, d.lang, d.n_chars,
+             len(t.t) AS n_tokens,
+             len(t.t) - COALESCE(r.n_removed, 0) AS n_kept,
+             COALESCE(r.n_removed, 0) AS n_removed
+      FROM documents d
+      JOIN toks t ON d.doc_id = t.doc_id
+      LEFT JOIN rem r ON d.doc_id = r.doc_id),
+    kept AS (SELECT * FROM stats WHERE 4 * n_removed <= n_tokens),
+    split AS (
+      SELECT doc_id, lang, n_chars, n_kept,
+             CASE WHEN r * 100 <= n * 5 THEN 'test'
+                  WHEN r * 100 <= n * 10 THEN 'val'
+                  ELSE 'train' END AS split
+      FROM (
+        SELECT doc_id, lang, n_chars, n_kept,
+               row_number() OVER (
+                 PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS r,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM kept)),
+    binned AS (
+      SELECT lang, split, n_kept,
+             CAST((r - 1) * 10 // n + 1 AS INT) AS bin
+      FROM (
+        SELECT lang, split, n_kept,
+               row_number() OVER (ORDER BY n_chars ASC, doc_id ASC) AS r,
+               COUNT(*) OVER () AS n
+        FROM split))
+    SELECT lang, split, bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_kept) AS BIGINT) AS kept_tokens
+    FROM binned GROUP BY lang, split, bin
+    """,
+)
+def q_curation_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3 curation flagship, composed end-to-end: duplicated-span
+    removal gates documents (drop when >25% of tokens are non-canonical
+    repeats), survivors get a floor-exact per-language 5/5/90 split and
+    equal-count length deciles, and the output is the (lang, split,
+    decile) release manifest with document and surviving-token counts —
+    span_dedup -> stratified_split -> rank_bins -> manifest in ONE plan,
+    every stage the already-oracle-checked operator."""
+    from oic_options_chains_spark.operators.sampling import (
+        rank_bins,
+        stratified_split,
+    )
+    from oic_options_chains_spark.operators.span_dedup import dedup_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    sd = dedup_spans(d, n=8).select("doc_id", "n_tokens", "n_kept", "n_removed")
+    stats = d.select("doc_id", "lang", "n_chars").join(sd, "doc_id")
+    kept = stats.filter(4 * F.col("n_removed") <= F.col("n_tokens"))
+    split = stratified_split(kept, ["lang"], "doc_id")
+    binned = rank_bins(split, ["n_chars", "doc_id"], n_bins=10)
+    return binned.groupBy("lang", "split", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_kept").cast("bigint").alias("kept_tokens"),
+    )
