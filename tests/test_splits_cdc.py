@@ -3,6 +3,8 @@ curriculum bins, snapshot diff, and bigram coverage."""
 
 from __future__ import annotations
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -116,3 +118,29 @@ def test_rank_bins_no_global_single_partition_sort(spark):
     # a global window would show 'windowspecdefinition(id' with no
     # partition spec; ours always partitions by the range partition id
     assert "_pid" in plan
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(st.integers(min_value=1, max_value=120), min_size=1, max_size=6))
+def test_stratified_split_floor_exact_for_any_strata(spark, sizes):
+    # For EVERY stratum size n: test gets floor(n*5/100), val gets
+    # floor(n*10/100) - floor(n*5/100), train the rest — the floor-exact
+    # contract, regardless of how lopsided the strata are.
+    rows, base = [], 0
+    for gi, n in enumerate(sizes):
+        rows += [(base + i, f"s{gi}") for i in range(n)]
+        base += n
+    df = spark.createDataFrame(rows, "id bigint, stratum string")
+    out = stratified_split(df, ["stratum"], "id").groupBy("stratum", "split").count()
+    got = {(r["stratum"], r["split"]): r["count"] for r in out.collect()}
+    for gi, n in enumerate(sizes):
+        s = f"s{gi}"
+        want_test = n * 5 // 100
+        want_val = n * 10 // 100 - want_test
+        assert got.get((s, "test"), 0) == want_test, (s, n)
+        assert got.get((s, "val"), 0) == want_val, (s, n)
+        assert got.get((s, "train"), 0) == n - want_test - want_val, (s, n)
