@@ -26,3 +26,84 @@ def fk_violations(
         *[F.col(d).alias(f) for d, f in zip(dim_keys, fact_keys)]
     ).distinct()
     return fact.join(F.broadcast(dim_proj), on=list(fact_keys), how="left_anti")
+
+
+def quality_report(
+    df: DataFrame,
+    not_null: Sequence[str] = (),
+    ranges: Sequence[tuple[str, int, int]] = (),
+    enums: Sequence[tuple[str, Sequence[str]]] = (),
+    unique: Sequence[str] | None = None,
+) -> DataFrame:
+    """One (check, n_violations, n_checked) row per declared constraint —
+    the Deequ-style expectation suite over a table, as a single plan.
+
+    All row-local checks (NOT NULL, numeric range, enum membership) fold
+    into ONE conditional-aggregation pass over the relation — one scan,
+    one metadata-sized result, regardless of how many checks run. The
+    uniqueness check is the only keyed aggregate (count over the
+    candidate key, violations = rows beyond the first per key), sharing
+    the scan via self-contained lineage. Every count is an exact
+    integer; the report is the audit artifact a warehouse load gates on
+    (the lake-side analog of the reference's DDL constraints,
+    schema.sql:24-26,48-50 — violations surface as data, not as load
+    failures).
+
+    Scale: conditional aggregation is map-side combined (result is one
+    row per plan, CHECKS wide); uniqueness shuffles once on the key.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    names: list[str] = []
+    for c in not_null:
+        names.append(f"not_null:{c}")
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(names[-1])
+        )
+    for c, lo, hi in ranges:
+        names.append(f"range:{c}[{lo},{hi}]")
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.col(c).isNull()
+                    | (F.col(c) < F.lit(lo))
+                    | (F.col(c) > F.lit(hi)),
+                    1,
+                ).otherwise(0)
+            ).alias(names[-1])
+        )
+    for c, allowed in enums:
+        names.append(f"enum:{c}")
+        aggs.append(
+            F.sum(
+                F.when(~F.col(c).isin(*list(allowed)), 1).otherwise(0)
+            ).alias(names[-1])
+        )
+    row = df.agg(*aggs)
+    reports = [
+        row.select(
+            F.lit(name).alias("check"),
+            F.col(name).cast("bigint").alias("n_violations"),
+            F.col("__n").cast("bigint").alias("n_checked"),
+        )
+        for name in names
+    ]
+    out = None
+    for r in reports:
+        out = r if out is None else out.unionByName(r)
+    if unique:
+        dup = (
+            df.groupBy(*[F.col(c) for c in unique])
+            .agg(F.count(F.lit(1)).alias("__k"))
+            .agg(
+                F.coalesce(F.sum(F.col("__k") - 1), F.lit(0)).alias("__viol"),
+                F.coalesce(F.sum("__k"), F.lit(0)).alias("__n"),
+            )
+            .select(
+                F.lit("unique:" + ",".join(unique)).alias("check"),
+                F.col("__viol").cast("bigint").alias("n_violations"),
+                F.col("__n").cast("bigint").alias("n_checked"),
+            )
+        )
+        out = dup if out is None else out.unionByName(dup)
+    assert out is not None, "declare at least one check"
+    return out

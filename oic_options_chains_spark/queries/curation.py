@@ -813,3 +813,61 @@ def q_curation_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_kept").cast("bigint").alias("kept_tokens"),
     )
+
+
+@register(
+    "q_quality_report",
+    oracle="""
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate,
+             l_returnflag, l_linestatus
+      FROM lineitem),
+    agg AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS v_null,
+             SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+                        OR l_quantity > 50 THEN 1 ELSE 0 END) AS v_range,
+             SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                      THEN 1 ELSE 0 END) AS v_enum_rf,
+             SUM(CASE WHEN l_linestatus NOT IN ('O', 'F')
+                      THEN 1 ELSE 0 END) AS v_enum_ls
+      FROM base),
+    uniq AS (
+      SELECT CAST(COALESCE(SUM(k - 1), 0) AS BIGINT) AS v,
+             CAST(COALESCE(SUM(k), 0) AS BIGINT) AS n
+      FROM (SELECT COUNT(*) AS k FROM base
+            GROUP BY l_orderkey, l_linenumber))
+    SELECT 'not_null:l_shipdate' AS check, CAST(v_null AS BIGINT) AS n_violations,
+           CAST(n AS BIGINT) AS n_checked FROM agg
+    UNION ALL
+    SELECT 'range:l_quantity[1,50]', CAST(v_range AS BIGINT), CAST(n AS BIGINT)
+    FROM agg
+    UNION ALL
+    SELECT 'enum:l_returnflag', CAST(v_enum_rf AS BIGINT), CAST(n AS BIGINT)
+    FROM agg
+    UNION ALL
+    SELECT 'enum:l_linestatus', CAST(v_enum_ls AS BIGINT), CAST(n AS BIGINT)
+    FROM agg
+    UNION ALL
+    SELECT 'unique:l_orderkey,l_linenumber', v, n FROM uniq
+    """,
+)
+def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-suite audit (operators/validate.quality_report): every
+    row-local constraint folds into ONE conditional-aggregation scan;
+    uniqueness adds the single keyed aggregate. The lake-side analog of
+    the reference's DDL constraints (schema.sql:24-26,48-50) — violations
+    surface as an audit table a load can gate on, not as load failures."""
+    from oic_options_chains_spark.operators.validate import quality_report
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_shipdate",
+        "l_returnflag", "l_linestatus",
+    )
+    return quality_report(
+        li,
+        not_null=["l_shipdate"],
+        ranges=[("l_quantity", 1, 50)],
+        enums=[("l_returnflag", ["A", "N", "R"]), ("l_linestatus", ["O", "F"])],
+        unique=["l_orderkey", "l_linenumber"],
+    )

@@ -62,3 +62,29 @@ def test_observed_counts(spark, tmp_path):
     )
     flagged.write.mode("overwrite").parquet(str(tmp_path / "out"))
     assert obs.get == {"rows": 100, "failed": 10}
+
+
+def test_quality_report_counts_violations(spark):
+    from oic_options_chains_spark.operators.validate import quality_report
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, 10, "A"),
+            (1, 1, 99, "A"),   # dup key + range violation
+            (2, 1, None, "X"), # null qty (range counts NULL) + bad enum
+            (3, 1, 50, "N"),
+        ],
+        "k bigint, ln bigint, qty bigint, flag string",
+    )
+    got = {r["check"]: (r["n_violations"], r["n_checked"])
+           for r in quality_report(
+               df,
+               not_null=["qty"],
+               ranges=[("qty", 1, 50)],
+               enums=[("flag", ["A", "N", "R"])],
+               unique=["k", "ln"],
+           ).collect()}
+    assert got["not_null:qty"] == (1, 4)
+    assert got["range:qty[1,50]"] == (2, 4)   # 99 out of range + NULL
+    assert got["enum:flag"] == (1, 4)
+    assert got["unique:k,ln"] == (1, 4)
