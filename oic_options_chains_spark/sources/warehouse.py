@@ -33,8 +33,20 @@ def table_exists(table_dir: str) -> bool:
     )
 
 
-def read_table(spark: SparkSession, table_dir: str) -> DataFrame:
-    return spark.read.parquet(table_dir)
+def read_table(
+    spark: SparkSession, table_dir: str, merge_schema: bool = False
+) -> DataFrame:
+    """Scan the partitioned table. ``merge_schema=True`` reconciles a
+    column added by a later day's load (K6's restore-with-null-column,
+    but at the SCAN: old partitions surface the new column as NULL,
+    matching the reference's ALTER TABLE ADD COLUMN semantics,
+    schema.sql + restore path). Default off: schema merging reads every
+    file's footer up front, which at warehouse scale is a driver-side
+    listing cost worth paying only when evolution actually happened."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(table_dir)
 
 
 def append_day(

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from oic_options_chains_spark.sources.snapshots import (
     commit_snapshot,
@@ -57,3 +58,25 @@ def test_snapshot_roundtrip_from_export_projection(spark, sf_dir, snap_dir):
     back = read_snapshot(spark, snap_dir, "2024-01-05")
     assert back.count() == entry["rows"] == df.count()
     assert sorted(back.columns) == sorted(df.columns)
+
+
+def test_schema_evolution_across_days(spark, tmp_path):
+    # A column added by a later day's load: merge_schema=True surfaces it
+    # across the whole table with NULLs for the days written before it —
+    # the scan-side ALTER TABLE ADD COLUMN.
+    from oic_options_chains_spark.sources.warehouse import append_day, read_table
+
+    tdir = str(tmp_path / "tbl")
+    d1 = spark.createDataFrame(
+        [("2024-01-01", 1, 10)], "date string, k bigint, a bigint"
+    ).withColumn("date", F.col("date").cast("date"))
+    append_day(spark, tdir, d1, ["k"])
+    d2 = spark.createDataFrame(
+        [("2024-01-02", 2, 20, "x")], "date string, k bigint, a bigint, b string"
+    ).withColumn("date", F.col("date").cast("date"))
+    append_day(spark, tdir, d2, ["k"])
+
+    merged = read_table(spark, tdir, merge_schema=True)
+    assert "b" in merged.columns
+    rows = {r["k"]: r["b"] for r in merged.collect()}
+    assert rows[1] is None and rows[2] == "x"
