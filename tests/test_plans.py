@@ -197,3 +197,14 @@ def test_stratified_split_windows_partition_by_stratum(spark, sf_dir):
     # strata), never run as a partition-less global sort
     opt = _optimized(QUERIES["q_stratified_split"](spark, sf_dir))
     assert "windowspecdefinition(lang" in opt
+
+
+def test_simhash_candidate_join_reuses_signature_exchange(spark, sf_dir):
+    # The self-join's two sides share the whole signature lineage; after
+    # execution the adaptive plan must show a ReusedExchange — without it
+    # the corpus-sized tokenize+hash+vote pipeline runs twice.
+    df = QUERIES["q_simhash_pairs"](spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan
