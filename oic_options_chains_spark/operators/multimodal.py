@@ -268,3 +268,73 @@ def wav_sample_rate(content: Column) -> Column:
     )
     rate = byte(25) + byte(26) * 256 + byte(27) * 65536 + byte(28) * 16777216
     return F.when(is_wav, rate.cast("int"))
+
+
+def _le_int(content: Column, pos: int, n_bytes: int) -> Column:
+    """Little-endian unsigned int from ``n_bytes`` at 1-based ``pos`` —
+    byte-wise assembly; there is no little-endian conv()."""
+    total = None
+    for i in range(n_bytes):
+        b = F.conv(F.hex(F.substring(content, pos + i, 1)), 16, 10).cast(
+            "bigint"
+        ) * (1 << (8 * i))
+        total = b if total is None else total + b
+    return total
+
+
+def wav_block_align(content: Column) -> Column:
+    """fmt-chunk block align (bytes 33-34 LE): bytes per sample frame."""
+    return _le_int(content, 33, 2)
+
+
+def wav_data_size(content: Column) -> Column:
+    """data-chunk payload size (bytes 41-44 LE, canonical 44-byte
+    header layout)."""
+    return _le_int(content, 41, 4)
+
+
+def wav_chunk_manifest(
+    df: DataFrame,
+    content_col: str,
+    id_col: str = "doc_id",
+    samples_per_chunk: int = 64,
+) -> DataFrame:
+    """(id, sample_rate, n_samples, chunk_idx, start_sample, end_sample):
+    fixed-size chunk boundaries for every RIFF/WAVE blob — the manifest
+    an ASR/audio-embedding batch job consumes, produced WITHOUT any
+    codec: sample rate, block align, and payload size come straight from
+    header bytes (pure JVM hex/arithmetic, whole-stage codegen), and the
+    chunk explode is array-side. Non-WAV rows drop out (route them via
+    sniff_format first); a zero-payload WAV yields no chunks.
+
+    Scale: per-blob work is O(header) + one explode of n_chunks rows —
+    the manifest is the unit of downstream batch parallelism, so this is
+    the operator that turns a 100 TB audio lake into a work queue. The
+    decode itself stays behind the contracted codec seam
+    (``decode_media``)."""
+    c = F.col(content_col)
+    rate = wav_sample_rate(c)
+    base = df.select(
+        F.col(id_col),
+        rate.alias("sample_rate"),
+        (wav_data_size(c) / wav_block_align(c)).cast("bigint").alias("n_samples"),
+    ).filter(F.col("sample_rate").isNotNull() & (F.col("n_samples") > 0))
+    n_chunks = F.ceil(F.col("n_samples") / F.lit(samples_per_chunk)).cast("int")
+    return base.select(
+        F.col(id_col),
+        "sample_rate",
+        "n_samples",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    ).select(
+        F.col(id_col),
+        "sample_rate",
+        "n_samples",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        (F.col("chunk_idx").cast("bigint") * samples_per_chunk).alias(
+            "start_sample"
+        ),
+        F.least(
+            (F.col("chunk_idx") + 1).cast("bigint") * samples_per_chunk,
+            F.col("n_samples"),
+        ).alias("end_sample"),
+    )

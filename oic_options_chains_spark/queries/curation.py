@@ -871,3 +871,72 @@ def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         enums=[("l_returnflag", ["A", "N", "R"]), ("l_linestatus", ["O", "F"])],
         unique=["l_orderkey", "l_linenumber"],
     )
+
+
+@register(
+    "q_audio_chunks",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS rate,
+             octet_length(encode(text)) // 2 AS n_samples
+      FROM documents),
+    c AS (
+      SELECT doc_id, rate, n_samples,
+             unnest(range(0, CAST((n_samples + 63) // 64 AS BIGINT)))
+               AS chunk_idx
+      FROM w WHERE n_samples > 0)
+    SELECT doc_id, CAST(rate AS INT) AS sample_rate,
+           CAST(n_samples AS BIGINT) AS n_samples,
+           CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(chunk_idx * 64 AS BIGINT) AS start_sample,
+           CAST(LEAST((chunk_idx + 1) * 64, n_samples) AS BIGINT) AS end_sample
+    FROM c
+    """,
+)
+def q_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunk manifest (operators/multimodal.wav_chunk_manifest):
+    canonical 44-byte WAV headers are SYNTHESIZED around each document's
+    bytes (rate ring 8k/16k/44.1k, mono 16-bit), then sample rate, block
+    align, and payload size are parsed BACK from the header bytes and
+    exploded into fixed 64-sample chunk boundaries — the codec-free
+    work-queue manifest an ASR batch job consumes. The oracle computes
+    the manifest from the synthesis arithmetic directly, so the driver
+    hash proves the byte-level parser inverts the byte-level writer."""
+    from oic_options_chains_spark.operators.multimodal import wav_chunk_manifest
+
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.element_at(
+        F.array(F.lit(8000), F.lit(16000), F.lit(44100)),
+        (F.col("doc_id") % 3).cast("int") + 1,
+    )
+    payload = F.encode(F.col("text"), "UTF-8")
+    ds = F.octet_length(payload).cast("bigint")
+
+    def le(x, n_bytes):
+        parts = [
+            F.unhex(
+                F.lpad(F.hex((x.cast("bigint") / F.lit(1 << (8 * i))).cast("bigint") % 256), 2, "0")
+            )
+            for i in range(n_bytes)
+        ]
+        return F.concat(*parts)
+
+    blob = F.concat(
+        F.unhex(F.lit("52494646")),          # 'RIFF'
+        le(ds + 36, 4),
+        F.unhex(F.lit("57415645666D7420")),  # 'WAVEfmt '
+        le(F.lit(16), 4),                    # fmt chunk size
+        le(F.lit(1), 2),                     # PCM
+        le(F.lit(1), 2),                     # mono
+        le(rate, 4),
+        le(rate * 2, 4),                     # byte rate
+        le(F.lit(2), 2),                     # block align
+        le(F.lit(16), 2),                    # bits/sample
+        F.unhex(F.lit("64617461")),          # 'data'
+        le(ds, 4),
+        payload,
+    )
+    wavs = d.select(F.col("doc_id"), blob.alias("content"))
+    return wav_chunk_manifest(wavs, "content", "doc_id", samples_per_chunk=64)

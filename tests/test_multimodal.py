@@ -117,3 +117,33 @@ def test_sniff_format_on_genuine_magic_bytes(spark):
     assert got[4].sr == 44100
     # non-matching kinds stay NULL, never garbage
     assert got[2].w is None and got[1].sr is None and got[7].w is None
+
+
+def test_wav_chunk_manifest_roundtrip(spark):
+    # A hand-built canonical WAV header: 16000 Hz mono 16-bit with a
+    # 300-byte payload -> 150 samples -> chunks [0,64) [64,128) [128,150)
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from oic_options_chains_spark.operators.multimodal import wav_chunk_manifest
+
+    rate, payload = 16000, b"\x00" * 300
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(payload))
+    )
+    rows = [
+        (1, hdr + payload),
+        (2, b"not a wav at all"),          # dropped: no RIFF/WAVE magic
+        (3, hdr[: len(hdr) - 4] + struct.pack("<I", 0)),  # zero payload
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, content binary")
+    got = wav_chunk_manifest(df, "content", "doc_id", samples_per_chunk=64)
+    chunks = [(r["chunk_idx"], r["start_sample"], r["end_sample"])
+              for r in got.filter(F.col("doc_id") == 1).orderBy("chunk_idx").collect()]
+    assert chunks == [(0, 0, 64), (1, 64, 128), (2, 128, 150)]
+    assert got.filter(F.col("doc_id").isin(2, 3)).count() == 0
+    one = got.filter(F.col("doc_id") == 1).first()
+    assert one["sample_rate"] == rate and one["n_samples"] == 150
