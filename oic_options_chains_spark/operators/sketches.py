@@ -368,3 +368,35 @@ def cms_estimate(
         .groupBy(probe_col)
         .agg(F.min("cnt").cast("bigint").alias("est"))
     )
+
+
+def cms_group_counters(
+    df: DataFrame,
+    key: Column,
+    group_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """(grp, row_idx, pos, cnt): one count-min sketch PER GROUP — the
+    shard-local counter matrices. Same md5-chunk positions as
+    ``cms_counters``; the shuffle carries at most groups * depth * width
+    counter rows after map-side combine."""
+    rows = df.select(
+        F.col(group_col).alias("grp"),
+        F.posexplode(
+            F.array(*_bloom_positions(key, depth, width))
+        ).alias("row_idx", "pos"),
+    )
+    return rows.groupBy("grp", "row_idx", "pos").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+
+
+def cms_merge_counters(shard_sketches: DataFrame) -> DataFrame:
+    """Merge shard sketches by cell-wise SUM — exact (counters are plain
+    sums, so the merged matrix IS the matrix a direct build produces),
+    associative, and bounded: input and output are counter dictionaries,
+    never data."""
+    return shard_sketches.groupBy("row_idx", "pos").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )

@@ -77,3 +77,20 @@ def test_cms_exact_when_no_collisions(spark):
     probes = df.select("key").distinct()
     est = {r.key: r.est for r in cms_estimate(sketch, probes, "key", depth=4, width=64).collect()}
     assert est == {1: 5, 2: 3, 3: 7}
+
+
+def test_cms_shard_merge_equals_direct(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from oic_options_chains_spark.operators.sketches import (
+        cms_counters,
+        cms_group_counters,
+        cms_merge_counters,
+    )
+    from oic_options_chains_spark.sources.registry import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    direct = cms_counters(e, F.col("user_id"))
+    merged = cms_merge_counters(cms_group_counters(e, F.col("user_id"), "event_type"))
+    key = lambda r: (r["row_idx"], r["pos"], r["cnt"])  # noqa: E731
+    assert sorted(map(key, merged.collect())) == sorted(map(key, direct.collect()))
