@@ -400,3 +400,15 @@ def cms_merge_counters(shard_sketches: DataFrame) -> DataFrame:
     return shard_sketches.groupBy("row_idx", "pos").agg(
         F.sum("cnt").cast("bigint").alias("cnt")
     )
+
+
+def bloom_merge_words(manifest: DataFrame) -> DataFrame:
+    """Collapse a per-bucket Bloom manifest into ONE filter over the
+    union of all buckets' keys: bit_or per word — exact (a bit is set in
+    the union's filter iff some key set it in some bucket's), associative
+    and order-independent like every merge in this module. The result is
+    the table-level filter a cross-partition ``key = ?`` probe consults
+    before touching any bucket manifest, and the same aggregate merges
+    two tables' manifests (e.g. combining daily filters into a monthly
+    one)."""
+    return manifest.groupBy("word_idx").agg(F.bit_or("word").alias("word"))

@@ -94,3 +94,22 @@ def test_cms_shard_merge_equals_direct(spark, sf_dir):
     merged = cms_merge_counters(cms_group_counters(e, F.col("user_id"), "event_type"))
     key = lambda r: (r["row_idx"], r["pos"], r["cnt"])  # noqa: E731
     assert sorted(map(key, merged.collect())) == sorted(map(key, direct.collect()))
+
+
+def test_bloom_merge_equals_direct_build(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from oic_options_chains_spark.operators.sketches import (
+        bloom_merge_words,
+        bloom_words,
+    )
+    from oic_options_chains_spark.sources.registry import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    per_bucket = bloom_words(e, F.col("user_id"), F.col("event_type"))
+    merged = bloom_merge_words(per_bucket)
+    direct = bloom_words(e, F.col("user_id"), F.lit("all")).select(
+        "word_idx", "word"
+    )
+    key = lambda r: (r["word_idx"], r["word"])  # noqa: E731
+    assert sorted(map(key, merged.collect())) == sorted(map(key, direct.collect()))
