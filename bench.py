@@ -54,6 +54,8 @@ HEADLINE = (
     "q_span_dedup",
     "q_stratified_split",
     "q_curation_build",
+    "q_quality_report",
+    "q_snapshot_diff",
 )
 
 # single-JVM local bench has ~±20-30% run-to-run noise (ambient load
