@@ -223,39 +223,45 @@ def global_rank(
     tie-break — e.g. the primary key — as the last order column), without
     the single-reducer ``Window.orderBy()`` collapse.
 
-    Two-phase zipWithIndex in pure DataFrame ops: range-repartition on
-    the order columns (ties land in one range, so ranks never straddle a
-    boundary), rank locally per range partition, then add each range's
-    row-count offset. The offset table is one row per range — its cumsum
-    window is bounded by the partition count, never by the data — and
-    broadcasts back. At 100 TB this is two corpus-sized exchanges (the
-    range shuffle + the per-range window's hash shuffle) and one
-    metadata-sized aggregate; the alternative global window is one
-    executor sorting the entire corpus.
+    Two-phase, keyed on the LEADING order column's values: rank locally
+    inside each leading-value group (hash-partitioned windows, parallel
+    across values), then add the cumulative count of all smaller values.
+    The offset relation has one row per DISTINCT leading value — its
+    cumsum window is bounded by that domain, never by the data — and
+    broadcasts back. Fully DETERMINISTIC: no sampling anywhere, so two
+    consumers of the plan can never disagree. (The tempting alternative
+    — ``repartitionByRange`` + ``spark_partition_id`` — derives range
+    boundaries from a per-materialization RANDOM sample; when the
+    offsets subtree and the rank subtree materialize that exchange
+    separately, their boundaries differ and the assembled ranks are
+    silently wrong. Caught at sf0.1 by the composed-pipeline oracle.)
+
+    Contract: the leading order column should be a bounded-cardinality
+    value (a length, a score, a date) with non-null values — exactly the
+    shape curriculum binning ranks on. A UNIQUE leading key degenerates
+    the offset relation to data size; at that point a global sort is the
+    honest plan. ``num_ranges`` is accepted for API compatibility and
+    ignored.
     """
-    if num_ranges is None:
-        num_ranges = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-        )
-    cols = [F.col(c).asc() for c in order_cols]
-    d = df.repartitionByRange(num_ranges, *cols).withColumn(
-        "__pid", F.spark_partition_id()
-    )
-    counts = d.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
-    w_cum = Window.orderBy("__pid").rowsBetween(
+    lead = order_cols[0]
+    rest = list(order_cols[1:])
+    counts = df.groupBy(lead).agg(F.count(F.lit(1)).alias("__cnt"))
+    w_cum = Window.orderBy(F.col(lead).asc()).rowsBetween(
         Window.unboundedPreceding, -1
     )
     offsets = counts.select(
-        "__pid",
+        lead,
         F.coalesce(F.sum("__cnt").over(w_cum), F.lit(0)).alias("__off"),
     )
-    w_local = Window.partitionBy("__pid").orderBy(*cols)
+    w_local = Window.partitionBy(lead).orderBy(
+        *[F.col(c).asc() for c in (rest or [lead])]
+    )
     return (
-        d.join(F.broadcast(offsets), "__pid")
+        df.join(F.broadcast(offsets), lead)
         .withColumn(
             out, (F.col("__off") + F.row_number().over(w_local)).cast("bigint")
         )
-        .drop("__pid", "__off")
+        .drop("__off")
     )
 
 
@@ -270,10 +276,10 @@ def rank_bins(
     distribution (SQL NTILE's remainder placement differs between
     engines' documentation and is avoided on purpose).
 
-    Rank comes from ``global_rank`` (distributed two-phase, no global
-    sort) and n from a 1-row count broadcast — both scale-safe. Length
-    or quality binning feeds curriculum schedules and balanced batch
-    packing."""
+    Rank comes from ``global_rank`` (deterministic two-phase over the
+    leading value's domain, no global sort) and n from a 1-row count
+    broadcast — both scale-safe. Length or quality binning feeds
+    curriculum schedules and balanced batch packing."""
     ranked = global_rank(df, order_cols, out="__rank")
     n = df.agg(F.count(F.lit(1)).alias("__total"))
     return (

@@ -110,14 +110,38 @@ def test_bigram_coverage_hand_counts(spark):
     assert got[4] == (0, 0)
 
 
-def test_rank_bins_no_global_single_partition_sort(spark):
-    # The plan must not contain a partition-less global Window sort: the
-    # rank comes from range repartition + per-range windows.
-    df = spark.createDataFrame([(i,) for i in range(100)], "id bigint")
-    plan = rank_bins(df, ["id"], n_bins=4)._jdf.queryExecution().optimizedPlan().toString()
-    # a global window would show 'windowspecdefinition(id' with no
-    # partition spec; ours always partitions by the range partition id
-    assert "_pid" in plan
+def test_rank_bins_corpus_window_partitions_by_leading_value(spark):
+    # The corpus-sized window must partition by the leading order value
+    # (parallel across values); only the bounded offset relation may see
+    # a partition-less cumsum.
+    df = spark.createDataFrame(
+        [(i % 17, i) for i in range(100)], "v bigint, id bigint"
+    )
+    plan = (
+        rank_bins(df, ["v", "id"], n_bins=4)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "windowspecdefinition(v#" in plan
+
+
+def test_global_rank_deterministic_across_plan_consumers(spark):
+    # Two consumers of one global_rank plan inside a SINGLE action must
+    # see identical ranks — the regression that sampled range boundaries
+    # caused: offsets and local ranks materialized with different
+    # partitionings, silently corrupting assembled ranks.
+    df = spark.createDataFrame(
+        [(i % 29, i) for i in range(2000)], "v bigint, id bigint"
+    ).repartition(13)
+    ranked = global_rank(df, ["v", "id"])
+    a, b = ranked.alias("a"), ranked.alias("b")
+    joined = a.join(b, F.col("a.id") == F.col("b.id")).filter(
+        F.col("a.rank") != F.col("b.rank")
+    )
+    assert joined.count() == 0
+    ranks = sorted(r["rank"] for r in ranked.collect())
+    assert ranks == list(range(1, 2001))
 
 
 @settings(
