@@ -940,3 +940,81 @@ def q_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wavs = d.select(F.col("doc_id"), blob.alias("content"))
     return wav_chunk_manifest(wavs, "content", "doc_id", samples_per_chunk=64)
+
+
+@register(
+    "q_split_leakage",
+    oracle="WITH "
+    + _SIG_SQL.removeprefix("WITH ")
+    + """,
+    bands AS (
+      SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+             string_agg(minhash, ',' ORDER BY seed) AS band_key
+      FROM sig GROUP BY doc_id, seed // 4),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                                1, 4)) AS INT) % 100 < 90
+                    THEN 'train'
+                  WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                                1, 4)) AS INT) % 100 < 95
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents),
+    marked AS (
+      SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b
+      FROM pairs p
+      JOIN sp sa ON p.doc_a = sa.doc_id
+      JOIN sp sb ON p.doc_b = sb.doc_id)
+    SELECT LEAST(split_a, split_b) AS split_lo,
+           GREATEST(split_a, split_b) AS split_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM marked GROUP BY 1, 2
+    """,
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test LEAKAGE audit: near-duplicate candidate pairs (MinHash
+    LSH banding) joined against the hash-split assignment, aggregated by
+    the split pair — any count on a (test, train)-style row is eval
+    contamination a document-level dedup missed across the split
+    boundary. The governance closing step the dedup literature calls
+    for: dedup, split, then PROVE the split held. Broadcast-sized split
+    relation, one LSH candidate join — no new corpus shuffles beyond the
+    banding itself."""
+    from oic_options_chains_spark.operators.minhash import (
+        doc_shingles,
+        lsh_candidate_pairs,
+        minhash_band_keys,
+    )
+    from oic_options_chains_spark.operators.sampling import split_assign
+
+    d = load_table(spark, sf_dir, "documents")
+    bands = minhash_band_keys(
+        doc_shingles(d, "doc_id", "text", distinct=False), "doc_id"
+    )
+    pairs = lsh_candidate_pairs(bands, "doc_id")
+    sp = d.select("doc_id", split_assign(F.col("doc_id")).alias("split"))
+    marked = (
+        pairs.join(
+            F.broadcast(sp.withColumnRenamed("doc_id", "doc_a")).withColumnRenamed(
+                "split", "split_a"
+            ),
+            "doc_a",
+        ).join(
+            F.broadcast(sp.withColumnRenamed("doc_id", "doc_b")).withColumnRenamed(
+                "split", "split_b"
+            ),
+            "doc_b",
+        )
+    )
+    return marked.select(
+        F.least("split_a", "split_b").alias("split_lo"),
+        F.greatest("split_a", "split_b").alias("split_hi"),
+    ).groupBy("split_lo", "split_hi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
