@@ -41,11 +41,22 @@ def dedup_spans(
     n: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_occurrences: int | None = None,
 ) -> DataFrame:
     """(id, clean_text, n_tokens, n_kept, n_removed) with every
     non-canonical duplicated n-token span deleted. Documents shorter
     than ``n`` tokens pass through whole; a fully-duplicated document
-    comes back with ``clean_text = ''``."""
+    comes back with ``clean_text = ''``.
+
+    ``max_occurrences`` is the hot-fingerprint escape hatch (the DF-cap
+    pattern from ``ngram_jaccard_pairs_capped``): a window occurring in
+    more than this many places is EXCLUDED from span removal — such
+    ultra-frequent spans are corpus boilerplate, the job of the
+    corpus-global boilerplate gate (operators/text via q_boilerplate),
+    and ranking millions of occurrences of one fingerprint would
+    serialize a single window partition. Default None keeps exact
+    semantics (every duplicate removed); set it when a corpus has
+    mega-duplicated spans."""
     toks = F.split(F.lower(F.col(text_col)), " ")
     base = df.select(F.col(id_col), toks.alias("__t"))
 
@@ -66,12 +77,18 @@ def dedup_spans(
     )
 
     # Canonical occurrence = rank 1 in (doc, start) order per
-    # fingerprint; every later occurrence is a span to remove.
+    # fingerprint; every later occurrence is a span to remove. The
+    # occurrence count rides the same window pass (no second shuffle)
+    # when the hot-fingerprint cap is on.
     w_fp = Window.partitionBy("fp").orderBy(F.col(id_col).asc(), F.col("start").asc())
-    flagged = (
-        grams.withColumn("__rn", F.row_number().over(w_fp))
-        .filter(F.col("__rn") > 1)
-        .select(F.col(id_col), F.col("start"), (F.col("start") + n).alias("end"))
+    ranked = grams.withColumn("__rn", F.row_number().over(w_fp))
+    if max_occurrences is not None:
+        w_cnt = Window.partitionBy("fp")
+        ranked = ranked.withColumn("__f", F.count(F.lit(1)).over(w_cnt)).filter(
+            F.col("__f") <= max_occurrences
+        )
+    flagged = ranked.filter(F.col("__rn") > 1).select(
+        F.col(id_col), F.col("start"), (F.col("start") + n).alias("end")
     )
 
     # Gaps-and-islands merge of overlapping/adjacent spans per document.

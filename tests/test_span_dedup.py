@@ -55,3 +55,24 @@ def test_counts_reconcile(spark):
     got = _run(spark, [(1, f"{DUP} tail"), (2, f"head {DUP}")])
     for r in got.values():
         assert r["n_kept"] + r["n_removed"] == r["n_tokens"]
+
+
+def test_hot_fingerprint_cap_spares_boilerplate(spark):
+    # The span occurs 4 times; with max_occurrences=3 it is treated as
+    # boilerplate and NO occurrence is removed; uncapped, all but the
+    # canonical one are removed.
+    rows = [(i, f"pre{i} {DUP} post{i}") for i in range(1, 5)]
+    df_rows = rows
+    capped = _run_with(spark, df_rows, max_occurrences=3)
+    assert all(r["n_removed"] == 0 for r in capped.values())
+    uncapped = _run_with(spark, df_rows, max_occurrences=None)
+    assert uncapped[1]["n_removed"] == 0
+    assert all(uncapped[i]["n_removed"] == 8 for i in (2, 3, 4))
+
+
+def _run_with(spark, rows, max_occurrences):
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    return {
+        r["doc_id"]: r
+        for r in dedup_spans(df, n=8, max_occurrences=max_occurrences).collect()
+    }
