@@ -238,10 +238,12 @@ def global_rank(
 
     Contract: the leading order column should be a bounded-cardinality
     value (a length, a score, a date) with non-null values — exactly the
-    shape curriculum binning ranks on. A UNIQUE leading key degenerates
-    the offset relation to data size; at that point a global sort is the
-    honest plan. ``num_ranges`` is accepted for API compatibility and
-    ignored.
+    shape curriculum binning ranks on. NULLs are a cross-engine trap on
+    purpose excluded: Spark ASC sorts NULLS FIRST, DuckDB NULLS LAST,
+    so a nullable rank key cannot hash-match an oracle either way. A
+    UNIQUE leading key degenerates the offset relation to data size; at
+    that point a global sort is the honest plan. ``num_ranges`` is
+    accepted for API compatibility and ignored.
     """
     lead = order_cols[0]
     rest = list(order_cols[1:])
