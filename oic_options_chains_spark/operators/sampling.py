@@ -292,3 +292,44 @@ def rank_bins(
         )
         .drop("__rank", "__total")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    source_col: str,
+    token_col: str,
+    key: str,
+    budgets: DataFrame,
+    out: str = "cum_tokens",
+) -> DataFrame:
+    """Budgeted admission per source in TOKENS, not documents: rows are
+    hash-ordered within their source (content-derived, epoch-stable) and
+    admitted while the running token total stays within the source's
+    budget — the mixture knob training recipes actually specify ("20B
+    tokens of web, 5B of code"), where ``mixture_sample``'s document
+    quotas misweight sources with different document lengths.
+
+    Admission is the PREFIX of the hash order whose cumulative sum fits:
+    the first over-budget row and everything after it are excluded, so
+    membership is deterministic and insensitive to partitioning, and a
+    re-run over a grown corpus keeps all previously admitted rows whose
+    hash rank precedes any newcomer (same stability argument as
+    ``split_assign``).
+
+    ``budgets`` is a (source, budget_tokens) relation — dimension-sized,
+    broadcast. One window per source (parallel across sources), running
+    cumulative sum only — no second pass, no driver state. Emits the
+    admitted rows plus ``cum_tokens`` (the running total INCLUDING the
+    row) for packing/audit downstream."""
+    w = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col(key).cast("string")).asc(), F.col(key).asc()
+    )
+    cum = F.sum(F.col(token_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.withColumn(out, cum.cast("bigint"))
+        .join(F.broadcast(budgets), source_col)
+        .filter(F.col(out) <= F.col("budget_tokens"))
+        .drop("budget_tokens")
+    )

@@ -1018,3 +1018,53 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("split_lo", "split_hi").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs")
     )
+
+
+@register(
+    "q_token_budget_mix",
+    oracle="""
+    WITH budgets AS (
+      SELECT source,
+             CAST(10000 * (1 + CAST(substr(source, 4) AS INT) % 3) AS BIGINT)
+               AS budget_tokens
+      FROM (SELECT DISTINCT source FROM documents)),
+    ranked AS (
+      SELECT doc_id, source, n_chars,
+             SUM(n_chars) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tokens
+      FROM documents)
+    SELECT r.doc_id, r.source, CAST(r.n_chars AS BIGINT) AS n_chars,
+           CAST(r.cum_tokens AS BIGINT) AS cum_tokens
+    FROM ranked r JOIN budgets b ON r.source = b.source
+    WHERE r.cum_tokens <= b.budget_tokens
+    """,
+)
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture (operators/sampling.token_budget_sample):
+    per-source budgets in TOKENS (here a deterministic per-source rule,
+    10k/20k/30k ring) admit the hash-ordered prefix of each source whose
+    running char total fits — the mixing knob recipes specify, immune to
+    document-length skew between sources. One parallel window per
+    source; the budget relation broadcasts."""
+    from oic_options_chains_spark.operators.sampling import token_budget_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    budgets = (
+        d.select("source")
+        .distinct()
+        .select(
+            "source",
+            (
+                10000
+                * (1 + F.substring("source", 4, 10).cast("int") % 3)
+            ).cast("bigint").alias("budget_tokens"),
+        )
+    )
+    out = token_budget_sample(d, "source", "n_chars", "doc_id", budgets)
+    return out.select(
+        "doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars"),
+        "cum_tokens",
+    )

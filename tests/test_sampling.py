@@ -77,3 +77,28 @@ def test_sample_per_group_k_and_determinism(spark):
         sample_per_group(df, ["grp"], "doc_id", 5).groupBy("grp").count().collect()
     )
     assert all(r["count"] == 5 for r in per_group)
+
+
+def test_token_budget_prefix_admission(spark):
+    from pyspark.sql import functions as F
+
+    from oic_options_chains_spark.operators.sampling import token_budget_sample
+
+    df = spark.createDataFrame(
+        [(i, "a", 10) for i in range(10)] + [(100 + i, "b", 10) for i in range(10)],
+        "doc_id bigint, source string, toks bigint",
+    )
+    budgets = spark.createDataFrame(
+        [("a", 35), ("b", 1000)], "source string, budget_tokens bigint"
+    )
+    out = token_budget_sample(df, "source", "toks", "doc_id", budgets)
+    per = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    # source a: budget 35 admits exactly 3 docs of 10 tokens (prefix rule);
+    # source b: budget covers everything
+    assert per == {"a": 3, "b": 10}
+    # admitted set is the hash-order PREFIX: re-running on a superset keeps
+    # every admitted doc whose hash rank is unchanged
+    tot = {r["source"]: r["t"] for r in out.groupBy("source").agg(
+        F.sum("toks").alias("t")).collect()}
+    assert tot["a"] == 30 and tot["b"] == 100
