@@ -314,10 +314,17 @@ def wav_chunk_manifest(
     (``decode_media``)."""
     c = F.col(content_col)
     rate = wav_sample_rate(c)
+    align = wav_block_align(c)
+    # Integer div, guarded: a malformed header with block_align = 0
+    # would otherwise divide to Infinity, cast to a huge bigint, and
+    # explode an astronomically long chunk sequence.
+    n_samples = F.when(align > 0, wav_data_size(c).cast("bigint") / align).cast(
+        "bigint"
+    )
     base = df.select(
         F.col(id_col),
         rate.alias("sample_rate"),
-        (wav_data_size(c) / wav_block_align(c)).cast("bigint").alias("n_samples"),
+        n_samples.alias("n_samples"),
     ).filter(F.col("sample_rate").isNotNull() & (F.col("n_samples") > 0))
     n_chunks = F.ceil(F.col("n_samples") / F.lit(samples_per_chunk)).cast("int")
     return base.select(

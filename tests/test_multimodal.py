@@ -147,3 +147,20 @@ def test_wav_chunk_manifest_roundtrip(spark):
     assert got.filter(F.col("doc_id").isin(2, 3)).count() == 0
     one = got.filter(F.col("doc_id") == 1).first()
     assert one["sample_rate"] == rate and one["n_samples"] == 150
+
+
+def test_wav_chunk_manifest_survives_zero_block_align(spark):
+    import struct
+
+    from oic_options_chains_spark.operators.multimodal import wav_chunk_manifest
+
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + 100) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 0, 0, 16)  # block_align=0
+        + b"data" + struct.pack("<I", 100)
+    )
+    df = spark.createDataFrame(
+        [(1, hdr + b"\x00" * 100)], "doc_id bigint, content binary"
+    )
+    # malformed header must yield no chunks, not an astronomical explode
+    assert wav_chunk_manifest(df, "content", "doc_id").count() == 0
