@@ -92,3 +92,35 @@ def oov_stats(
             .alias("oov_bp"),
         )
     )
+
+
+def feature_hashing(
+    df: DataFrame,
+    n_features: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, bucket, count): the hashing-trick sparse vectorizer — each
+    token maps to ``md5 % n_features`` and per-document bucket counts
+    form the fixed-width feature vector, with NO vocabulary pass at all
+    (Weinberger et al. 2009): the property that lets featurization run
+    in one streaming-compatible shot over any corpus size, at the cost
+    of bucket collisions the dimensionality choice controls.
+
+    One corpus shuffle on (doc, bucket) with map-side combine — at most
+    ``n_features`` rows per document survive the partial aggregation.
+    The sparse long form (absent buckets are zero) is the join-friendly
+    representation; pivot to a dense array only at the consumer if its
+    format demands it. md5-derived bucketing keeps the vector
+    engine-portable and epoch-stable like every hash in this package."""
+    from oic_options_chains_spark.operators.sampling import hash_bucket
+
+    toks = _tokens(df, id_col, text_col)
+    return (
+        toks.select(
+            F.col(id_col),
+            hash_bucket(F.col("token"), n_features).cast("int").alias("bucket"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("count"))
+    )

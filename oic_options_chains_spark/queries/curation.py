@@ -1068,3 +1068,27 @@ def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars"),
         "cum_tokens",
     )
+
+
+@register(
+    "q_feature_hashing",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents)
+    SELECT doc_id,
+           CAST(CAST(concat('0x', substr(md5(token), 1, 4)) AS INT) % 256
+                AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS count
+    FROM tok GROUP BY 1, 2
+    """,
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (operators/vocab.feature_hashing):
+    vocabulary-free sparse vectors — md5 % 256 buckets, per-doc counts,
+    one (doc, bucket) shuffle with map-side combine. The fixed-width
+    feature map that needs no corpus pass and no dictionary broadcast."""
+    from oic_options_chains_spark.operators.vocab import feature_hashing
+
+    d = load_table(spark, sf_dir, "documents")
+    return feature_hashing(d, n_features=256)
