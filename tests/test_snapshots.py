@@ -80,3 +80,33 @@ def test_schema_evolution_across_days(spark, tmp_path):
     assert "b" in merged.columns
     rows = {r["k"]: r["b"] for r in merged.collect()}
     assert rows[1] is None and rows[2] == "x"
+
+
+def test_snapshot_diff_between_committed_versions(spark, tmp_path):
+    # The release workflow end-to-end: commit v1, commit v2, read both
+    # back through the manifest, and classify every key with the CDC
+    # diff — the Dolt "what changed between these two commits" question.
+    from oic_options_chains_spark.operators.cdc import snapshot_diff
+    from oic_options_chains_spark.sources.snapshots import (
+        commit_snapshot,
+        read_snapshot,
+    )
+
+    snap = str(tmp_path / "snaps")
+    v1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "k bigint, payload string"
+    )
+    v2 = spark.createDataFrame(
+        [(2, "beta"), (3, "GAMMA"), (4, "delta")], "k bigint, payload string"
+    )
+    commit_snapshot(v1, snap, "2024-01-01")
+    commit_snapshot(v2, snap, "2024-01-02")
+
+    old = read_snapshot(spark, snap, "2024-01-01").select(
+        "k", F.md5("payload").alias("fp")
+    )
+    new = read_snapshot(spark, snap, "2024-01-02").select(
+        "k", F.md5("payload").alias("fp")
+    )
+    got = {r["k"]: r["status"] for r in snapshot_diff(old, new, "k").collect()}
+    assert got == {1: "removed", 2: "kept", 3: "changed", 4: "added"}
