@@ -109,3 +109,52 @@ def chunk_documents(
         F.size(piece).cast("int").alias("n_chunk_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+def sequence_boundaries(
+    df: DataFrame,
+    key: str = "doc_id",
+    n_tokens_col: str = "n_tokens",
+    context: int = 256,
+    n_shards: int = 8,
+) -> DataFrame:
+    """(shard, seq_index, id, seg_start, seg_end): every document
+    segment inside every packed training sequence — the attention-reset
+    / loss-mask manifest a trainer consumes alongside the packed tokens
+    (cross-document attention is masked exactly at these boundaries).
+
+    Built on ``pack_stream_offsets``: a document spanning stream range
+    [s, s+n) intersects sequences floor(s/ctx) .. floor((s+n-1)/ctx);
+    the explode emits one row per (doc, sequence) intersection with the
+    segment clipped to that sequence's window. Row count is bounded by
+    n_docs + n_sequences (each doc adds at most one more row than the
+    sequences it fully fills), so the manifest is corpus-proportional,
+    never quadratic. Same sharded layout as the packer — boundaries
+    never cross shards either."""
+    packed = pack_stream_offsets(df, key, n_tokens_col, context, n_shards)
+    first_seq = F.col("seq_index")
+    last_seq = F.floor(
+        (F.col("stream_start") + F.col("n_tokens") - 1) / context
+    ).cast("bigint")
+    exploded = packed.filter(F.col("n_tokens") > 0).select(
+        F.col(key),
+        "shard",
+        "stream_start",
+        "n_tokens",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq"),
+    )
+    seq_lo = F.col("seq") * context
+    seq_hi = (F.col("seq") + 1) * context
+    return exploded.select(
+        F.col("shard"),
+        F.col("seq").alias("seq_index"),
+        F.col(key),
+        (F.greatest(F.col("stream_start"), seq_lo) - seq_lo)
+        .cast("bigint")
+        .alias("seg_start"),
+        (
+            F.least(F.col("stream_start") + F.col("n_tokens"), seq_hi) - seq_lo
+        )
+        .cast("bigint")
+        .alias("seg_end"),
+    )

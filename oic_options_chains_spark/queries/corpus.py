@@ -611,3 +611,51 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return dedup_spans(d, n=8)
+
+
+@register(
+    "q_pack_boundaries",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+                        AS n_tokens,
+                      CAST(concat('0x',
+                           substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                           AS INT) % 8 AS shard,
+                      md5(CAST(doc_id AS VARCHAR)) AS hh
+               FROM documents),
+    c AS (SELECT doc_id, shard, n_tokens,
+                 SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY hh, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS stream_start
+          FROM t),
+    e AS (SELECT doc_id, shard, stream_start, n_tokens,
+                 unnest(range(CAST(stream_start // 256 AS BIGINT),
+                              CAST((stream_start + n_tokens - 1) // 256 + 1
+                                   AS BIGINT))) AS seq
+          FROM c WHERE n_tokens > 0)
+    SELECT CAST(shard AS INT) AS shard,
+           CAST(seq AS BIGINT) AS seq_index,
+           doc_id,
+           CAST(GREATEST(stream_start, seq * 256) - seq * 256 AS BIGINT)
+             AS seg_start,
+           CAST(LEAST(stream_start + n_tokens, (seq + 1) * 256) - seq * 256
+                AS BIGINT) AS seg_end
+    FROM e
+    """,
+)
+def q_pack_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sequence document-boundary manifest
+    (operators/chunking.sequence_boundaries): each packed 256-token
+    training sequence's internal document segments — where attention
+    resets and loss masks split. One explode over the packer's offsets;
+    row count is docs + sequences, never quadratic."""
+    from oic_options_chains_spark.operators.chunking import sequence_boundaries
+
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.col("text")), " ")).cast("bigint").alias("n_tokens"),
+    )
+    return sequence_boundaries(sized, "doc_id", "n_tokens", context=256, n_shards=8)

@@ -65,3 +65,30 @@ def test_chunking_tiles_documents(spark, cases):
                 keep = toks if r is mine[-1] else toks[:step]
                 stitched.extend(keep[: n - len(stitched)])
             assert stitched == [f"t{k}" for k in range(n)]
+
+
+def test_sequence_boundaries_tile_each_sequence(spark):
+    # Within every (shard, seq), segments are disjoint, ordered, and
+    # tile the sequence exactly up to the shard stream's end.
+    from pyspark.sql import functions as F
+
+    from oic_options_chains_spark.operators.chunking import sequence_boundaries
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 100 + 1) for i in range(200)], "doc_id bigint, n_tokens bigint"
+    )
+    b = sequence_boundaries(df, context=64, n_shards=4).collect()
+    by_seq = {}
+    for r in b:
+        by_seq.setdefault((r["shard"], r["seq_index"]), []).append(
+            (r["seg_start"], r["seg_end"])
+        )
+    for (shard, seq), segs in by_seq.items():
+        segs.sort()
+        assert segs[0][0] == 0
+        for (s1, e1), (s2, e2) in zip(segs, segs[1:]):
+            assert e1 == s2, (shard, seq, segs)
+        assert segs[-1][1] <= 64
+    # total boundary token count == total tokens
+    total = sum(e - s for segs in by_seq.values() for s, e in segs)
+    assert total == sum((i * 37) % 100 + 1 for i in range(200))
