@@ -114,3 +114,34 @@ def write_csv_by_date(df: DataFrame, out_dir: str, sort_cols: list[str]) -> None
         .option("header", True)
         .csv(out_dir)
     )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    out_dir: str,
+    key: str = "doc_id",
+    n_shards: int = 8,
+) -> None:
+    """Materialize the epoch-stable global shuffle as the on-disk layout
+    a data loader streams: one ``shard=N`` directory per shard, rows
+    stored in their deterministic ``position`` order (parquet preserves
+    within-file row order, and ``sortWithinPartitions`` runs after the
+    shard repartition, so each shard's files read back in stream order).
+
+    This is ``sampling.global_shuffle``'s documented writer chain made
+    concrete: repartition on the shard key — one exchange — then an
+    in-partition sort, then a partitioned write. Re-running over the
+    same corpus produces byte-stable shard membership and order (md5
+    everywhere), which is what makes training runs reproducible and
+    resumable mid-epoch. At 100 TB each shard writes in parallel and no
+    global sort exists anywhere."""
+    from oic_options_chains_spark.operators.sampling import global_shuffle
+
+    shuffled = global_shuffle(docs, key, n_shards)
+    (
+        shuffled.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("position")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )

@@ -165,3 +165,35 @@ def test_weekly_table_persistence_roundtrip(spark, weekly_batch, tmp_path):
     overwrite_table(spark, table, merged)
     rows = {r.act_symbol for r in read_table(spark, table).collect()}
     assert rows == {"AAPL", "BRK.B", "MSFT", "NEWCO"}
+
+
+def test_training_shards_layout_and_order(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from oic_options_chains_spark.operators.sampling import global_shuffle
+    from oic_options_chains_spark.pipelines.export import write_training_shards
+
+    out = str(tmp_path / "shards")
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(500)], "doc_id bigint, text string")
+    write_training_shards(docs, out, n_shards=4)
+
+    # one directory per shard
+    shards = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert len(shards) == 4
+    # read-back order within each shard matches the deterministic stream
+    want = {
+        (r["shard"], r["position"]): r["doc_id"]
+        for r in global_shuffle(docs, "doc_id", 4).collect()
+    }
+    for d in shards:
+        shard_no = int(d.split("=")[1])
+        got = spark.read.parquet(os.path.join(out, d))
+        rows = got.collect()  # parquet preserves file row order per file
+        positions = [r["position"] for r in rows]
+        assert positions == sorted(positions)
+        for r in rows:
+            assert want[(shard_no, r["position"])] == r["doc_id"]
+    # total row conservation
+    assert spark.read.parquet(out).count() == 500
