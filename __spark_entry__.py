@@ -32,9 +32,11 @@ def entry(spark: SparkSession) -> DataFrame:
     return build_chain(spark, "/root/testdata/sf0.001")
 
 
-def _recorded_rounds() -> tuple[dict[str, int], set[str]]:
+def _recorded_rounds() -> tuple[dict[str, int], set[str], set[str]]:
     """How many driver CORRECTNESS_r*.json rounds have a row per query,
-    plus the most recent round's recorded key set.
+    the most recent round's recorded key set, and the set of keys whose
+    LATEST recorded row is red (any explicit False among rows_match /
+    schema_match / hash_match).
 
     The driver records the first 50 ``queries()`` entries per round, and
     the registry holds more than 50 — so the dicts below are ordered
@@ -49,6 +51,7 @@ def _recorded_rounds() -> tuple[dict[str, int], set[str]]:
     here = os.path.dirname(os.path.abspath(__file__))
     seen: dict[str, int] = {}
     latest: set[str] = set()
+    latest_red: set[str] = set()
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
@@ -57,17 +60,28 @@ def _recorded_rounds() -> tuple[dict[str, int], set[str]]:
             continue
         if isinstance(rows, dict):
             latest = set(rows)
-            for key in rows:
+            for key, row in rows.items():
                 seen[key] = seen.get(key, 0) + 1
-    return seen, latest
+                checks = (
+                    (row.get("rows_match"), row.get("schema_match"), row.get("hash_match"))
+                    if isinstance(row, dict)
+                    else ()
+                )
+                if any(c is False for c in checks):
+                    latest_red.add(key)
+                else:
+                    latest_red.discard(key)
+    return seen, latest, latest_red
 
 
 def _rotated(mapping: dict) -> dict:
-    seen, latest = _recorded_rounds()
+    seen, latest, latest_red = _recorded_rounds()
     order = list(mapping)
-    # least-recorded first; among equals, prefer keys the most recent
-    # round did NOT cover (so consecutive rounds alternate the tail)
-    key = lambda k: (seen.get(k, 0), k in latest, order.index(k))  # noqa: E731
+    # latest-red keys FIRST (a red row that never re-enters the window
+    # can never turn green), then least-recorded; among equals, prefer
+    # keys the most recent round did NOT cover (so consecutive rounds
+    # alternate the tail)
+    key = lambda k: (k not in latest_red, seen.get(k, 0), k in latest, order.index(k))  # noqa: E731
     return {k: mapping[k] for k in sorted(order, key=key)}
 
 

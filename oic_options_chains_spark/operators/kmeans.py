@@ -66,6 +66,10 @@ def _dist(a: Column, b: Column, n: Column, ss: Column) -> Column:
     return a.cast("double") - F.lit(2.0) * b.cast("double") / nd + ss.cast("double") / (nd * nd)
 
 
+def _dec(c: Column) -> Column:
+    return c.cast("decimal(38,0)")
+
+
 def _centroid_state(assigned: DataFrame) -> DataFrame:
     """(cid, sarr, n, ss) from (vec_id, qarr, cid) member rows.
 
@@ -177,13 +181,45 @@ def ivf_kmeans_topk(
     a_q = _fold_sum_long(F.zip_with("q_qarr", "q_qarr", lambda x, y: x * y))
     scored_cells = centroids.crossJoin(F.broadcast(qrow.withColumn("qa", a_q)))
     b = _fold_sum_long(F.zip_with(F.col("q_qarr"), F.col("sarr"), lambda x, y: x * y))
-    d = _dist(F.col("qa"), b, F.col("n"), F.col("ss"))
-    probe = (
-        scored_cells.select("cid", d.alias("d"))
-        .withColumn("rn", F.row_number().over(Window.orderBy("d", "cid")))
-        .filter(F.col("rn") <= n_probe)
-        .select("cid")
+    # Probe-cell ranking is EXACT-INTEGER, not double: the cell distance
+    # is the rational N/n^2 with N = a*n^2 - 2*b*n + ss (all integer
+    # moments), and cell i ranks ahead of cell j iff N_i*n_j^2 <
+    # N_j*n_i^2 — a decimal(38,0) cross-multiplication both engines
+    # compute identically, so a near-tie between cells can never flip
+    # the candidate set on a last-ulp difference. KEEP IN SYNC with the
+    # nq/probe CTEs in queries/clustering.py (DuckDB side uses HUGEINT).
+    ncell = scored_cells.select(
+        "cid",
+        (
+            _dec(F.col("qa")) * _dec(F.col("n")) * _dec(F.col("n"))
+            - _dec(F.lit(2)) * _dec(b) * _dec(F.col("n"))
+            + _dec(F.col("ss"))
+        ).alias("num"),
+        (_dec(F.col("n")) * _dec(F.col("n"))).alias("nn"),
     )
+
+    # rank-by-count-ahead over the k cells collapsed into ONE row: cell c
+    # probes iff fewer than n_probe cells rank strictly ahead of it. The
+    # nested array filter is k^2 comparisons on k<=tens of cells — one
+    # projection, no join or aggregation exchange.
+    def _ahead(o: Column, c: Column) -> Column:
+        return (o["num"] * c["nn"] < c["num"] * o["nn"]) | (
+            (o["num"] * c["nn"] == c["num"] * o["nn"]) & (o["cid"] < c["cid"])
+        )
+
+    packed_cells = ncell.agg(
+        F.collect_list(F.struct("cid", "num", "nn")).alias("cells")
+    )
+    probe = packed_cells.select(
+        F.explode(
+            F.filter(
+                "cells",
+                lambda c: F.size(
+                    F.filter("cells", lambda o: _ahead(o, c))
+                ) < n_probe,
+            )
+        ).alias("cell")
+    ).select(F.col("cell.cid").alias("cid"))
 
     cand = (
         assigned.join(F.broadcast(probe), "cid", "semi")
@@ -193,7 +229,10 @@ def ivf_kmeans_topk(
     dist = _fold_sum_long(
         F.zip_with(F.col("qarr"), F.col("q_qarr"), lambda x, y: (x - y) * (x - y))
     )
-    ranked = cand.select("vec_id", dist.alias("dist")).withColumn(
+    # sort-limit first (TakeOrderedAndProject: per-partition top-k then a
+    # k-sized merge), THEN rank the k survivors — the only
+    # single-partition stage touches topk rows, not the probed cells
+    top = cand.select("vec_id", dist.alias("dist")).orderBy("dist", "vec_id").limit(topk)
+    return top.withColumn(
         "rank", F.row_number().over(Window.orderBy("dist", "vec_id")).cast("int")
     )
-    return ranked.filter(F.col("rank") <= topk)

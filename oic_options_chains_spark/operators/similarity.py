@@ -70,6 +70,29 @@ def _resolve_bits(embeddings: DataFrame, bits: int | None) -> int:
     return cached
 
 
+def _probe_partitions(df: DataFrame) -> int:
+    """Partition count for the hash-repartitioned probe side. Some
+    runtimes resolve spark.sql.shuffle.partitions to a non-integer
+    (e.g. "auto" under vendor AQE) — fall back to defaultParallelism
+    instead of raising."""
+    spark = df.sparkSession
+    raw = spark.conf.get("spark.sql.shuffle.partitions", "32")
+    try:
+        return int(raw)
+    except ValueError:
+        return spark.sparkContext.defaultParallelism
+
+
+def _ranked_topk(scored: DataFrame, order: list[Column], k: int) -> DataFrame:
+    """Global top-k with a rank column, WITHOUT a full-data
+    single-partition Window: sort-limit first (plans as
+    TakeOrderedAndProject — per-partition top-k, k-sized merge), then
+    rank the surviving k rows (the only single-partition stage left
+    touches k rows, not the corpus)."""
+    top = scored.orderBy(*order).limit(k)
+    return top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+
+
 def _fold_sum(arr: Column) -> Column:
     return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
 
@@ -144,15 +167,11 @@ def brute_force_topk(
         F.col(id_col),
         cosine(F.col(vec_col), F.col("query_vec")).alias("__cos"),
     )
-    w = Window.orderBy(F.col("__cos").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            id_col,
-            F.floor(F.lit(1e6) * F.col("__cos")).cast("bigint").alias("score_e6"),
-            F.col("rank").cast("int").alias("rank"),
-        )
+    order = [F.col("__cos").desc(), F.col(id_col).asc()]
+    return _ranked_topk(scored, order, k).select(
+        id_col,
+        F.floor(F.lit(1e6) * F.col("__cos")).cast("bigint").alias("score_e6"),
+        F.col("rank").cast("int").alias("rank"),
     )
 
 
@@ -162,7 +181,7 @@ def near_dup_pairs(
     bits: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    broadcast_candidates: bool = True,
+    broadcast_candidates: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, sign-bucket-pruned.
 
@@ -174,14 +193,18 @@ def near_dup_pairs(
     anyway, since near-identical vectors share leading sign bits.
     Returns (id_a, id_b, score_e6).
 
-    ``broadcast_candidates=True`` (default) broadcasts the candidate
-    side and hash-repartitions the probe side with an explicit
-    partition count: the interpreted-fold cosine is CPU-dense at tiny
-    byte sizes, so probe parallelism must come from an exchange AQE
-    cannot coalesce away, not from the scan's file-split count (one
-    compact parquet file = one core otherwise; measured 4x slower at
-    sf0.1 on the sibling ``hard_negatives``). At warehouse scale pass
-    ``False`` for the bucket-keyed shuffle join.
+    ``broadcast_candidates=False`` (default) is the scale-safe
+    bucket-keyed shuffle join — never O(n^2), never an unbounded
+    broadcast. At bench scale (corpus fits one executor's memory), pass
+    ``True``: the candidate side broadcasts and the probe side
+    hash-repartitions with an explicit partition count, because the
+    interpreted-fold cosine is CPU-dense at tiny byte sizes, so probe
+    parallelism must come from an exchange AQE cannot coalesce away,
+    not from the scan's file-split count (one compact parquet file =
+    one core otherwise; measured 4x slower at sf0.1 on the sibling
+    ``hard_negatives``). The opt-in direction is deliberate: broadcast
+    is the optimization you prove fits memory, not the default you
+    discover OOMs at 100 TB.
     """
     bits = _resolve_bits(embeddings, bits)
     # norms and double-cast vectors precomputed per VECTOR (n rows), not
@@ -189,10 +212,7 @@ def near_dup_pairs(
     # dot/(na*nb) is bit-identical to computing both norms inside the pair.
     b = _pair_prep(embeddings, id_col, vec_col, bits)
     if broadcast_candidates:
-        n_parts = int(
-            embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-        )
-        a = b.repartition(n_parts, F.col(id_col)).alias("a")
+        a = b.repartition(_probe_partitions(embeddings), F.col(id_col)).alias("a")
         c = F.broadcast(b).alias("c")
     else:
         a, c = b.alias("a"), b.alias("c")
@@ -240,15 +260,11 @@ def ivf_topk(
         F.col(id_col),
         cosine(F.col(vec_col), F.col("query_vec")).alias("__cos"),
     )
-    w = Window.orderBy(F.col("__cos").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            id_col,
-            F.floor(F.lit(1e6) * F.col("__cos")).cast("bigint").alias("score_e6"),
-            F.col("rank").cast("int").alias("rank"),
-        )
+    order = [F.col("__cos").desc(), F.col(id_col).asc()]
+    return _ranked_topk(scored, order, k).select(
+        id_col,
+        F.floor(F.lit(1e6) * F.col("__cos")).cast("bigint").alias("score_e6"),
+        F.col("rank").cast("int").alias("rank"),
     )
 
 
@@ -295,15 +311,11 @@ def ivf_multiprobe_topk(
         )
         .distinct()
     )
-    w = Window.orderBy(F.col("__cos").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            id_col,
-            F.floor(F.lit(1e6) * F.col("__cos")).cast("bigint").alias("score_e6"),
-            F.col("rank").cast("int").alias("rank"),
-        )
+    order = [F.col("__cos").desc(), F.col(id_col).asc()]
+    return _ranked_topk(scored, order, k).select(
+        id_col,
+        F.floor(F.lit(1e6) * F.col("__cos")).cast("bigint").alias("score_e6"),
+        F.col("rank").cast("int").alias("rank"),
     )
 
 
@@ -405,7 +417,7 @@ def hard_negatives(
     bits: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    broadcast_candidates: bool = True,
+    broadcast_candidates: bool = False,
 ) -> DataFrame:
     """Deterministic hard-negative mining for contrastive training: for
     every anchor vector, the k most-similar OTHER vectors from its own
@@ -420,27 +432,25 @@ def hard_negatives(
     candidate id as the deterministic tie-break). Returns (id_col,
     neg_id, score_e6, slot) with slot = 1..k.
 
-    ``broadcast_candidates=True`` (default) pins the candidate side as
-    the broadcast build and hash-repartitions the ANCHOR side on
-    ``id_col`` with an explicit partition count. Both halves matter: the
-    probe's parallelism must come from the exchange, not the scan's
-    file-split count (a compact embeddings table reads as ONE input
-    partition, which would run every interpreted-fold cosine on a
-    single core — measured 4x slower at sf0.1), and the explicit count
-    stops AQE coalescing the few-megabyte-but-CPU-heavy exchange back
-    to one task. The same partitioning then feeds the per-anchor window
-    for free — the PAIRS relation (the big intermediate) never
-    shuffles. At warehouse scale, where the candidate side exceeds
-    executor memory, pass ``False`` to fall back to the bucket-keyed
-    shuffle join (never O(n^2); the window then re-exchanges pairs).
+    ``broadcast_candidates=False`` (default) is the scale-safe
+    bucket-keyed shuffle join (never O(n^2); the per-anchor window then
+    re-exchanges pairs). At bench scale, pass ``True``: the candidate
+    side pins as the broadcast build and the ANCHOR side
+    hash-repartitions on ``id_col`` with an explicit partition count.
+    Both halves matter: the probe's parallelism must come from the
+    exchange, not the scan's file-split count (a compact embeddings
+    table reads as ONE input partition, which would run every
+    interpreted-fold cosine on a single core — measured 4x slower at
+    sf0.1), and the explicit count stops AQE coalescing the
+    few-megabyte-but-CPU-heavy exchange back to one task. The same
+    partitioning then feeds the per-anchor window for free — the PAIRS
+    relation (the big intermediate) never shuffles. Broadcast is the
+    optimization you prove fits executor memory, never the default.
     """
     bits = _resolve_bits(embeddings, bits)
     b = _pair_prep(embeddings, id_col, vec_col, bits)
     if broadcast_candidates:
-        n_parts = int(
-            embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-        )
-        a = b.repartition(n_parts, F.col(id_col)).alias("a")
+        a = b.repartition(_probe_partitions(embeddings), F.col(id_col)).alias("a")
         c = F.broadcast(b).alias("c")
     else:
         a, c = b.alias("a"), b.alias("c")

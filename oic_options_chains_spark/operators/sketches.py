@@ -18,8 +18,11 @@ Determinism details that matter cross-engine:
   numerator fits a double's mantissa exactly and the denominator is a
   power of two, so the division is EXACT in IEEE754, not approximately
   equal across engines.
-- The estimate divides two exact doubles and floors — identical
-  operation order everywhere.
+- Every ESTIMATE is a pure integer division: the KMV saturation
+  estimate recovers the 52-bit numerator from the fraction (exact
+  power-of-two multiply) and divides integers; the HLL raw estimate
+  divides a precomputed integer-literal numerator by the scaled-integer
+  harmonic sum. No double division decides any output value.
 
 Scale notes: the k-minima come from a global sort-limit, which Spark
 plans as TakeOrderedAndProject — per-partition top-k then a k-sized
@@ -70,14 +73,25 @@ def kmv_estimate_from_minima(minima: DataFrame, k: int = 64) -> DataFrame:
     """Estimate from an explicit minima relation (single column ``f``) —
     the mergeable seam: per-shard minima union and re-limit
     (``kmv_merge_minima``) into exactly the global sketch, because the k
-    smallest of a union are always among each side's k smallest."""
+    smallest of a union are always among each side's k smallest.
+
+    The saturation estimate floor((k-1)/m) runs as a PURE INTEGER
+    division: m is v/2^52 with v the 52-bit md5 prefix, so v is
+    recovered exactly (power-of-two multiply) and the estimate is
+    (k-1)*2^52 DIV v — no double division anywhere in the decision
+    path, so the engines cannot disagree by an ulp."""
     agg = minima.agg(
         F.count(F.lit(1)).alias("n_minima"), F.max("f").alias("__m")
     )
+    num = (k - 1) << 52
     return agg.select(
         F.col("n_minima").cast("bigint").alias("n_minima"),
         F.when(F.col("n_minima") < k, F.col("n_minima"))
-        .otherwise(F.floor(F.lit(float(k - 1)) / F.col("__m")))
+        .otherwise(
+            F.expr(
+                f"CAST({num} AS BIGINT) div CAST(__m * CAST({2**52} AS DOUBLE) AS BIGINT)"
+            )
+        )
         .cast("bigint")
         .alias("estimate"),
     )
@@ -124,6 +138,20 @@ def hll_linear_table(m: int) -> list[int]:
     return [int(math.floor(m * math.log(m / v))) for v in range(1, m + 1)]
 
 
+def hll_numerator(m: int) -> int:
+    """floor(alpha_m * m^2 * 2^53): the raw-estimate numerator as ONE
+    exact integer, computed here in Python and embedded as a literal in
+    both engines' plans. The raw estimate is then a pure integer
+    division ``numerator DIV sum_scaled`` (decimal(38,0) on Spark,
+    HUGEINT on DuckDB) — no double exists anywhere in the estimate path,
+    so the engines cannot disagree by an ulp."""
+    import math
+
+    b = m.bit_length() - 1
+    alpha = 0.7213 / (1 + 1.079 / m) if b >= 7 else (0.697 if b == 6 else 0.673)
+    return int(math.floor(alpha * (m * m) * 9007199254740992))
+
+
 def hll_registers(df: DataFrame, col: str, b: int = 8) -> DataFrame:
     """(reg, rho) HyperLogLog registers, md5-derived and engine-portable.
 
@@ -153,11 +181,12 @@ def hll_distinct_estimate(df: DataFrame, col: str, b: int = 8) -> DataFrame:
 
     The harmonic mean runs in scaled integers — sum of 2^(53 - rho) with
     absent registers contributing 2^53 — so the cross-partition summation
-    order cannot perturb a float. The only divisions are double ops in a
-    fixed order on both engines; the small-range branch (raw estimate
-    <= 2.5m with empty registers present, the standard HLL correction)
-    reads the precomputed ``hll_linear_table`` instead of evaluating a
-    log in-engine. Standard error ~1.04/sqrt(2^b)."""
+    order cannot perturb a float. The raw estimate is a pure integer
+    division of the precomputed ``hll_numerator`` literal by sum_scaled
+    (no double anywhere in the path); the small-range branch (raw
+    estimate <= 2.5m with empty registers present, the standard HLL
+    correction) reads the precomputed ``hll_linear_table`` instead of
+    evaluating a log in-engine. Standard error ~1.04/sqrt(2^b)."""
     return hll_estimate_from_registers(hll_registers(df, col, b), b)
 
 
@@ -168,9 +197,8 @@ def hll_estimate_from_registers(regs: DataFrame, b: int = 8) -> DataFrame:
     this estimator is oblivious to where they came from. Same integer
     harmonic-sum math as ``hll_distinct_estimate``."""
     m = 1 << b
-    alpha = 0.7213 / (1 + 1.079 / m) if b >= 7 else (0.697 if b == 6 else 0.673)
     table = ", ".join(str(x) for x in hll_linear_table(m))
-    num = f"(CAST({alpha!r} AS DOUBLE) * CAST({m * m} AS DOUBLE) * CAST(9007199254740992 AS DOUBLE))"
+    num = hll_numerator(m)
     s = regs.agg(
         F.expr("COUNT(*) AS __n_regs"),
         # COALESCE so an EMPTY input yields sum_scaled = m * 2^53 and a
@@ -183,7 +211,7 @@ def hll_estimate_from_registers(regs: DataFrame, b: int = 8) -> DataFrame:
         f"CAST({m} AS BIGINT) AS m",
         f"CAST({m} - __n_regs AS BIGINT) AS n_zero_regs",
         f"__t_seen + shiftleft(CAST(1 AS BIGINT), 53) * ({m} - __n_regs) AS sum_scaled",
-        f"CAST(FLOOR({num} / CAST(__t_seen + shiftleft(CAST(1 AS BIGINT), 53) * ({m} - __n_regs) AS DOUBLE)) AS BIGINT) AS raw_est",
+        f"CAST({num} AS DECIMAL(38,0)) DIV CAST(__t_seen + shiftleft(CAST(1 AS BIGINT), 53) * ({m} - __n_regs) AS DECIMAL(38,0)) AS raw_est",
     ).selectExpr(
         "m",
         "n_zero_regs",

@@ -140,7 +140,13 @@ def write_training_shards(
     shuffled = global_shuffle(docs, key, n_shards)
     (
         shuffled.repartition(n_shards, F.col("shard"))
-        .sortWithinPartitions("position")
+        # sort by BOTH keys: the dynamic-partition writer requires its
+        # partition column ordered, so a bare sort("position") would get
+        # an extra Sort(shard) inserted above it and per-shard position
+        # order would then rest on sort stability — an implementation
+        # detail, not a contract. (shard, position) already satisfies
+        # the writer, so no second sort is inserted at all.
+        .sortWithinPartitions("shard", "position")
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(out_dir)

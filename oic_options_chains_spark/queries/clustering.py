@@ -4,9 +4,11 @@ retrieval built on its cells (the FAISS-style coarse-quantizer path).
 The DuckDB oracle unrolls the Lloyd iterations as CTE blocks over the
 LONG form (vec_id, pos, q); the Spark side runs the wide array form in
 ``operators/kmeans.py``. Both keep every cross-row aggregate integer and
-share one fixed-shape double distance expression, so assignments — and
-therefore every output value — match bit-for-bit (see the module
-docstring in operators/kmeans.py for the exactness argument).
+share one fixed-shape double distance expression for assignments, and
+the IVF probe-cell ranking is exact-integer (cross-multiplied rationals,
+no double anywhere in that decision path), so assignments and probe
+sets — and therefore every output value — match bit-for-bit (see the
+module docstring in operators/kmeans.py for the exactness argument).
 """
 
 from __future__ import annotations
@@ -94,14 +96,24 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     qq AS (SELECT pos, q FROM qv WHERE vec_id = 0),
     bq AS (SELECT c.cid, SUM(q0.q * c.s) AS b
            FROM qq q0 JOIN c{_ITERS} c ON q0.pos = c.pos GROUP BY c.cid),
-    dq AS (SELECT bq.cid,
-                  CAST(a.a AS DOUBLE) - 2.0 * CAST(bq.b AS DOUBLE) / CAST(m.n AS DOUBLE)
-                    + CAST(m.ss AS DOUBLE) / (CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE)) AS d
+    -- probe ranking is exact-integer: cell distance is the rational
+    -- num/n^2 with num = a*n^2 - 2*b*n + ss; cell i ranks ahead of j
+    -- iff num_i * nn_j < num_j * nn_i (HUGEINT cross-multiplication,
+    -- mirroring the decimal(38,0) comparison in operators/kmeans.py)
+    nq AS (SELECT bq.cid,
+                  CAST(a.a AS HUGEINT) * CAST(m.n AS HUGEINT) * CAST(m.n AS HUGEINT)
+                    - 2 * CAST(bq.b AS HUGEINT) * CAST(m.n AS HUGEINT)
+                    + CAST(m.ss AS HUGEINT) AS num,
+                  CAST(m.n AS HUGEINT) * CAST(m.n AS HUGEINT) AS nn
            FROM bq JOIN m{_ITERS} m ON bq.cid = m.cid
                    CROSS JOIN (SELECT a FROM av WHERE vec_id = 0) a),
     probe AS (SELECT cid FROM (
-                SELECT cid, row_number() OVER (ORDER BY d, cid) AS rn FROM dq)
-              WHERE rn <= 2),
+                SELECT l.cid,
+                       SUM(CASE WHEN r.num * l.nn < l.num * r.nn
+                                  OR (r.num * l.nn = l.num * r.nn AND r.cid < l.cid)
+                             THEN 1 ELSE 0 END) AS ahead
+                FROM nq l CROSS JOIN nq r GROUP BY l.cid)
+              WHERE ahead < 2),
     cand AS (SELECT a.vec_id FROM a{_ITERS} a JOIN probe p ON a.cid = p.cid
              WHERE a.vec_id <> 0),
     dist AS (SELECT c.vec_id, SUM((v.q - q0.q) * (v.q - q0.q)) AS dist

@@ -1094,7 +1094,9 @@ def q_chain_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     a AS (SELECT COUNT(*) AS n_minima, MAX(f) AS m FROM f)
     SELECT CAST(n_minima AS BIGINT) AS n_minima,
            CAST(CASE WHEN n_minima < 64 THEN n_minima
-                     ELSE FLOOR(63.0 / m) END AS BIGINT) AS estimate
+                     ELSE CAST(283726776524341248 AS BIGINT)
+                          // CAST(m * CAST(4503599627370496 AS DOUBLE) AS BIGINT)
+                END AS BIGINT) AS estimate
     FROM a
     """,
 )

@@ -23,16 +23,16 @@ from oic_options_chains_spark.operators.minhash import (
 from oic_options_chains_spark.operators.sketches import (
     hll_distinct_estimate,
     hll_linear_table,
+    hll_numerator,
 )
 from oic_options_chains_spark.queries.extensions import _SIG_SQL
 from oic_options_chains_spark.queries.registry import register
 from oic_options_chains_spark.sources.registry import load_table
 
-_HLL_ALPHA_256 = 0.7213 / (1 + 1.079 / 256)
-_HLL_NUM_256 = (
-    f"(CAST({_HLL_ALPHA_256!r} AS DOUBLE) * CAST(65536 AS DOUBLE)"
-    " * CAST(9007199254740992 AS DOUBLE))"
-)
+# floor(alpha_256 * 256^2 * 2^53) — ONE exact integer literal shared
+# with the Spark plan (operators/sketches.hll_numerator); the raw
+# estimate is a pure HUGEINT integer division, float-free on both sides.
+_HLL_NUM_256 = hll_numerator(256)
 _HLL_TABLE_256 = ", ".join(str(x) for x in hll_linear_table(256))
 
 # The recursive-CTE component fixpoint over LSH candidate pairs, shared
@@ -79,9 +79,9 @@ _CC_SQL = (
     e AS (SELECT CAST(256 AS BIGINT) AS m,
                  CAST(256 - n_regs AS BIGINT) AS n_zero_regs,
                  t + (CAST(1 AS BIGINT) << 53) * (256 - n_regs) AS sum_scaled,
-                 CAST(FLOOR({_HLL_NUM_256}
-                      / CAST(t + (CAST(1 AS BIGINT) << 53) * (256 - n_regs)
-                             AS DOUBLE)) AS BIGINT) AS raw_est
+                 CAST(CAST('{_HLL_NUM_256}' AS HUGEINT)
+                      // CAST(t + (CAST(1 AS BIGINT) << 53) * (256 - n_regs)
+                              AS HUGEINT) AS BIGINT) AS raw_est
           FROM s)
     SELECT m, n_zero_regs, sum_scaled, raw_est,
            CAST(IF(raw_est <= 640 AND n_zero_regs > 0,
@@ -137,7 +137,13 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oic_options_chains_spark.operators.similarity import hard_negatives
 
     e = load_table(spark, sf_dir, "embeddings")
-    return hard_negatives(e, k=4, max_score_e6=950_000, bits=4)
+    # broadcast opted IN here: bench-scale corpus fits one executor and
+    # the anchor-side repartition parallelizes the CPU-dense cosine
+    # folds (see hard_negatives docstring; default is the scale-safe
+    # shuffle join)
+    return hard_negatives(
+        e, k=4, max_score_e6=950_000, bits=4, broadcast_candidates=True
+    )
 
 
 @register(
@@ -604,9 +610,9 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                             CAST(0 AS BIGINT)) AS t
             FROM merged),
     est AS (SELECT CAST(256 - n_regs AS BIGINT) AS n_zero_regs,
-                   CAST(FLOOR({_HLL_NUM_256}
-                        / CAST(t + (CAST(1 AS BIGINT) << 53) * (256 - n_regs)
-                               AS DOUBLE)) AS BIGINT) AS raw_est
+                   CAST(CAST('{_HLL_NUM_256}' AS HUGEINT)
+                        // CAST(t + (CAST(1 AS BIGINT) << 53) * (256 - n_regs)
+                                AS HUGEINT) AS BIGINT) AS raw_est
             FROM agg),
     m_est AS (SELECT CAST(IF(raw_est <= 640 AND n_zero_regs > 0,
                              ([{_HLL_TABLE_256}])[CAST(n_zero_regs AS INT)],
@@ -623,9 +629,9 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                              CAST(0 AS BIGINT)) AS t
              FROM dm),
     dest AS (SELECT CAST(256 - n_regs AS BIGINT) AS n_zero_regs,
-                    CAST(FLOOR({_HLL_NUM_256}
-                         / CAST(t + (CAST(1 AS BIGINT) << 53) * (256 - n_regs)
-                                AS DOUBLE)) AS BIGINT) AS raw_est
+                    CAST(CAST('{_HLL_NUM_256}' AS HUGEINT)
+                         // CAST(t + (CAST(1 AS BIGINT) << 53) * (256 - n_regs)
+                                 AS HUGEINT) AS BIGINT) AS raw_est
              FROM dagg),
     d_est AS (SELECT CAST(IF(raw_est <= 640 AND n_zero_regs > 0,
                              ([{_HLL_TABLE_256}])[CAST(n_zero_regs AS INT)],
@@ -678,7 +684,9 @@ def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ma AS (SELECT COUNT(*) AS n_minima, MAX(f) AS m FROM merged),
     m_est AS (
       SELECT CAST(CASE WHEN n_minima < 64 THEN n_minima
-                       ELSE FLOOR(63.0 / m) END AS BIGINT) AS merged_estimate
+                       ELSE CAST(283726776524341248 AS BIGINT)
+                            // CAST(m * CAST(4503599627370496 AS DOUBLE) AS BIGINT)
+                  END AS BIGINT) AS merged_estimate
       FROM ma),
     direct AS (
       SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
@@ -689,7 +697,9 @@ def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     d_est AS (
       SELECT CAST(n_minima AS BIGINT) AS n_minima,
              CAST(CASE WHEN n_minima < 64 THEN n_minima
-                       ELSE FLOOR(63.0 / m) END AS BIGINT) AS direct_estimate
+                       ELSE CAST(283726776524341248 AS BIGINT)
+                            // CAST(m * CAST(4503599627370496 AS DOUBLE) AS BIGINT)
+                  END AS BIGINT) AS direct_estimate
       FROM da)
     SELECT n_minima, direct_estimate, merged_estimate
     FROM d_est CROSS JOIN m_est

@@ -663,7 +663,11 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: sign-bucket LSH candidates, exact
     cosine verify at threshold 0.35."""
     e = load_table(spark, sf_dir, "embeddings")
-    return near_dup_pairs(e, threshold=0.35, bits=4)
+    # broadcast opted IN here: the bench-scale corpus fits one executor
+    # and the probe-side repartition is what parallelizes the CPU-dense
+    # cosine folds (see near_dup_pairs docstring; default is the
+    # scale-safe shuffle join)
+    return near_dup_pairs(e, threshold=0.35, bits=4, broadcast_candidates=True)
 
 
 @register(

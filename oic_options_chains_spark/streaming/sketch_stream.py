@@ -23,6 +23,9 @@ data-sized table.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 
 from oic_options_chains_spark.operators.sketches import (
@@ -30,6 +33,24 @@ from oic_options_chains_spark.operators.sketches import (
     hll_merge_registers,
     hll_registers,
 )
+
+
+def _current_version(registers_dir: str) -> int | None:
+    """The committed register-table version, or None when no merge has
+    ever committed. An EXPLICIT existence probe of the pointer file (the
+    ``warehouse.table_exists`` pattern) — never an except-Exception
+    around the read, which would silently treat a transient read failure
+    as 'table does not exist' and reset the accumulated sketch to one
+    batch's registers."""
+    path = os.path.join(registers_dir, "_CURRENT")
+    if not os.path.isfile(path):
+        return None
+    with open(path) as fh:
+        return int(fh.read().strip())
+
+
+def _version_path(registers_dir: str, version: int) -> str:
+    return os.path.join(registers_dir, f"v={version}")
 
 
 def merge_into_register_table(
@@ -41,14 +62,20 @@ def merge_into_register_table(
 ) -> None:
     """Merge one (micro-)batch's HLL registers into the persisted
     register table at ``registers_dir`` (parquet, (reg, rho), <= 2^b
-    rows). Safe to call repeatedly with the same batch."""
+    rows). Safe to call repeatedly with the same batch.
+
+    The replace is CRASH-ATOMIC, not mode("overwrite"): each merge
+    writes a NEW version directory (so the read side of the merge is
+    never deleted mid-write), then commits it by atomically renaming a
+    pointer file. A crash at any point leaves the previous committed
+    version intact and readable; an uncommitted version directory is
+    overwritten by the next attempt. Single maintaining writer per
+    ``registers_dir`` (the foreachBatch contract already serializes
+    batches); superseded versions are pruned after commit."""
     new_regs = hll_registers(batch, col, b)
-    try:
-        existing = spark.read.parquet(registers_dir)
-        has_existing = True
-    except Exception:
-        has_existing = False
-    if has_existing:
+    cur = _current_version(registers_dir)
+    if cur is not None:
+        existing = spark.read.parquet(_version_path(registers_dir, cur))
         merged = hll_merge_registers(
             existing.selectExpr("'old' AS grp", "reg", "rho").unionByName(
                 new_regs.selectExpr("'new' AS grp", "reg", "rho")
@@ -56,11 +83,15 @@ def merge_into_register_table(
         )
     else:
         merged = new_regs
-    # localCheckpoint truncates lineage so the overwrite no longer
-    # references the files it replaces; the table is <= 2^b rows.
-    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-        registers_dir
-    )
+    nxt = 0 if cur is None else cur + 1
+    merged.write.mode("overwrite").parquet(_version_path(registers_dir, nxt))
+    tmp = os.path.join(registers_dir, "_CURRENT.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(nxt))
+    os.replace(tmp, os.path.join(registers_dir, "_CURRENT"))
+    for name in os.listdir(registers_dir):
+        if name.startswith("v=") and name != f"v={nxt}":
+            shutil.rmtree(os.path.join(registers_dir, name), ignore_errors=True)
 
 
 def run_incremental_distinct(
@@ -91,5 +122,15 @@ def read_running_estimate(
     spark: SparkSession, registers_dir: str, b: int = 8
 ) -> DataFrame:
     """The current distinct-count estimate from the persisted registers —
-    a metadata-sized read, independent of how much data ever streamed."""
-    return hll_estimate_from_registers(spark.read.parquet(registers_dir), b)
+    a metadata-sized read, independent of how much data ever streamed.
+    Reads the COMMITTED version via the pointer file, so a concurrent
+    merge (which writes a new version before flipping the pointer) can
+    never hand it a partially-written directory."""
+    cur = _current_version(registers_dir)
+    if cur is None:
+        raise FileNotFoundError(
+            f"no committed register table at {registers_dir}"
+        )
+    return hll_estimate_from_registers(
+        spark.read.parquet(_version_path(registers_dir, cur)), b
+    )

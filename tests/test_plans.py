@@ -208,3 +208,19 @@ def test_simhash_candidate_join_reuses_signature_exchange(spark, sf_dir):
     plan = _plan(df)
     assert "isFinalPlan=true" in plan
     assert "ReusedExchange" in plan
+
+
+def test_ann_topk_plans_as_take_ordered(spark, sf_dir):
+    # the global top-k in every single-query ANN path must plan as
+    # TakeOrderedAndProject (per-partition top-k, k-sized merge) — a
+    # row_number window over the full candidate set would funnel the
+    # corpus through one partition. The only Window left ranks the k
+    # surviving rows, downstream of the limit.
+    for name in ("q_ann_cosine", "q_ann_ivf", "q_ann_multiprobe", "q_ann_ivf_kmeans"):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, name
+        # the window (rank over k rows) must sit ABOVE the take-ordered
+        # in the tree: plans print root-first, so its text must appear
+        # before the first TakeOrderedAndProject line
+        win = plan.find("Window")
+        assert win != -1 and win < plan.find("TakeOrderedAndProject"), name

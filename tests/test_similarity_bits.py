@@ -123,3 +123,31 @@ def test_near_dup_join_strategies_agree(spark, sf_dir):
     bc = near_dup_pairs(e, bits=4, broadcast_candidates=True)
     sh = near_dup_pairs(e, bits=4, broadcast_candidates=False)
     assert sorted(map(tuple, bc.collect())) == sorted(map(tuple, sh.collect()))
+
+
+def test_registered_ann_queries_build_without_eager_count(spark, sf_dir, monkeypatch):
+    """Every registered ANN/dedup query pins `bits` (and its join
+    strategy) explicitly, so building its plan must never fire an eager
+    sizing count() — an action hidden inside plan construction would run
+    once per composition at any scale."""
+    from oic_options_chains_spark.queries import QUERIES
+    from oic_options_chains_spark.sources.registry import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cls = type(e)
+
+    def boom(self):
+        raise AssertionError("eager count() during query construction")
+
+    monkeypatch.setattr(cls, "count", boom)
+    for name in (
+        "q_dedup_embedding",
+        "q_hard_negatives",
+        "q_ann_cosine",
+        "q_ann_ivf",
+        "q_ann_multiprobe",
+        "q_ann_batch",
+        "q_ann_batch_ivf",
+        "q_ann_ivf_kmeans",
+    ):
+        QUERIES[name](spark, sf_dir)  # plan construction only, no action
