@@ -32,7 +32,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return build_chain(spark, "/root/testdata/sf0.001")
 
 
-def _recorded_rounds() -> tuple[dict[str, int], set[str], set[str]]:
+def _recorded_rounds(here: str | None = None) -> tuple[dict[str, int], set[str], set[str]]:
     """How many driver CORRECTNESS_r*.json rounds have a row per query,
     the most recent round's recorded key set, and the set of keys whose
     LATEST recorded row is red (any explicit False among rows_match /
@@ -48,7 +48,8 @@ def _recorded_rounds() -> tuple[dict[str, int], set[str], set[str]]:
     import glob
     import json
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
     seen: dict[str, int] = {}
     latest: set[str] = set()
     latest_red: set[str] = set()
@@ -74,8 +75,8 @@ def _recorded_rounds() -> tuple[dict[str, int], set[str], set[str]]:
     return seen, latest, latest_red
 
 
-def _rotated(mapping: dict) -> dict:
-    seen, latest, latest_red = _recorded_rounds()
+def _rotated(mapping: dict, here: str | None = None) -> dict:
+    seen, latest, latest_red = _recorded_rounds(here)
     order = list(mapping)
     # latest-red keys FIRST (a red row that never re-enters the window
     # can never turn green), then least-recorded; among equals, prefer

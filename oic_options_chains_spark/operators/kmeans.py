@@ -32,10 +32,13 @@ Shuffle budget per Lloyd iteration (the 100 TB shape):
   partially aggregated map-side down to k*dim per task, so the exchange
   carries ~k*dim*tasks rows, not data-sized.
 
-Scale caveat: ``ss = sum_pos(s_p^2)`` overflows int64 when a cluster's
-per-dimension quantized sum exceeds ~3e9 (≈ 750k members at |x| <= 1 and
-QUANT=4096). Past that, compute ``ss`` in decimal(38,0) (still exact and
-order-independent) and cast to double only inside ``_dist``.
+``ss = sum_pos(s_p^2)`` is computed in decimal(38,0): a single squared
+per-dimension sum s_p^2 passes int64 once a cluster's quantized sum
+exceeds ~3e9 (≈ 750k members at |x| <= 1 and QUANT=4096), and DuckDB's
+SUM(BIGINT) widens to HUGEINT anyway — decimal keeps the Spark side
+exact and order-independent at any cluster size, matching the oracle.
+It is cast to double only inside ``_dist`` (same double either way) and
+consumed exactly by the decimal probe ranking.
 """
 
 from __future__ import annotations
@@ -78,11 +81,14 @@ def _centroid_state(assigned: DataFrame) -> DataFrame:
     """
     long = assigned.select("cid", F.posexplode("qarr").alias("pos", "q"))
     sums = long.groupBy("cid", "pos").agg(F.sum("q").alias("s"))
+    # ss in decimal(38,0): s^2 passes int64 for clusters past ~750k
+    # members, and the DuckDB oracle's SUM(BIGINT) widens to HUGEINT —
+    # decimal keeps this side exact at any cluster size
     arrays = sums.groupBy("cid").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda e: e["s"]
         ).alias("sarr"),
-        F.sum(F.col("s") * F.col("s")).alias("ss"),
+        F.sum(_dec(F.col("s")) * _dec(F.col("s"))).alias("ss"),
     )
     counts = assigned.groupBy("cid").agg(F.count("*").alias("n"))
     return arrays.join(counts, "cid")
