@@ -333,3 +333,56 @@ def token_budget_sample(
         .filter(F.col(out) <= F.col("budget_tokens"))
         .drop("budget_tokens")
     )
+
+
+def systematic_weighted_sample(
+    df: DataFrame, key: str, weight_col: str, step: int
+) -> DataFrame:
+    """Weight-proportional systematic sampling: lay every row's weight
+    end-to-end along a deterministic hash order and keep the rows whose
+    interval covers a multiple of ``step``. Each row is selected with
+    probability ~weight/step (rows with weight >= step are ALWAYS kept),
+    and the sample totals ~total_weight/step rows — the
+    token-proportional document sample a "sample N tokens" recipe needs,
+    where uniform row sampling would over-represent short documents.
+
+    Membership is a pure function of (corpus content, step): the order
+    is (md5(key), key) and the test is the integer-division flip
+    ``(cum - w) div step < cum div step`` on exact cumulative sums — no
+    float, no RNG, identical on every engine.
+
+    The global cumulative sum runs TWO-PHASE like ``global_rank``: rows
+    are grouped by their md5's leading byte (256 buckets), summed within
+    each bucket's hash-partitioned window, and offset by the 256-row
+    bucket-total cumsum (broadcast) — no single-reducer window over the
+    data at any scale."""
+    h = F.md5(F.col(key).cast("string"))
+    bucketed = df.withColumn("__b", F.substring(h, 1, 2))
+    w_local = Window.partitionBy("__b").orderBy(
+        F.md5(F.col(key).cast("string")).asc(), F.col(key).asc()
+    )
+    local = bucketed.withColumn(
+        "__lcum",
+        F.sum(F.col(weight_col))
+        .over(w_local.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint"),
+    )
+    totals = bucketed.groupBy("__b").agg(
+        F.sum(F.col(weight_col)).cast("bigint").alias("__bt")
+    )
+    w_off = Window.orderBy(F.col("__b").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "__b", F.coalesce(F.sum("__bt").over(w_off), F.lit(0)).cast("bigint").alias("__off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__b")
+        .withColumn("cum_weight", (F.col("__off") + F.col("__lcum")).cast("bigint"))
+        .filter(
+            F.expr(
+                f"(cum_weight - {weight_col}) div {step} < cum_weight div {step}"
+            )
+        )
+        .drop("__b", "__lcum", "__off")
+    )

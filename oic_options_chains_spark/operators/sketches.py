@@ -440,3 +440,109 @@ def bloom_merge_words(manifest: DataFrame) -> DataFrame:
     two tables' manifests (e.g. combining daily filters into a monthly
     one)."""
     return manifest.groupBy("word_idx").agg(F.bit_or("word").alias("word"))
+
+
+def hll_group_estimate(group_regs: DataFrame, b: int = 8) -> DataFrame:
+    """(grp, estimate): the per-group distinct-count estimate from a
+    ``hll_group_registers`` relation — approximate COUNT(DISTINCT x)
+    GROUP BY y, the query ``approx_count_distinct`` answers with an
+    engine-private sketch and this answers engine-portably.
+
+    Same integer-only math as ``hll_estimate_from_registers``, run once
+    per group in a single hash aggregate: scaled harmonic sum (absent
+    registers contribute 2^53 via the m - n_regs term), precomputed
+    integer-literal numerator, integer division, table-lookup
+    small-range branch. The aggregate's input is at most groups * m
+    rows (the register relation), so at 100 TB the estimate step costs
+    the same as at 100 MB — only the register build ever sees data."""
+    m = 1 << b
+    table = ", ".join(str(x) for x in hll_linear_table(m))
+    num = hll_numerator(m)
+    s = group_regs.groupBy("grp").agg(
+        F.expr("COUNT(*) AS __n_regs"),
+        F.expr(
+            "SUM(shiftleft(CAST(1 AS BIGINT), 53 - rho)) AS __t_seen"
+        ),
+    )
+    return s.selectExpr(
+        "grp",
+        f"CAST({m} - __n_regs AS BIGINT) AS n_zero_regs",
+        f"CAST({num} AS DECIMAL(38,0)) DIV CAST(__t_seen + shiftleft(CAST(1 AS BIGINT), 53) * ({m} - __n_regs) AS DECIMAL(38,0)) AS raw_est",
+    ).selectExpr(
+        "grp",
+        "n_zero_regs",
+        f"CAST(IF(raw_est <= {(5 * m) // 2} AND n_zero_regs > 0, "
+        f"element_at(array({table}), CAST(n_zero_regs AS INT)), raw_est) AS BIGINT) AS estimate",
+    )
+
+
+def binned_histogram(
+    df: DataFrame, col: str, bin_width: int, group_col: str | None = None
+) -> DataFrame:
+    """(shard?, bin, cnt): fixed-width integer-bin histogram — the
+    mergeable quantile sketch for integer-valued columns. bin =
+    value div bin_width (integer division; values must be >= 0), so
+    every engine bins identically and two histograms merge by summing
+    counts per bin. With ``group_col`` the histogram is built per shard
+    (source, day, ...) — the 100 TB shape: each shard histograms its own
+    data locally, and ``merge_histograms`` combines the bounded bin
+    relations without re-reading anything."""
+    keys = ([F.col(group_col).alias("shard")] if group_col else []) + [
+        F.expr(f"CAST({col} AS BIGINT) div {bin_width}").alias("bin")
+    ]
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+
+
+def merge_histograms(shard_hists: DataFrame) -> DataFrame:
+    """Sum per bin across shards — exact: the merged histogram IS the
+    histogram a direct global build produces (counts are plain sums)."""
+    return shard_hists.groupBy("bin").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+
+
+def histogram_quantiles(
+    hist: DataFrame, bin_width: int, percentiles: tuple[int, ...] = (50, 90, 99)
+) -> DataFrame:
+    """(p, bin_lo, bin_hi, cum, total): quantiles read off a merged
+    histogram — the p-th percentile lies in the first bin whose
+    cumulative count reaches ceil(p * total / 100), reported as the
+    bin's [lo, hi) value range. The error bound is the bin width, by
+    construction; no global sort of the data ever runs (compare
+    ``q_percentiles``, the exact form).
+
+    All integer: ``cum >= ceil(p * total / 100)`` is tested as the
+    cross-multiplied ``100 * cum >= p * total`` and the cumulative sum
+    orders by the integer bin id. The cumulative window runs over the
+    BIN relation (bounded by value-range / bin_width), never over
+    data."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("bin").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        hist.withColumn("cum", F.sum("cnt").over(w).cast("bigint"))
+        .crossJoin(
+            F.broadcast(hist.agg(F.sum("cnt").cast("bigint").alias("total")))
+        )
+    )
+    p_df = cum.sparkSession.createDataFrame(
+        [(int(p),) for p in percentiles], "p INT"
+    )
+    hit = (
+        cum.join(
+            F.broadcast(p_df),
+            F.lit(100) * F.col("cum") >= F.col("p") * F.col("total"),
+        )
+    )
+    w_first = Window.partitionBy("p").orderBy(F.col("bin").asc())
+    return (
+        hit.withColumn("__rn", F.row_number().over(w_first))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "p",
+            (F.col("bin") * bin_width).cast("bigint").alias("bin_lo"),
+            ((F.col("bin") + 1) * bin_width).cast("bigint").alias("bin_hi"),
+            "cum",
+            "total",
+        )
+    )

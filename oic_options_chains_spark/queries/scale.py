@@ -1,0 +1,211 @@
+"""Scale-path t2 queries: the operations whose whole point is surviving
+100 TB — per-group sketch estimates, mergeable histogram quantiles,
+exact prefix-filter similarity join, weight-proportional systematic
+sampling, and the salted skew join.
+
+Every decision in every query is integer (md5-derived buckets, integer
+division, cross-multiplied comparisons), so the DuckDB oracles are
+bit-identical by construction — the same discipline the sketch family
+established after the round-3 cross-engine divergences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oic_options_chains_spark.operators.sampling import systematic_weighted_sample
+from oic_options_chains_spark.operators.setsim import prefix_similarity_join
+from oic_options_chains_spark.operators.sketches import (
+    binned_histogram,
+    histogram_quantiles,
+    hll_group_estimate,
+    hll_group_registers,
+    hll_linear_table,
+    hll_numerator,
+    merge_histograms,
+)
+from oic_options_chains_spark.operators.skew import salted_join
+from oic_options_chains_spark.queries.registry import register
+from oic_options_chains_spark.sources.registry import load_table
+
+_HLL_NUM_256 = hll_numerator(256)
+_HLL_TABLE_256 = ", ".join(str(x) for x in hll_linear_table(256))
+
+
+@register(
+    "q_hll_groupby",
+    oracle=f"""
+    WITH h AS (SELECT event_type AS grp, md5(CAST(user_id AS VARCHAR)) AS h
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT grp, CAST(concat('0x', substring(h, 1, 2)) AS INT) AS reg,
+                 CAST(concat('0x', substring(h, 3, 13)) AS BIGINT) AS v
+          FROM h),
+    m AS (SELECT grp, reg, MAX(IF(v = 0, 53, 53 - length(bin(v)))) AS rho
+          FROM r GROUP BY grp, reg),
+    s AS (SELECT grp, COUNT(*) AS n_regs,
+                 SUM((CAST(1 AS BIGINT) << (53 - rho))) AS t
+          FROM m GROUP BY grp),
+    e AS (SELECT grp, CAST(256 - n_regs AS BIGINT) AS n_zero_regs,
+                 CAST(CAST('{_HLL_NUM_256}' AS HUGEINT)
+                      // CAST(t + (CAST(1 AS BIGINT) << 53) * (256 - n_regs)
+                              AS HUGEINT) AS BIGINT) AS raw_est
+          FROM s)
+    SELECT grp AS event_type, n_zero_regs,
+           CAST(IF(raw_est <= 640 AND n_zero_regs > 0,
+                   ([{_HLL_TABLE_256}])[CAST(n_zero_regs AS INT)],
+                   raw_est) AS BIGINT) AS estimate
+    FROM e
+    """,
+)
+def q_hll_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate COUNT(DISTINCT user) GROUP BY event_type — the
+    per-group form of the deterministic HLL (b=8). The register build is
+    the only data-sized stage (one hash aggregate, map-side combined to
+    <= groups * 256 rows per partition); the estimate reads the bounded
+    register relation. ``approx_count_distinct`` answers this with an
+    engine-private sketch; this one is portable and mergeable
+    (``hll_merge_registers`` per group combines shard sketches)."""
+    e = load_table(spark, sf_dir, "events")
+    regs = hll_group_registers(e, "user_id", "event_type", b=8)
+    est = hll_group_estimate(regs, b=8)
+    return est.select(
+        F.col("grp").alias("event_type"), "n_zero_regs", "estimate"
+    )
+
+
+@register(
+    "q_quantile_sketch",
+    oracle="""
+    WITH hist AS (SELECT n_chars // 64 AS bin, CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM documents GROUP BY 1),
+    cum AS (SELECT bin, cnt,
+                   SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(cnt) OVER () AS total
+            FROM hist),
+    hit AS (SELECT p, bin, cum, total,
+                   row_number() OVER (PARTITION BY p ORDER BY bin) AS rn
+            FROM cum JOIN (VALUES (50), (90), (99)) AS t(p)
+              ON 100 * cum >= p * total)
+    SELECT CAST(p AS INT) AS p,
+           CAST(bin * 64 AS BIGINT) AS bin_lo,
+           CAST((bin + 1) * 64 AS BIGINT) AS bin_hi,
+           CAST(cum AS BIGINT) AS cum, CAST(total AS BIGINT) AS total
+    FROM hit WHERE rn = 1
+    """,
+)
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of document length from a MERGED fixed-width-bin
+    histogram — the mergeable quantile sketch: each source shard
+    histograms its own data (one partial-aggregated groupBy), the
+    bin relations sum together, and the quantile is read off the
+    cumulative bins with error bounded by the bin width. No global sort
+    of the data anywhere; the oracle builds the histogram directly,
+    which the exact merge makes the same relation."""
+    d = load_table(spark, sf_dir, "documents")
+    shards = binned_histogram(d, "n_chars", 64, group_col="source")
+    merged = merge_histograms(shards)
+    return histogram_quantiles(merged, 64, percentiles=(50, 90, 99))
+
+
+@register(
+    "q_prefix_join",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, t AS term FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        FROM documents)
+      WHERE t <> ''),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+              FROM tok GROUP BY term),
+    sized AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+              FROM tok GROUP BY doc_id),
+    ranked AS (
+      SELECT tok.doc_id, tok.term, sized.n,
+             row_number() OVER (PARTITION BY tok.doc_id
+                                ORDER BY dfreq.df ASC, tok.term ASC) AS rn
+      FROM tok JOIN dfreq USING (term) JOIN sized USING (doc_id)),
+    pref AS (SELECT doc_id, term, n FROM ranked
+             WHERE rn <= n - ((50 * n + 99) // 100) + 1),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.n AS n_a, b.n AS n_b
+      FROM pref a JOIN pref b
+        ON a.term = b.term AND a.doc_id < b.doc_id),
+    inter AS (
+      SELECT cand.doc_a, cand.doc_b, cand.n_a, cand.n_b,
+             CAST(COUNT(*) AS BIGINT) AS inter_n
+      FROM cand
+      JOIN tok ta ON ta.doc_id = cand.doc_a
+      JOIN tok tb ON tb.doc_id = cand.doc_b AND tb.term = ta.term
+      GROUP BY 1, 2, 3, 4)
+    SELECT doc_a, doc_b, inter_n,
+           n_a + n_b - inter_n AS union_n,
+           CAST(1000000 * inter_n AS BIGINT) // (n_a + n_b - inter_n)
+             AS jaccard_e6
+    FROM inter WHERE 100 * inter_n >= 50 * (n_a + n_b - inter_n)
+    """,
+)
+def q_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs with token-set Jaccard >= 0.5 via prefix
+    filtering (AllPairs/PPJoin) — the deterministic complement to the
+    probabilistic MinHash-LSH pairs: candidates come from an inverted
+    index over each document's rarest ``n - ceil(t*n) + 1`` tokens
+    (complete by the prefix property), verification cross-multiplies
+    the Jaccard test in integers."""
+    d = load_table(spark, sf_dir, "documents")
+    return prefix_similarity_join(d, t_pct=50)
+
+
+@register(
+    "q_systematic_sample",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, source, n_chars,
+             SUM(n_chars) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents)
+    SELECT doc_id, source, n_chars, CAST(cum AS BIGINT) AS cum_weight
+    FROM c WHERE (cum - n_chars) // 50000 < cum // 50000
+    """,
+)
+def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-proportional systematic sample of the corpus (one document
+    per ~50k characters of running total, long docs always kept) — the
+    "sample N tokens, not N documents" selection. Spark runs the
+    cumulative sum two-phase over md5-leading-byte buckets (no global
+    window); the oracle's single global window is the same total order,
+    so membership matches row-for-row."""
+    d = load_table(spark, sf_dir, "documents")
+    s = systematic_weighted_sample(d, "doc_id", "n_chars", step=50_000)
+    return s.select("doc_id", "source", "n_chars", "cum_weight")
+
+
+@register(
+    "q_salted_join",
+    oracle="""
+    SELECT p.p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2)))
+                     AS DECIMAL(28,2)) AS VARCHAR) AS total_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-split fact-dim join: lineitem's hot part keys are spread
+    across 8 salted reducers and the dim side is replicated to meet
+    them (``skew.salted_join``), then aggregated per brand. The oracle
+    is the UNSALTED join — salting must never change answers, only the
+    reducer-key cardinality; this attests the join pattern the way
+    ``q_salted_agg`` attests the aggregation pattern."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"),
+        F.col("l_orderkey"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(li, p, on=["p_partkey"], left_salt_from="l_orderkey")
+    return joined.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("qty").cast("decimal(28,2)").cast("string").alias("total_qty"),
+    )
