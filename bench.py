@@ -56,6 +56,12 @@ HEADLINE = (
     "q_curation_build",
     "q_quality_report",
     "q_snapshot_diff",
+    # round-4 scale-path additions
+    "q_hll_groupby",
+    "q_quantile_sketch",
+    "q_prefix_join",
+    "q_systematic_sample",
+    "q_salted_join",
 )
 
 # single-JVM local bench has ~±20-30% run-to-run noise (ambient load

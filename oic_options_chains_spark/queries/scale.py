@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from oic_options_chains_spark.operators.sampling import systematic_weighted_sample
-from oic_options_chains_spark.operators.setsim import prefix_similarity_join
+from oic_options_chains_spark.operators.setsim import prefix_join_sets
 from oic_options_chains_spark.operators.sketches import (
     binned_histogram,
     histogram_quantiles,
@@ -110,51 +110,58 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_prefix_join",
+    # The oracle computes the exact qualifying-pair set the
+    # algorithm-independent way (full inverted-index join + integer
+    # Jaccard test) — the prefix/length/positional filters on the Spark
+    # side are pruning only and cannot change the result.
     oracle="""
-    WITH tok AS (
-      SELECT DISTINCT doc_id, t AS term FROM (
-        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
-        FROM documents)
-      WHERE t <> ''),
-    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
-              FROM tok GROUP BY term),
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+                  FROM documents),
+    idx AS (SELECT doc_id, t,
+                   unnest(range(0, greatest(len(t) - 2, 0))) AS i
+            FROM toks),
+    sh AS (SELECT DISTINCT doc_id,
+                  t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS term
+           FROM idx),
     sized AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
-              FROM tok GROUP BY doc_id),
-    ranked AS (
-      SELECT tok.doc_id, tok.term, sized.n,
-             row_number() OVER (PARTITION BY tok.doc_id
-                                ORDER BY dfreq.df ASC, tok.term ASC) AS rn
-      FROM tok JOIN dfreq USING (term) JOIN sized USING (doc_id)),
-    pref AS (SELECT doc_id, term, n FROM ranked
-             WHERE rn <= n - ((50 * n + 99) // 100) + 1),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                      a.n AS n_a, b.n AS n_b
-      FROM pref a JOIN pref b
-        ON a.term = b.term AND a.doc_id < b.doc_id),
+              FROM sh GROUP BY doc_id),
     inter AS (
-      SELECT cand.doc_a, cand.doc_b, cand.n_a, cand.n_b,
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(COUNT(*) AS BIGINT) AS inter_n
-      FROM cand
-      JOIN tok ta ON ta.doc_id = cand.doc_a
-      JOIN tok tb ON tb.doc_id = cand.doc_b AND tb.term = ta.term
-      GROUP BY 1, 2, 3, 4)
+      FROM sh a JOIN sh b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
     SELECT doc_a, doc_b, inter_n,
-           n_a + n_b - inter_n AS union_n,
-           CAST(1000000 * inter_n AS BIGINT) // (n_a + n_b - inter_n)
+           sa.n + sb.n - inter_n AS union_n,
+           CAST(1000000 * inter_n AS BIGINT) // (sa.n + sb.n - inter_n)
              AS jaccard_e6
-    FROM inter WHERE 100 * inter_n >= 50 * (n_a + n_b - inter_n)
+    FROM inter
+    JOIN sized sa ON sa.doc_id = doc_a
+    JOIN sized sb ON sb.doc_id = doc_b
+    WHERE 100 * inter_n >= 50 * (sa.n + sb.n - inter_n)
     """,
 )
 def q_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT all-pairs with token-set Jaccard >= 0.5 via prefix
+    """EXACT all-pairs with 3-gram SHINGLE-set Jaccard >= 0.5 via prefix
     filtering (AllPairs/PPJoin) — the deterministic complement to the
-    probabilistic MinHash-LSH pairs: candidates come from an inverted
-    index over each document's rarest ``n - ceil(t*n) + 1`` tokens
-    (complete by the prefix property), verification cross-multiplies
-    the Jaccard test in integers."""
+    probabilistic MinHash-LSH pairs, over the same shingle
+    representation. Candidates come from an inverted index over each
+    document's rarest ``n - ceil(t*n) + 1`` shingles (complete by the
+    prefix property) pruned by the integer length and positional
+    filters; verification cross-multiplies the Jaccard test in
+    integers over per-document sorted shingle arrays.
+
+    Shingles, not unigram tokens, by design: over a small token
+    vocabulary most documents are near-identical as unigram SETS and
+    the qualifying-pair set itself goes quadratic (measured 8.9M pairs
+    at sf0.1); the combinatorial shingle space keeps both the prefix
+    index and the true answer sparse at any corpus size."""
+    from oic_options_chains_spark.operators.minhash import doc_shingles
+
     d = load_table(spark, sf_dir, "documents")
-    return prefix_similarity_join(d, t_pct=50)
+    sets = doc_shingles(d, "doc_id", "text").select(
+        "doc_id", F.col("shingle").alias("term")
+    )
+    return prefix_join_sets(sets, t_pct=50)
 
 
 @register(
