@@ -62,6 +62,12 @@ HEADLINE = (
     "q_prefix_join",
     "q_systematic_sample",
     "q_salted_join",
+    # round-4 maintenance additions
+    "q_scd2_history",
+    "q_compaction_bins",
+    "q_hll_intersect",
+    "q_posting_lists",
+    "q_semdedup",
 )
 
 # single-JVM local bench has ~±20-30% run-to-run noise (ambient load

@@ -18,7 +18,7 @@ entirely.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -51,4 +51,61 @@ def snapshot_diff(
         status.alias("status"),
         F.col("__old_fp").alias("old_fp"),
         F.col("__new_fp").alias("new_fp"),
+    )
+
+
+def scd2_history(
+    events: DataFrame,
+    key: str,
+    attr: str,
+    ts: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from an append-only
+    change feed: collapse each key's consecutive runs of the same
+    attribute value into validity intervals (key, value, effective_from,
+    effective_to, n_rows, version), effective_to NULL on the current row.
+
+    The reference's Dolt-versioned sink (dump-dolt.rkt:92-93) keeps
+    per-day snapshots; SCD2 is the warehouse-side derivation those
+    snapshots exist to answer — "what was this key's value AT time t"
+    becomes a plain range predicate on (effective_from, effective_to).
+
+    Gaps-and-islands, all engine-exact: a change flag against
+    ``lag(attr)`` over the (ts, tiebreak) total order, a running sum of
+    flags numbering each island, then one aggregate per island and a
+    ``lead`` for the closing edge. ``tiebreak`` must make the per-key
+    order total (a unique event id) — otherwise lag order is
+    engine-defined and runs can differ.
+
+    Scale: two windows and one aggregate, ALL partitioned by the key —
+    a single hash exchange on ``key`` reused across every stage (Spark
+    plans one Exchange; the windows and the groupBy share it). No global
+    window, no driver state; skewed keys split fine under AQE because
+    every stage keys on the same column."""
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    flagged = events.select(
+        key, attr, ts, tiebreak
+    ).withColumn(
+        "__chg",
+        F.when(
+            F.lag(attr).over(w).isNull()
+            | (F.lag(attr).over(w) != F.col(attr)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    runs = flagged.withColumn("__run", F.sum("__chg").over(w))
+    islands = runs.groupBy(key, "__run").agg(
+        F.min(attr).alias(attr),  # constant within the island
+        F.min(ts).alias("effective_from"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    w2 = Window.partitionBy(key).orderBy("__run")
+    return islands.select(
+        key,
+        attr,
+        "effective_from",
+        F.lead("effective_from").over(w2).alias("effective_to"),
+        "n_rows",
+        F.col("__run").cast("bigint").alias("version"),
     )

@@ -242,3 +242,61 @@ def ivf_kmeans_topk(
     return top.withColumn(
         "rank", F.row_number().over(Window.orderBy("dist", "vec_id")).cast("int")
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    eps: int,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings with k-means,
+    then drop any vector whose cluster holds a LOWER-id vector within
+    squared quantized distance ``eps``. Returns the dropped rows only:
+    (vec_id, cid, keeper, dist) with ``keeper`` the smallest such
+    neighbor and ``dist`` the exact integer distance to it.
+
+    This is the scale path for embedding-level near-dedup: the
+    within-cluster self-join is the ONLY pairing ever formed, so work is
+    sum(cluster_size^2), not corpus^2 — the clustering exists precisely
+    to bound the candidate space (same role the LSH bands play for
+    MinHash). At 100 TB: raise k until clusters bound memory; the join
+    shuffles both sides once on cid.
+
+    Every decision is integer: assignments are the shared exact-moment
+    argmin (``assign_clusters``), the distance is sum((qa-qb)^2) over
+    quantized vectors, eps-comparison and keeper-argmin are integer
+    folds. Keeper rule "smallest qualifying id" (not transitive closure)
+    keeps the operator one join + one aggregate; chained duplicates
+    resolve over the keeper graph exactly like ``clusters.dedup_clusters``
+    downstream if closure is needed."""
+    assigned, _ = kmeans_fit(embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    a = assigned.select(
+        F.col("cid"),
+        F.col("vec_id").alias("vid_hi"),
+        F.col("qarr").alias("q_hi"),
+    )
+    b_side = assigned.select(
+        F.col("cid"),
+        F.col("vec_id").alias("vid_lo"),
+        F.col("qarr").alias("q_lo"),
+    )
+    pairs = a.join(b_side, "cid").filter(F.col("vid_lo") < F.col("vid_hi"))
+    d = _fold_sum_long(
+        F.zip_with(F.col("q_hi"), F.col("q_lo"), lambda x, y: (x - y) * (x - y))
+    )
+    close = pairs.select("cid", "vid_hi", "vid_lo", d.alias("d")).filter(
+        F.col("d") <= eps
+    )
+    best = close.groupBy("vid_hi", "cid").agg(
+        F.min("vid_lo").alias("keeper"),
+        F.min_by("d", "vid_lo").alias("dist"),
+    )
+    return best.select(
+        F.col("vid_hi").alias("vec_id"),
+        "cid",
+        F.col("keeper").cast("bigint").alias("keeper"),
+        F.col("dist").cast("bigint").alias("dist"),
+    )

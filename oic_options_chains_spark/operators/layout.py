@@ -19,7 +19,7 @@ are engine-exact and the operators stay in whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -72,3 +72,61 @@ def partition_stats(
         aggs.append(F.min(c).alias(f"min_{c}"))
         aggs.append(F.max(c).alias(f"max_{c}"))
     return df.groupBy(bucket.alias("bucket")).agg(*aggs)
+
+
+def compaction_plan(
+    files: DataFrame,
+    part_col: str,
+    file_col: str,
+    size_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Small-file compaction assignment: within each partition, pack
+    files (in stable ``file_col`` order) into output bins of roughly
+    ``target_bytes`` — the OPTIMIZE/compact planner of a lakehouse table
+    whose streaming ingest (streaming/incremental.py) leaves one small
+    file per micro-batch.
+
+    Next-fit by cumulative size: bin = (running_total_before_this_file)
+    DIV target — a file starts a new bin exactly when the previous ones
+    filled it. Deterministic, integer-exact, and one window per
+    PARTITION key (never global): the running sum shuffles once on
+    ``part_col``, which is also how the rewrite itself would be
+    parallelized — one task per (partition, bin). A bin can exceed
+    target only by the one file that crosses the boundary, the standard
+    bound for next-fit.
+
+    Output: (part, file, size, bin, cum_bytes) per file."""
+    w = (
+        Window.partitionBy("part")
+        .orderBy("file")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = files.select(
+        F.col(part_col).alias("part"),
+        F.col(file_col).alias("file"),
+        F.col(size_col).cast("bigint").alias("size"),
+    ).withColumn("cum_bytes", F.sum("size").over(w).cast("bigint"))
+    return cum.select(
+        "part",
+        "file",
+        "size",
+        F.expr(f"(cum_bytes - size) div {int(target_bytes)}")
+        .cast("bigint")
+        .alias("bin"),
+        "cum_bytes",
+    )
+
+
+def compaction_bins(plan: DataFrame) -> DataFrame:
+    """Roll a ``compaction_plan`` up to its rewrite work-list: one row
+    per (part, bin) with the file count and byte total — what the
+    compactor actually schedules (skip bins with n_files = 1: rewriting
+    a lone file buys nothing). Aggregate over the plan relation, keyed
+    by the same partition column, so it reuses the plan's exchange."""
+    return plan.groupBy("part", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("size").cast("bigint").alias("bin_bytes"),
+        F.min("file").alias("first_file"),
+        F.max("file").alias("last_file"),
+    )

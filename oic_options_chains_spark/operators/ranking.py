@@ -91,3 +91,45 @@ def bm25_components(
         F.floor(F.lit(1e6) * tf_sat).cast("bigint").alias("tf_sat_e6"),
         F.floor(F.lit(1e6) * idf_rational).cast("bigint").alias("idf_rational_e6"),
     )
+
+
+def posting_lists(
+    df: DataFrame,
+    probe_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Positional inverted-index postings for ``probe_terms``: one row
+    per (term, doc) with the term frequency and the 0-based token
+    positions as a comma-joined string — the retrieval structure phrase
+    and proximity queries read (positions make "term A within k tokens
+    of term B" a postings-only computation, no document re-scan).
+
+    The probe list is broadcast and filters BEFORE the aggregate, so
+    only matching (doc, pos) rows ever shuffle. The full-index form of
+    this operator is the same plan minus the semi-join, written
+    partitioned by hash(term) — the posting build is one explode + one
+    map-side-combined groupBy however large the corpus is, which is why
+    search engines bulk-build indexes exactly this way.
+
+    Positions serialize as a sorted CSV string (engine-portable; arrays
+    stringify differently across engines)."""
+    spark = df.sparkSession
+    probes = spark.createDataFrame([(t,) for t in probe_terms], "term STRING")
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias(
+            "pos", "term"
+        ),
+    )
+    hits = tok.join(F.broadcast(probes), "term")
+    return hits.groupBy("term", id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("pos")),
+                lambda p: p.cast("string"),
+            ),
+            ",",
+        ).alias("positions"),
+    )

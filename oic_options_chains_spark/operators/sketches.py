@@ -476,6 +476,54 @@ def hll_group_estimate(group_regs: DataFrame, b: int = 8) -> DataFrame:
     )
 
 
+def hll_intersect_estimate(
+    left: DataFrame,
+    left_col: str,
+    right: DataFrame,
+    right_col: str,
+    b: int = 8,
+) -> DataFrame:
+    """One row (est_left, est_right, est_union, est_intersect): the
+    distinct-count overlap of two key sets by HLL inclusion-exclusion —
+    |A∩B| ≈ |A| + |B| − |A∪B|, the join-cardinality probe a planner (or
+    a data-debugger asking "how much of the fact table has a matching
+    dim row") runs WITHOUT joining anything.
+
+    The union sketch is ``hll_merge_registers`` of the two sides' exact
+    register relations — the HLL property that makes the subtraction
+    meaningful (the union estimate comes from the same sketch family,
+    not a rescan). All three estimates are the integer-division
+    estimator of ``hll_estimate_from_registers``, so the output is
+    engine-exact; the intersection difference can go negative within
+    sketch error on near-disjoint sets and is reported as-is (clamp at
+    the caller if a cardinality is needed).
+
+    Scale: each side's register build is its only data-sized stage
+    (map-side-combined to <= m rows per partition); the merge and the
+    three estimates run over <= 3m register rows total."""
+    lr = hll_registers(left, left_col, b)
+    rr = hll_registers(right, right_col, b)
+    ur = hll_merge_registers(lr.unionByName(rr))
+    le = hll_estimate_from_registers(lr, b).select(
+        F.col("estimate").alias("est_left")
+    )
+    re_ = hll_estimate_from_registers(rr, b).select(
+        F.col("estimate").alias("est_right")
+    )
+    ue = hll_estimate_from_registers(ur, b).select(
+        F.col("estimate").alias("est_union")
+    )
+    one = le.crossJoin(re_).crossJoin(ue)
+    return one.select(
+        "est_left",
+        "est_right",
+        "est_union",
+        (F.col("est_left") + F.col("est_right") - F.col("est_union"))
+        .cast("bigint")
+        .alias("est_intersect"),
+    )
+
+
 def binned_histogram(
     df: DataFrame, col: str, bin_width: int, group_col: str | None = None
 ) -> DataFrame:

@@ -16,7 +16,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from oic_options_chains_spark.operators.kmeans import ivf_kmeans_topk, kmeans_fit
+from oic_options_chains_spark.operators.kmeans import (
+    ivf_kmeans_topk,
+    kmeans_fit,
+    semantic_dedup,
+)
 from oic_options_chains_spark.queries.registry import register
 from oic_options_chains_spark.sources.registry import load_table
 
@@ -186,3 +190,37 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(snode.alias("src"), cnode.alias("dst"))
     )
     return pagerank_int(edges, iters=2)
+
+
+_SEMDEDUP_EPS = 22_000_000  # squared quantized distance; ~1% of
+# within-cluster pairs at the synthetic corpus's distance distribution
+
+
+@register(
+    "q_semdedup",
+    oracle=f"""
+    {_kmeans_cte()},
+    pr AS (SELECT a.vec_id AS hi, a.cid, b.vec_id AS lo
+           FROM a{_ITERS} a JOIN a{_ITERS} b
+             ON a.cid = b.cid AND b.vec_id < a.vec_id),
+    d AS (SELECT pr.hi, pr.cid, pr.lo,
+                 SUM((va.q - vb.q) * (va.q - vb.q)) AS d
+          FROM pr JOIN qv va ON va.vec_id = pr.hi
+                  JOIN qv vb ON vb.vec_id = pr.lo AND va.pos = vb.pos
+          GROUP BY 1, 2, 3)
+    SELECT hi AS vec_id, cid,
+           CAST(MIN(lo) AS BIGINT) AS keeper,
+           CAST(arg_min(d, lo) AS BIGINT) AS dist
+    FROM d WHERE d <= {_SEMDEDUP_EPS}
+    GROUP BY hi, cid
+    """,
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: embedding-level near-duplicates found WITHIN k-means
+    cells only — the dropped vectors, each with its lowest-id qualifying
+    keeper and the exact integer distance to it. The clustering bounds
+    the pairing to sum(cell^2), never corpus^2 (the LSH-band trick, but
+    with a learned partition); decisions reuse the exact-moment
+    assignment, so the oracle replays bit-for-bit."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, eps=_SEMDEDUP_EPS, k=_K, iters=_ITERS)
