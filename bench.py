@@ -68,6 +68,9 @@ HEADLINE = (
     "q_hll_intersect",
     "q_posting_lists",
     "q_semdedup",
+    # round-4 PQ family
+    "q_pq_codes",
+    "q_ann_ivf_pq",
 )
 
 # single-JVM local bench has ~±20-30% run-to-run noise (ambient load

@@ -156,6 +156,56 @@ def kmeans_fit(
     return assigned, centroids
 
 
+def ivf_probe_cells(centroids: DataFrame, qrow: DataFrame, n_probe: int) -> DataFrame:
+    """The ``n_probe`` coarse cells nearest the query, as a (cid)
+    relation — shared by IVF-flat (``ivf_kmeans_topk``) and IVF-PQ
+    (operators/pq.ivf_pq_topk). ``qrow`` is one row (q_qarr).
+
+    Ranking is EXACT-INTEGER, not double: the cell distance is the
+    rational N/n^2 with N = a*n^2 - 2*b*n + ss (all integer moments),
+    and cell i ranks ahead of cell j iff N_i*n_j^2 < N_j*n_i^2 — a
+    decimal(38,0) cross-multiplication both engines compute identically,
+    so a near-tie between cells can never flip the candidate set on a
+    last-ulp difference. KEEP IN SYNC with the nq/probe CTEs in
+    queries/clustering.py (DuckDB side uses HUGEINT).
+
+    Rank-by-count-ahead over the k cells collapsed into ONE row: cell c
+    probes iff fewer than n_probe cells rank strictly ahead of it. The
+    nested array filter is k^2 comparisons on k<=tens of cells — one
+    projection, no join or aggregation exchange."""
+    a_q = _fold_sum_long(F.zip_with("q_qarr", "q_qarr", lambda x, y: x * y))
+    scored_cells = centroids.crossJoin(F.broadcast(qrow.withColumn("qa", a_q)))
+    b = _fold_sum_long(F.zip_with(F.col("q_qarr"), F.col("sarr"), lambda x, y: x * y))
+    ncell = scored_cells.select(
+        "cid",
+        (
+            _dec(F.col("qa")) * _dec(F.col("n")) * _dec(F.col("n"))
+            - _dec(F.lit(2)) * _dec(b) * _dec(F.col("n"))
+            + _dec(F.col("ss"))
+        ).alias("num"),
+        (_dec(F.col("n")) * _dec(F.col("n"))).alias("nn"),
+    )
+
+    def _ahead(o: Column, c: Column) -> Column:
+        return (o["num"] * c["nn"] < c["num"] * o["nn"]) | (
+            (o["num"] * c["nn"] == c["num"] * o["nn"]) & (o["cid"] < c["cid"])
+        )
+
+    packed_cells = ncell.agg(
+        F.collect_list(F.struct("cid", "num", "nn")).alias("cells")
+    )
+    return packed_cells.select(
+        F.explode(
+            F.filter(
+                "cells",
+                lambda c: F.size(
+                    F.filter("cells", lambda o: _ahead(o, c))
+                ) < n_probe,
+            )
+        ).alias("cell")
+    ).select(F.col("cell.cid").alias("cid"))
+
+
 def ivf_kmeans_topk(
     embeddings: DataFrame,
     query_id: int,
@@ -184,48 +234,7 @@ def ivf_kmeans_topk(
         .filter(F.col("vec_id") == query_id)
         .select(F.col("qarr").alias("q_qarr"))
     )
-    a_q = _fold_sum_long(F.zip_with("q_qarr", "q_qarr", lambda x, y: x * y))
-    scored_cells = centroids.crossJoin(F.broadcast(qrow.withColumn("qa", a_q)))
-    b = _fold_sum_long(F.zip_with(F.col("q_qarr"), F.col("sarr"), lambda x, y: x * y))
-    # Probe-cell ranking is EXACT-INTEGER, not double: the cell distance
-    # is the rational N/n^2 with N = a*n^2 - 2*b*n + ss (all integer
-    # moments), and cell i ranks ahead of cell j iff N_i*n_j^2 <
-    # N_j*n_i^2 — a decimal(38,0) cross-multiplication both engines
-    # compute identically, so a near-tie between cells can never flip
-    # the candidate set on a last-ulp difference. KEEP IN SYNC with the
-    # nq/probe CTEs in queries/clustering.py (DuckDB side uses HUGEINT).
-    ncell = scored_cells.select(
-        "cid",
-        (
-            _dec(F.col("qa")) * _dec(F.col("n")) * _dec(F.col("n"))
-            - _dec(F.lit(2)) * _dec(b) * _dec(F.col("n"))
-            + _dec(F.col("ss"))
-        ).alias("num"),
-        (_dec(F.col("n")) * _dec(F.col("n"))).alias("nn"),
-    )
-
-    # rank-by-count-ahead over the k cells collapsed into ONE row: cell c
-    # probes iff fewer than n_probe cells rank strictly ahead of it. The
-    # nested array filter is k^2 comparisons on k<=tens of cells — one
-    # projection, no join or aggregation exchange.
-    def _ahead(o: Column, c: Column) -> Column:
-        return (o["num"] * c["nn"] < c["num"] * o["nn"]) | (
-            (o["num"] * c["nn"] == c["num"] * o["nn"]) & (o["cid"] < c["cid"])
-        )
-
-    packed_cells = ncell.agg(
-        F.collect_list(F.struct("cid", "num", "nn")).alias("cells")
-    )
-    probe = packed_cells.select(
-        F.explode(
-            F.filter(
-                "cells",
-                lambda c: F.size(
-                    F.filter("cells", lambda o: _ahead(o, c))
-                ) < n_probe,
-            )
-        ).alias("cell")
-    ).select(F.col("cell.cid").alias("cid"))
+    probe = ivf_probe_cells(centroids, qrow, n_probe)
 
     cand = (
         assigned.join(F.broadcast(probe), "cid", "semi")

@@ -1,0 +1,276 @@
+"""Product quantization (PQ) over an embedding column, plus IVF-ADC
+retrieval: the FAISS IVFPQ design re-expressed relationally.
+
+PQ splits each vector into ``n_sub`` subvectors and learns a small
+k-means codebook PER SUBSPACE; a vector's code is its ``n_sub`` nearest
+sub-centroid ids. Retrieval scores candidates by Asymmetric Distance
+Computation (ADC): the query's exact distance to every sub-centroid is
+tabulated once (n_sub * k_sub rows), and a candidate's score is the sum
+of 8 table lookups — no candidate vector is ever read. At 100 TB this is
+THE memory story for ANN: the corpus persists as (vec_id, 8 small ints)
+— ~8 bytes/vector instead of dim*4 — and the scan side of retrieval
+touches codes only.
+
+Cross-engine exactness (the post-round-3 discipline — no double ever
+decides anything):
+
+- Sub-centroid state is the same integer-moment triple the coarse
+  k-means keeps (``kmeans._centroid_state``): quantized sums sarr,
+  member count n, decimal ss. The squared distance to cell (sarr, n) is
+  the rational num/n^2 with num = a*n^2 - 2*b*n + ss, all integer.
+- Assignment argmin compares cells PAIRWISE by exact decimal(38,0)
+  cross-multiplication (num_i * nn_j < num_j * nn_i) — the comparator
+  q_ann_ivf_kmeans's probe ranking established; the DuckDB oracle runs
+  the identical comparison in HUGEINT (count-of-cells-ahead = 0).
+- The ADC table needs distances on a COMMON scale to sum across
+  subspaces, so each entry is the scaled integer floor(num * 2^20 /
+  n^2), materialized by decimal(38,0) ``div`` on a 128-row relation.
+  num >= 0, so Spark's div and DuckDB's // agree exactly (trunc ==
+  floor), and the 2^-20 relative quantization is part of the operator's
+  DEFINITION, shared verbatim by the oracle — not a tolerance.
+
+Shuffle budget: assignment is a pure projection (the whole codebook —
+n_sub * k_sub cells — collapses into ONE broadcast row; per row, 8
+slice-folds pick 8 codes). Each training update is one map-side-combined
+(sub, cid, pos) exchange bounded by n_sub*k_sub*sub_dim keys. Retrieval
+shuffles candidate (vec_id, sub) code rows once for the score sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from oic_options_chains_spark.operators.kmeans import (
+    _dec,
+    _fold_sum_long,
+    kmeans_fit,
+    quantize,
+)
+
+ADC_SHIFT = 1 << 20  # ADC table scale: floor(num * 2^20 / n^2)
+
+
+def _subvector(qarr: Column, sub: Column | int, sub_dim: int) -> Column:
+    """slice() is 1-indexed; ``sub`` is the 0-based subspace index."""
+    start = (
+        F.lit(1) + (sub if isinstance(sub, Column) else F.lit(sub)) * sub_dim
+    )
+    return F.slice(qarr, start, sub_dim)
+
+
+def _cell_num(sq: Column, a: Column, cell: Column) -> Column:
+    """Exact integer numerator of the squared distance rational
+    num/n^2 between subvector ``sq`` (with precomputed a = sum(sq^2))
+    and centroid cell struct (cid, sarr, n, ss): a*n^2 - 2*b*n + ss,
+    decimal(38,0) throughout."""
+    b = _fold_sum_long(F.zip_with(sq, cell["sarr"], lambda x, y: x * y))
+    n = _dec(cell["n"])
+    return _dec(a) * n * n - _dec(F.lit(2)) * _dec(b) * n + _dec(cell["ss"])
+
+
+def _argmin_code(sq: Column, cells: Column) -> Column:
+    """The cid of the exact-rational-nearest cell in the cid-ascending
+    ``cells`` array: a running fold replacing the best iff the candidate
+    is STRICTLY nearer (num_c * nn_best < num_best * nn_c) — ties keep
+    the earlier (lower) cid, mirroring the oracle's count-ahead = 0 with
+    the tie-break on cid."""
+    a = _fold_sum_long(F.zip_with(sq, sq, lambda x, y: x * y))
+
+    def scored(cell: Column) -> Column:
+        n = _dec(cell["n"])
+        return F.struct(
+            _cell_num(sq, a, cell).alias("num"),
+            (n * n).alias("nn"),
+            cell["cid"].alias("cid"),
+        )
+
+    def merge(acc: Column, cell: Column) -> Column:
+        c = scored(cell)
+        return F.when(c["num"] * acc["nn"] < acc["num"] * c["nn"], c).otherwise(acc)
+
+    init = scored(F.element_at(cells, 1))
+    rest = F.slice(cells, 2, F.greatest(F.size(cells) - 1, F.lit(0)))
+    return F.aggregate(rest, init, merge)["cid"]
+
+
+def _pq_centroid_state(coded_long: DataFrame, subvec: Column) -> DataFrame:
+    """(sub, cid, sarr, n, ss) from (vec_id, sub, code, <subvec>) rows —
+    the per-subspace analog of ``kmeans._centroid_state``. One
+    map-side-combined (sub, cid, pos) exchange, bounded by
+    n_sub * k_sub * sub_dim keys at any corpus size."""
+    long = coded_long.select(
+        "sub", F.col("code").alias("cid"), F.posexplode(subvec).alias("pos", "q")
+    )
+    sums = long.groupBy("sub", "cid", "pos").agg(F.sum("q").alias("s"))
+    arrays = sums.groupBy("sub", "cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda e: e["s"]
+        ).alias("sarr"),
+        F.sum(_dec(F.col("s")) * _dec(F.col("s"))).alias("ss"),
+    )
+    counts = coded_long.groupBy("sub", F.col("code").alias("cid")).agg(
+        F.count("*").alias("n")
+    )
+    return arrays.join(counts, ["sub", "cid"])
+
+
+def _pack_codebooks(codebooks: DataFrame, n_sub: int) -> DataFrame:
+    """Collapse (sub, cid, sarr, n, ss) into ONE broadcastable row:
+    element s+1 of ``books`` is subspace s's cid-ascending cell array.
+    Subspaces are seeded identically so none can be empty."""
+    per_sub = codebooks.groupBy("sub").agg(
+        F.array_sort(F.collect_list(F.struct("cid", "sarr", "n", "ss"))).alias(
+            "cells"
+        )
+    )
+    return per_sub.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "cells"))),
+            lambda e: e["cells"],
+        ).alias("books")
+    )
+
+
+def assign_codes(qv: DataFrame, codebooks: DataFrame, n_sub: int, sub_dim: int) -> DataFrame:
+    """(vec_id, qarr, codes): every vector's n_sub nearest sub-centroid
+    ids, as a pure broadcast-fold projection — zero shuffle, like the
+    coarse ``assign_clusters``."""
+    packed = _pack_codebooks(codebooks, n_sub)
+    with_books = qv.crossJoin(F.broadcast(packed))
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        lambda s: _argmin_code(
+            _subvector(F.col("qarr"), s, sub_dim), F.element_at("books", s + 1)
+        ).cast("int"),
+    )
+    return with_books.select("vec_id", "qarr", codes.alias("codes"))
+
+
+def pq_fit(
+    embeddings: DataFrame,
+    n_sub: int = 8,
+    k_sub: int = 16,
+    iters: int = 2,
+    sub_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Train per-subspace codebooks and encode the corpus: returns
+    (codes, codebooks) with codes = (vec_id, qarr, codes array<int>)
+    and codebooks = (sub, cid, sarr, n, ss).
+
+    ``sub_dim`` is pinned by the caller (vectors are fixed-dim by schema
+    contract; deriving it from data would cost an action at plan time).
+    Seeding matches the coarse k-means: the k_sub lowest-id vectors'
+    subvectors seed singleton cells per subspace (cid = seed vec_id), so
+    every subspace trains on identical ids and the oracle unrolls the
+    same Lloyd recursion keyed by (sub, cid)."""
+    qv = quantize(embeddings, id_col, vec_col)
+    return _pq_fit_qv(qv, n_sub, k_sub, iters, sub_dim)
+
+
+def _pq_fit_qv(
+    qv: DataFrame, n_sub: int, k_sub: int, iters: int, sub_dim: int = 8
+) -> tuple[DataFrame, DataFrame]:
+    seeds = qv.filter(F.col("vec_id") < k_sub)
+    seed_long = seeds.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_sub - 1)),
+                lambda s: _subvector(F.col("qarr"), s, sub_dim),
+            )
+        ).alias("sub", "sq"),
+    ).select("vec_id", "sub", F.col("vec_id").alias("code"), "sq")
+    codebooks = _pq_centroid_state(seed_long, F.col("sq")).cache()
+    coded = None
+    for _ in range(iters):
+        coded = assign_codes(qv, codebooks, n_sub, sub_dim)
+        coded_long = coded.select(
+            "vec_id",
+            F.posexplode("codes").alias("sub", "code"),
+            F.col("qarr"),
+        ).select(
+            "vec_id",
+            "sub",
+            "code",
+            _subvector(F.col("qarr"), F.col("sub"), sub_dim).alias("sq"),
+        )
+        codebooks = _pq_centroid_state(coded_long, F.col("sq")).cache()
+    return coded, codebooks
+
+
+def adc_table(
+    codebooks: DataFrame, query_qv: DataFrame, n_sub: int, sub_dim: int = 8
+) -> DataFrame:
+    """(sub, cid, sd): the query's scaled integer distance
+    floor(num * 2^20 / n^2) to every sub-centroid — the ADC lookup
+    table, n_sub * k_sub rows, built once and broadcast. ``query_qv``
+    is a one-row (q_qarr) relation."""
+    with_q = codebooks.crossJoin(F.broadcast(query_qv))
+    sq = _subvector(F.col("q_qarr"), F.col("sub"), sub_dim)
+    a = _fold_sum_long(F.zip_with(sq, sq, lambda x, y: x * y))
+    cell = F.struct("cid", "sarr", "n", "ss")
+    scored = with_q.select(
+        "sub",
+        "cid",
+        _cell_num(sq, a, cell).alias("num"),
+        (_dec(F.col("n")) * _dec(F.col("n"))).alias("nn"),
+    )
+    return scored.selectExpr(
+        "sub", "cid", f"CAST(num * {ADC_SHIFT} div nn AS BIGINT) AS sd"
+    )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    coarse_k: int = 8,
+    n_probe: int = 2,
+    n_sub: int = 8,
+    k_sub: int = 16,
+    iters: int = 2,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-ADC retrieval: coarse-quantize the corpus (k-means,
+    ``coarse_k`` cells), PQ-encode it, then answer the query by scanning
+    only the ``n_probe`` nearest coarse cells and scoring their members
+    as the sum of n_sub ADC table lookups — (vec_id, score, rank).
+
+    The coarse probe reuses the exact cross-multiplied ranking of
+    ``ivf_kmeans_topk`` (operators/kmeans.py:190); the in-cell ranking
+    differs: candidates are never read, only their 8 codes, which is
+    what makes the scan side byte-cheap at 100 TB. ADC scores are
+    scaled-integer by construction, so top-k and rank are hash-exact."""
+    from oic_options_chains_spark.operators.kmeans import ivf_probe_cells
+
+    qv = quantize(embeddings, id_col, vec_col)
+    assigned, centroids = kmeans_fit(
+        embeddings, k=coarse_k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    qrow = (
+        qv.filter(F.col("vec_id") == query_id)
+        .select(F.col("qarr").alias("q_qarr"))
+    )
+    probe = ivf_probe_cells(centroids, qrow, n_probe)
+
+    coded, codebooks = _pq_fit_qv(qv, n_sub, k_sub, iters)
+    adc = adc_table(codebooks, qrow, n_sub)
+
+    cand = (
+        assigned.join(F.broadcast(probe), "cid", "semi")
+        .filter(F.col("vec_id") != query_id)
+        .select("vec_id")
+        .join(coded.select("vec_id", "codes"), "vec_id")
+    )
+    cand_long = cand.select("vec_id", F.posexplode("codes").alias("sub", "cid"))
+    scored = cand_long.join(F.broadcast(adc), ["sub", "cid"]).groupBy(
+        "vec_id"
+    ).agg(F.sum("sd").cast("bigint").alias("score"))
+    top = scored.orderBy("score", "vec_id").limit(topk)
+    return top.withColumn(
+        "rank", F.row_number().over(Window.orderBy("score", "vec_id")).cast("int")
+    )

@@ -224,3 +224,165 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment, so the oracle replays bit-for-bit."""
     e = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(e, eps=_SEMDEDUP_EPS, k=_K, iters=_ITERS)
+
+
+_N_SUB = 8
+_K_SUB = 16
+_SUB_DIM = 8
+
+
+def _pq_cte(
+    n_sub: int = _N_SUB,
+    k_sub: int = _K_SUB,
+    iters: int = _ITERS,
+    sub_dim: int = _SUB_DIM,
+    standalone: bool = False,
+) -> str:
+    """CTE blocks unrolling the per-subspace Lloyd recursion of
+    operators/pq.py: sv (subvector long form), pw (per-(vec, sub) a
+    moments), then per iteration pb/pn/pa/pc/pm — pa{iters} is the final
+    (vec_id, sub, code) assignment, pm{iters}/pc{iters} the final
+    codebook state. Assignment mirrors ``pq._argmin_code``'s exact
+    HUGEINT cross-multiplication as count-of-cells-ahead = 0. With
+    ``standalone`` the block opens its own WITH and defines qv
+    (otherwise it extends a ``_kmeans_cte`` prefix that already has
+    it)."""
+    head = (
+        """WITH qv AS (
+      SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 4096) AS BIGINT) AS q
+      FROM embeddings),
+    """
+        if standalone
+        else ",\n    "
+    )
+    parts = [
+        head
+        + f"""sv AS (SELECT vec_id, pos // {sub_dim} AS sub,
+                 pos % {sub_dim} AS spos, q FROM qv),
+    pw AS (SELECT vec_id, sub, SUM(q*q) AS a FROM sv GROUP BY 1, 2),
+    pc0 AS (SELECT sub, vec_id AS cid, spos, q AS s FROM sv
+            WHERE vec_id < {k_sub}),
+    pm0 AS (SELECT sub, cid, CAST(1 AS BIGINT) AS n,
+                   SUM(CAST(s AS HUGEINT) * s) AS ss
+            FROM pc0 GROUP BY 1, 2)"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f""",
+    pb{i} AS (SELECT v.vec_id, c.sub, c.cid, SUM(v.q * c.s) AS b
+              FROM sv v JOIN pc{p} c ON v.sub = c.sub AND v.spos = c.spos
+              GROUP BY 1, 2, 3),
+    pn{i} AS (SELECT pb.vec_id, pb.sub, pb.cid,
+                     CAST(w.a AS HUGEINT) * m.n * m.n
+                       - 2 * CAST(pb.b AS HUGEINT) * m.n + m.ss AS num,
+                     CAST(m.n AS HUGEINT) * m.n AS nn
+              FROM pb{i} pb JOIN pm{p} m ON pb.sub = m.sub AND pb.cid = m.cid
+                            JOIN pw w ON w.vec_id = pb.vec_id AND w.sub = pb.sub),
+    pa{i} AS (SELECT vec_id, sub, cid AS code FROM (
+                SELECT l.vec_id, l.sub, l.cid,
+                       SUM(CASE WHEN r.num * l.nn < l.num * r.nn
+                                  OR (r.num * l.nn = l.num * r.nn
+                                      AND r.cid < l.cid)
+                             THEN 1 ELSE 0 END) AS ahead
+                FROM pn{i} l JOIN pn{i} r
+                  ON l.vec_id = r.vec_id AND l.sub = r.sub
+                GROUP BY 1, 2, 3) WHERE ahead = 0),
+    pc{i} AS (SELECT a.sub, a.code AS cid, v.spos, SUM(v.q) AS s
+              FROM pa{i} a JOIN sv v
+                ON v.vec_id = a.vec_id AND v.sub = a.sub
+              GROUP BY 1, 2, 3),
+    pm{i} AS (SELECT s.sub, s.cid, n.n, s.ss FROM
+                (SELECT sub, cid, SUM(CAST(s AS HUGEINT) * s) AS ss
+                 FROM pc{i} GROUP BY 1, 2) s
+                JOIN (SELECT sub, code AS cid, CAST(COUNT(*) AS BIGINT) AS n
+                      FROM pa{i} GROUP BY 1, 2) n
+                ON s.sub = n.sub AND s.cid = n.cid)"""
+        )
+    return "".join(parts)
+
+
+@register(
+    "q_pq_codes",
+    oracle=f"""
+    {_pq_cte(standalone=True)}
+    SELECT vec_id, CAST(sub AS INT) AS sub, CAST(code AS INT) AS code
+    FROM pa{_ITERS}
+    """,
+)
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes: every vector's 8 nearest-sub-centroid
+    ids after two Lloyd iterations per subspace (k_sub=16) — the ~8-byte
+    compressed representation the IVF-ADC scan reads instead of raw
+    vectors. Assignment is a zero-shuffle broadcast fold with exact
+    decimal cross-multiplied argmin (operators/pq.assign_codes)."""
+    from oic_options_chains_spark.operators.pq import pq_fit
+
+    e = load_table(spark, sf_dir, "embeddings")
+    coded, _ = pq_fit(e, n_sub=_N_SUB, k_sub=_K_SUB, iters=_ITERS, sub_dim=_SUB_DIM)
+    return coded.select(
+        "vec_id", F.posexplode("codes").alias("sub", "code")
+    ).select("vec_id", F.col("sub").cast("int").alias("sub"), "code")
+
+
+@register(
+    "q_ann_ivf_pq",
+    oracle=f"""
+    {_kmeans_cte()}{_pq_cte()},
+    qq AS (SELECT pos, q FROM qv WHERE vec_id = 0),
+    bq AS (SELECT c.cid, SUM(q0.q * c.s) AS b
+           FROM qq q0 JOIN c{_ITERS} c ON q0.pos = c.pos GROUP BY c.cid),
+    nq AS (SELECT bq.cid,
+                  CAST(a.a AS HUGEINT) * CAST(m.n AS HUGEINT) * CAST(m.n AS HUGEINT)
+                    - 2 * CAST(bq.b AS HUGEINT) * CAST(m.n AS HUGEINT)
+                    + CAST(m.ss AS HUGEINT) AS num,
+                  CAST(m.n AS HUGEINT) * CAST(m.n AS HUGEINT) AS nn
+           FROM bq JOIN m{_ITERS} m ON bq.cid = m.cid
+                   CROSS JOIN (SELECT a FROM av WHERE vec_id = 0) a),
+    probe AS (SELECT cid FROM (
+                SELECT l.cid,
+                       SUM(CASE WHEN r.num * l.nn < l.num * r.nn
+                                  OR (r.num * l.nn = l.num * r.nn AND r.cid < l.cid)
+                             THEN 1 ELSE 0 END) AS ahead
+                FROM nq l CROSS JOIN nq r GROUP BY l.cid)
+              WHERE ahead < 2),
+    qsv AS (SELECT pos // {_SUB_DIM} AS sub, pos % {_SUB_DIM} AS spos, q
+            FROM qv WHERE vec_id = 0),
+    qpw AS (SELECT sub, SUM(q*q) AS a FROM qsv GROUP BY 1),
+    adcb AS (SELECT c.sub, c.cid, SUM(q0.q * c.s) AS b
+             FROM qsv q0 JOIN pc{_ITERS} c
+               ON q0.sub = c.sub AND q0.spos = c.spos
+             GROUP BY 1, 2),
+    adc AS (SELECT b.sub, b.cid,
+                   CAST(((CAST(w.a AS HUGEINT) * m.n * m.n
+                          - 2 * CAST(b.b AS HUGEINT) * m.n + m.ss) * 1048576)
+                        // (CAST(m.n AS HUGEINT) * m.n) AS BIGINT) AS sd
+            FROM adcb b JOIN pm{_ITERS} m ON b.sub = m.sub AND b.cid = m.cid
+                        JOIN qpw w ON w.sub = b.sub),
+    cand AS (SELECT a.vec_id FROM a{_ITERS} a JOIN probe p ON a.cid = p.cid
+             WHERE a.vec_id <> 0),
+    score AS (SELECT c.vec_id, CAST(SUM(adc.sd) AS BIGINT) AS score
+              FROM cand c JOIN pa{_ITERS} pa ON pa.vec_id = c.vec_id
+                          JOIN adc ON adc.sub = pa.sub AND adc.cid = pa.code
+              GROUP BY 1)
+    SELECT vec_id, score, CAST(rank AS INT) AS rank FROM (
+      SELECT vec_id, score,
+             row_number() OVER (ORDER BY score, vec_id) AS rank FROM score)
+    WHERE rank <= 5
+    """,
+)
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ADC top-5 for query vec_id=0: coarse k-means probe (2 of 8
+    cells, exact cross-multiplied ranking) + product-quantized
+    candidates scored as the sum of 8 scaled-integer ADC table lookups —
+    candidates' raw vectors are never read, which is the 100 TB memory
+    story (codes are ~8 bytes/vector). Scores are scaled-integer by
+    construction, so the ranking is hash-exact across engines."""
+    from oic_options_chains_spark.operators.pq import ivf_pq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(
+        e, query_id=0, coarse_k=_K, n_probe=2, n_sub=_N_SUB,
+        k_sub=_K_SUB, iters=_ITERS, topk=5,
+    )
