@@ -71,6 +71,9 @@ HEADLINE = (
     # round-4 PQ family
     "q_pq_codes",
     "q_ann_ivf_pq",
+    # round-4 analytics additions
+    "q_group_trend",
+    "q_skyline",
 )
 
 # single-JVM local bench has ~±20-30% run-to-run noise (ambient load

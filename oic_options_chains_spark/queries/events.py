@@ -471,3 +471,52 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("cohort_week", "week_offset").agg(
         F.count_distinct("user_id").cast("bigint").alias("n_users")
     )
+
+
+@register(
+    "q_group_trend",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type AS grp,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+             CAST(FLOOR(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS y
+      FROM events),
+    m AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx
+      FROM pts GROUP BY grp),
+    nd AS (
+      SELECT grp, n, sx, sy,
+             n * sxy - sx * sy AS num, n * sxx - sx * sx AS den
+      FROM m)
+    SELECT grp AS event_type, n,
+           CASE WHEN den = 0 THEN NULL
+                ELSE CAST(num // den AS BIGINT) END AS slope,
+           CASE WHEN den = 0 THEN NULL
+                ELSE CAST((sy * den - num * sx) // (n * den) AS BIGINT)
+           END AS intercept,
+           CAST(den AS VARCHAR) AS den
+    FROM nd
+    """,
+)
+def q_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of value over time (micro-units per
+    day), from integer power sums in ONE map-side-combined aggregate —
+    the grouped drift detector (metric drift per source, quality drift
+    per shard). Slope and intercept are integral divisions both engines
+    truncate identically, incl. negatives (operators/trend.py); x is
+    days since a fixed epoch, y is floor(value * 1e6)."""
+    from oic_options_chains_spark.operators.trend import group_linear_trend
+
+    e = load_table(spark, sf_dir, "events")
+    out = group_linear_trend(
+        e,
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")),
+        F.floor(F.col("value").cast("double") * 1_000_000),
+    )
+    return out.select(
+        F.col("grp").alias("event_type"), "n", "slope", "intercept", "den"
+    )

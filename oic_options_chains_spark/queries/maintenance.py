@@ -221,3 +221,46 @@ def q_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the identical plan minus the semi-join."""
     d = load_table(spark, sf_dir, "documents")
     return posting_lists(d, list(_PROBE_TERMS))
+
+
+@register(
+    "q_skyline",
+    # algorithm-independent oracle: weak-dominance NOT EXISTS over the
+    # per-x maxima — the bucketed two-phase plan on the Spark side is
+    # pruning only and cannot change the frontier
+    oracle="""
+    WITH toks AS (SELECT doc_id, n_chars,
+                         string_split(lower(text), ' ') AS t
+                  FROM documents),
+    m AS (SELECT n_chars AS x,
+                 CAST(1000000 * len(list_distinct(t)) AS BIGINT) // len(t) AS y
+          FROM toks),
+    counts AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM m GROUP BY 1, 2),
+    byx AS (SELECT x, MAX(y) AS y, arg_max(cnt, y) AS n_rows
+            FROM counts GROUP BY x)
+    SELECT b.x AS n_chars, b.y AS diversity_e6, b.n_rows AS n_docs
+    FROM byx b
+    WHERE NOT EXISTS (SELECT 1 FROM byx o WHERE o.x > b.x AND o.y >= b.y)
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-vs-lexical-diversity Pareto frontier of the corpus: the
+    documents no longer document also matches or beats in distinct-token
+    ratio — the "best doc per length" curation skyline. The operator
+    never sorts the data globally: per-x maxima (one aggregate), then
+    domain-bounded x-buckets with a partitioned running max and a
+    bucket-relation prefix max (operators/skyline.pareto_frontier)."""
+    from oic_options_chains_spark.operators.skyline import pareto_frontier
+
+    d = load_table(spark, sf_dir, "documents")
+    diversity = F.expr(
+        "CAST(1000000 * size(array_distinct(split(lower(text), ' '))) AS BIGINT)"
+        " div size(split(lower(text), ' '))"
+    )
+    front = pareto_frontier(d, F.col("n_chars"), diversity, bucket_width=64)
+    return front.select(
+        F.col("x").alias("n_chars"),
+        F.col("y").alias("diversity_e6"),
+        F.col("n_rows").alias("n_docs"),
+    )

@@ -150,3 +150,51 @@ def test_semdedup_rule_matches_bruteforce(spark, sf_dir):
     for vid, (cid, keeper, dist) in dropped.items():
         assert (keeper, dist) == expect[vid]
         assert keeper < vid and dist <= eps
+
+
+def test_group_trend_exact_line_and_degenerate_group(spark):
+    from oic_options_chains_spark.operators.trend import group_linear_trend
+
+    rows = (
+        # grp "up": y = 10x + 7 exactly
+        [("up", x, 10 * x + 7) for x in range(5)]
+        # grp "down": y = -3x + 100
+        + [("down", x, -3 * x + 100) for x in range(4)]
+        # grp "flat-x": all x equal -> den = 0 -> NULL fit
+        + [("flat-x", 2, y) for y in (5, 9)]
+    )
+    df = spark.createDataFrame(rows, "grp STRING, x INT, y INT")
+    got = {
+        r.grp: r
+        for r in group_linear_trend(
+            df, "grp", F.col("x"), F.col("y")
+        ).collect()
+    }
+    assert (got["up"].slope, got["up"].intercept) == (10, 7)
+    assert (got["down"].slope, got["down"].intercept) == (-3, 100)
+    assert got["flat-x"].slope is None and got["flat-x"].intercept is None
+    assert got["flat-x"].den == "0"
+
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    from oic_options_chains_spark.operators.skyline import pareto_frontier
+
+    pts = [
+        (1, 10), (1, 10), (2, 9), (2, 11), (3, 11), (4, 5),
+        (5, 11), (6, 4), (7, 3), (7, 3), (7, 2), (130, 1),
+    ]
+    df = spark.createDataFrame(pts, "x INT, y INT")
+    got = {(r.x, r.y): r.n_rows for r in pareto_frontier(
+        df, F.col("x"), F.col("y"), bucket_width=3
+    ).collect()}
+    # brute force weak dominance over distinct pairs
+    import collections
+    cnt = collections.Counter(pts)
+    distinct = set(cnt)
+    expect = {}
+    for p in distinct:
+        if not any(q != p and q[0] >= p[0] and q[1] >= p[1] for q in distinct):
+            expect[p] = cnt[p]
+    assert got == expect
+    # (5, 11) beats (2, 11)/(3, 11) at equal y; (130, 1) always survives
+    assert (5, 11) in got and (2, 11) not in got and (130, 1) in got
