@@ -74,6 +74,9 @@ HEADLINE = (
     # round-4 analytics additions
     "q_group_trend",
     "q_skyline",
+    "q_bloom_join",
+    "q_cooccur_pairs",
+    "q_knn_triangles",
 )
 
 # single-JVM local bench has ~±20-30% run-to-run noise (ambient load

@@ -1,0 +1,195 @@
+"""Mutual-kNN graph construction and degree-oriented triangle counting.
+
+Curation reading: the mutual-kNN graph over document embeddings is the
+standard substrate for semantic clustering diagnostics — a node's
+triangle count (the numerator of its local clustering coefficient) says
+whether its neighborhood is a coherent topic clump or an accidental hub,
+which is exactly the signal SemDeDup-style pruning and mixture balancing
+want before trusting a cluster.
+
+Exactness: distances are integer L2 over the same floor(x·4096)
+quantization the k-means family uses (operators/kmeans.QUANT) — every
+ranking decision is (bigint dist, id) and replays bit-for-bit on any
+engine.
+
+Scale design:
+- ``knn_from_candidates`` ranks ANY candidate pair relation — at scale
+  the candidates come from the existing bucketed generators (IVF cells,
+  sign-LSH buckets, ``operators/similarity.py``), so the graph build is
+  bucket-bounded, never all-pairs. ``brute_knn_edges`` is the exact
+  small-relation / verification path.
+- Mutual filter is one self-equi-join on the reversed pair; a kNN
+  relation has ≤ n·k rows, so the graph is sparse by construction
+  (|E| ≤ n·k/2 after mutualization).
+- Triangle counting uses the classic degree-ordered node iterator
+  [Schank & Wagner]: orient each edge from its (degree, id)-smaller
+  endpoint, pair out-neighbors, and close with one more equi-join. Out-
+  degrees under this orientation are O(sqrt(|E|)) regardless of hubs, so
+  the wedge relation — the only intermediate bigger than |E| — is
+  bounded even on skewed graphs. Three shuffles total (degree agg, wedge
+  join, closing join); counts per triangle exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from oic_options_chains_spark.operators.kmeans import QUANT, quantize
+from oic_options_chains_spark.operators.similarity import _probe_partitions
+
+
+def _l2_int(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 between two bigint arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def brute_knn_edges(
+    embeddings: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(src, dst, dist): each node's k nearest others by exact quantized
+    L2 (ties by dst id). All-pairs — the verification / small-relation
+    path; at scale generate candidates from IVF/LSH buckets and rank
+    them with ``knn_from_candidates`` instead."""
+    q = quantize(embeddings, id_col, vec_col)
+    a = q.select(F.col("vec_id").alias("src"), F.col("qarr").alias("__qa"))
+    b = q.select(F.col("vec_id").alias("dst"), F.col("qarr").alias("__qb"))
+    pairs = a.join(b, F.col("src") != F.col("dst")).select(
+        "src", "dst", _l2_int(F.col("__qa"), F.col("__qb")).alias("dist")
+    )
+    return knn_from_candidates(pairs, k)
+
+
+def bucketed_knn_edges(
+    embeddings: DataFrame,
+    k: int,
+    bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_candidates: bool = False,
+) -> DataFrame:
+    """(src, dst, dist): k nearest SAME-BUCKET neighbors under the
+    sign-LSH coarse partition (``similarity.sign_bucket`` semantics:
+    sign bits of the first ``bits`` raw dims — float > 0 is exact on any
+    engine). The scale path: candidate pairs are bucket-bounded
+    (≈ n·E[bucket] instead of n²), the same within-cell pairing
+    SemDeDup uses; distances and ranking are the exact quantized
+    integers of ``brute_knn_edges``. Size ``bits`` to the corpus
+    (``similarity.bits_for``) — pinned explicitly by callers.
+
+    ``broadcast_candidates`` follows the ``similarity.near_dup_pairs``
+    convention: False (default) is the scale-safe bucket-keyed shuffle
+    join; True broadcasts the candidate side and hash-repartitions the
+    probe side so the CPU-dense distance fold parallelizes past the
+    scan's file-split count — the bench-scale opt-in, proven to fit
+    memory before use."""
+    sign = F.concat(
+        *[
+            F.when(F.element_at(F.col(vec_col), i + 1) > 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+            for i in range(bits)
+        ]
+    )
+    q = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            vec_col, lambda x: F.floor(x.cast("double") * QUANT)
+        ).alias("qarr"),
+        sign.alias("__b"),
+    )
+    a = q.select(
+        F.col("vec_id").alias("src"), F.col("qarr").alias("__qa"), "__b"
+    )
+    b = q.select(
+        F.col("vec_id").alias("dst"), F.col("qarr").alias("__qb"), "__b"
+    )
+    if broadcast_candidates:
+        n_parts = _probe_partitions(embeddings)
+        a = a.repartition(n_parts, F.col("src"))
+        b = F.broadcast(b)
+    pairs = (
+        a.join(b, "__b")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", _l2_int(F.col("__qa"), F.col("__qb")).alias("dist"))
+    )
+    return knn_from_candidates(pairs, k)
+
+
+def knn_from_candidates(pairs: DataFrame, k: int) -> DataFrame:
+    """Top-k per src from a (src, dst, dist) candidate relation —
+    deterministic rank by (dist, dst)."""
+    w = Window.partitionBy("src").orderBy("dist", "dst")
+    return (
+        pairs.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select("src", "dst", "dist")
+    )
+
+
+def mutual_edges(knn: DataFrame) -> DataFrame:
+    """(a, b) with a < b: pairs where BOTH directions made the other's
+    top-k — the mutual-kNN graph, each undirected edge once."""
+    rev = knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return (
+        knn.join(rev, ["src", "dst"], "left_semi")
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """(node, degree, n_triangles) for every node of the undirected
+    (a, b) edge relation (a < b, each edge once). Degree-ordered
+    orientation bounds out-degrees at O(sqrt(|E|)); each triangle is
+    found exactly once and credited to all three corners."""
+    ends = edges.select(F.col("a").alias("node")).union(
+        edges.select(F.col("b").alias("node"))
+    )
+    deg = ends.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("__da"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("__db"))
+    withdeg = edges.join(da, "a").join(db, "b")
+    # orient from the (degree, id)-smaller endpoint
+    a_first = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
+    )
+    adj = withdeg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("__db")).otherwise(F.col("__da")).alias("__dd"),
+    )
+    e1 = adj.select("src", F.col("dst").alias("v"), F.col("__dd").alias("__dv"))
+    e2 = adj.select("src", F.col("dst").alias("w"), F.col("__dd").alias("__dw"))
+    # unordered out-neighbor pairs, ordered by the SAME (degree, id) key
+    # the orientation uses, so the closing edge is oriented v -> w
+    wedges = e1.join(e2, "src").filter(
+        (F.col("__dv") < F.col("__dw"))
+        | ((F.col("__dv") == F.col("__dw")) & (F.col("v") < F.col("w")))
+    )
+    closing = adj.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tris = wedges.join(closing, ["v", "w"], "left_semi").select("src", "v", "w")
+
+    corners = (
+        tris.select(F.col("src").alias("node"))
+        .union(tris.select(F.col("v").alias("node")))
+        .union(tris.select(F.col("w").alias("node")))
+    )
+    tcount = corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+    return deg.join(tcount, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0).cast("bigint")).alias(
+            "n_triangles"
+        ),
+    )

@@ -386,3 +386,74 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, query_id=0, coarse_k=_K, n_probe=2, n_sub=_N_SUB,
         k_sub=_K_SUB, iters=_ITERS, topk=5,
     )
+
+
+@register(
+    "q_knn_triangles",
+    # distances are integer L2 over the shared floor(x*4096) quantization;
+    # the triangle join in the oracle uses natural a<b<c order, which is
+    # algorithm-independent of the Spark side's degree orientation — the
+    # per-corner counts are identical either way
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(FLOOR(CAST(x AS DOUBLE) * 4096)
+                                      AS BIGINT)) AS qa,
+             (CASE WHEN embedding[1] > 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[2] > 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[3] > 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[4] > 0 THEN '1' ELSE '0' END) AS bucket
+      FROM embeddings),
+    d AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             list_reduce(list_transform(list_zip(a.qa, b.qa),
+                                        p -> (p[1] - p[2]) * (p[1] - p[2])),
+                         (acc, x) -> acc + x) AS dist
+      FROM q a JOIN q b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+    r AS (SELECT src, dst,
+                 row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rk
+          FROM d),
+    kn AS (SELECT src, dst FROM r WHERE rk <= 6),
+    mu AS (SELECT a.src AS a, a.dst AS b
+           FROM kn a JOIN kn b ON a.src = b.dst AND a.dst = b.src
+           WHERE a.src < a.dst),
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM (SELECT a AS node FROM mu UNION ALL SELECT b FROM mu)
+            GROUP BY 1),
+    tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM mu e1
+            JOIN mu e2 ON e1.b = e2.a
+            JOIN mu e3 ON e3.a = e1.a AND e3.b = e2.b),
+    tn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+           FROM (SELECT x AS node FROM tri
+                 UNION ALL SELECT y FROM tri
+                 UNION ALL SELECT z FROM tri)
+           GROUP BY 1)
+    SELECT d.node AS vec_id, d.degree,
+           COALESCE(t.n_triangles, CAST(0 AS BIGINT)) AS n_triangles
+    FROM deg d LEFT JOIN tn t ON d.node = t.node
+    """,
+)
+def q_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local triangle counts over the mutual-6-NN embedding graph
+    (operators/graph.py): degree and clustering-coefficient numerator
+    per vector — the coherence diagnostic for semantic clusters (a
+    well-clustered neighborhood closes its wedges; an accidental hub
+    does not). Neighbor candidates are sign-bucket-bounded (the
+    SemDeDup within-cell pairing — never all-pairs), ranked by exact
+    quantized-integer L2; degree-ordered orientation bounds the wedge
+    relation at O(|E|^1.5) even on skewed graphs."""
+    from oic_options_chains_spark.operators.graph import (
+        bucketed_knn_edges,
+        mutual_edges,
+        triangle_counts,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = mutual_edges(
+        bucketed_knn_edges(emb, k=6, bits=4, broadcast_candidates=True)
+    )
+    return triangle_counts(edges).select(
+        F.col("node").alias("vec_id"), "degree", "n_triangles"
+    )

@@ -143,3 +143,38 @@ def q_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     (array shift zip), vocabulary-sized reference broadcast back."""
     d = load_table(spark, sf_dir, "documents")
     return bigram_coverage(d, min_df=20)
+
+
+@register(
+    "q_cooccur_pairs",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id AS id,
+             unnest(list_distinct(string_split(lower(text), ' '))) AS token
+      FROM documents),
+    b AS (SELECT id, token FROM raw WHERE length(token) >= 4),
+    vocab AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df_cnt
+              FROM b GROUP BY 1 HAVING COUNT(*) >= 25),
+    ranked AS (
+      SELECT b.id, b.token,
+             row_number() OVER (PARTITION BY b.id
+                                ORDER BY v.df_cnt, b.token) AS rk
+      FROM b JOIN vocab v ON b.token = v.token),
+    keep AS (SELECT id, token FROM ranked WHERE rk <= 20)
+    SELECT l.token AS t1, r.token AS t2, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM keep l JOIN keep r ON l.id = r.id AND l.token < r.token
+    GROUP BY 1, 2 HAVING COUNT(*) >= 10
+    """,
+)
+def q_cooccur_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-token co-occurrence pairs (market-basket) with a-priori
+    pruning and the rarest-first per-doc prefix cap
+    (operators/basket.frequent_cooccurrence): which informative terms
+    travel together — topic signatures and boilerplate-phrase detection
+    at corpus scale, with per-doc pair work bounded at C(20, 2)."""
+    from oic_options_chains_spark.operators.basket import frequent_cooccurrence
+
+    d = load_table(spark, sf_dir, "documents")
+    return frequent_cooccurrence(
+        d, "doc_id", "text", min_df=25, max_per_doc=20, min_pair=10
+    )

@@ -216,3 +216,43 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("qty").cast("decimal(28,2)").cast("string").alias("total_qty"),
     )
+
+
+@register(
+    "q_bloom_join",
+    # the bucket pre-filter is pruning-only (false positives removed by
+    # the exact join, true matches never dropped), so the oracle is the
+    # PLAIN join — algorithm-independent, like q_skyline's
+    oracle="""
+    SELECT c.c_nationkey AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(CAST(o.o_totalprice AS DOUBLE) * 100)
+                         AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY 1
+    """,
+)
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders of BUILDING-segment customers by nation, joined through
+    the explicit runtime bucket filter (operators/rtfilter.py): the dim
+    side collapses to its distinct hash-mod-m key buckets (≤ m rows no
+    matter how big the dim is), the fact side is broadcast-semi-pruned
+    on those buckets BEFORE the join shuffle, then the exact equi-join
+    runs on the survivors — Spark's runtime Bloom filter as an
+    always-on relational operator."""
+    from oic_options_chains_spark.operators.rtfilter import runtime_filter_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    joined = runtime_filter_join(orders, cust, "o_custkey", "c_custkey")
+    return joined.groupBy(F.col("c_nationkey").alias("nation")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice").cast("double") * 100).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("total_cents"),
+    )
