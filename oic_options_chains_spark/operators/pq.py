@@ -50,6 +50,10 @@ from oic_options_chains_spark.operators.kmeans import (
 
 ADC_SHIFT = 1 << 20  # ADC table scale: floor(num * 2^20 / n^2)
 
+def _dec_zero():
+    # built per call: Column construction needs an active session
+    return F.lit(0).cast("decimal(38,0)")
+
 
 def _subvector(qarr: Column, sub: Column | int, sub_dim: int) -> Column:
     """slice() is 1-indexed; ``sub`` is the 0-based subspace index."""
@@ -71,10 +75,22 @@ def _cell_num(sq: Column, a: Column, cell: Column) -> Column:
 
 def _argmin_code(sq: Column, cells: Column) -> Column:
     """The cid of the exact-rational-nearest cell in the cid-ascending
-    ``cells`` array: a running fold replacing the best iff the candidate
-    is STRICTLY nearer (num_c * nn_best < num_best * nn_c) — ties keep
-    the earlier (lower) cid, mirroring the oracle's count-ahead = 0 with
-    the tie-break on cid."""
+    ``cells`` array: score every cell ONCE into a (num, nn, cid) array,
+    then a running fold keeps the best iff the candidate is STRICTLY
+    nearer (num_c * nn_best < num_best * nn_c) — ties keep the earlier
+    (lower) cid, mirroring the oracle's count-ahead = 0 with the
+    tie-break on cid.
+
+    The single-pass shape matters: HOF lambdas are interpreted with no
+    common-subexpression elimination, so (a) a fold whose when/otherwise
+    re-derives the candidate score evaluates the ``_cell_num`` subvector
+    fold TWICE per step, and (b) materializing a scored array but then
+    referencing it from init/slice/fold re-evaluates the WHOLE array
+    per reference (measured 2x worse). The fix is one transform (each
+    cell scored exactly once) consumed by exactly ONE fold, seeded with
+    an nn = 0 sentinel the first cell always replaces. An array_min
+    cannot express the exact cross-multiplied rational order; the fold
+    can."""
     a = _fold_sum_long(F.zip_with(sq, sq, lambda x, y: x * y))
 
     def scored(cell: Column) -> Column:
@@ -85,13 +101,18 @@ def _argmin_code(sq: Column, cells: Column) -> Column:
             cell["cid"].alias("cid"),
         )
 
-    def merge(acc: Column, cell: Column) -> Column:
-        c = scored(cell)
-        return F.when(c["num"] * acc["nn"] < acc["num"] * c["nn"], c).otherwise(acc)
+    def merge(acc: Column, c: Column) -> Column:
+        return F.when(
+            (acc["nn"] == _dec_zero()) | (c["num"] * acc["nn"] < acc["num"] * c["nn"]),
+            c,
+        ).otherwise(acc)
 
-    init = scored(F.element_at(cells, 1))
-    rest = F.slice(cells, 2, F.greatest(F.size(cells) - 1, F.lit(0)))
-    return F.aggregate(rest, init, merge)["cid"]
+    empty = F.struct(
+        _dec_zero().alias("num"),
+        _dec_zero().alias("nn"),
+        F.lit(None).cast("bigint").alias("cid"),
+    )
+    return F.aggregate(F.transform(cells, scored), empty, merge)["cid"]
 
 
 def _pq_centroid_state(coded_long: DataFrame, subvec: Column) -> DataFrame:

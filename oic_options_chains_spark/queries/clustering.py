@@ -27,6 +27,24 @@ from oic_options_chains_spark.sources.registry import load_table
 _K = 8
 _ITERS = 2
 
+
+def _spread(e: DataFrame) -> DataFrame:
+    """Hash-repartition the embeddings relation by id before the
+    CPU-dense interpreted-HOF assignment folds. Same rationale as the
+    ``broadcast_candidates`` probe repartition in
+    operators/similarity.py: a compact single-file parquet scan yields
+    ONE split, so without an explicit exchange every per-row fold runs
+    on one core. All downstream decisions are order-independent
+    integer/decimal aggregates, so partitioning cannot change any
+    output. At cluster scale the scan already arrives in thousands of
+    splits and this exchange is a no-op-sized rebalance of (id, vector)
+    rows — never a join-side blowup."""
+    from oic_options_chains_spark.operators.similarity import _probe_partitions
+
+    return e.repartition(_probe_partitions(e), F.col("vec_id"))
+
+
+
 # d must match operators/kmeans._dist exactly: a - 2.0*b/n + ss/(n*n),
 # every operand cast to double, left-to-right.
 _D_SQL = (
@@ -222,7 +240,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pairing to sum(cell^2), never corpus^2 (the LSH-band trick, but
     with a learned partition); decisions reuse the exact-moment
     assignment, so the oracle replays bit-for-bit."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _spread(load_table(spark, sf_dir, "embeddings"))
     return semantic_dedup(e, eps=_SEMDEDUP_EPS, k=_K, iters=_ITERS)
 
 
@@ -319,7 +337,7 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal cross-multiplied argmin (operators/pq.assign_codes)."""
     from oic_options_chains_spark.operators.pq import pq_fit
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _spread(load_table(spark, sf_dir, "embeddings"))
     coded, _ = pq_fit(e, n_sub=_N_SUB, k_sub=_K_SUB, iters=_ITERS, sub_dim=_SUB_DIM)
     return coded.select(
         "vec_id", F.posexplode("codes").alias("sub", "code")
@@ -381,7 +399,7 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction, so the ranking is hash-exact across engines."""
     from oic_options_chains_spark.operators.pq import ivf_pq_topk
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _spread(load_table(spark, sf_dir, "embeddings"))
     return ivf_pq_topk(
         e, query_id=0, coarse_k=_K, n_probe=2, n_sub=_N_SUB,
         k_sub=_K_SUB, iters=_ITERS, topk=5,

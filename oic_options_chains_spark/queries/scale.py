@@ -157,7 +157,15 @@ def q_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     index and the true answer sparse at any corpus size."""
     from oic_options_chains_spark.operators.minhash import doc_shingles
 
+    # hash-spread the doc relation before the CPU-dense shingle
+    # explode: the compact single-file scan yields 1-3 splits locally,
+    # so without an explicit exchange the tokenize+shingle work runs on
+    # as many cores (same rationale as similarity._probe_partitions;
+    # partitioning cannot change any downstream integer decision)
+    from oic_options_chains_spark.operators.similarity import _probe_partitions
+
     d = load_table(spark, sf_dir, "documents")
+    d = d.repartition(_probe_partitions(d), F.col("doc_id"))
     sets = doc_shingles(d, "doc_id", "text").select(
         "doc_id", F.col("shingle").alias("term")
     )
