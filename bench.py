@@ -77,6 +77,7 @@ HEADLINE = (
     "q_bloom_join",
     "q_cooccur_pairs",
     "q_knn_triangles",
+    "q_concurrency",
 )
 
 # single-JVM local bench has ~±20-30% run-to-run noise (ambient load

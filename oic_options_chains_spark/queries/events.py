@@ -520,3 +520,43 @@ def q_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("grp").alias("event_type"), "n", "slope", "intercept", "den"
     )
+
+
+@register(
+    "q_concurrency",
+    oracle="""
+    WITH sweep AS (
+      SELECT event_type AS grp, ts AS t, 1 AS delta, event_id AS id
+      FROM events
+      UNION ALL
+      SELECT event_type, ts + INTERVAL 10 MINUTE, -1, event_id FROM events),
+    runs AS (
+      SELECT grp, t,
+             CAST(SUM(delta) OVER (PARTITION BY grp ORDER BY t, delta, id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+      FROM sweep),
+    m AS (SELECT grp, MAX(run) AS mx FROM runs GROUP BY 1)
+    SELECT r.grp AS event_type, m.mx AS max_concurrent,
+           MIN(r.t) AS first_peak_ts
+    FROM runs r JOIN m ON r.grp = m.grp AND r.run = m.mx
+    GROUP BY 1, 2
+    """,
+)
+def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent 10-minute event windows per event type, plus the
+    first instant the peak is reached — the interval sweep-line
+    (operators/sweep.max_concurrency): ±1 boundary events, one
+    group-keyed exchange, per-group running sum, and a join-free
+    max(struct(run, -t)) peak fold. The oracle states the same sweep
+    declaratively with a runs-to-max join, algorithm-independent of the
+    struct-max trick."""
+    from oic_options_chains_spark.operators.sweep import max_concurrency
+
+    e = load_table(spark, sf_dir, "events")
+    return max_concurrency(
+        e,
+        "event_type",
+        F.col("ts"),
+        F.col("ts") + F.expr("INTERVAL 10 MINUTES"),
+        "event_id",
+    ).select(F.col("grp").alias("event_type"), "max_concurrent", "first_peak_ts")

@@ -198,3 +198,36 @@ def test_pareto_frontier_matches_bruteforce(spark):
     assert got == expect
     # (5, 11) beats (2, 11)/(3, 11) at equal y; (130, 1) always survives
     assert (5, 11) in got and (2, 11) not in got and (130, 1) in got
+
+
+def test_max_concurrency_half_open_boundaries(spark):
+    import datetime as dt
+
+    from oic_options_chains_spark.operators.sweep import max_concurrency
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    rows = [
+        # grp "a": [0,10) [5,15) [9,19) overlap 3-deep at t=9;
+        # [19,29) starts exactly when [9,19) closes -> NOT concurrent
+        ("a", ts(0), ts(10), 1),
+        ("a", ts(5), ts(15), 2),
+        ("a", ts(9), ts(19), 3),
+        ("a", ts(19), ts(29), 4),
+        # grp "b": disjoint singletons, peak 1 first reached at t=0
+        ("b", ts(0), ts(1), 5),
+        ("b", ts(2), ts(3), 6),
+    ]
+    df = spark.createDataFrame(
+        rows, "grp STRING, s TIMESTAMP, e TIMESTAMP, id INT"
+    )
+    got = {
+        r.grp: (r.max_concurrent, r.first_peak_ts)
+        for r in max_concurrency(
+            df, "grp", F.col("s"), F.col("e"), "id"
+        ).collect()
+    }
+    assert got == {"a": (3, ts(9)), "b": (1, ts(0))}
