@@ -280,8 +280,19 @@ def semantic_dedup(
     folds. Keeper rule "smallest qualifying id" (not transitive closure)
     keeps the operator one join + one aggregate; chained duplicates
     resolve over the keeper graph exactly like ``clusters.dedup_clusters``
-    downstream if closure is needed."""
+    downstream if closure is needed.
+
+    The pairing join is SALTED (``operators/skew.salted_join``): cid has
+    only k distinct values, so an unsalted cid join caps reducer
+    parallelism at k regardless of cluster size — exactly the
+    hot-key-feeding-a-join case AQE cannot rewrite (the pair-forming
+    fold is CPU-dense, not bytes-dense). Salting the hi side by row id
+    splits each cell across n_salts reducers at the cost of replicating
+    the lo side n_salts times; results are row-identical by the salting
+    contract."""
     assigned, _ = kmeans_fit(embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    from oic_options_chains_spark.operators.skew import salted_join
+
     a = assigned.select(
         F.col("cid"),
         F.col("vec_id").alias("vid_hi"),
@@ -292,7 +303,9 @@ def semantic_dedup(
         F.col("vec_id").alias("vid_lo"),
         F.col("qarr").alias("q_lo"),
     )
-    pairs = a.join(b_side, "cid").filter(F.col("vid_lo") < F.col("vid_hi"))
+    pairs = salted_join(a, b_side, ["cid"], left_salt_from="vid_hi").filter(
+        F.col("vid_lo") < F.col("vid_hi")
+    )
     d = _fold_sum_long(
         F.zip_with(F.col("q_hi"), F.col("q_lo"), lambda x, y: (x - y) * (x - y))
     )
