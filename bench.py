@@ -78,6 +78,7 @@ HEADLINE = (
     "q_cooccur_pairs",
     "q_knn_triangles",
     "q_concurrency",
+    "q_changepoint",
 )
 
 # single-JVM local bench has ~±20-30% run-to-run noise (ambient load

@@ -25,7 +25,7 @@ events reduce to one row of moments per group."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -79,4 +79,97 @@ def group_linear_trend(
         "slope",
         "intercept",
         F.col("__den").cast("string").alias("den"),
+    )
+
+
+def group_changepoint(
+    daily: DataFrame,
+    group_col: str,
+    x: Column,
+    y: Column,
+) -> DataFrame:
+    """Single-changepoint detection per group: the split of the ordered
+    (x, y) series minimizing the two-segment sum of squared errors —
+    "when did this source's metric shift". Input is one row per (group,
+    x) — aggregate to that grain upstream (daily totals, shard means).
+
+    Exact arithmetic end to end: with prefix sums (n1, Sy1, Syy1) and
+    totals, the two-segment SSE at split j is the rational N_j / (n1*n2)
+    with N_j = Syy_tot*n1*n2 - Sy1^2*n2 - Sy2^2*n1 (all decimal(38,0)),
+    and split A beats B iff N_A*d_B < N_B*d_A — the same cross-
+    multiplied count-ahead-zero argmin the IVF probe ranking uses, ties
+    to the earlier split. No double ever decides the split.
+
+    Scale shape: the series is already aggregated to the (group, x)
+    grain, so every window/join here touches #groups * #x rows — days,
+    not events; the candidate self-join is per-group and bounded by the
+    series length. Returns (grp, split_x, n_left, n_right, mean_left,
+    mean_right) with means as truncated integer division of the y sums
+    (the shared cross-engine definition)."""
+    w = Window.partitionBy("grp").orderBy("x")
+    pts = (
+        daily.select(
+            F.col(group_col).alias("grp"),
+            x.cast("bigint").alias("x"),
+            y.cast("bigint").alias("y"),
+        )
+        .withColumn("n1", F.row_number().over(w).cast("bigint"))
+        .withColumn("sy1", F.sum(_dec(F.col("y"))).over(w))
+        .withColumn("syy1", F.sum(_dec(F.col("y")) * _dec(F.col("y"))).over(w))
+    )
+    tot = pts.groupBy("grp").agg(
+        F.max("n1").alias("m"),
+        F.max_by("sy1", "n1").alias("sy_tot"),
+        F.max_by("syy1", "n1").alias("syy_tot"),
+    )
+    cand = (
+        pts.join(tot, "grp")
+        .filter(F.col("n1") < F.col("m"))
+        .select(
+            "grp",
+            F.col("x").alias("split_x"),
+            "n1",
+            (F.col("m") - F.col("n1")).alias("n2"),
+            "sy1",
+            (F.col("sy_tot") - F.col("sy1")).alias("sy2"),
+            (
+                F.col("syy_tot") * _dec(F.col("n1")) * _dec(F.col("m") - F.col("n1"))
+                - F.col("sy1") * F.col("sy1") * _dec(F.col("m") - F.col("n1"))
+                - (F.col("sy_tot") - F.col("sy1"))
+                * (F.col("sy_tot") - F.col("sy1"))
+                * _dec(F.col("n1"))
+            ).alias("num"),
+            (_dec(F.col("n1")) * _dec(F.col("m") - F.col("n1"))).alias("den"),
+        )
+    )
+    l = cand.alias("l")
+    r = cand.alias("r")
+    ahead = (
+        l.join(r, "grp")
+        .select(
+            "grp",
+            F.col("l.split_x").alias("split_x"),
+            F.when(
+                (F.col("r.num") * F.col("l.den") < F.col("l.num") * F.col("r.den"))
+                | (
+                    (F.col("r.num") * F.col("l.den") == F.col("l.num") * F.col("r.den"))
+                    & (F.col("r.split_x") < F.col("l.split_x"))
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("beat"),
+        )
+        .groupBy("grp", "split_x")
+        .agg(F.sum("beat").alias("n_ahead"))
+        .filter(F.col("n_ahead") == 0)
+        .select("grp", "split_x")
+    )
+    return ahead.join(cand, ["grp", "split_x"]).select(
+        "grp",
+        "split_x",
+        F.col("n1").alias("n_left"),
+        F.col("n2").alias("n_right"),
+        F.expr("CAST(sy1 div CAST(n1 AS DECIMAL(38,0)) AS BIGINT)").alias("mean_left"),
+        F.expr("CAST(sy2 div CAST(n2 AS DECIMAL(38,0)) AS BIGINT)").alias("mean_right"),
     )

@@ -560,3 +560,77 @@ def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts") + F.expr("INTERVAL 10 MINUTES"),
         "event_id",
     ).select(F.col("grp").alias("event_type"), "max_concurrent", "first_peak_ts")
+
+
+@register(
+    "q_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS grp,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+             SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 1000000) AS BIGINT)) AS y
+      FROM events GROUP BY 1, 2),
+    pts AS (
+      SELECT grp, x, y,
+             CAST(row_number() OVER (PARTITION BY grp ORDER BY x)
+                  AS HUGEINT) AS n1,
+             SUM(CAST(y AS HUGEINT)) OVER (PARTITION BY grp ORDER BY x
+                 ROWS UNBOUNDED PRECEDING) AS sy1,
+             SUM(CAST(y AS HUGEINT) * y) OVER (PARTITION BY grp ORDER BY x
+                 ROWS UNBOUNDED PRECEDING) AS syy1
+      FROM daily),
+    tot AS (SELECT grp, MAX(n1) AS m, arg_max(sy1, n1) AS sy_tot,
+                   arg_max(syy1, n1) AS syy_tot
+            FROM pts GROUP BY 1),
+    cand AS (
+      SELECT p.grp, p.x AS split_x, p.n1, t.m - p.n1 AS n2, p.sy1,
+             t.sy_tot - p.sy1 AS sy2,
+             t.syy_tot * p.n1 * (t.m - p.n1)
+               - p.sy1 * p.sy1 * (t.m - p.n1)
+               - (t.sy_tot - p.sy1) * (t.sy_tot - p.sy1) * p.n1 AS num,
+             p.n1 * (t.m - p.n1) AS den
+      FROM pts p JOIN tot t ON p.grp = t.grp WHERE p.n1 < t.m),
+    best AS (
+      SELECT l.grp, l.split_x,
+             SUM(CASE WHEN r.num * l.den < l.num * r.den
+                        OR (r.num * l.den = l.num * r.den
+                            AND r.split_x < l.split_x)
+                   THEN 1 ELSE 0 END) AS n_ahead
+      FROM cand l JOIN cand r ON l.grp = r.grp GROUP BY 1, 2)
+    SELECT c.grp AS event_type, c.split_x,
+           CAST(c.n1 AS BIGINT) AS n_left, CAST(c.n2 AS BIGINT) AS n_right,
+           CAST(c.sy1 // c.n1 AS BIGINT) AS mean_left,
+           CAST(c.sy2 // c.n2 AS BIGINT) AS mean_right
+    FROM best b JOIN cand c ON b.grp = c.grp AND b.split_x = c.split_x
+    WHERE b.n_ahead = 0
+    """,
+)
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint detection per event type over the daily
+    micro-unit value series (operators/trend.group_changepoint): the
+    split minimizing two-segment SSE, ranked by exact decimal
+    cross-multiplied rationals (count-ahead = 0, ties to the earlier
+    day) — "when did this source's metric shift", the drift alarm that
+    complements q_group_trend's slope. All sums are non-negative here,
+    so truncating and flooring division agree on both engines."""
+    from oic_options_chains_spark.operators.trend import group_changepoint
+
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias("x"),
+            F.floor(F.col("value").cast("double") * 1_000_000).alias("yv"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.sum("yv").cast("bigint").alias("y"))
+    )
+    out = group_changepoint(daily, "event_type", F.col("x"), F.col("y"))
+    return out.select(
+        F.col("grp").alias("event_type"),
+        "split_x",
+        "n_left",
+        "n_right",
+        "mean_left",
+        "mean_right",
+    )

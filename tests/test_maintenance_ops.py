@@ -231,3 +231,36 @@ def test_max_concurrency_half_open_boundaries(spark):
         ).collect()
     }
     assert got == {"a": (3, ts(9)), "b": (1, ts(0))}
+
+
+def test_group_changepoint_finds_the_step(spark):
+    from oic_options_chains_spark.operators.trend import group_changepoint
+
+    rows = (
+        # clean step after x=3: means 10 vs 50
+        [("step", x, 10) for x in (1, 2, 3)]
+        + [("step", x, 50) for x in (4, 5)]
+        # pure trend: best split of 1..4 / 5..6? exact SSE argmin with
+        # earliest-split tie-break is computed by brute force below
+        + [("ramp", x, x * 7) for x in range(1, 7)]
+    )
+    df = spark.createDataFrame(rows, "grp STRING, x INT, y INT")
+    got = {
+        r.grp: (r.split_x, r.n_left, r.n_right, r.mean_left, r.mean_right)
+        for r in group_changepoint(df, "grp", F.col("x"), F.col("y")).collect()
+    }
+    assert got["step"] == (3, 3, 2, 10, 50)
+
+    from fractions import Fraction
+
+    ys = [x * 7 for x in range(1, 7)]
+
+    def sse(seg):
+        n = len(seg)
+        return Fraction(sum(v * v for v in seg)) - Fraction(sum(seg)) ** 2 / n
+
+    best = min(
+        range(1, 6), key=lambda j: (sse(ys[:j]) + sse(ys[j:]), j)
+    )
+    assert got["ramp"][0] == best
+    assert got["ramp"][3] == sum(ys[:best]) // best
