@@ -224,3 +224,28 @@ def test_ann_topk_plans_as_take_ordered(spark, sf_dir):
         # before the first TakeOrderedAndProject line
         win = plan.find("Window")
         assert win != -1 and win < plan.find("TakeOrderedAndProject"), name
+
+
+def test_round4_additions_have_no_cartesian_and_no_python(spark, sf_dir):
+    """The round-4 analytics additions must stay equi-join/bucket-keyed
+    (no cartesian blowup) and fully JVM-side."""
+    for name in (
+        "q_group_trend",
+        "q_skyline",
+        "q_bloom_join",
+        "q_cooccur_pairs",
+        "q_knn_triangles",
+        "q_concurrency",
+        "q_changepoint",
+    ):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_knn_triangle_candidates_are_bucket_equi_join(spark, sf_dir):
+    """The kNN candidate join must key on the sign bucket (broadcast or
+    shuffled EQUI join) — never an all-pairs nested loop."""
+    plan = _plan(QUERIES["q_knn_triangles"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "__b" in plan  # the bucket key appears as a join key
