@@ -79,6 +79,7 @@ HEADLINE = (
     "q_knn_triangles",
     "q_concurrency",
     "q_changepoint",
+    "q_containment",
 )
 
 # single-JVM local bench has ~±20-30% run-to-run noise (ambient load

@@ -561,3 +561,61 @@ def signature_agreement(
             f"CAST(FLOOR(CAST(10000 AS DOUBLE) * ({matches}) / {num_hashes}) AS BIGINT) AS est_bp",
         )
     )
+
+
+def containment_pairs(
+    index_df: DataFrame,
+    sizes_df: DataFrame,
+    id_col: str,
+    min_shared: int = 2,
+    min_containment_bp: int = 5000,
+) -> DataFrame:
+    """Directed near-CONTAINMENT pairs: (doc_a, doc_b, shared,
+    containment_bp) where containment_bp = floor(10000 * |A∩B| / |A|) —
+    the asymmetric complement to Jaccard. Symmetric Jaccard misses the
+    subset case entirely (a document wholly embedded in a much larger
+    one scores |A|/|B| ≈ 0), yet training-data dedup cares about exactly
+    that: quoted articles, concatenated dumps, boilerplate-wrapped
+    reposts.
+
+    ``index_df`` is the (id, shingle) candidate index — pass the
+    DF-capped rare-shingle relation at scale (the same Zipf-head cap as
+    ``q_ngram_jaccard_capped``; the intersection count is then a lower
+    bound and the reported containment conservative). ``sizes_df`` is
+    (id, sz) over the FULL shingle set, so the denominator is the true
+    set size. Both directions are emitted (a-in-b and b-in-a are
+    different claims). The basis-point floor divides integers bounded
+    far below 2^53 — provably exact on both engines (see SCALING.md,
+    bounded-numerator rule)."""
+    a = index_df.alias("a")
+    b = index_df.alias("b")
+    inter = (
+        a.join(
+            b,
+            on=[
+                F.col("a.shingle") == F.col("b.shingle"),
+                F.col(f"a.{id_col}") != F.col(f"b.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    sz_a = sizes_df.select(
+        F.col(id_col).alias("doc_a"), F.col("sz").alias("__sza")
+    )
+    cont = F.floor(
+        (F.lit(10000).cast("double") * F.col("shared")) / F.col("__sza")
+    ).cast("bigint")
+    return (
+        inter.join(sz_a, "doc_a")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("shared").cast("bigint").alias("shared"),
+            cont.alias("containment_bp"),
+        )
+        .filter(F.col("containment_bp") >= min_containment_bp)
+    )

@@ -918,3 +918,57 @@ def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     query = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("query_vec"))
     return ivf_multiprobe_topk(e, query, k=5, bits=4)
+
+
+@register(
+    "q_containment",
+    oracle="WITH "
+    + _SHINGLE_SQL
+    + """,
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50),
+    capped AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM capped a JOIN capped b
+        ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+    SELECT i.doc_a, i.doc_b, CAST(i.shared AS BIGINT) AS shared,
+           CAST(FLOOR((CAST(10000 AS DOUBLE) * i.shared) / sa.sz)
+                AS BIGINT) AS containment_bp
+    FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+    WHERE FLOOR((CAST(10000 AS DOUBLE) * i.shared) / sa.sz) >= 5000
+    """,
+)
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle-set near-containment pairs — the ASYMMETRIC
+    dedup signal (operators/minhash.containment_pairs): a document
+    mostly embedded in another scores near 10000 bp regardless of the
+    size ratio, exactly where symmetric Jaccard goes to zero (quoted
+    articles, concatenated dumps, boilerplate-wrapped reposts).
+    Candidates come from the same DF-capped rare-shingle inverted index
+    as q_ngram_jaccard_capped; denominators are true set sizes."""
+    from oic_options_chains_spark.operators.minhash import (
+        containment_pairs,
+        doc_shingles,
+    )
+
+    from oic_options_chains_spark.operators.similarity import _probe_partitions
+
+    d = load_table(spark, sf_dir, "documents")
+    # spread the compact scan before the CPU-dense shingle window
+    # (same bench-scale correction as q_prefix_join; partitioning
+    # cannot change any downstream integer decision)
+    d = d.repartition(_probe_partitions(d), F.col("doc_id"))
+    sh = doc_shingles(d, "doc_id", "text")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= 50)
+        .select("shingle")
+    )
+    capped = sh.join(rare, "shingle").select("doc_id", "shingle")
+    return containment_pairs(
+        capped, sizes, "doc_id", min_shared=2, min_containment_bp=5000
+    )

@@ -158,3 +158,28 @@ def test_brute_knn_is_symmetric_on_duplicate_vectors(spark):
     assert (1, 2, 0) in got and (2, 1, 0) in got
     mu = sorted((r.a, r.b) for r in mutual_edges(knn).collect())
     assert mu == [(1, 2), (3, 4)]
+
+
+def test_containment_is_directional(spark):
+    from oic_options_chains_spark.operators.minhash import (
+        containment_pairs,
+        doc_shingles,
+    )
+
+    small = "alpha beta gamma delta epsilon"
+    big = small + " zeta eta theta iota kappa lam mu nu xi omicron pi rho"
+    docs = spark.createDataFrame(
+        [(1, small), (2, big), (3, "totally different words here now")],
+        "doc_id INT, text STRING",
+    )
+    sh = doc_shingles(docs, "doc_id", "text")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    got = {
+        (r.doc_a, r.doc_b): r.containment_bp
+        for r in containment_pairs(
+            sh, sizes, "doc_id", min_shared=2, min_containment_bp=5000
+        ).collect()
+    }
+    # every shingle of doc 1 appears in doc 2 -> full containment 1-in-2;
+    # the reverse direction is 3/15 = 2000bp and must NOT be emitted
+    assert got == {(1, 2): 10000}
