@@ -80,6 +80,7 @@ HEADLINE = (
     "q_concurrency",
     "q_changepoint",
     "q_containment",
+    "q_rolling_distinct",
 )
 
 # single-JVM local bench has ~±20-30% run-to-run noise (ambient load

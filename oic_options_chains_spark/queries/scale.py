@@ -264,3 +264,68 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total_cents"),
     )
+
+
+@register(
+    "q_rolling_distinct",
+    oracle=f"""
+    WITH h AS (SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+                      md5(CAST(user_id AS VARCHAR)) AS h
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT day, CAST(concat('0x', substring(h, 1, 2)) AS INT) AS reg,
+                 CAST(concat('0x', substring(h, 3, 13)) AS BIGINT) AS v
+          FROM h),
+    dayreg AS (SELECT day, reg, MAX(IF(v = 0, 53, 53 - length(bin(v)))) AS rho
+               FROM r GROUP BY day, reg),
+    days AS (SELECT DISTINCT day FROM dayreg),
+    win AS (SELECT d.day, dr.reg, MAX(dr.rho) AS rho
+            FROM days d JOIN dayreg dr ON dr.day BETWEEN d.day - 6 AND d.day
+            GROUP BY 1, 2),
+    s AS (SELECT day, COUNT(*) AS n_regs,
+                 SUM((CAST(1 AS BIGINT) << (53 - rho))) AS t
+          FROM win GROUP BY day),
+    e AS (SELECT day, CAST(256 - n_regs AS BIGINT) AS n_zero_regs,
+                 CAST(CAST('{_HLL_NUM_256}' AS HUGEINT)
+                      // CAST(t + (CAST(1 AS BIGINT) << 53) * (256 - n_regs)
+                              AS HUGEINT) AS BIGINT) AS raw_est
+          FROM s)
+    SELECT CAST(day AS INT) AS day, n_zero_regs,
+           CAST(IF(raw_est <= 640 AND n_zero_regs > 0,
+                   ([{_HLL_TABLE_256}])[CAST(n_zero_regs AS INT)],
+                   raw_est) AS BIGINT) AS estimate
+    FROM e
+    """,
+)
+def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct-user estimate per active day — the
+    sketch-mergeability showcase: daily HLL register sets are built ONCE
+    from the data (the only data-sized stage), and every 7-day window is
+    answered by MAX-merging seven bounded register relations — at 100 TB
+    the raw events are scanned once per day ever, and any window, month,
+    or lifetime rollup reads days x 256 register rows instead. The
+    day-range join keys the bounded calendar relation against the
+    register table; the estimate is the shared integer-literal HLL path
+    (no float anywhere)."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    ).alias("day")
+    regs = hll_group_registers(
+        e.select(day, "user_id"), "user_id", "day", b=8
+    )
+    days = regs.select(F.col("grp").alias("day")).distinct()
+    win = (
+        F.broadcast(days)
+        .join(
+            regs,
+            (regs["grp"] >= days["day"] - 6) & (regs["grp"] <= days["day"]),
+        )
+        .groupBy("day", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    est = hll_group_estimate(
+        win.select(F.col("day").alias("grp"), "reg", "rho"), b=8
+    )
+    return est.select(
+        F.col("grp").cast("int").alias("day"), "n_zero_regs", "estimate"
+    )

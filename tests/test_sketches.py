@@ -119,3 +119,45 @@ def test_kmv_shard_merge_equals_direct(spark):
     ).collect()[0]
     assert merged["estimate"] == direct["estimate"]
     assert merged["n_minima"] == direct["n_minima"]
+
+
+def test_rolling_window_merge_equals_direct_build(spark, sf_dir):
+    """Lattice exactness: MAX-merging daily registers over a 7-day window
+    must give the IDENTICAL register set (hence identical estimate) as
+    building one sketch directly from the window's raw rows."""
+    from pyspark.sql import functions as F
+
+    from oic_options_chains_spark.operators.sketches import (
+        hll_group_estimate,
+        hll_group_registers,
+    )
+    from oic_options_chains_spark.sources.registry import load_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "day"
+        ),
+        "user_id",
+    )
+    target = 10  # window [4, 10]
+    daily = hll_group_registers(e, "user_id", "day", b=8)
+    merged = (
+        daily.filter((F.col("grp") >= target - 6) & (F.col("grp") <= target))
+        .groupBy("reg")
+        .agg(F.max("rho").alias("rho"))
+        .select(F.lit(target).alias("grp"), "reg", "rho")
+    )
+    direct = hll_group_registers(
+        e.filter((F.col("day") >= target - 6) & (F.col("day") <= target)).select(
+            F.lit(target).alias("day"), "user_id"
+        ),
+        "user_id",
+        "day",
+        b=8,
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    em = hll_group_estimate(merged, b=8).collect()[0]
+    ed = hll_group_estimate(direct, b=8).collect()[0]
+    assert (em.estimate, em.n_zero_regs) == (ed.estimate, ed.n_zero_regs)
