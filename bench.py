@@ -81,6 +81,7 @@ HEADLINE = (
     "q_changepoint",
     "q_containment",
     "q_rolling_distinct",
+    "q_skew_profile",
 )
 
 # single-JVM local bench has ~±20-30% run-to-run noise (ambient load

@@ -130,3 +130,38 @@ def compaction_bins(plan: DataFrame) -> DataFrame:
         F.min("file").alias("first_file"),
         F.max("file").alias("last_file"),
     )
+
+
+def key_skew_profile(df: DataFrame, key_col: str, k: int = 20) -> DataFrame:
+    """(key, cnt, share_bp, rank): the k hottest values of ``key_col``
+    with their basis-point share of all rows — the first diagnostic run
+    before any shuffle-keyed job at scale (is this join/agg key safe, or
+    does one customer own a third of the table?). Feeds the salting /
+    AQE-skew decisions the skew operators implement.
+
+    Two-phase: a map-side-combined count per key, then
+    ``orderBy().limit(k)`` (plans as TakeOrderedAndProject: per-partition
+    top-k, k-sized merge — no single-partition sort of the key relation)
+    with the rank window touching only the k survivors. The total is a
+    one-row aggregate broadcast into the share projection; share_bp
+    divides integers bounded far below 2^53, so the floor is exact on
+    any engine."""
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    total = counts.agg(F.sum("cnt").alias("__total"))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("key")).limit(k)
+    ranked = top.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), F.col("key")))
+        .cast("int"),
+    )
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "key",
+        "cnt",
+        F.floor((F.lit(10000).cast("double") * F.col("cnt")) / F.col("__total"))
+        .cast("bigint")
+        .alias("share_bp"),
+        "rank",
+    )

@@ -264,3 +264,33 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y").alias("diversity_e6"),
         F.col("n_rows").alias("n_docs"),
     )
+
+
+@register(
+    "q_skew_profile",
+    oracle="""
+    WITH c AS (SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM orders GROUP BY 1),
+    t AS (SELECT SUM(cnt) AS total FROM c),
+    top AS (SELECT key, cnt,
+                   CAST(row_number() OVER (ORDER BY cnt DESC, key)
+                        AS INT) AS rank
+            FROM c ORDER BY cnt DESC, key LIMIT 20)
+    SELECT p.key, p.cnt,
+           CAST(FLOOR((CAST(10000 AS DOUBLE) * p.cnt) / t.total)
+                AS BIGINT) AS share_bp,
+           p.rank
+    FROM top p CROSS JOIN t
+    """,
+)
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 20 hottest order customers with their basis-point share of
+    all orders (operators/layout.key_skew_profile) — the pre-shuffle
+    skew diagnostic every join/agg key should pass before a 100 TB run;
+    its output feeds the salting and AQE-skew decisions. Plans as
+    TakeOrderedAndProject over the map-side-combined counts, rank over
+    the 20 survivors only."""
+    from oic_options_chains_spark.operators.layout import key_skew_profile
+
+    o = load_table(spark, sf_dir, "orders")
+    return key_skew_profile(o, "o_custkey", k=20)
