@@ -345,3 +345,46 @@ def wav_chunk_manifest(
             F.col("n_samples"),
         ).alias("end_sample"),
     )
+
+
+def patch_grid(
+    dims: DataFrame,
+    id_col: str = "media_id",
+    width_col: str = "width",
+    height_col: str = "height",
+    patch: int = 32,
+) -> DataFrame:
+    """ViT-style patch manifest: one row per ``patch x patch`` tile of
+    each image, with pixel offsets and edge-clamped extents — the
+    scheduling relation a vision-pretraining pipeline derives from
+    header metadata ALONE (``png_dimensions``), so patch sampling,
+    budgeting, and shuffling are planned before any decoder runs.
+    Entirely JVM-side integer arithmetic; rows per image are
+    ceil(w/patch) * ceil(h/patch)."""
+    p = F.lit(int(patch))
+    rows = ((F.col(height_col) + p - 1) / p).cast("int")
+    cols = ((F.col(width_col) + p - 1) / p).cast("int")
+    g = dims.select(
+        F.col(id_col),
+        F.col(width_col).alias("__w"),
+        F.col(height_col).alias("__h"),
+        F.explode(F.sequence(F.lit(0), rows - 1)).alias("patch_row"),
+        cols.alias("__cols"),
+    ).select(
+        id_col,
+        "__w",
+        "__h",
+        "patch_row",
+        F.explode(F.sequence(F.lit(0), F.col("__cols") - 1)).alias("patch_col"),
+    )
+    x0 = F.col("patch_col") * p
+    y0 = F.col("patch_row") * p
+    return g.select(
+        F.col(id_col),
+        F.col("patch_row").cast("int").alias("patch_row"),
+        F.col("patch_col").cast("int").alias("patch_col"),
+        x0.cast("int").alias("x0"),
+        y0.cast("int").alias("y0"),
+        F.least(p, F.col("__w") - x0).cast("int").alias("patch_w"),
+        F.least(p, F.col("__h") - y0).cast("int").alias("patch_h"),
+    )

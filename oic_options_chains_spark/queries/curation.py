@@ -1102,3 +1102,58 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return feature_hashing(d, n_features=256)
+
+
+@register(
+    "q_patch_grid",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             16 + doc_id % 1024 AS w,
+             16 + (doc_id * 7) % 1024 AS h
+      FROM documents WHERE doc_id % 3 = 0),
+    g AS (SELECT doc_id, w, h,
+                 unnest(range(0, (h + 31) // 32)) AS patch_row
+          FROM b),
+    gc AS (SELECT doc_id, w, h, patch_row,
+                  unnest(range(0, (w + 31) // 32)) AS patch_col
+           FROM g)
+    SELECT doc_id,
+           CAST(patch_row AS INT) AS patch_row,
+           CAST(patch_col AS INT) AS patch_col,
+           CAST(patch_col * 32 AS INT) AS x0,
+           CAST(patch_row * 32 AS INT) AS y0,
+           CAST(least(32, w - patch_col * 32) AS INT) AS patch_w,
+           CAST(least(32, h - patch_row * 32) AS INT) AS patch_h
+    FROM gc
+    """,
+)
+def q_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style 32x32 patch manifest for every synthesized PNG blob,
+    planned from HEADER dimensions alone (operators/multimodal.patch_grid
+    over png_dimensions) — the patch sampling/budgeting relation a
+    vision-pretraining pipeline builds before any decoder runs. Patch
+    counts divide integers far below 2^53, inside the documented exact
+    floor regime; the oracle derives the same grid from the blob
+    synthesis arithmetic, independent of the byte-level parse path."""
+    from oic_options_chains_spark.operators.multimodal import (
+        patch_grid,
+        png_dimensions,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    png = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A0000000D49484452")),
+        F.unhex(F.lpad(F.hex(16 + F.col("doc_id") % 1024), 8, "0")),
+        F.unhex(F.lpad(F.hex(16 + (F.col("doc_id") * 7) % 1024), 8, "0")),
+        F.unhex(F.lit("08060000")),
+        F.encode(F.col("text"), "UTF-8"),
+    )
+    blobs = d.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", png.alias("content")
+    )
+    dims = png_dimensions(F.col("content"))
+    parsed = blobs.select(
+        "doc_id", dims["width"].alias("width"), dims["height"].alias("height")
+    )
+    return patch_grid(parsed, id_col="doc_id", patch=32)

@@ -164,3 +164,26 @@ def test_wav_chunk_manifest_survives_zero_block_align(spark):
     )
     # malformed header must yield no chunks, not an astronomical explode
     assert wav_chunk_manifest(df, "content", "doc_id").count() == 0
+
+
+def test_patch_grid_clamps_edges(spark):
+    from pyspark.sql import functions as F
+
+    from oic_options_chains_spark.operators.multimodal import patch_grid
+
+    dims = spark.createDataFrame(
+        [(1, 33, 65), (2, 32, 32)], "media_id INT, width INT, height INT"
+    )
+    got = {
+        (r.media_id, r.patch_row, r.patch_col): (r.x0, r.y0, r.patch_w, r.patch_h)
+        for r in patch_grid(dims, patch=32).collect()
+    }
+    # 33x65 -> 2 cols (32 + 1 wide), 3 rows (32 + 32 + 1 tall)
+    assert len([k for k in got if k[0] == 1]) == 6
+    assert got[(1, 0, 0)] == (0, 0, 32, 32)
+    assert got[(1, 0, 1)] == (32, 0, 1, 32)
+    assert got[(1, 2, 0)] == (0, 64, 32, 1)
+    assert got[(1, 2, 1)] == (32, 64, 1, 1)
+    # exact-multiple image -> single full patch
+    assert [k for k in got if k[0] == 2] == [(2, 0, 0)]
+    assert got[(2, 0, 0)] == (0, 0, 32, 32)
