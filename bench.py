@@ -82,6 +82,8 @@ HEADLINE = (
     "q_containment",
     "q_rolling_distinct",
     "q_skew_profile",
+    "q_patch_grid",
+    "q_table_stats",
 )
 
 # single-JVM local bench has ~±20-30% run-to-run noise (ambient load

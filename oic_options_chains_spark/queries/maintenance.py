@@ -26,8 +26,15 @@ from oic_options_chains_spark.operators.sketches import (
     hll_linear_table,
     hll_numerator,
 )
+from oic_options_chains_spark.operators.sketches import (
+    hll_linear_table,
+    hll_numerator,
+)
 from oic_options_chains_spark.queries.registry import register
 from oic_options_chains_spark.sources.registry import load_table
+
+_HLL_NUM_256_M = str(hll_numerator(256))
+_HLL_TABLE_256_M = ", ".join(str(x) for x in hll_linear_table(256))
 
 
 @register(
@@ -294,3 +301,72 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     return key_skew_profile(o, "o_custkey", k=20)
+
+
+@register(
+    "q_table_stats",
+    oracle="""
+    WITH long AS (
+      SELECT 'o_custkey' AS col, CAST(o_custkey AS VARCHAR) AS v FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', CAST(o_orderstatus AS VARCHAR) FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR) FROM orders),
+    counts AS (SELECT col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                      CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_nulls
+               FROM long GROUP BY 1),
+    h AS (SELECT col, md5(v) AS h FROM long WHERE v IS NOT NULL GROUP BY 1, 2),
+    r AS (SELECT col, CAST(concat('0x', substring(h, 1, 2)) AS INT) AS reg,
+                 CAST(concat('0x', substring(h, 3, 13)) AS BIGINT) AS vv
+          FROM h),
+    m AS (SELECT col, reg, MAX(IF(vv = 0, 53, 53 - length(bin(vv)))) AS rho
+          FROM r GROUP BY col, reg),
+    s AS (SELECT col, COUNT(*) AS n_regs,
+                 SUM((CAST(1 AS BIGINT) << (53 - rho))) AS t
+          FROM m GROUP BY col),
+    e AS (SELECT col, CAST(256 - n_regs AS BIGINT) AS n_zero_regs,
+                 CAST(CAST('{{NUM}}' AS HUGEINT)
+                      // CAST(t + (CAST(1 AS BIGINT) << 53) * (256 - n_regs)
+                              AS HUGEINT) AS BIGINT) AS raw_est
+          FROM s)
+    SELECT c.col, c.n_rows, c.n_nulls,
+           CAST(IF(e.raw_est <= 640 AND e.n_zero_regs > 0,
+                   ([{{TABLE}}])[CAST(e.n_zero_regs AS INT)],
+                   e.raw_est) AS BIGINT) AS ndv_est
+    FROM counts c JOIN e ON c.col = e.col
+    """.replace("{{NUM}}", _HLL_NUM_256_M).replace("{{TABLE}}", _HLL_TABLE_256_M),
+)
+def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog statistics in ONE pass — the ANALYZE TABLE analog a CBO
+    (or a data debugger) wants per column: row count, null count, and a
+    portable HLL NDV estimate, computed by stacking the audited columns
+    into a (col, value) long relation and running the shared per-group
+    register path (operators/sketches.hll_group_registers). At 100 TB
+    the stack explodes rows by #columns but every aggregate is map-side
+    combined to <= cols x 256 register rows — stats cost one scan, not
+    one scan per column."""
+    from oic_options_chains_spark.operators.sketches import (
+        hll_group_estimate,
+        hll_group_registers,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    long = o.selectExpr(
+        "stack(3, 'o_custkey', CAST(o_custkey AS STRING),"
+        " 'o_orderstatus', CAST(o_orderstatus AS STRING),"
+        " 'o_orderpriority', CAST(o_orderpriority AS STRING)) AS (col, v)"
+    )
+    counts = long.groupBy("col").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_nulls"),
+    )
+    regs = hll_group_registers(
+        long.filter(F.col("v").isNotNull()), "v", "col", b=8
+    )
+    est = hll_group_estimate(regs, b=8).select(
+        F.col("grp").alias("col"), F.col("estimate").alias("ndv_est")
+    )
+    return counts.join(est, "col").select("col", "n_rows", "n_nulls", "ndv_est")
