@@ -237,6 +237,11 @@ def test_round4_additions_have_no_cartesian_and_no_python(spark, sf_dir):
         "q_knn_triangles",
         "q_concurrency",
         "q_changepoint",
+        "q_containment",
+        "q_rolling_distinct",
+        "q_skew_profile",
+        "q_patch_grid",
+        "q_table_stats",
     ):
         plan = _plan(QUERIES[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, name
