@@ -84,6 +84,7 @@ HEADLINE = (
     "q_skew_profile",
     "q_patch_grid",
     "q_table_stats",
+    "q_pit_join",
 )
 
 # single-JVM local bench has ~±20-30% run-to-run noise (ambient load

@@ -26,10 +26,6 @@ from oic_options_chains_spark.operators.sketches import (
     hll_linear_table,
     hll_numerator,
 )
-from oic_options_chains_spark.operators.sketches import (
-    hll_linear_table,
-    hll_numerator,
-)
 from oic_options_chains_spark.queries.registry import register
 from oic_options_chains_spark.sources.registry import load_table
 
@@ -370,3 +366,74 @@ def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("grp").alias("col"), F.col("estimate").alias("ndv_est")
     )
     return counts.join(est, "col").select("col", "n_rows", "n_nulls", "ndv_est")
+
+
+@register(
+    "q_pit_join",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    r AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS run
+      FROM o),
+    g AS (
+      SELECT user_id, run, MIN(event_type) AS event_type,
+             MIN(ts) AS effective_from
+      FROM r GROUP BY 1, 2),
+    dim AS (
+      SELECT user_id, event_type AS regime_type, effective_from,
+             lead(effective_from) OVER (PARTITION BY user_id ORDER BY run)
+               AS effective_to,
+             CAST(run AS BIGINT) AS version
+      FROM g),
+    fact AS (SELECT event_id, user_id, ts FROM events
+             WHERE event_type = 'purchase')
+    SELECT f.event_id, f.user_id, d.version, d.regime_type,
+           d.effective_from
+    FROM fact f JOIN dim d
+      ON f.user_id = d.user_id
+     AND f.ts >= d.effective_from
+     AND (d.effective_to IS NULL OR f.ts < d.effective_to)
+    """,
+)
+def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: label every purchase with the SCD2 regime
+    version valid AT its timestamp — the "query the warehouse as of t"
+    semantics the reference's Dolt-versioned tables imply, expressed as
+    an equi+range join against the gaps-and-islands validity intervals
+    of operators/cdc.scd2_history. The join shuffles on the entity key
+    with the range predicate filtering inside each key's partition;
+    half-open intervals guarantee exactly one match per fact row
+    (zero-length intervals at duplicate timestamps can never match)."""
+    e = load_table(spark, sf_dir, "events")
+    dim = scd2_history(e, "user_id", "event_type", "ts", "event_id").select(
+        "user_id",
+        F.col("event_type").alias("regime_type"),
+        "effective_from",
+        "effective_to",
+        "version",
+    )
+    fact = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = fact.join(
+        dim,
+        on=[
+            fact["user_id"] == dim["user_id"],
+            fact["ts"] >= dim["effective_from"],
+            dim["effective_to"].isNull() | (fact["ts"] < dim["effective_to"]),
+        ],
+    )
+    return joined.select(
+        fact["event_id"],
+        fact["user_id"],
+        dim["version"],
+        dim["regime_type"],
+        dim["effective_from"],
+    )
