@@ -85,6 +85,7 @@ HEADLINE = (
     "q_patch_grid",
     "q_table_stats",
     "q_pit_join",
+    "q_value_recon",
 )
 
 # single-JVM local bench has ~±20-30% run-to-run noise (ambient load

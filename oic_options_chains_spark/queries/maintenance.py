@@ -437,3 +437,73 @@ def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim["regime_type"],
         dim["effective_from"],
     )
+
+
+@register(
+    "q_value_recon",
+    oracle="""
+    WITH detail AS (
+      SELECT l_orderkey AS okey,
+             CAST(SUM(CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) * 100)
+                           AS BIGINT)) AS BIGINT) AS detail_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY 1),
+    joined AS (
+      SELECT o.o_orderstatus AS status,
+             CAST(FLOOR(CAST(o.o_totalprice AS DOUBLE) * 100)
+                  AS BIGINT) AS header_cents,
+             d.detail_cents, d.n_lines
+      FROM orders o LEFT JOIN detail d ON o.o_orderkey = d.okey)
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN n_lines IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphan_headers,
+           CAST(SUM(CASE WHEN n_lines IS NOT NULL
+                          AND header_cents <> detail_cents
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_value_mismatch,
+           CAST(SUM(CASE WHEN n_lines IS NOT NULL
+                     THEN abs(header_cents - detail_cents) ELSE 0 END)
+                AS BIGINT) AS abs_diff_cents
+    FROM joined GROUP BY 1
+    """,
+)
+def q_value_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-detail VALUE reconciliation per order status — the
+    double-entry audit the count reconciliation (A5, q_count_recon)
+    implies for money columns: per status, how many orders have no
+    detail rows at all, how many disagree between the header total and
+    the summed line totals, and the absolute drift in exact cents. One
+    map-side-combined detail rollup, one key-equi join, one final
+    aggregate; every comparison is integer cents, so the mismatch
+    decision can never flip on a float ulp."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = lambda c: F.floor(c.cast("double") * 100).cast("bigint")  # noqa: E731
+    detail = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.sum(cents(F.col("l_extendedprice"))).cast("bigint").alias("detail_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+    joined = o.join(detail, o["o_orderkey"] == detail["okey"], "left")
+    return joined.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.when(F.col("n_lines").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_orphan_headers"),
+        F.sum(
+            F.when(
+                F.col("n_lines").isNotNull()
+                & (cents(F.col("o_totalprice")) != F.col("detail_cents")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_value_mismatch"),
+        F.sum(
+            F.when(
+                F.col("n_lines").isNotNull(),
+                F.abs(cents(F.col("o_totalprice")) - F.col("detail_cents")),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("abs_diff_cents"),
+    )
