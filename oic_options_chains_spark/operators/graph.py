@@ -137,6 +137,13 @@ def knn_from_candidates(pairs: DataFrame, k: int) -> DataFrame:
 def mutual_edges(knn: DataFrame) -> DataFrame:
     """(a, b) with a < b: pairs where BOTH directions made the other's
     top-k — the mutual-kNN graph, each undirected edge once."""
+    # the kNN relation is referenced twice (forward + reversed); without
+    # truncation the candidate join + ranking window lineage would be
+    # planned and executed once PER REFERENCE — and triangle_counts
+    # multiplies references further. localCheckpoint materializes the
+    # ≤ n·k row relation once (the connected_components precedent; on a
+    # real cluster use checkpoint against reliable storage).
+    knn = knn.localCheckpoint(eager=True)
     rev = knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     return (
         knn.join(rev, ["src", "dst"], "left_semi")
@@ -150,6 +157,10 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     (a, b) edge relation (a < b, each edge once). Degree-ordered
     orientation bounds out-degrees at O(sqrt(|E|)); each triangle is
     found exactly once and credited to all three corners."""
+    # edges feed five subtrees (two degree ends, both wedge sides, the
+    # closing probe); truncate the lineage so the upstream graph build
+    # runs once, not once per reference (|E| rows, bounded)
+    edges = edges.localCheckpoint(eager=True)
     ends = edges.select(F.col("a").alias("node")).union(
         edges.select(F.col("b").alias("node"))
     )
