@@ -960,7 +960,10 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (same bench-scale correction as q_prefix_join; partitioning
     # cannot change any downstream integer decision)
     d = d.repartition(_probe_partitions(d), F.col("doc_id"))
-    sh = doc_shingles(d, "doc_id", "text")
+    # the shingle relation feeds sizes, the DF cap, and BOTH sides of
+    # the candidate join — truncate its window lineage so the shingle
+    # build runs once, not once per reference
+    sh = doc_shingles(d, "doc_id", "text").localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     rare = (
         sh.groupBy("shingle")
