@@ -86,6 +86,7 @@ HEADLINE = (
     "q_table_stats",
     "q_pit_join",
     "q_value_recon",
+    "q_drift_cells",
 )
 
 # single-JVM local bench has ~±20-30% run-to-run noise (ambient load

@@ -53,14 +53,16 @@ _D_SQL = (
 )
 
 
-def _kmeans_cte(k: int = _K, iters: int = _ITERS) -> str:
+def _kmeans_cte(k: int = _K, iters: int = _ITERS, where: str = "") -> str:
     """WITH-clause prefix computing a{iters} (assignments) and
-    c{iters}/m{iters} (final centroid sums and moments)."""
+    c{iters}/m{iters} (final centroid sums and moments). ``where``
+    optionally restricts the TRAINING rows (the drift monitor trains on
+    the reference half only)."""
     parts = [
         f"""qv AS (
       SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
              CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 4096) AS BIGINT) AS q
-      FROM embeddings),
+      FROM embeddings {where}),
     av AS (SELECT vec_id, SUM(q*q) AS a FROM qv GROUP BY vec_id),
     c0 AS (SELECT vec_id AS cid, pos, q AS s FROM qv WHERE vec_id < {k}),
     m0 AS (SELECT cid, CAST(1 AS BIGINT) AS n, SUM(s*s) AS ss FROM c0 GROUP BY cid)"""
@@ -474,4 +476,78 @@ def q_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return triangle_counts(edges).select(
         F.col("node").alias("vec_id"), "degree", "n_triangles"
+    )
+
+
+@register(
+    "q_drift_cells",
+    oracle=f"""
+    {_kmeans_cte(where="WHERE vec_id % 2 = 0")},
+    qa AS (
+      SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 4096) AS BIGINT) AS q
+      FROM embeddings),
+    aa AS (SELECT vec_id, SUM(q*q) AS a FROM qa GROUP BY vec_id),
+    bf AS (SELECT v.vec_id, c.cid, SUM(v.q * c.s) AS b
+           FROM qa v JOIN c{_ITERS} c ON v.pos = c.pos GROUP BY v.vec_id, c.cid),
+    df AS (SELECT bf.vec_id, bf.cid,
+                  CAST(a.a AS DOUBLE) - 2.0 * CAST(bf.b AS DOUBLE) / CAST(m.n AS DOUBLE)
+                    + CAST(m.ss AS DOUBLE) / (CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE)) AS d
+           FROM bf JOIN m{_ITERS} m ON bf.cid = m.cid
+                   JOIN aa a ON bf.vec_id = a.vec_id),
+    af AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+             FROM df) WHERE rn = 1),
+    counts AS (
+      SELECT cid,
+             CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+             CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+      FROM af GROUP BY 1),
+    tot AS (SELECT SUM(n_ref) AS tr, SUM(n_new) AS tn FROM counts)
+    SELECT c.cid AS cell, c.n_ref, c.n_new,
+           CAST(FLOOR((CAST(10000 AS DOUBLE) * c.n_ref) / t.tr) AS BIGINT) AS ref_share_bp,
+           CAST(FLOOR((CAST(10000 AS DOUBLE) * c.n_new) / t.tn) AS BIGINT) AS new_share_bp
+    FROM counts c CROSS JOIN tot t
+    """,
+)
+def q_drift_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: fit the coarse quantizer
+    on the REFERENCE half of the corpus (even vec_ids standing in for
+    "last month"), assign BOTH halves to those frozen cells, and report
+    each cell's basis-point population share per half — the shift
+    report a curation pipeline reads before trusting a new crawl batch
+    (a cell whose share moved is a topic that grew or vanished).
+    Assignment is the shared broadcast-fold projection; counts and
+    shares are exact integers in the bounded-numerator floor regime."""
+    from oic_options_chains_spark.operators.kmeans import (
+        assign_clusters,
+        kmeans_fit,
+        quantize,
+    )
+
+    e = _spread(load_table(spark, sf_dir, "embeddings"))
+    ref = e.filter(F.col("vec_id") % 2 == 0)
+    _, cents = kmeans_fit(ref, k=_K, iters=_ITERS)
+    assigned = assign_clusters(quantize(e), cents)
+    counts = assigned.groupBy(F.col("cid").alias("cell")).agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("__tr"), F.sum("n_new").alias("__tn")
+    )
+    share = lambda n, t: (  # noqa: E731
+        F.floor((F.lit(10000).cast("double") * F.col(n)) / F.col(t)).cast("bigint")
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "n_ref",
+        "n_new",
+        share("n_ref", "__tr").alias("ref_share_bp"),
+        share("n_new", "__tn").alias("new_share_bp"),
     )
