@@ -144,7 +144,10 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM cand c JOIN qv v ON v.vec_id = c.vec_id
                          JOIN qq q0 ON v.pos = q0.pos
              GROUP BY c.vec_id)
-    SELECT vec_id, dist, CAST(rank AS INT) AS rank FROM (
+    -- Output-type contract: SUM() over BIGINT is HUGEINT in DuckDB, which
+    -- the driver's pandas hash path degrades to float64; cast to BIGINT
+    -- (quantized squared distances fit comfortably) so hashes are exact.
+    SELECT vec_id, CAST(dist AS BIGINT) AS dist, CAST(rank AS INT) AS rank FROM (
       SELECT vec_id, dist,
              row_number() OVER (ORDER BY dist, vec_id) AS rank FROM dist)
     WHERE rank <= 5

@@ -78,7 +78,11 @@ _CC_SQL = (
           FROM m),
     e AS (SELECT CAST(256 AS BIGINT) AS m,
                  CAST(256 - n_regs AS BIGINT) AS n_zero_regs,
-                 t + (CAST(1 AS BIGINT) << 53) * (256 - n_regs) AS sum_scaled,
+                 -- Output-type contract: the driver hashes via pandas, where
+                 -- DuckDB HUGEINT degrades to float64 and values > 2^53 drift.
+                 -- Max is m*2^53 = 2^61, so BIGINT is exact and required here.
+                 CAST(t + (CAST(1 AS BIGINT) << 53) * (256 - n_regs)
+                      AS BIGINT) AS sum_scaled,
                  CAST(CAST('{_HLL_NUM_256}' AS HUGEINT)
                       // CAST(t + (CAST(1 AS BIGINT) << 53) * (256 - n_regs)
                               AS HUGEINT) AS BIGINT) AS raw_est
