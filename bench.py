@@ -126,7 +126,6 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
     }
 
@@ -154,6 +153,26 @@ def main() -> None:
                 out["vs_r01_total"] = round(shared_now / shared_base, 2)
     except (OSError, ValueError):
         pass
+
+    # The driver captures only a short tail of stdout; with 59 headline
+    # queries a full per-query map outgrows that window and the round's
+    # bench records "parsed": null (happened in r04). Keep the stdout
+    # line compact — totals + the 5 slowest queries — and write the full
+    # per-query detail (timings + vs_r01 ratios) to BENCH_DETAIL.json.
+    detail = dict(out)
+    detail["queries"] = timings
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+    out["queries"] = dict(slowest)
+    out["n_queries"] = len(timings)
+    out["detail"] = "BENCH_DETAIL.json"
+    if "vs_r01" in out:
+        del out["vs_r01"]
 
     print(json.dumps(out))
     spark.stop()
