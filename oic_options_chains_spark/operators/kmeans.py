@@ -132,16 +132,21 @@ def kmeans_fit(
     """Run ``iters`` Lloyd iterations; return (assignments, centroids).
 
     assignments: (vec_id, qarr, cid); centroids: (cid, sarr, n, ss).
-    Init is deterministic: the k rows with the lowest ids seed singleton
-    clusters (cid = seed vec_id). A cluster that loses all members drops
-    out (standard Lloyd degeneracy — inner joins on both engines agree).
+    Init is deterministic: the k rows with the lowest ids ACTUALLY
+    PRESENT seed singleton clusters (cid = seed vec_id) — a sort-limit
+    (TakeOrderedAndProject: per-partition top-k, k-sized merge), so the
+    seed count is exactly min(k, n_rows) on any id space, dense or
+    sparse. A cluster that loses all members drops out (standard Lloyd
+    degeneracy — inner joins on both engines agree).
 
     The loop builds one lazy plan; centroid subtrees are k rows, so plan
     growth is the only cost of staying fully declarative. For deep
     iteration counts persist the (tiny) centroid state per round.
     """
+    if iters < 1:
+        raise ValueError(f"kmeans_fit requires iters >= 1, got {iters}")
     qv = quantize(embeddings, id_col, vec_col)
-    seeds = qv.filter(F.col("vec_id") < k)
+    seeds = qv.orderBy("vec_id").limit(k)
     # each centroid state is k rows but is referenced by every later
     # iteration (and by both consumers of the fit) — cache it so the
     # lineage is evaluated once, not once per reference; the footprint

@@ -183,10 +183,11 @@ def pq_fit(
 
     ``sub_dim`` is pinned by the caller (vectors are fixed-dim by schema
     contract; deriving it from data would cost an action at plan time).
-    Seeding matches the coarse k-means: the k_sub lowest-id vectors'
-    subvectors seed singleton cells per subspace (cid = seed vec_id), so
-    every subspace trains on identical ids and the oracle unrolls the
-    same Lloyd recursion keyed by (sub, cid)."""
+    Seeding matches the coarse k-means: the k_sub lowest ids ACTUALLY
+    PRESENT seed singleton cells per subspace (cid = seed vec_id) via a
+    sort-limit, so every subspace trains on identical ids on any id
+    space — dense, sparse, or offset — and the oracle unrolls the same
+    Lloyd recursion keyed by (sub, cid)."""
     qv = quantize(embeddings, id_col, vec_col)
     return _pq_fit_qv(qv, n_sub, k_sub, iters, sub_dim)
 
@@ -194,7 +195,11 @@ def pq_fit(
 def _pq_fit_qv(
     qv: DataFrame, n_sub: int, k_sub: int, iters: int, sub_dim: int = 8
 ) -> tuple[DataFrame, DataFrame]:
-    seeds = qv.filter(F.col("vec_id") < k_sub)
+    # iters=0 would fall through the update loop with coded=None and
+    # crash downstream callers (ivf_pq_topk) far from the cause
+    if iters < 1:
+        raise ValueError(f"pq_fit requires iters >= 1, got {iters}")
+    seeds = qv.orderBy("vec_id").limit(k_sub)
     seed_long = seeds.select(
         "vec_id",
         F.posexplode(

@@ -64,7 +64,12 @@ def _kmeans_cte(k: int = _K, iters: int = _ITERS, where: str = "") -> str:
              CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 4096) AS BIGINT) AS q
       FROM embeddings {where}),
     av AS (SELECT vec_id, SUM(q*q) AS a FROM qv GROUP BY vec_id),
-    c0 AS (SELECT vec_id AS cid, pos, q AS s FROM qv WHERE vec_id < {k}),
+    -- seeds are the k lowest ids ACTUALLY PRESENT in the training
+    -- relation (mirrors kmeans_fit's sort-limit), not "id < k" — on a
+    -- sparse/offset id space the latter silently trains fewer cells
+    seed0 AS (SELECT DISTINCT vec_id FROM qv ORDER BY vec_id LIMIT {k}),
+    c0 AS (SELECT vec_id AS cid, pos, q AS s FROM qv
+           WHERE vec_id IN (SELECT vec_id FROM seed0)),
     m0 AS (SELECT cid, CAST(1 AS BIGINT) AS n, SUM(s*s) AS ss FROM c0 GROUP BY cid)"""
     ]
     for i in range(1, iters + 1):
@@ -284,8 +289,10 @@ def _pq_cte(
         + f"""sv AS (SELECT vec_id, pos // {sub_dim} AS sub,
                  pos % {sub_dim} AS spos, q FROM qv),
     pw AS (SELECT vec_id, sub, SUM(q*q) AS a FROM sv GROUP BY 1, 2),
+    -- k_sub lowest ids present (mirrors _pq_fit_qv's sort-limit)
+    pseed0 AS (SELECT DISTINCT vec_id FROM sv ORDER BY vec_id LIMIT {k_sub}),
     pc0 AS (SELECT sub, vec_id AS cid, spos, q AS s FROM sv
-            WHERE vec_id < {k_sub}),
+            WHERE vec_id IN (SELECT vec_id FROM pseed0)),
     pm0 AS (SELECT sub, cid, CAST(1 AS BIGINT) AS n,
                    SUM(CAST(s AS HUGEINT) * s) AS ss
             FROM pc0 GROUP BY 1, 2)"""

@@ -443,14 +443,18 @@ def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_value_recon",
     oracle="""
     WITH detail AS (
+      -- ROUND, not FLOOR: prices are doubles holding exact cent values,
+      -- so price*100 lands within an ulp of an integer — floor() drops
+      -- a cent whenever the error is negative (979.98 -> 97997), round()
+      -- recovers the exact integer on both engines
       SELECT l_orderkey AS okey,
-             CAST(SUM(CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) * 100)
+             CAST(SUM(CAST(ROUND(CAST(l_extendedprice AS DOUBLE) * 100)
                            AS BIGINT)) AS BIGINT) AS detail_cents,
              CAST(COUNT(*) AS BIGINT) AS n_lines
       FROM lineitem GROUP BY 1),
     joined AS (
       SELECT o.o_orderstatus AS status,
-             CAST(FLOOR(CAST(o.o_totalprice AS DOUBLE) * 100)
+             CAST(ROUND(CAST(o.o_totalprice AS DOUBLE) * 100)
                   AS BIGINT) AS header_cents,
              d.detail_cents, d.n_lines
       FROM orders o LEFT JOIN detail d ON o.o_orderkey = d.okey)
@@ -474,11 +478,14 @@ def q_value_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
     detail rows at all, how many disagree between the header total and
     the summed line totals, and the absolute drift in exact cents. One
     map-side-combined detail rollup, one key-equi join, one final
-    aggregate; every comparison is integer cents, so the mismatch
-    decision can never flip on a float ulp."""
+    aggregate; every comparison is integer cents. Cents come from
+    ROUND(price*100): the doubles hold exact cent values, so the product
+    sits within an ulp of an integer and round() recovers it exactly on
+    both engines — floor() would misreport a reconciling order by one
+    cent per line whenever the representation error is negative."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    cents = lambda c: F.floor(c.cast("double") * 100).cast("bigint")  # noqa: E731
+    cents = lambda c: F.round(c.cast("double") * 100).cast("bigint")  # noqa: E731
     detail = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
         F.sum(cents(F.col("l_extendedprice"))).cast("bigint").alias("detail_cents"),
         F.count(F.lit(1)).cast("bigint").alias("n_lines"),

@@ -117,3 +117,37 @@ def test_empty_cluster_drops_not_crashes(spark):
     assigned, centroids = kmeans_fit(df, k=3, iters=2)
     assert assigned.count() == 20
     assert centroids.count() <= 3
+
+
+def test_sparse_id_space_seeds_full_k(spark, emb):
+    """Seeding takes the k lowest ids ACTUALLY PRESENT (sort-limit), not
+    ``vec_id < k`` — on a sparse/offset id space the old predicate
+    silently trained fewer cells (the q_drift_cells even-id monitor
+    trained 4 of 8). Shifting every id by +1000 must leave the cluster
+    STRUCTURE identical: same seed rows, same members, ids offset."""
+    shifted = emb.withColumn("vec_id", F.col("vec_id") + 1000)
+    a0, c0 = kmeans_fit(emb, k=8, iters=1)
+    a1, c1 = kmeans_fit(shifted, k=8, iters=1)
+    assert c1.count() == c0.count()
+    r0 = sorted((r.vec_id + 1000, r.cid + 1000) for r in a0.collect())
+    r1 = sorted((r.vec_id, r.cid) for r in a1.collect())
+    assert r0 == r1
+
+
+def test_even_id_half_trains_k_cells(spark, emb):
+    """The drift-monitor shape: training on the even-id half must still
+    seed k cells (the 8 lowest even ids), not k/2."""
+    ref = emb.filter(F.col("vec_id") % 2 == 0)
+    _, cents = kmeans_fit(ref, k=8, iters=1)
+    cids = sorted(r.cid for r in cents.select("cid").collect())
+    assert len(cids) == 8
+    assert all(c % 2 == 0 for c in cids)
+
+
+def test_iters_zero_raises(spark, emb):
+    with pytest.raises(ValueError, match="iters"):
+        kmeans_fit(emb, k=4, iters=0)
+    from oic_options_chains_spark.operators.pq import pq_fit
+
+    with pytest.raises(ValueError, match="iters"):
+        pq_fit(emb, iters=0)
