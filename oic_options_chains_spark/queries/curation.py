@@ -599,6 +599,10 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_hll_merge",
     oracle=f"""
+    -- Output-type contract: HUGEINT intermediates are fine, but every
+    -- OUTPUT column must be CAST to BIGINT (the driver's pandas hash
+    -- path degrades HUGEINT to float64); tests/test_oracle_types.py
+    -- enforces this for all oracles.
     WITH h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h
                FROM events GROUP BY 1, 2),
     r AS (SELECT event_type,
@@ -673,6 +677,8 @@ def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_kmv_merge",
     oracle="""
+    -- Output-type contract: every output column CAST to BIGINT (see
+    -- q_hll_merge note; tests/test_oracle_types.py enforces it).
     WITH dv AS (SELECT DISTINCT event_type, user_id FROM events),
     f AS (
       SELECT event_type,
