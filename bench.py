@@ -87,6 +87,8 @@ HEADLINE = (
     "q_pit_join",
     "q_value_recon",
     "q_drift_cells",
+    # round-5 additions
+    "q_dsir_select",
 )
 
 # single-JVM local bench has ~±20-30% run-to-run noise (ambient load

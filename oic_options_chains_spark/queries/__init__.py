@@ -20,5 +20,6 @@ from oic_options_chains_spark.queries import layout as _layout  # noqa: E402,F40
 from oic_options_chains_spark.queries import lm as _lm  # noqa: E402,F401
 from oic_options_chains_spark.queries import maintenance as _maintenance  # noqa: E402,F401
 from oic_options_chains_spark.queries import scale as _scale  # noqa: E402,F401
+from oic_options_chains_spark.queries import selection as _selection  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE", "register"]

@@ -1,0 +1,112 @@
+"""Data-selection t2 queries: DSIR-style importance resampling over the
+documents corpus (operators/dsir.py).
+
+Setup shared by both queries: RAW = all documents, TARGET = the English
+documents (the domain being up-sampled). The DuckDB oracle rebuilds the
+identical hashed unigram+bigram bucket model and the identical
+floor-scaled integer ratios — no floats anywhere in the decision path,
+so values match bit-for-bit (see the operator module docstring).
+
+Output-type contract: HUGEINT intermediates are fine, but every output
+column is CAST to BIGINT/INT (tests/test_oracle_types.py enforces it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oic_options_chains_spark.operators.dsir import (
+    DSIR_BUCKETS,
+    DSIR_SCALE,
+    dsir_bucket_ratios,
+    dsir_select,
+)
+from oic_options_chains_spark.queries.registry import register
+from oic_options_chains_spark.sources.registry import load_table
+
+_TARGET_LANG = "en"
+_TOP_K = 50
+
+# Shared oracle prefix: per-doc hashed gram counts (t), the two bucket
+# distributions, totals, and the floor-scaled smoothed ratio table.
+_DSIR_CTE = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token,
+             unnest(range(0, len(string_split(lower(text), ' ')))) AS pos
+      FROM documents),
+    grams AS (
+      SELECT doc_id, token AS gram FROM tok
+      UNION ALL
+      SELECT a.doc_id, a.token || ' ' || b.token AS gram
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+    t AS (
+      SELECT doc_id,
+             CAST(CAST(concat('0x', substr(md5(gram), 1, 4)) AS INT)
+                  % {DSIR_BUCKETS} AS INT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS t
+      FROM grams GROUP BY 1, 2),
+    raw_c AS (SELECT bucket, CAST(SUM(t) AS BIGINT) AS c_raw
+              FROM t GROUP BY 1),
+    tgt_c AS (SELECT t.bucket, CAST(SUM(t.t) AS BIGINT) AS c_tgt
+              FROM t JOIN documents d ON t.doc_id = d.doc_id
+              WHERE d.lang = '{_TARGET_LANG}' GROUP BY 1),
+    stats AS (
+      SELECT r.bucket, r.c_raw,
+             CAST(COALESCE(g.c_tgt, 0) AS BIGINT) AS c_tgt
+      FROM raw_c r LEFT JOIN tgt_c g ON r.bucket = g.bucket),
+    tot AS (SELECT CAST(SUM(c_raw) AS BIGINT) AS n_raw,
+                   CAST(SUM(c_tgt) AS BIGINT) AS n_tgt FROM stats),
+    ratios AS (
+      SELECT bucket, c_raw, c_tgt,
+             CAST((CAST({DSIR_SCALE} AS HUGEINT) * (c_tgt + 1)
+                   * (n_raw + {DSIR_BUCKETS}))
+                  // (CAST(c_raw + 1 AS HUGEINT) * (n_tgt + {DSIR_BUCKETS}))
+                  AS BIGINT) AS ratio_sc
+      FROM stats CROSS JOIN tot)
+"""
+
+
+@register(
+    "q_dsir_ratios",
+    oracle=f"""
+    {_DSIR_CTE}
+    SELECT bucket, c_raw, c_tgt, ratio_sc FROM ratios
+    """,
+)
+def q_dsir_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR importance model itself: per-bucket raw/target hashed
+    unigram+bigram counts and the floor-scaled smoothed likelihood
+    ratio (Xie et al. 2023). B=256 rows — the entire model a 100 TB
+    selection run broadcasts; everything corpus-sized stays in the two
+    gram-count shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    return dsir_bucket_ratios(d, F.col("lang") == _TARGET_LANG)
+
+
+@register(
+    "q_dsir_select",
+    oracle=f"""
+    {_DSIR_CTE},
+    scored AS (
+      SELECT t.doc_id, CAST(SUM(t.t) AS BIGINT) AS n_grams,
+             SUM(CAST(t.t AS HUGEINT) * r.ratio_sc) AS num
+      FROM t JOIN ratios r ON t.bucket = r.bucket GROUP BY 1),
+    final AS (
+      SELECT doc_id, n_grams, CAST(num // n_grams AS BIGINT) AS dsir_score
+      FROM scored)
+    SELECT doc_id, n_grams, dsir_score, CAST(rank AS INT) AS rank FROM (
+      SELECT doc_id, n_grams, dsir_score,
+             row_number() OVER (ORDER BY dsir_score DESC, doc_id) AS rank
+      FROM final)
+    WHERE rank <= {_TOP_K}
+    """,
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection: the 50 documents whose hashed-gram distribution
+    is most English-target-like under the mean-likelihood-ratio score.
+    Ratio table broadcast onto per-doc counts, one doc-keyed aggregate,
+    then a sort-limit — the data-selection pass a pretraining pipeline
+    runs between crawl and tokenize."""
+    d = load_table(spark, sf_dir, "documents")
+    return dsir_select(d, F.col("lang") == _TARGET_LANG, k=_TOP_K)
