@@ -386,3 +386,67 @@ def systematic_weighted_sample(
         )
         .drop("__b", "__lcum", "__off")
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    group_col: str,
+    alpha_quarters: int = 2,
+    size_col: str | None = None,
+) -> DataFrame:
+    """Temperature-based mixture weights (mT5 / XLM-R alpha-sampling):
+    per group (language, source), the sampling share p_g proportional to
+    n_g^alpha — the standard rebalancing that up-samples low-resource
+    slices without letting the head slice drown them. Output: (group,
+    n, n_rows, nat_bp, weight_bp) with nat_bp the natural share and
+    weight_bp the temperature share, both floor-scaled basis points.
+
+    ``alpha_quarters`` is alpha in quarters — 1, 2, or 3 (0.25 / 0.5 /
+    0.75). Alpha is restricted to quarters BECAUSE of cross-engine
+    exactness: IEEE sqrt is correctly rounded (pow is not), so
+    n^(1/4) = sqrt(sqrt(n)), n^(1/2) = sqrt(n), and
+    n^(3/4) = sqrt(n) * sqrt(sqrt(n)) are fixed compositions of
+    correctly-rounded ops that every engine evaluates identically; a
+    general libm pow() would drift by last-ulp and break value-hash
+    parity. The denominator Σ_g n_g^alpha is summed by a LEFT FOLD over
+    the group-name-sorted array (double addition is not associative, so
+    the fold order is pinned; group counts are bounded, the array is
+    one row).
+
+    Scale: per-group sizes are a groups-sized aggregate (one map-side-
+    combined shuffle of the corpus); everything after is arithmetic on
+    that tiny relation — the weights table then broadcasts wherever the
+    mixture is applied (e.g. as ``mixture_sample`` weights)."""
+    assert alpha_quarters in (1, 2, 3), "alpha must be 1, 2, or 3 quarters"
+    size = F.sum(F.col(size_col)) if size_col else F.count(F.lit(1))
+    sizes = df.groupBy(group_col).agg(
+        size.cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    root = F.sqrt(F.col("n").cast("double"))
+    root4 = F.sqrt(root)
+    s = {1: root4, 2: root, 3: root * root4}[alpha_quarters]
+    with_s = sizes.withColumn("__s", s)
+    packed = with_s.agg(
+        F.sum("n").cast("bigint").alias("__tn"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(group_col, "__s"))),
+                lambda e: e["__s"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("__ts"),
+    )
+    return (
+        with_s.crossJoin(F.broadcast(packed))
+        .select(
+            group_col,
+            "n",
+            "n_rows",
+            F.expr("CAST(10000 * n div __tn AS BIGINT)").alias("nat_bp"),
+            F.floor(F.lit(10000.0) * F.col("__s") / F.col("__ts"))
+            .cast("bigint")
+            .alias("weight_bp"),
+        )
+    )

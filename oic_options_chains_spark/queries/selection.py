@@ -110,3 +110,35 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs between crawl and tokenize."""
     d = load_table(spark, sf_dir, "documents")
     return dsir_select(d, F.col("lang") == _TARGET_LANG, k=_TOP_K)
+
+
+@register(
+    "q_temperature_mix",
+    oracle="""
+    WITH sizes AS (
+      SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM documents GROUP BY 1),
+    s AS (SELECT lang, n, n_rows, sqrt(CAST(n AS DOUBLE)) AS s FROM sizes),
+    -- the fold over the lang-sorted list pins the double addition
+    -- order (matches the Spark-side sorted-array left fold)
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn,
+                   list_reduce(list(s ORDER BY lang), (a, b) -> a + b) AS ts
+            FROM s)
+    SELECT lang, n, n_rows,
+           CAST(10000 * n // tn AS BIGINT) AS nat_bp,
+           CAST(FLOOR(10000.0 * s / ts) AS BIGINT) AS weight_bp
+    FROM s CROSS JOIN tot
+    """,
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixture weights (mT5/XLM-R alpha-sampling, alpha=0.5)
+    per language, sized by characters: natural share vs temperature
+    share in basis points. sqrt is IEEE-correctly-rounded (unlike pow),
+    and the share denominator folds over the lang-sorted array, so both
+    engines produce the identical doubles and identical floors — the
+    derived weights feed ``mixture_sample`` as its static table."""
+    from oic_options_chains_spark.operators.sampling import temperature_weights
+
+    d = load_table(spark, sf_dir, "documents")
+    return temperature_weights(d, "lang", alpha_quarters=2, size_col="n_chars")

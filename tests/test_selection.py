@@ -83,3 +83,54 @@ def test_select_plan_shape(corpus):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert "Python" not in plan  # stays JVM-side end to end
+
+
+@pytest.fixture(scope="module")
+def langs(spark):
+    rows = [(i, "en", 100) for i in range(80)] + [
+        (100 + i, "mi", 100) for i in range(5)
+    ] + [(200 + i, "fr", 100) for i in range(15)]
+    return spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+
+
+def test_temperature_flattens_toward_low_resource(langs):
+    from oic_options_chains_spark.operators.sampling import temperature_weights
+
+    w = {
+        r.lang: r
+        for r in temperature_weights(
+            langs, "lang", alpha_quarters=2, size_col="n_chars"
+        ).collect()
+    }
+    # low-resource slice gains share, head slice loses share
+    assert w["mi"].weight_bp > w["mi"].nat_bp
+    assert w["en"].weight_bp < w["en"].nat_bp
+    # shares are basis points summing to ~10000 (floor slack < n_groups)
+    tot = sum(r.weight_bp for r in w.values())
+    assert 10000 - len(w) < tot <= 10000
+
+
+def test_temperature_alpha_monotone(langs):
+    """Lower alpha flattens harder: the low-resource share is monotone
+    decreasing in alpha (0.25 > 0.5 > 0.75)."""
+    from oic_options_chains_spark.operators.sampling import temperature_weights
+
+    shares = [
+        {
+            r.lang: r.weight_bp
+            for r in temperature_weights(
+                langs, "lang", alpha_quarters=q, size_col="n_chars"
+            ).collect()
+        }
+        for q in (1, 2, 3)
+    ]
+    assert shares[0]["mi"] > shares[1]["mi"] > shares[2]["mi"]
+    assert shares[0]["en"] < shares[1]["en"] < shares[2]["en"]
+
+
+def test_temperature_partition_invariant(langs):
+    from oic_options_chains_spark.operators.sampling import temperature_weights
+
+    a = temperature_weights(langs.repartition(1), "lang", 2, "n_chars")
+    b = temperature_weights(langs.repartition(7, "doc_id"), "lang", 2, "n_chars")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
