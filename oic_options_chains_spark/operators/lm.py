@@ -190,3 +190,72 @@ def bigram_coverage(
             F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
         )
     )
+
+
+def lm_quality_scores(
+    df: DataFrame,
+    scale: int = 1 << 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al. 2020), log-free:
+    train an add-1-smoothed bigram model on the corpus itself and score
+    every document by its mean scaled bigram probability — fluent text
+    scores high, shredded boilerplate/garbage scores low, and the score
+    feeds the head/middle/tail quality split exactly like CCNet's
+    KenLM perplexity buckets.
+
+    (id, n_bigrams, lm_score) with
+        p_sc(w1 w2) = floor( S * (c2(w1,w2)+1) / (c1(w1)+V) )
+        lm_score    = floor( Σ p_sc / n_bigrams )
+    where c1 is the bigram-PREFIX count (Σ_w2 c2), V the prefix vocab
+    size, S = 2^20. All integer multiply + integer division in
+    decimal(38,0) — no logarithm, no float, so the DuckDB oracle matches
+    bit-for-bit (the perplexity ordering is the monotone image of the
+    mean-probability ordering a consumer can log engine-locally).
+    Single-token documents have no bigrams and are absent from the
+    output (no evidence either way — callers treat missing as neutral).
+
+    Scale shape: adjacent pairs come from the shift-zip (shuffle-free);
+    the model is a vocabulary²-bounded (Zipf-tiny) aggregate of those
+    pairs; scoring joins the pairs against the model on (w1, w2) — the
+    model side is counts, not corpus, so AQE broadcasts it when small
+    and co-shuffles otherwise — then one doc-keyed aggregate."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    dp = df.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, n1),
+                F.slice(toks, 2, n1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select(id_col, "p.w1", "p.w2")
+    c2 = dp.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("c1"))
+    v = c1.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    model = (
+        c2.join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "w1",
+            "w2",
+            (dec(F.col("c2") + 1) * dec(F.lit(scale))).alias("__num"),
+            dec(F.col("c1") + F.col("v")).alias("__den"),
+        )
+        .selectExpr("w1", "w2", "CAST(__num div __den AS BIGINT) AS p_sc")
+    )
+    return (
+        dp.join(model, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum(dec(F.col("p_sc"))).alias("__t"),
+        )
+        .selectExpr(
+            id_col, "n_bigrams", "CAST(__t div n_bigrams AS BIGINT) AS lm_score"
+        )
+    )

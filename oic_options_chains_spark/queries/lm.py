@@ -178,3 +178,45 @@ def q_cooccur_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_cooccurrence(
         d, "doc_id", "text", min_df=25, max_per_doc=20, min_pair=10
     )
+
+
+@register(
+    "q_lm_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token,
+             unnest(range(0, len(string_split(lower(text), ' ')))) AS pos
+      FROM documents),
+    dp AS (
+      SELECT a.doc_id, a.token AS w1, b.token AS w2
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+           FROM dp GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+    v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM c1),
+    model AS (
+      SELECT c2.w1, c2.w2,
+             CAST((CAST(c2 + 1 AS HUGEINT) * 1048576)
+                  // CAST(c1 + v AS HUGEINT) AS BIGINT) AS p_sc
+      FROM c2 JOIN c1 ON c2.w1 = c1.w1 CROSS JOIN v),
+    scored AS (
+      SELECT dp.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             SUM(CAST(p_sc AS HUGEINT)) AS t
+      FROM dp JOIN model ON dp.w1 = model.w1 AND dp.w2 = model.w2
+      GROUP BY 1)
+    SELECT doc_id, n_bigrams,
+           CAST(t // n_bigrams AS BIGINT) AS lm_score
+    FROM scored
+    """,
+)
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality score per document (Wenzek et al. 2020):
+    mean scaled add-1 bigram probability under the corpus's own bigram
+    model — the perplexity-bucket signal, computed log-free in exact
+    integers (operators/lm.lm_quality_scores). The model is a Zipf-tiny
+    count table; the corpus pays the pair shuffle, the model join, and
+    one doc-keyed aggregate."""
+    from oic_options_chains_spark.operators.lm import lm_quality_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    return lm_quality_scores(d)

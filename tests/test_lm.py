@@ -72,3 +72,38 @@ def test_bigram_pairs_stay_within_document(spark):
     assert ("end", "start") in pairs  # from docs 3 and 4 only, count 2
     row = got.filter(F.col("token") == "end").collect()[0]
     assert row.pair_n == 2
+
+
+def test_lm_score_ranks_fluent_above_garbage(spark):
+    from oic_options_chains_spark.operators.lm import lm_quality_scores
+
+    common = "the cat sat on the mat"
+    rows = (
+        # corpus body: repeated fluent pattern trains the model
+        [(i, common) for i in range(20)]
+        # fluent candidate reuses trained bigrams; garbage never seen
+        + [(100, common), (101, "qq zz xx vv qq ww")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    s = {r.doc_id: r.lm_score for r in lm_quality_scores(df).collect()}
+    assert s[100] > s[101]
+
+
+def test_lm_score_excludes_single_token_docs(spark):
+    from oic_options_chains_spark.operators.lm import lm_quality_scores
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "loner")], "doc_id long, text string"
+    )
+    out = lm_quality_scores(df).collect()
+    assert [r.doc_id for r in out] == [1]
+
+
+def test_lm_score_partition_invariant(spark):
+    from oic_options_chains_spark.operators.lm import lm_quality_scores
+
+    rows = [(i, f"tok{i % 7} tok{(i + 1) % 7} tok{(i + 2) % 5}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = lm_quality_scores(df.repartition(1)).collect()
+    b = lm_quality_scores(df.repartition(9, "text")).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
