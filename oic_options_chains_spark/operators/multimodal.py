@@ -5,15 +5,21 @@ A 100 TB training-data pipeline carries media as ``binary`` columns with
 a typed metadata struct alongside — never decoded in the plan until a
 kernel needs pixels. The Spark-side plumbing here (schemas, Arrow batch
 shapes, mapInPandas signatures, zero-shuffle placement) is real and
-tested; the codec step itself is STUBBED because no image/audio library
-ships in this container:
+tested, and so is the codec step for the formats a stdlib build can
+decode honestly (``operators/codecs.py``):
 
-- ``decode_media`` with ``fake=False`` raises ``NotImplementedError`` at
-  the exact seam where Pillow/torchaudio/PyAV would slot in;
-- ``fake=True`` (the default, used by tests) derives deterministic
+- ``decode_media(fake=False)`` / ``resize_images(fake=False)`` run a
+  complete baseline PNG codec (zlib inflate, all five scanline filters,
+  CRC verification); ``decode_audio`` parses RIFF/WAVE PCM-16. Rows
+  that fail to decode carry NULL stats (or drop, for resize) — the
+  quarantine-friendly shape.
+- JPEG/GIF/video remain behind the same seam awaiting a real library
+  (an entropy decoder is a library, not a function); ``sniff_format``
+  routes blobs before any kernel runs.
+- ``fake=True`` (the default in schema tests) derives deterministic
   "decoded" stats from the bytes themselves (md5-seeded), so the full
   distributed path — batch iteration, struct results, frame explode — is
-  exercised end-to-end with stable assertions.
+  exercised end-to-end with stable assertions even without pixels.
 
 Scale notes: kernels run ``mapInPandas`` where the scan ran (no shuffle);
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds per-batch memory,
@@ -128,22 +134,31 @@ def _fake_image_stats(blob: bytes, dims: int) -> tuple[int, int, float, list[flo
 def decode_media(df: DataFrame, fake: bool = True, feature_dims: int = 8) -> DataFrame:
     """Decode + feature-extract images: ``MEDIA`` rows -> ``IMAGE_FEATURES``.
 
-    ``fake=False`` is the production seam: it raises until a real codec
-    (Pillow/libvips) is installed on the executors.
+    ``fake=False`` runs the REAL dependency-free PNG codec
+    (``operators/codecs.py``: stdlib zlib inflate + all five scanline
+    filters, CRC-verified) — integer Rec.601 luma and a mean-luma grid
+    feature. Rows whose blob fails to decode (non-PNG format, malformed
+    chunk) keep their media_id with NULL stats — the quarantine-friendly
+    shape; route known-other formats to their own kernels via
+    ``sniff_format`` upstream. ``fake=True`` keeps the md5-seeded
+    deterministic stand-in for library-free schema tests.
     """
-    if not fake:
-        raise NotImplementedError(
-            "real image decode needs Pillow/libvips on the executors; "
-            "this container ships none (STUB seam — wire the codec here)"
-        )
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        from oic_options_chains_spark.operators.codecs import image_stats
+
         for pdf in batches:
             out = []
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
-                w, h, luma, feat = _fake_image_stats(bytes(blob), feature_dims)
+                if fake:
+                    w, h, luma, feat = _fake_image_stats(bytes(blob), feature_dims)
+                else:
+                    try:
+                        w, h, luma, feat = image_stats(bytes(blob), feature_dims)
+                    except ValueError:
+                        w = h = luma = feat = None
                 out.append(
                     {
                         "media_id": mid,
@@ -159,12 +174,12 @@ def decode_media(df: DataFrame, fake: bool = True, feature_dims: int = 8) -> Dat
 
 
 def resize_images(df: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
-    """Resize kernel: same plumbing, new binary out. The fake keeps the
-    bytes opaque (digest-stamped) but the schema/flow is the real one."""
-    if not fake:
-        raise NotImplementedError(
-            "real resize needs an image codec on the executors (STUB seam)"
-        )
+    """Resize kernel: same plumbing, new binary out. ``fake=False`` runs
+    the real codec path — PNG decode, deterministic nearest-neighbor
+    resample, PNG re-encode (``operators/codecs.py``); rows that fail to
+    decode are DROPPED (quarantine upstream via ``sniff_format``). The
+    fake keeps the bytes opaque (digest-stamped) but the schema/flow is
+    the real one."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -175,19 +190,74 @@ def resize_images(df: DataFrame, width: int, height: int, fake: bool = True) -> 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        from oic_options_chains_spark.operators.codecs import (
+            decode_png,
+            encode_png,
+            resize_nearest,
+        )
+
         for pdf in batches:
-            rows = [
-                {
-                    "media_id": mid,
-                    "content": hashlib.md5(
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                if fake:
+                    content = hashlib.md5(
                         bytes(blob) + f":{width}x{height}".encode()
-                    ).digest(),
-                }
-                for mid, blob in zip(pdf["media_id"], pdf["content"])
-            ]
+                    ).digest()
+                else:
+                    try:
+                        px = decode_png(bytes(blob))
+                    except ValueError:
+                        continue
+                    content = encode_png(resize_nearest(px, width, height))
+                rows.append({"media_id": mid, "content": content})
             yield pd.DataFrame(rows, columns=out_schema.fieldNames())
 
     return df.select("media_id", "content").mapInPandas(run, out_schema)
+
+
+AUDIO_FEATURES = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("peak_abs", T.IntegerType(), True),
+        T.StructField("mean_abs_e3", T.LongType(), True),
+    ]
+)
+
+
+def decode_audio(df: DataFrame) -> DataFrame:
+    """Real WAV PCM-16 decode (``operators/codecs.decode_wav`` — struct
+    parsing, no library): per blob, sample rate, per-channel sample
+    count, and integer loudness stats (peak and 1000x-scaled mean
+    absolute amplitude — exact, no float) for ASR-prep quality gates.
+    Non-WAV / malformed rows keep their id with NULL stats. Same
+    zero-shuffle mapInPandas placement as ``decode_media``."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from oic_options_chains_spark.operators.codecs import wav_stats
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    rate, n, peak, mean_e3 = wav_stats(bytes(blob))
+                except ValueError:
+                    rate = n = peak = mean_e3 = None
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "sample_rate": rate,
+                        "n_samples": n,
+                        "peak_abs": peak,
+                        "mean_abs_e3": mean_e3,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=AUDIO_FEATURES.fieldNames())
+
+    return df.select("media_id", "content").mapInPandas(run, AUDIO_FEATURES)
 
 
 def sample_frames(df: DataFrame, frame_bytes: int = 256, every_n: int = 2) -> DataFrame:

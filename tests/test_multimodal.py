@@ -40,11 +40,15 @@ def test_decode_media_schema_and_determinism(media):
     assert all(16 <= r.width < 80 for r in rows.values())
 
 
-def test_real_decode_is_marked_stub(media):
-    with pytest.raises(NotImplementedError, match="STUB seam"):
-        decode_media(media, fake=False)
-    with pytest.raises(NotImplementedError, match="STUB seam"):
-        resize_images(media, 32, 32, fake=False)
+def test_real_decode_quarantines_undecodable_blobs(media):
+    """fake=False is a REAL PNG codec now (operators/codecs.py); these
+    fixture blobs are not PNGs, so every row keeps its id with NULL
+    stats (decode_media) or drops (resize_images) — the quarantine
+    shape, never an exception mid-job."""
+    feats = decode_media(media, fake=False).collect()
+    assert len(feats) == 20
+    assert all(r.width is None and r.feature is None for r in feats)
+    assert resize_images(media, 32, 32, fake=False).count() == 0
 
 
 def test_resize_preserves_ids_and_changes_bytes(media):
