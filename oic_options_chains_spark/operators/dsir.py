@@ -108,16 +108,25 @@ def hashed_gram_counts(
     )
 
 
-def _ratios_from_counts(counts: DataFrame, n_buckets: int, scale: int) -> DataFrame:
-    """(bucket, c_raw, c_tgt, ratio_sc) from the tagged gram counts —
-    one B-row conditional-sum aggregate, one one-row total, broadcast
-    combine."""
-    stats = counts.groupBy("bucket").agg(
+def bucket_stats(counts: DataFrame) -> DataFrame:
+    """(bucket, c_raw, c_tgt) from tagged gram counts — one B-row
+    conditional-sum aggregate. ADDITIVE (mergeable): stats over disjoint
+    corpus slices sum bucket-wise to the stats of the union, which is
+    what lets the streaming side (streaming/selection_stream.py)
+    accumulate per-batch partials instead of reprocessing history."""
+    return counts.groupBy("bucket").agg(
         F.sum("t").cast("bigint").alias("c_raw"),
         F.sum(F.when(F.col("is_tgt"), F.col("t")).otherwise(0))
         .cast("bigint")
         .alias("c_tgt"),
     )
+
+
+def ratios_from_stats(stats: DataFrame, n_buckets: int = DSIR_BUCKETS, scale: int = DSIR_SCALE) -> DataFrame:
+    """(bucket, c_raw, c_tgt, ratio_sc) from (bucket, c_raw, c_tgt) —
+    the floor-scaled smoothed likelihood ratio, shared verbatim by the
+    batch fit and the streaming model reader so the two can never
+    drift."""
     tot = stats.agg(
         F.sum("c_raw").alias("n_raw"), F.sum("c_tgt").alias("n_tgt")
     )
@@ -149,7 +158,7 @@ def dsir_bucket_ratios(
     likelihood ratio. B rows total; everything past the gram-count
     shuffle is aggregate-of-B-rows work."""
     counts = hashed_gram_counts(df, target, n_buckets, id_col, text_col)
-    return _ratios_from_counts(counts, n_buckets, scale)
+    return ratios_from_stats(bucket_stats(counts), n_buckets, scale)
 
 
 def dsir_scores(
@@ -165,7 +174,7 @@ def dsir_scores(
     table is broadcast; the corpus pays the shared gram-count shuffle
     plus one doc-keyed aggregation."""
     counts = hashed_gram_counts(df, target, n_buckets, id_col, text_col)
-    ratios = _ratios_from_counts(counts, n_buckets, scale).select(
+    ratios = ratios_from_stats(bucket_stats(counts), n_buckets, scale).select(
         "bucket", "ratio_sc"
     )
     scored = counts.join(F.broadcast(ratios), "bucket")
