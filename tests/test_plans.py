@@ -262,3 +262,18 @@ def test_knn_triangle_candidates_are_bucket_equi_join(spark, sf_dir):
         plan = _plan(bucketed_knn_edges(emb, k=6, bits=4, broadcast_candidates=bc))
         assert "BroadcastNestedLoopJoin" not in plan
         assert "__b" in plan  # the bucket key appears as a join key
+
+
+def test_round5_selection_plans(spark, sf_dir):
+    """Round-5 data-selection additions: fully JVM-side, no cartesian
+    blowup (the only nested-loop joins are broadcast one-row/model-row
+    combines), DSIR selection is a sort-limit, and the DSIR ratio table
+    joins back by BROADCAST (a shuffled model join would reshuffle the
+    corpus-sized gram counts for a 256-row side)."""
+    for name in ("q_dsir_ratios", "q_dsir_select", "q_temperature_mix", "q_lm_score"):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    sel = _plan(QUERIES["q_dsir_select"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in sel
+    assert "BroadcastHashJoin" in sel  # ratio_sc joins the counts broadcast
