@@ -89,6 +89,7 @@ HEADLINE = (
     "q_drift_cells",
     # round-5 additions
     "q_dsir_select",
+    "q_selection_build",
 )
 
 # single-JVM local bench has ~±20-30% run-to-run noise (ambient load

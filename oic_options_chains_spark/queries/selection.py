@@ -142,3 +142,100 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return temperature_weights(d, "lang", alpha_quarters=2, size_col="n_chars")
+
+
+_LM_GATE = 35500  # scaled mean bigram probability; ~ the 30th pctile
+
+
+@register(
+    "q_selection_build",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token,
+             unnest(range(0, len(string_split(lower(text), ' ')))) AS pos
+      FROM documents),
+    dp AS (
+      SELECT a.doc_id, a.token AS w1, b.token AS w2
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+           FROM dp GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+    v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM c1),
+    lmodel AS (
+      SELECT c2.w1, c2.w2,
+             CAST((CAST(c2 + 1 AS HUGEINT) * 1048576)
+                  // CAST(c1 + v AS HUGEINT) AS BIGINT) AS p_sc
+      FROM c2 JOIN c1 ON c2.w1 = c1.w1 CROSS JOIN v),
+    lms AS (
+      SELECT dp.doc_id,
+             CAST(SUM(CAST(p_sc AS HUGEINT))
+                  // COUNT(*) AS BIGINT) AS lm_score
+      FROM dp JOIN lmodel ON dp.w1 = lmodel.w1 AND dp.w2 = lmodel.w2
+      GROUP BY 1),
+    surv AS (
+      SELECT d.doc_id, d.lang, d.source, l.lm_score
+      FROM documents d JOIN lms l ON d.doc_id = l.doc_id
+      WHERE l.lm_score >= {_LM_GATE}),
+    sgrams AS (
+      SELECT t.doc_id, t.token AS gram FROM tok t
+      JOIN surv s ON t.doc_id = s.doc_id
+      UNION ALL
+      SELECT a.doc_id, a.token || ' ' || b.token AS gram
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      JOIN surv s ON a.doc_id = s.doc_id),
+    st AS (
+      SELECT doc_id,
+             CAST(CAST(concat('0x', substr(md5(gram), 1, 4)) AS INT)
+                  % {DSIR_BUCKETS} AS INT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS t
+      FROM sgrams GROUP BY 1, 2),
+    raw_c AS (SELECT bucket, CAST(SUM(t) AS BIGINT) AS c_raw
+              FROM st GROUP BY 1),
+    tgt_c AS (SELECT st.bucket, CAST(SUM(st.t) AS BIGINT) AS c_tgt
+              FROM st JOIN surv s ON st.doc_id = s.doc_id
+              WHERE s.lang = '{_TARGET_LANG}' GROUP BY 1),
+    stats AS (
+      SELECT r.bucket, r.c_raw,
+             CAST(COALESCE(g.c_tgt, 0) AS BIGINT) AS c_tgt
+      FROM raw_c r LEFT JOIN tgt_c g ON r.bucket = g.bucket),
+    tot AS (SELECT CAST(SUM(c_raw) AS BIGINT) AS n_raw,
+                   CAST(SUM(c_tgt) AS BIGINT) AS n_tgt FROM stats),
+    ratios AS (
+      SELECT bucket,
+             CAST((CAST({DSIR_SCALE} AS HUGEINT) * (c_tgt + 1)
+                   * (n_raw + {DSIR_BUCKETS}))
+                  // (CAST(c_raw + 1 AS HUGEINT) * (n_tgt + {DSIR_BUCKETS}))
+                  AS BIGINT) AS ratio_sc
+      FROM stats CROSS JOIN tot),
+    dscored AS (
+      SELECT st.doc_id,
+             CAST(SUM(CAST(st.t AS HUGEINT) * r.ratio_sc)
+                  // SUM(st.t) AS BIGINT) AS dsir_score
+      FROM st JOIN ratios r ON st.bucket = r.bucket GROUP BY 1),
+    ranked AS (
+      SELECT s.doc_id, s.lang, s.source, s.lm_score, d.dsir_score,
+             row_number() OVER (ORDER BY d.dsir_score DESC, s.doc_id) AS rank
+      FROM surv s JOIN dscored d ON s.doc_id = d.doc_id)
+    SELECT doc_id, lang, source, lm_score, dsir_score,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {_TOP_K}
+    """,
+)
+def q_selection_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 composed flagship — the data-selection pass end to end:
+    (1) gate documents on the corpus-trained LM quality score (CCNet
+    perplexity-bucket analog, operators/lm.lm_quality_scores), then
+    (2) DSIR-select the 50 most English-target-like survivors
+    (operators/dsir.dsir_select), carrying lang/source/both scores for
+    the mixture report downstream. One registry entry exercises the two
+    models COMPOSED — gate feeding selection — with a single oracle
+    hash across the whole pipeline."""
+    from oic_options_chains_spark.operators.lm import lm_quality_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    lm = lm_quality_scores(d).filter(F.col("lm_score") >= _LM_GATE)
+    surv = d.join(lm.select("doc_id", "lm_score"), "doc_id")
+    sel = dsir_select(surv, F.col("lang") == _TARGET_LANG, k=_TOP_K)
+    return sel.join(
+        surv.select("doc_id", "lang", "source", "lm_score"), "doc_id"
+    ).select("doc_id", "lang", "source", "lm_score", "dsir_score", "rank")
