@@ -92,6 +92,8 @@ def decode_png(blob: bytes) -> np.ndarray:
             break
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
+    if len(ihdr) != 13:
+        raise ValueError(f"malformed PNG IHDR ({len(ihdr)} bytes)")
     w, h, depth, color_type, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr
     )
@@ -99,6 +101,10 @@ def decode_png(blob: bytes) -> np.ndarray:
         raise ValueError(
             f"unsupported PNG (depth={depth} interlace={interlace})"
         )
+    if w == 0 or h == 0:
+        # the spec requires nonzero dimensions; an empty pixel array
+        # would propagate NaN stats instead of quarantining
+        raise ValueError(f"invalid PNG dimensions {w}x{h}")
     if color_type not in _CHANNELS:
         raise ValueError(f"unsupported PNG color type {color_type}")
     c = _CHANNELS[color_type]
@@ -118,23 +124,28 @@ def decode_png(blob: bytes) -> np.ndarray:
         prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
         if f == 0:
             cur = row
-        elif f == 1:  # Sub: prefix sum per bpp lane
+        elif f == 1:  # Sub: prefix sum per bpp lane — modular addition
+            # is associative, so masking once at the end is exact
             cur = row.reshape(w, c).cumsum(axis=0).reshape(stride)
-        elif f == 2:  # Up
+        elif f == 2:  # Up — same associativity argument
             cur = row + prev
-        elif f in (3, 4):  # Average / Paeth: sequential left-dependency
+        elif f in (3, 4):  # Average / Paeth: sequential left-dependency.
+            # The left neighbor 'a' MUST be the reconstructed byte
+            # (mod 256) — Average's >>1 and Paeth's abs() are nonlinear,
+            # so an unmasked accumulator decodes silently-wrong pixels
+            # (e.g. off by 128 whenever the previous byte wrapped).
             cur = np.zeros(stride, np.int32)
             for x in range(stride):
                 a = cur[x - c] if x >= c else 0
                 b = prev[x]
                 if f == 3:
-                    cur[x] = row[x] + ((a + b) >> 1)
+                    cur[x] = (row[x] + ((a + b) >> 1)) & 0xFF
                 else:
                     cc = prev[x - c] if x >= c else 0
                     p = a + b - cc
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
                     pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
-                    cur[x] = row[x] + pred
+                    cur[x] = (row[x] + pred) & 0xFF
         else:
             raise ValueError(f"unknown PNG filter {f}")
         out[y] = (cur & 0xFF).astype(np.uint8)
@@ -193,6 +204,10 @@ def decode_wav(blob: bytes) -> tuple[int, int, np.ndarray]:
         pos += 8 + length + (length & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if len(fmt) < 16:
+        # struct.error is NOT a ValueError — an unguarded unpack here
+        # would escape the kernels' quarantine catch and fail the job
+        raise ValueError(f"malformed WAV fmt chunk ({len(fmt)} bytes)")
     tag_, n_ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", fmt[:16])
     if tag_ != 1 or bits != 16:
         raise ValueError(f"unsupported WAV (format={tag_} bits={bits})")

@@ -81,21 +81,14 @@ def hashed_gram_counts(
     its own shift; the only exchange is the (doc, bucket) aggregation
     with map-side combine (is_tgt is constant per doc, so adding it to
     the key changes no cardinality)."""
-    toks = df.select(
+    from oic_options_chains_spark.operators.text import bigram_strings, tokens
+
+    grams = df.select(
         F.col(id_col),
         target.alias("is_tgt"),
-        F.split(F.lower(F.col(text_col)), " ").alias("toks"),
-    )
-    n1 = F.greatest(F.size("toks") - 1, F.lit(0))
-    bigrams = F.zip_with(
-        F.slice(F.col("toks"), 1, n1),
-        F.slice(F.col("toks"), 2, n1),
-        lambda a, b: F.concat_ws(" ", a, b),
-    )
-    grams = toks.select(
-        F.col(id_col),
-        F.col("is_tgt"),
-        F.explode(F.concat(F.col("toks"), bigrams)).alias("gram"),
+        F.explode(
+            F.concat(tokens(F.col(text_col)), bigram_strings(F.col(text_col)))
+        ).alias("gram"),
     )
     return (
         grams.select(

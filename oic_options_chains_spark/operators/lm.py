@@ -80,19 +80,17 @@ def bigram_next_token(
     table of a bigram LM (contamination probes, cheap perplexity
     proxies, autocomplete-style QA of a corpus).
 
-    Adjacent pairs come from zipping the token array against itself
-    shifted by one — shuffle-free until the pair-count aggregate, which
-    lands on vocabulary-squared-bounded (in practice Zipf-tiny) keys."""
-    toks = F.split(F.lower(F.col(text_col)), " ")
+    Adjacent pairs come from the shared shift-zip builder
+    (``text.adjacent_pairs``) — shuffle-free until the pair-count
+    aggregate, which lands on vocabulary-squared-bounded (in practice
+    Zipf-tiny) keys."""
+    from oic_options_chains_spark.operators.text import adjacent_pairs
+
     pairs = df.select(
-        F.explode(
-            F.zip_with(
-                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-                lambda a, b: F.struct(a.alias("token"), b.alias("next_token")),
-            )
-        ).alias("p")
-    ).select("p.token", "p.next_token")
+        F.explode(adjacent_pairs(F.col(text_col))).alias("p")
+    ).select(
+        F.col("p.w1").alias("token"), F.col("p.w2").alias("next_token")
+    )
     counts = pairs.groupBy("token", "next_token").agg(
         F.count(F.lit(1)).alias("pair_n")
     )
@@ -156,16 +154,11 @@ def bigram_coverage(
     on the bigram — Zipf-small reference relation, broadcastable), then
     a per-document count/sum. Documents with fewer than two tokens keep
     (0, 0) via the final left join from the input relation."""
-    toks = F.split(F.lower(F.col(text_col)), " ")
+    from oic_options_chains_spark.operators.text import bigram_strings
+
     pairs = df.select(
         F.col(id_col),
-        F.explode(
-            F.zip_with(
-                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-                lambda a, b: F.concat_ws(" ", a, b),
-            )
-        ).alias("bigram"),
+        F.explode(bigram_strings(F.col(text_col))).alias("bigram"),
     )
     ref = (
         pairs.groupBy("bigram")
@@ -221,17 +214,10 @@ def lm_quality_scores(
     pairs; scoring joins the pairs against the model on (w1, w2) — the
     model side is counts, not corpus, so AQE broadcasts it when small
     and co-shuffles otherwise — then one doc-keyed aggregate."""
-    toks = F.split(F.lower(F.col(text_col)), " ")
-    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    from oic_options_chains_spark.operators.text import adjacent_pairs
+
     dp = df.select(
-        F.col(id_col),
-        F.explode(
-            F.zip_with(
-                F.slice(toks, 1, n1),
-                F.slice(toks, 2, n1),
-                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-            )
-        ).alias("p"),
+        F.col(id_col), F.explode(adjacent_pairs(F.col(text_col))).alias("p")
     ).select(id_col, "p.w1", "p.w2")
     c2 = dp.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
     c1 = c2.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("c1"))

@@ -36,6 +36,30 @@ def token_count_ws(text: Column) -> Column:
     return F.size(tokens(text)).cast("bigint")
 
 
+def adjacent_pairs(text: Column) -> Column:
+    """array<struct<w1, w2>> of adjacent token pairs, shuffle-free: the
+    token array zipped against its own shift. THE shared bigram builder
+    — lm.bigram_next_token / lm.lm_quality_scores / lm.bigram_coverage /
+    dsir.hashed_gram_counts all consume this one definition, so the
+    tokenize-and-pair semantics (including the empty/one-token guard)
+    cannot drift apart from the DuckDB oracles that replay them."""
+    toks = tokens(text)
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+
+
+def bigram_strings(text: Column) -> Column:
+    """array<string> of adjacent bigrams as "w1 w2" strings (the hashed
+    n-gram / coverage form of ``adjacent_pairs``)."""
+    return F.transform(
+        adjacent_pairs(text), lambda p: F.concat_ws(" ", p["w1"], p["w2"])
+    )
+
+
 def token_count_re(text: Column, pattern: str = "[a-z0-9]+") -> Column:
     """Regex (BPE-ish word-piece) token count."""
     return F.regexp_count(F.lower(text), F.lit(pattern)).cast("bigint")

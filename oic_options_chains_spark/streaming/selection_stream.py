@@ -18,10 +18,12 @@ This is the standard idempotent-additive-sink pattern; the reader
 simply sums bucket-wise (``bucket_stats`` is mergeable by design).
 
 State size: n_batches x B rows of integers — model-sized, never
-data-sized. ``compact_model`` folds committed batch partials into one
-``batch=compacted`` partial (itself keyed, itself idempotent) when the
-directory count matters; correctness never depends on compaction
-because addition is associative.
+data-sized. ``compact_model`` folds batch partials into a versioned
+``compacted-v=<n>`` base committed by an atomic pointer whose manifest
+records the folded batch ids — so a batch replayed AFTER compaction
+(written, crashed before checkpoint commit, drained again) is skipped
+by the reader instead of double-counted. Correctness never depends on
+compaction because addition is associative.
 """
 
 from __future__ import annotations
@@ -90,12 +92,39 @@ def run_incremental_dsir_model(
     )
 
 
+def _compaction_state(model_dir: str) -> tuple[int, set[int]] | None:
+    """(version, included batch ids) of the committed compaction, or
+    None. Explicit pointer-file probe (the ``sketch_stream`` pattern) —
+    never except-around-read."""
+    path = os.path.join(model_dir, "_COMPACTED")
+    if not os.path.isfile(path):
+        return None
+    import json
+
+    with open(path) as fh:
+        state = json.load(fh)
+    return int(state["version"]), set(int(b) for b in state["included"])
+
+
 def read_model_stats(spark: SparkSession, model_dir: str) -> DataFrame:
-    """(bucket, c_raw, c_tgt) summed over every committed batch partial
-    — a model-sized read (n_batches x B rows in, B rows out)."""
-    parts = spark.read.schema(_STATS_SCHEMA).parquet(
-        os.path.join(model_dir, "batch=*")
-    )
+    """(bucket, c_raw, c_tgt) summed over the committed compacted base
+    (if any) plus every batch partial NOT folded into it — a model-sized
+    read (n_batches x B rows in, B rows out).
+
+    Excluding included ids is what keeps compaction exactly-once: a
+    batch REPLAYED after compaction rewrites its ``batch=<id>``
+    directory, but its id is in the compacted manifest, so the reader
+    ignores the rewrite instead of double-counting it."""
+    comp = _compaction_state(model_dir)
+    included: set[int] = comp[1] if comp else set()
+    paths = [
+        os.path.join(model_dir, n)
+        for n in os.listdir(model_dir)
+        if n.startswith("batch=") and int(n.split("=", 1)[1]) not in included
+    ]
+    if comp is not None:
+        paths.append(os.path.join(model_dir, f"compacted-v={comp[0]}"))
+    parts = spark.read.schema(_STATS_SCHEMA).parquet(*paths)
     return parts.groupBy("bucket").agg(
         F.sum("c_raw").cast("bigint").alias("c_raw"),
         F.sum("c_tgt").cast("bigint").alias("c_tgt"),
@@ -116,23 +145,47 @@ def read_model_ratios(
 
 
 def compact_model(spark: SparkSession, model_dir: str) -> None:
-    """Fold all committed batch partials into ``batch=compacted``.
+    """Fold the current model into a new ``compacted-v=<n>`` base.
     Runs between drains (single-maintainer contract, like the raw-zone
     retention jobs): summing partials is associative, so compaction
-    changes nothing the reader can observe; it only bounds the
-    directory count for long-lived streams."""
+    changes nothing the reader can observe.
+
+    Exactly-once interaction with replay: compaction does NOT delete the
+    batch directories' idempotency — the committed ``_COMPACTED``
+    manifest records every folded batch id, and the reader skips those
+    ids even if a crashed-then-restarted drain REWRITES one of them
+    (written but not yet checkpoint-committed when the crash hit).
+    Without the manifest, that replayed batch would count once inside
+    the compacted base and once from its rewritten directory. The
+    commit itself is crash-atomic: new version directory first, then an
+    atomic pointer replace; superseded versions and folded batch dirs
+    are pruned only after commit."""
+    import json
     import shutil
 
+    comp = _compaction_state(model_dir)
+    included: set[int] = comp[1] if comp else set()
+    folded = [
+        int(n.split("=", 1)[1])
+        for n in os.listdir(model_dir)
+        if n.startswith("batch=")
+    ]
     # model-sized driver round-trip (<= n_buckets rows), tripwired like
     # the other audited bounded collects (SCALING.md ground rules)
     stats = read_model_stats(spark, model_dir).limit(65537).collect()
     assert len(stats) <= 65536, "bucket count exceeds the model-size bound"
-    names = [n for n in os.listdir(model_dir) if n.startswith("batch=")]
+    nxt = 0 if comp is None else comp[0] + 1
     spark.createDataFrame(
         [(r.bucket, r.c_raw, r.c_tgt) for r in stats], _STATS_SCHEMA
     ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(model_dir, "batch=compacted")
+        os.path.join(model_dir, f"compacted-v={nxt}")
     )
-    for n in names:
-        if n != "batch=compacted":
+    tmp = os.path.join(model_dir, "_COMPACTED.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"version": nxt, "included": sorted(included | set(folded))}, fh)
+    os.replace(tmp, os.path.join(model_dir, "_COMPACTED"))
+    for n in os.listdir(model_dir):
+        if n.startswith("batch=") or (
+            n.startswith("compacted-v=") and n != f"compacted-v={nxt}"
+        ):
             shutil.rmtree(os.path.join(model_dir, n), ignore_errors=True)

@@ -206,3 +206,85 @@ def test_decode_audio_kernel(spark):
     assert got[1].sample_rate == 16000 and got[1].n_samples == 5
     assert got[1].peak_abs == 32768
     assert got[2].sample_rate is None
+
+
+def test_png_filters_survive_byte_wrap():
+    """Average/Paeth regression: the reconstructed LEFT neighbor must be
+    reduced mod 256 before feeding the (nonlinear) predictor. A row
+    whose filtered byte wrapped (orig < pred) used to leave an unmasked
+    accumulator and decode pixels off by 128."""
+    # the reviewer's minimal case: gray 3x1, Average filter
+    row = np.array([[200, 44, 32]], dtype=np.uint8)[:, :, None]
+    h, w, c = row.shape
+    filtered = bytes([3]) + _apply_filter(3, row[0].reshape(-1),
+                                          np.zeros(w * c, np.uint8), c).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    blob = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(filtered)) + chunk(b"IEND", b"")
+    )
+    assert decode_png(blob)[0, :, 0].tolist() == [200, 44, 32]
+    # and a full random image through every filter (wraps guaranteed)
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(15, 11, 3), dtype=np.uint8)
+    rows = []
+    for y in range(15):
+        f = y % 5
+        prev = img[y - 1].reshape(-1) if y else np.zeros(33, np.uint8)
+        rows.append(bytes([f]) + _apply_filter(f, img[y].reshape(-1), prev, 3).tobytes())
+    blob2 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 11, 15, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(blob2), img)
+
+
+def test_zero_dimension_png_rejected():
+    ihdr = struct.pack(">IIBBBBB", 0, 3, 8, 0, 0, 0, 0)
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    blob = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 3)) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="dimensions"):
+        decode_png(blob)
+
+
+def test_malformed_chunks_raise_valueerror_not_struct_error():
+    """struct.error is not a ValueError; the kernels' quarantine catch
+    would miss it and fail the whole job."""
+    # WAV with an 8-byte fmt chunk
+    bad_fmt = (
+        b"RIFF" + struct.pack("<I", 20) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 8) + b"\x01\x00\x01\x00\x00\x00\x00\x00"
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(ValueError, match="fmt chunk"):
+        decode_wav(bad_fmt)
+    # PNG with a CRC-valid but truncated IHDR
+    short = struct.pack(">IIB", 4, 4, 8)
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    blob = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", short) + chunk(b"IDAT", zlib.compress(b""))
+    with pytest.raises(ValueError, match="IHDR"):
+        decode_png(blob)

@@ -96,11 +96,33 @@ def test_compaction_is_observationally_invisible(spark, tmp_path):
         )
     before = sorted(map(tuple, read_model_ratios(spark, model).collect()))
     compact_model(spark, model)
-    dirs = [n for n in os.listdir(model) if n.startswith("batch=")]
-    assert dirs == ["batch=compacted"]
+    assert not [n for n in os.listdir(model) if n.startswith("batch=")]
+    assert os.path.isfile(os.path.join(model, "_COMPACTED"))
     assert sorted(map(tuple, read_model_ratios(spark, model).collect())) == before
     # and accumulation continues on top of the compacted base
     write_batch_stats(
         spark.createDataFrame(_docs(100, 10), SCHEMA), _tgt(), model, 99
     )
     assert len(read_model_ratios(spark, model).collect()) >= len(before)
+
+
+def test_batch_replayed_after_compaction_is_not_double_counted(spark, tmp_path):
+    """The crash window the manifest exists for: batch 1 is written,
+    the drain dies BEFORE the checkpoint commits it, compaction runs,
+    then the restarted drain replays batch 1 — its rewritten directory
+    must be ignored (its counts already live in the compacted base)."""
+    model = str(tmp_path / "model")
+    b0 = spark.createDataFrame(_docs(0, 30), SCHEMA)
+    b1 = spark.createDataFrame(_docs(30, 20), SCHEMA)
+    write_batch_stats(b0, _tgt(), model, 0)
+    write_batch_stats(b1, _tgt(), model, 1)
+    truth = sorted(map(tuple, read_model_stats(spark, model).collect()))
+    compact_model(spark, model)
+    write_batch_stats(b1, _tgt(), model, 1)  # the replay
+    assert sorted(map(tuple, read_model_stats(spark, model).collect())) == truth
+    # a second compaction folds the (ignored) rewrite away harmlessly
+    compact_model(spark, model)
+    assert sorted(map(tuple, read_model_stats(spark, model).collect())) == truth
+    # while a genuinely NEW batch still lands
+    write_batch_stats(spark.createDataFrame(_docs(50, 10), SCHEMA), _tgt(), model, 2)
+    assert sorted(map(tuple, read_model_stats(spark, model).collect())) != truth
