@@ -239,3 +239,49 @@ def q_selection_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.join(
         surv.select("doc_id", "lang", "source", "lm_score"), "doc_id"
     ).select("doc_id", "lang", "source", "lm_score", "dsir_score", "rank")
+
+
+@register(
+    "q_fertility",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(strlen(text)) AS BIGINT) AS n_bytes,
+           CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+                AS BIGINT) AS n_tokens,
+           CAST((1000 * SUM(strlen(text)))
+                // SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+                AS BIGINT) AS bytes_per_token_e3
+    FROM documents GROUP BY lang
+    """,
+)
+def q_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: bytes per regex word-piece
+    token, 1000x-scaled integer — the curation metric that flags
+    languages a tokenizer fragments (high bytes/token = the slice is
+    over-paying sequence length for its information). Row-local token
+    counting (shuffle-free map side), one languages-sized aggregate,
+    integer division — exact on both engines."""
+    from oic_options_chains_spark.operators.text import token_count_re
+
+    d = load_table(spark, sf_dir, "documents")
+    per = d.select(
+        "lang",
+        F.octet_length("text").cast("bigint").alias("__b"),
+        token_count_re(F.col("text")).alias("__t"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__b").cast("bigint").alias("n_bytes"),
+            F.sum("__t").cast("bigint").alias("n_tokens"),
+        )
+        .selectExpr(
+            "lang",
+            "n_docs",
+            "n_bytes",
+            "n_tokens",
+            "CAST(1000 * n_bytes div n_tokens AS BIGINT) AS bytes_per_token_e3",
+        )
+    )
