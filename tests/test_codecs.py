@@ -288,3 +288,35 @@ def test_malformed_chunks_raise_valueerror_not_struct_error():
     blob = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", short) + chunk(b"IDAT", zlib.compress(b""))
     with pytest.raises(ValueError, match="IHDR"):
         decode_png(blob)
+
+
+def test_header_manifest_agrees_with_real_decode(spark):
+    """The JVM-side header parse (wav_chunk_manifest: sample rate and
+    per-channel sample count from raw bytes, no codec) must agree with
+    the real PCM decode on the same blobs — the integration seam between
+    the planning tier and the kernel tier."""
+    from oic_options_chains_spark.operators.multimodal import wav_chunk_manifest
+
+    blobs = [
+        (1, _wav_blob(rate=16000, samples=tuple(range(-50, 50)))),
+        (2, _wav_blob(rate=8000, samples=(5, -5, 7))),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in blobs], "doc_id long, content binary"
+    )
+    man = (
+        wav_chunk_manifest(df, "content", "doc_id", samples_per_chunk=16)
+        .groupBy("doc_id")
+        .agg(
+            {"sample_rate": "first", "n_samples": "first", "end_sample": "max"}
+        )
+        .collect()
+    )
+    got = {
+        r["doc_id"]: (r["first(sample_rate)"], r["first(n_samples)"], r["max(end_sample)"])
+        for r in man
+    }
+    for doc_id, blob in blobs:
+        rate, n_ch, samples = decode_wav(blob)
+        n = len(samples) // n_ch
+        assert got[doc_id] == (rate, n, n)
