@@ -327,3 +327,40 @@ def semantic_dedup(
         F.col("keeper").cast("bigint").alias("keeper"),
         F.col("dist").cast("bigint").alias("dist"),
     )
+
+
+def centroid_probe(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid probe (the standard linear-probe-without-a-model
+    eval for embedding quality): build one centroid per LABEL from the
+    labeled vectors, re-assign every vector to its nearest label
+    centroid with the shared exact-moment argmin, and emit the confusion
+    matrix (label, predicted, n_vecs). A good embedding space reproduces
+    its labels from centroids alone; off-diagonal mass localizes the
+    confusable classes — the report a curation pipeline reads before
+    trusting embeddings for semantic dedup or retrieval.
+
+    Same machinery as the quantizer fit: centroids are
+    ``_centroid_state`` over label groups (one map-side-combined
+    (cid, pos) exchange), assignment is the broadcast-fold projection
+    (zero shuffle), and the confusion aggregate is labels² rows. Every
+    decision is the fixed-shape integer-moment distance, so the matrix
+    is bit-identical on any engine/partitioning."""
+    qv = quantize(embeddings, id_col, vec_col)
+    labels = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(label_col).cast("int").alias("label")
+    )
+    members = qv.join(labels, "vec_id").select(
+        "vec_id", "qarr", F.col("label").alias("cid")
+    )
+    cents = _centroid_state(members)
+    assigned = assign_clusters(qv, cents)
+    return (
+        assigned.join(labels, "vec_id")
+        .groupBy("label", F.col("cid").cast("int").alias("predicted"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+    )

@@ -561,3 +561,49 @@ def q_drift_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         share("n_ref", "__tr").alias("ref_share_bp"),
         share("n_new", "__tn").alias("new_share_bp"),
     )
+
+
+@register(
+    "q_centroid_probe",
+    oracle="""
+    WITH qv AS (
+      SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 4096) AS BIGINT) AS q
+      FROM embeddings),
+    av AS (SELECT vec_id, SUM(q*q) AS a FROM qv GROUP BY vec_id),
+    lb AS (SELECT vec_id, CAST(label AS INT) AS label FROM embeddings),
+    c AS (SELECT l.label AS cid, v.pos, SUM(v.q) AS s
+          FROM qv v JOIN lb l ON v.vec_id = l.vec_id GROUP BY 1, 2),
+    m AS (SELECT s.cid, n.n, s.ss FROM
+            (SELECT cid, SUM(s*s) AS ss FROM c GROUP BY cid) s
+            JOIN (SELECT label AS cid, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM lb GROUP BY 1) n ON s.cid = n.cid),
+    b AS (SELECT v.vec_id, c.cid, SUM(v.q * c.s) AS b
+          FROM qv v JOIN c ON v.pos = c.pos GROUP BY v.vec_id, c.cid),
+    d AS (SELECT b.vec_id, b.cid,
+                 CAST(a.a AS DOUBLE) - 2.0 * CAST(b.b AS DOUBLE) / CAST(m.n AS DOUBLE)
+                   + CAST(m.ss AS DOUBLE) / (CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE)) AS d
+          FROM b JOIN m ON b.cid = m.cid
+                 JOIN av a ON b.vec_id = a.vec_id),
+    pred AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+               FROM d) WHERE rn = 1)
+    SELECT l.label, CAST(p.cid AS INT) AS predicted,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM pred p JOIN lb l ON p.vec_id = l.vec_id
+    GROUP BY 1, 2
+    """,
+)
+def q_centroid_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid probe over the labeled embeddings: one centroid
+    per label, every vector re-assigned by the shared exact-moment
+    argmin, confusion matrix out (operators/kmeans.centroid_probe) —
+    the model-free embedding-quality eval (diagonal mass = the space
+    respects its labels). The distance is the module's fixed-shape
+    double over integer moments, so the matrix is engine- and
+    partitioning-exact."""
+    from oic_options_chains_spark.operators.kmeans import centroid_probe
+
+    e = _spread(load_table(spark, sf_dir, "embeddings"))
+    return centroid_probe(e)

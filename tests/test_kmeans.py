@@ -151,3 +151,20 @@ def test_iters_zero_raises(spark, emb):
 
     with pytest.raises(ValueError, match="iters"):
         pq_fit(emb, iters=0)
+
+
+def test_centroid_probe_confusion_matrix(spark, emb):
+    from oic_options_chains_spark.operators.kmeans import centroid_probe
+
+    rows = centroid_probe(emb).collect()
+    total = sum(r.n_vecs for r in rows)
+    assert total == emb.count()  # every vector classified exactly once
+    labels = {r.label for r in rows}
+    assert labels == set(range(10))
+    # the synthetic space carries real label signal: the diagonal must
+    # beat chance (10 classes) by a wide margin
+    diag = sum(r.n_vecs for r in rows if r.label == r.predicted)
+    assert diag / total > 0.2
+    # partition invariance of the whole matrix (integer-moment argmin)
+    again = centroid_probe(emb.repartition(7, "label")).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
