@@ -90,6 +90,8 @@ HEADLINE = (
     # round-5 additions
     "q_dsir_select",
     "q_selection_build",
+    "q_lm_score",
+    "q_centroid_probe",
 )
 
 # single-JVM local bench has ~±20-30% run-to-run noise (ambient load
