@@ -478,3 +478,46 @@ def hard_negatives(
         .filter(F.col("slot") <= k)
         .select(id_col, "neg_id", "score_e6", F.col("slot").cast("int").alias("slot"))
     )
+
+
+def ann_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of an approximate retrieval against the exact one, per
+    query: (query_id, k_exact, n_hits, recall_bp) — THE acceptance
+    metric for every ANN shortcut here (sign-bucket IVF, multiprobe,
+    IVF-PQ): how much of the true top-k the pruned search kept. Both
+    inputs are (query_id, id, ...) rankings; recall is the fraction of
+    exact ids the approximate result recovered, floor-scaled to basis
+    points (integer division — engine-exact).
+
+    Scale: both inputs are already k-rows-per-query relations (the
+    retrieval operators' outputs), so everything here is
+    queries x k-sized — two small aggregates and a semi join, nothing
+    corpus-sized."""
+    hits = exact.select(query_id_col, id_col).join(
+        approx.select(query_id_col, id_col), [query_id_col, id_col], "semi"
+    )
+    k_exact = exact.groupBy(query_id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_exact")
+    )
+    n_hits = hits.groupBy(query_id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    return (
+        k_exact.join(n_hits, query_id_col, "left")
+        .select(
+            query_id_col,
+            "k_exact",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+        )
+        .selectExpr(
+            query_id_col,
+            "k_exact",
+            "n_hits",
+            "CAST(10000 * n_hits div k_exact AS BIGINT) AS recall_bp",
+        )
+    )

@@ -975,3 +975,65 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(
         capped, sizes, "doc_id", min_shared=2, min_containment_bp=5000
     )
+
+
+@register(
+    "q_ann_recall",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 5),
+    xscored AS (
+      SELECT q.query_id, e.vec_id, {_COS_SQL} AS cos
+      FROM embeddings e CROSS JOIN q),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id ASC) AS rank
+        FROM xscored) WHERE rank <= 10),
+    qb AS (SELECT vec_id AS query_id, embedding AS qv, {_QBUCKET_SQL} AS qbucket
+           FROM embeddings WHERE vec_id < 5),
+    cand AS (
+      SELECT qb.query_id, e.vec_id, e.embedding, qb.qv
+      FROM embeddings e JOIN qb
+        ON {_QBUCKET_SQL.replace("embedding", "e.embedding")} = qb.qbucket),
+    ascored AS (SELECT query_id, vec_id, {_COS_SQL.replace("q.qv", "e.qv")} AS cos
+                FROM cand e),
+    approx AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id ASC) AS rank
+        FROM ascored) WHERE rank <= 10),
+    kx AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k_exact
+           FROM exact GROUP BY 1),
+    nh AS (SELECT x.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+           FROM exact x JOIN approx a
+             ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+           GROUP BY 1)
+    SELECT k.query_id, k.k_exact,
+           CAST(COALESCE(n.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(10000 * COALESCE(n.n_hits, 0) // k.k_exact AS BIGINT) AS recall_bp
+    FROM kx k LEFT JOIN nh n ON k.query_id = n.query_id
+    """,
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of single-probe sign-bucket IVF vs the exact batch
+    retrieval, per query (operators/similarity.ann_recall) — the
+    acceptance metric for every ANN shortcut: what fraction of the true
+    neighbors the bucket pruning kept. Inputs are the two retrieval
+    operators' own k-row outputs, so the eval itself is queries x k
+    sized."""
+    from oic_options_chains_spark.operators.similarity import (
+        ann_recall,
+        batch_topk,
+        batch_topk_ivf,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = batch_topk(e, queries, k=10)
+    approx = batch_topk_ivf(e, queries, k=10, bits=4)
+    return ann_recall(exact, approx)
