@@ -204,3 +204,53 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             "n_triangles"
         ),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 2,
+) -> DataFrame:
+    """Frontier label propagation over an undirected (a, b) edge
+    relation: seeds keep their labels; each round, every still-unlabeled
+    node adjacent to labeled nodes takes the MAJORITY label among its
+    labeled neighbors (ties to the lowest label); once assigned, a label
+    is frozen. Returns (node, label, round) with round = 0 for seeds —
+    the semi-supervised pseudo-labeling pass (label denoising, cheap
+    expansion of a small labeled set over a mutual-kNN graph) in its
+    deterministic, oracle-replayable form: monotone frontier growth +
+    integer vote counts + fixed tie-break, so the assignment is
+    independent of partitioning and engine.
+
+    Scale: per round, one join of the edge relation against the (tiny,
+    grows-to-n) label relation, one anti join to keep the frontier, one
+    (node, label) vote aggregate, one per-node argmax window. The label
+    state is node-sized, never edge-sized; ``rounds`` is typically 1-3
+    (the mutual-kNN frontier saturates fast)."""
+    both = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    labels = seeds.select(
+        F.col("node"), F.col("label").cast("int").alias("label"), F.lit(0).alias("round")
+    ).localCheckpoint(eager=True)
+    for i in range(1, rounds + 1):
+        votes = (
+            both.join(labels.select(F.col("node").alias("src"), "label"), "src")
+            .join(labels.select(F.col("node").alias("dst")), "dst", "anti")
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("__n").desc(), F.col("label").asc()
+        )
+        picked = (
+            votes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", "label", F.lit(i).alias("round"))
+        )
+        # the grown label relation feeds the next round twice (vote join
+        # + frontier anti join) — truncate like mutual_edges does
+        labels = labels.unionByName(picked).localCheckpoint(eager=True)
+    return labels.select(
+        "node", "label", F.col("round").cast("int").alias("round")
+    )

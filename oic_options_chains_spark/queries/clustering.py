@@ -607,3 +607,86 @@ def q_centroid_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _spread(load_table(spark, sf_dir, "embeddings"))
     return centroid_probe(e)
+
+
+_LP_EDGE_CTE = """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(FLOOR(CAST(x AS DOUBLE) * 4096)
+                                      AS BIGINT)) AS qa,
+             (CASE WHEN embedding[1] > 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[2] > 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[3] > 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[4] > 0 THEN '1' ELSE '0' END) AS bucket
+      FROM embeddings),
+    d AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             list_reduce(list_transform(list_zip(a.qa, b.qa),
+                                        p -> (p[1] - p[2]) * (p[1] - p[2])),
+                         (acc, x) -> acc + x) AS dist
+      FROM q a JOIN q b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+    r AS (SELECT src, dst,
+                 row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rk
+          FROM d),
+    kn AS (SELECT src, dst FROM r WHERE rk <= 6),
+    mu AS (SELECT a.src AS a, a.dst AS b
+           FROM kn a JOIN kn b ON a.src = b.dst AND a.dst = b.src
+           WHERE a.src < a.dst),
+    ed AS (SELECT a AS src, b AS dst FROM mu
+           UNION ALL SELECT b AS src, a AS dst FROM mu),
+    l0 AS (SELECT vec_id AS node, CAST(label AS INT) AS label,
+                  0 AS round
+           FROM embeddings WHERE vec_id % 5 = 0)"""
+
+_LP_STEP_SQL = """,
+    cand{i} AS (
+      SELECT e.dst AS node, l.label, COUNT(*) AS n
+      FROM ed e JOIN l{p} l ON e.src = l.node
+      WHERE e.dst NOT IN (SELECT node FROM l{p})
+      GROUP BY 1, 2),
+    pick{i} AS (SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY n DESC, label ASC) AS rn
+        FROM cand{i}) WHERE rn = 1),
+    l{i} AS (SELECT node, label, round FROM l{p}
+             UNION ALL SELECT node, label, {i} AS round FROM pick{i})"""
+
+
+@register(
+    "q_label_prop",
+    oracle=_LP_EDGE_CTE
+    + _LP_STEP_SQL.format(i=1, p=0)
+    + _LP_STEP_SQL.format(i=2, p=1)
+    + """
+    SELECT node AS vec_id, CAST(label AS INT) AS label,
+           CAST(round AS INT) AS round
+    FROM l2
+    """,
+)
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier label propagation over the mutual-6-NN embedding graph:
+    every fifth vector seeds its true label, two rounds of
+    majority-vote expansion pseudo-label the frontier
+    (operators/graph.label_propagation) — the semi-supervised labeling
+    pass that stretches a small annotated set across a corpus. Votes
+    are integer counts with a fixed (count desc, label asc) tie-break
+    over the exact integer-L2 kNN graph, so the assignment replays
+    bit-for-bit."""
+    from oic_options_chains_spark.operators.graph import (
+        bucketed_knn_edges,
+        label_propagation,
+        mutual_edges,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = mutual_edges(
+        bucketed_knn_edges(emb, k=6, bits=4, broadcast_candidates=True)
+    )
+    seeds = emb.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("node"), "label"
+    )
+    return label_propagation(edges, seeds, rounds=2).select(
+        F.col("node").alias("vec_id"), "label", "round"
+    )

@@ -92,3 +92,43 @@ def test_cohort_retention_offsets(spark, monkeypatch):
         for r in q_cohort_retention(spark, "unused").collect()
     }
     assert got == {("2024-01-01", 0): 2, ("2024-01-01", 2): 1}
+
+
+def test_label_propagation_frontier_semantics(spark):
+    from oic_options_chains_spark.operators.graph import label_propagation
+
+    # path graph 0-1-2-3-4 plus a triangle 5-6-7; seeds: 0 (label 10),
+    # 4 (label 20), 5 (label 30)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (5, 7)],
+        "a long, b long",
+    )
+    seeds = spark.createDataFrame(
+        [(0, 10), (4, 20), (5, 30)], "node long, label int"
+    )
+    got = {
+        r.node: (r.label, r.round)
+        for r in label_propagation(edges, seeds, rounds=2).collect()
+    }
+    assert got[0] == (10, 0) and got[4] == (20, 0) and got[5] == (30, 0)
+    # round 1 frontier: 1 from 0; 3 from 4; 6 and 7 from 5
+    assert got[1] == (10, 1) and got[3] == (20, 1)
+    assert got[6] == (30, 1) and got[7] == (30, 1)
+    # round 2: node 2 sees labeled neighbors 1 (10) and 3 (20) — one
+    # vote each, tie breaks to the LOWER label
+    assert got[2] == (10, 2)
+    # frozen labels never flip: rerunning with more rounds changes nothing
+    again = {
+        r.node: (r.label, r.round)
+        for r in label_propagation(edges, seeds, rounds=3).collect()
+    }
+    assert again == got
+
+
+def test_label_propagation_isolated_nodes_stay_unlabeled(spark):
+    from oic_options_chains_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame([(0, 1)], "a long, b long")
+    seeds = spark.createDataFrame([(0, 7)], "node long, label int")
+    got = label_propagation(edges, seeds, rounds=2).collect()
+    assert {r.node for r in got} == {0, 1}  # node 2 never existed; 1 joins
