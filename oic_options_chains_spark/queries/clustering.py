@@ -690,3 +690,63 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges, seeds, rounds=2).select(
         F.col("node").alias("vec_id"), "label", "round"
     )
+
+
+@register(
+    "q_prop_accuracy",
+    oracle=_LP_EDGE_CTE
+    + _LP_STEP_SQL.format(i=1, p=0)
+    + _LP_STEP_SQL.format(i=2, p=1)
+    + """
+    SELECT l.round AS round,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(CASE WHEN l.label = CAST(e.label AS INT)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           CAST(10000 * SUM(CASE WHEN l.label = CAST(e.label AS INT)
+                            THEN 1 ELSE 0 END) // COUNT(*)
+                AS BIGINT) AS accuracy_bp
+    FROM l2 l JOIN embeddings e ON l.node = e.vec_id
+    WHERE l.round > 0
+    GROUP BY 1
+    """,
+)
+def q_prop_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-label quality per propagation round: among NON-seed nodes
+    the frontier labeled, how often the propagated label matches the
+    held-back ground truth (basis points, integer division) — the eval
+    that says whether expanding the annotation budget over the kNN
+    graph is trustworthy, and how fast quality decays with distance
+    from the seeds."""
+    from oic_options_chains_spark.operators.graph import (
+        bucketed_knn_edges,
+        label_propagation,
+        mutual_edges,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = mutual_edges(
+        bucketed_knn_edges(emb, k=6, bits=4, broadcast_candidates=True)
+    )
+    seeds = emb.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("node"), "label"
+    )
+    prop = label_propagation(edges, seeds, rounds=2).filter(F.col("round") > 0)
+    truth = emb.select(
+        F.col("vec_id").alias("node"), F.col("label").cast("int").alias("__true")
+    )
+    return (
+        prop.join(truth, "node")
+        .groupBy("round")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum(F.when(F.col("label") == F.col("__true"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        .selectExpr(
+            "round",
+            "n_nodes",
+            "n_correct",
+            "CAST(10000 * n_correct div n_nodes AS BIGINT) AS accuracy_bp",
+        )
+    )
