@@ -151,3 +151,36 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(out_dir)
     )
+
+
+def write_jsonl_shards(
+    docs: DataFrame,
+    out_dir: str,
+    key: str = "doc_id",
+    n_shards: int = 8,
+    compress: bool = True,
+) -> None:
+    """``write_training_shards`` in JSON-Lines — the de-facto exchange
+    format LLM training stacks ingest: one ``shard=N`` directory per
+    shard, one JSON object per line, lines in the deterministic
+    epoch-stable ``position`` order, gzip per file when ``compress``
+    (splittability does not matter here: the shard is the unit of
+    loader parallelism, and each shard is one stream).
+
+    Identical plan shape to the parquet writer — one shard exchange, an
+    in-partition (shard, position) sort, a partitioned write; Spark's
+    JSON sink preserves within-file row order the same way parquet
+    does. The ``position`` column is kept in each record on purpose: a
+    loader can verify resume offsets against it."""
+    from oic_options_chains_spark.operators.sampling import global_shuffle
+
+    shuffled = global_shuffle(docs, key, n_shards)
+    writer = (
+        shuffled.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "position")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+    )
+    if compress:
+        writer = writer.option("compression", "gzip")
+    writer.json(out_dir)

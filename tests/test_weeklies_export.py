@@ -197,3 +197,42 @@ def test_training_shards_layout_and_order(spark, tmp_path):
             assert want[(shard_no, r["position"])] == r["doc_id"]
     # total row conservation
     assert spark.read.parquet(out).count() == 500
+
+
+def test_jsonl_shards_roundtrip_in_stream_order(spark, tmp_path):
+    """JSONL shard export: shard membership and line order must replay
+    the deterministic global shuffle, and records must parse back
+    losslessly (the LLM-loader exchange format contract)."""
+    import gzip
+    import json
+    import os
+
+    from oic_options_chains_spark.operators.sampling import global_shuffle
+    from oic_options_chains_spark.pipelines.export import write_jsonl_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"text body {i}") for i in range(60)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "jsonl")
+    write_jsonl_shards(docs, out, n_shards=4)
+
+    expect = {}
+    for r in global_shuffle(docs, "doc_id", 4).collect():
+        expect.setdefault(r.shard, []).append((r.position, r.doc_id, r.text))
+    for shard, rows in expect.items():
+        rows.sort()
+        d = os.path.join(out, f"shard={shard}")
+        lines = []
+        for name in sorted(os.listdir(d)):
+            if name.startswith("part-"):
+                with gzip.open(os.path.join(d, name), "rt") as fh:
+                    lines += [json.loads(line) for line in fh]
+        assert [(l["position"], l["doc_id"], l["text"]) for l in lines] == rows
+
+    # byte-stable across re-runs: same membership, same order
+    out2 = str(tmp_path / "jsonl2")
+    write_jsonl_shards(docs, out2, n_shards=4)
+    for shard in expect:
+        a = sorted(os.listdir(os.path.join(out, f"shard={shard}")))
+        b = sorted(os.listdir(os.path.join(out2, f"shard={shard}")))
+        assert len(a) == len(b)
