@@ -521,3 +521,53 @@ def ann_recall(
             "CAST(10000 * n_hits div k_exact AS BIGINT) AS recall_bp",
         )
     )
+
+
+def batch_topk_multiprobe(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    bits: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """``batch_topk_ivf`` with one-bit probe expansion: each query
+    probes its exact sign bucket plus every Hamming-1 neighbor
+    (``probe_buckets``), recovering most of the recall single-probe
+    loses to boundary vectors at (bits+1)/2^bits scan cost. The probe
+    list explodes on the (broadcast) query side, the corpus join stays
+    a bucket equi-join, and candidates reached through multiple probes
+    dedup after scoring (same score either way).
+
+    Returns (query_id_col, id_col, score_e6, rank)."""
+    bits = _resolve_bits(embeddings, bits)
+    eb = embeddings.withColumn("__bucket", sign_bucket(F.col(vec_col), bits))
+    qb = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        F.explode(probe_buckets(F.col(query_vec_col), bits)).alias("__bucket"),
+    )
+    scored = (
+        eb.join(F.broadcast(qb), "__bucket")
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            cosine(F.col(vec_col), F.col(query_vec_col)).alias("__cos"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.floor(F.lit(1e6) * F.col("__cos")).cast("bigint").alias("score_e6"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -1037,3 +1037,73 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = batch_topk(e, queries, k=10)
     approx = batch_topk_ivf(e, queries, k=10, bits=4)
     return ann_recall(exact, approx)
+
+
+_PROBES_SQL = """
+      SELECT query_id, qv, unnest([
+        qbucket,
+        (CASE WHEN substr(qbucket,1,1)='1' THEN '0' ELSE '1' END) || substr(qbucket,2),
+        substr(qbucket,1,1) || (CASE WHEN substr(qbucket,2,1)='1' THEN '0' ELSE '1' END) || substr(qbucket,3),
+        substr(qbucket,1,2) || (CASE WHEN substr(qbucket,3,1)='1' THEN '0' ELSE '1' END) || substr(qbucket,4),
+        substr(qbucket,1,3) || (CASE WHEN substr(qbucket,4,1)='1' THEN '0' ELSE '1' END)
+      ]) AS bucket"""
+
+
+@register(
+    "q_ann_recall_mp",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, {_QBUCKET_SQL} AS qbucket
+               FROM embeddings WHERE vec_id < 5),
+    xscored AS (
+      SELECT q.query_id, e.vec_id, {_COS_SQL} AS cos
+      FROM embeddings e CROSS JOIN q),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id ASC) AS rank
+        FROM xscored) WHERE rank <= 10),
+    probes AS ({_PROBES_SQL} FROM q),
+    cand AS (
+      SELECT DISTINCT p.query_id, e.vec_id, e.embedding, p.qv
+      FROM embeddings e JOIN probes p
+        ON {_QBUCKET_SQL.replace("embedding", "e.embedding")} = p.bucket),
+    ascored AS (SELECT query_id, vec_id, {_COS_SQL.replace("q.qv", "e.qv")} AS cos
+                FROM cand e),
+    approx AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id ASC) AS rank
+        FROM ascored) WHERE rank <= 10),
+    kx AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k_exact
+           FROM exact GROUP BY 1),
+    nh AS (SELECT x.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+           FROM exact x JOIN approx a
+             ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+           GROUP BY 1)
+    SELECT k.query_id, k.k_exact,
+           CAST(COALESCE(n.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(10000 * COALESCE(n.n_hits, 0) // k.k_exact AS BIGINT) AS recall_bp
+    FROM kx k LEFT JOIN nh n ON k.query_id = n.query_id
+    """,
+)
+def q_ann_recall_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of MULTIPROBE sign-bucket IVF vs exact retrieval — the
+    companion measurement to q_ann_recall: probing each query's bucket
+    plus its four Hamming-1 neighbors scans 5/16 of the corpus and
+    recovers the recall single-probe leaves on bucket boundaries (the
+    lift the pair of queries quantifies)."""
+    from oic_options_chains_spark.operators.similarity import (
+        ann_recall,
+        batch_topk,
+        batch_topk_multiprobe,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = batch_topk(e, queries, k=10)
+    approx = batch_topk_multiprobe(e, queries, k=10, bits=4)
+    return ann_recall(exact, approx)

@@ -151,3 +151,39 @@ def test_registered_ann_queries_build_without_eager_count(spark, sf_dir, monkeyp
         "q_ann_ivf_kmeans",
     ):
         QUERIES[name](spark, sf_dir)  # plan construction only, no action
+
+
+def test_multiprobe_dominates_single_probe_recall(spark, sf_dir):
+    """Probe expansion can only ADD candidates, so multiprobe recall@k
+    must dominate single-probe recall@k per query — the invariant that
+    justifies the 5/16 scan-cost trade."""
+    from pyspark.sql import functions as F
+
+    from oic_options_chains_spark.operators.similarity import (
+        ann_recall,
+        batch_topk,
+        batch_topk_ivf,
+        batch_topk_multiprobe,
+    )
+    from oic_options_chains_spark.sources.registry import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = batch_topk(e, qs, k=10)
+    single = {
+        r.query_id: r.recall_bp
+        for r in ann_recall(exact, batch_topk_ivf(e, qs, k=10, bits=4)).collect()
+    }
+    multi = {
+        r.query_id: r.recall_bp
+        for r in ann_recall(
+            exact, batch_topk_multiprobe(e, qs, k=10, bits=4)
+        ).collect()
+    }
+    assert set(single) == set(multi) == set(range(5))
+    assert all(multi[q] >= single[q] for q in single)
+    # and recall of the exact result against itself is perfect
+    perfect = ann_recall(exact, exact).collect()
+    assert all(r.recall_bp == 10000 for r in perfect)
