@@ -303,13 +303,13 @@ def ivf_multiprobe_topk(
         F.col("query_vec"),
         F.explode(probe_buckets(F.col("query_vec"), bits)).alias("__bucket"),
     )
-    scored = (
-        bucketed.join(F.broadcast(probes), on="__bucket")
-        .select(
-            F.col(id_col),
-            cosine(F.col(vec_col), F.col("query_vec")).alias("__cos"),
-        )
-        .distinct()
+    # no dedup needed: probe_buckets yields bits+1 pairwise-distinct
+    # strings and each corpus row has exactly ONE sign bucket, so a row
+    # can match at most one probe — a distinct here would add a full
+    # shuffle over the largest intermediate for zero semantic effect
+    scored = bucketed.join(F.broadcast(probes), on="__bucket").select(
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("query_vec")).alias("__cos"),
     )
     order = [F.col("__cos").desc(), F.col(id_col).asc()]
     return _ranked_topk(scored, order, k).select(
@@ -495,24 +495,24 @@ def ann_recall(
     points (integer division — engine-exact).
 
     Scale: both inputs are already k-rows-per-query relations (the
-    retrieval operators' outputs), so everything here is
-    queries x k-sized — two small aggregates and a semi join, nothing
-    corpus-sized."""
-    hits = exact.select(query_id_col, id_col).join(
-        approx.select(query_id_col, id_col), [query_id_col, id_col], "semi"
-    )
-    k_exact = exact.groupBy(query_id_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("k_exact")
-    )
-    n_hits = hits.groupBy(query_id_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    retrieval operators' outputs), so the eval itself is queries x k
+    sized. The exact side — usually the expensive corpus-wide retrieval
+    — is READ ONCE: one left join marks hits, one aggregate counts both
+    k_exact and n_hits (two branches + a rejoin would execute the exact
+    retrieval's lineage twice unless exchange reuse happened to save
+    it)."""
+    marked = exact.select(query_id_col, id_col).join(
+        approx.select(query_id_col, id_col).withColumn("__hit", F.lit(1)),
+        [query_id_col, id_col],
+        "left",
     )
     return (
-        k_exact.join(n_hits, query_id_col, "left")
-        .select(
-            query_id_col,
-            "k_exact",
-            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+        marked.groupBy(query_id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k_exact"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hits"),
         )
         .selectExpr(
             query_id_col,
@@ -537,9 +537,10 @@ def batch_topk_multiprobe(
     probes its exact sign bucket plus every Hamming-1 neighbor
     (``probe_buckets``), recovering most of the recall single-probe
     loses to boundary vectors at (bits+1)/2^bits scan cost. The probe
-    list explodes on the (broadcast) query side, the corpus join stays
-    a bucket equi-join, and candidates reached through multiple probes
-    dedup after scoring (same score either way).
+    list explodes on the (broadcast) query side and the corpus join
+    stays a bucket equi-join; no dedup is needed because a corpus row's
+    single sign bucket can match at most one of a query's
+    pairwise-distinct probes.
 
     Returns (query_id_col, id_col, score_e6, rank)."""
     bits = _resolve_bits(embeddings, bits)
@@ -549,14 +550,10 @@ def batch_topk_multiprobe(
         F.col(query_vec_col),
         F.explode(probe_buckets(F.col(query_vec_col), bits)).alias("__bucket"),
     )
-    scored = (
-        eb.join(F.broadcast(qb), "__bucket")
-        .select(
-            F.col(query_id_col),
-            F.col(id_col),
-            cosine(F.col(vec_col), F.col(query_vec_col)).alias("__cos"),
-        )
-        .distinct()
+    scored = eb.join(F.broadcast(qb), "__bucket").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias("__cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("__cos").desc(), F.col(id_col).asc()

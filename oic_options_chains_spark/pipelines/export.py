@@ -135,21 +135,26 @@ def write_training_shards(
     everywhere), which is what makes training runs reproducible and
     resumable mid-epoch. At 100 TB each shard writes in parallel and no
     global sort exists anywhere."""
+    _sharded_writer(docs, key, n_shards).parquet(out_dir)
+
+
+def _sharded_writer(docs: DataFrame, key: str, n_shards: int):
+    """The shared shard-layout chain both shard writers (parquet and
+    JSONL) must use: one shard exchange, then an in-partition sort on
+    BOTH keys — the dynamic-partition writer requires its partition
+    column ordered, so a bare sort("position") would get an extra
+    Sort(shard) inserted above it and per-shard position order would
+    then rest on sort stability (an implementation detail, not a
+    contract); (shard, position) already satisfies the writer, so no
+    second sort is inserted at all."""
     from oic_options_chains_spark.operators.sampling import global_shuffle
 
     shuffled = global_shuffle(docs, key, n_shards)
-    (
+    return (
         shuffled.repartition(n_shards, F.col("shard"))
-        # sort by BOTH keys: the dynamic-partition writer requires its
-        # partition column ordered, so a bare sort("position") would get
-        # an extra Sort(shard) inserted above it and per-shard position
-        # order would then rest on sort stability — an implementation
-        # detail, not a contract. (shard, position) already satisfies
-        # the writer, so no second sort is inserted at all.
         .sortWithinPartitions("shard", "position")
         .write.mode("overwrite")
         .partitionBy("shard")
-        .parquet(out_dir)
     )
 
 
@@ -167,20 +172,12 @@ def write_jsonl_shards(
     (splittability does not matter here: the shard is the unit of
     loader parallelism, and each shard is one stream).
 
-    Identical plan shape to the parquet writer — one shard exchange, an
-    in-partition (shard, position) sort, a partitioned write; Spark's
-    JSON sink preserves within-file row order the same way parquet
-    does. The ``position`` column is kept in each record on purpose: a
-    loader can verify resume offsets against it."""
-    from oic_options_chains_spark.operators.sampling import global_shuffle
-
-    shuffled = global_shuffle(docs, key, n_shards)
-    writer = (
-        shuffled.repartition(n_shards, F.col("shard"))
-        .sortWithinPartitions("shard", "position")
-        .write.mode("overwrite")
-        .partitionBy("shard")
-    )
+    Identical plan shape to the parquet writer (the shared
+    ``_sharded_writer`` chain — including its both-keys sort contract);
+    Spark's JSON sink preserves within-file row order the same way
+    parquet does. The ``position`` column is kept in each record on
+    purpose: a loader can verify resume offsets against it."""
+    writer = _sharded_writer(docs, key, n_shards)
     if compress:
         writer = writer.option("compression", "gzip")
     writer.json(out_dir)

@@ -674,22 +674,31 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     are integer counts with a fixed (count desc, label asc) tie-break
     over the exact integer-L2 kNN graph, so the assignment replays
     bit-for-bit."""
+    from oic_options_chains_spark.operators.graph import label_propagation
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges, seeds = _lp_inputs(emb)
+    return label_propagation(edges, seeds, rounds=2).select(
+        F.col("node").alias("vec_id"), "label", "round"
+    )
+
+
+def _lp_inputs(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The (edges, seeds) pair both label-propagation queries share —
+    ONE place to keep in lockstep with the `_LP_EDGE_CTE` oracle
+    (mutual-6-NN over 4-bit sign buckets; seeds = every fifth vector)."""
     from oic_options_chains_spark.operators.graph import (
         bucketed_knn_edges,
-        label_propagation,
         mutual_edges,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
     edges = mutual_edges(
         bucketed_knn_edges(emb, k=6, bits=4, broadcast_candidates=True)
     )
     seeds = emb.filter(F.col("vec_id") % 5 == 0).select(
         F.col("vec_id").alias("node"), "label"
     )
-    return label_propagation(edges, seeds, rounds=2).select(
-        F.col("node").alias("vec_id"), "label", "round"
-    )
+    return edges, seeds
 
 
 @register(
@@ -717,19 +726,10 @@ def q_prop_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     that says whether expanding the annotation budget over the kNN
     graph is trustworthy, and how fast quality decays with distance
     from the seeds."""
-    from oic_options_chains_spark.operators.graph import (
-        bucketed_knn_edges,
-        label_propagation,
-        mutual_edges,
-    )
+    from oic_options_chains_spark.operators.graph import label_propagation
 
     emb = load_table(spark, sf_dir, "embeddings")
-    edges = mutual_edges(
-        bucketed_knn_edges(emb, k=6, bits=4, broadcast_candidates=True)
-    )
-    seeds = emb.filter(F.col("vec_id") % 5 == 0).select(
-        F.col("vec_id").alias("node"), "label"
-    )
+    edges, seeds = _lp_inputs(emb)
     prop = label_propagation(edges, seeds, rounds=2).filter(F.col("round") > 0)
     truth = emb.select(
         F.col("vec_id").alias("node"), F.col("label").cast("int").alias("__true")

@@ -66,14 +66,23 @@ def test_jdbc_or_registered_takes_the_live_path(spark, derby_url):
 
 
 def test_write_back_appends_through_the_driver(spark, derby_url):
-    extra = spark.createDataFrame([(9, "NVDA", 4.0)], "id int, symbol string, weight double")
+    """Writes go to a DEDICATED table: the module-scoped fixture's
+    'holdings' contents are asserted exactly by the read tests, so
+    mutating it would make this module execution-order-dependent."""
+    extra = spark.createDataFrame(
+        [(0, "AMD", 1.0), (9, "NVDA", 4.0)], "id int, symbol string, weight double"
+    )
     (
         extra.write.format("jdbc")
         .option("url", derby_url)
-        .option("dbtable", "holdings")
+        .option("dbtable", "holdings_wb")
         .mode("append")
         .save()
     )
-    back = read_jdbc(spark, derby_url, "holdings")
-    assert back.count() == len(ROWS) + 1
-    assert {r.SYMBOL for r in back.collect()} >= {"NVDA"}
+    back = read_jdbc(spark, derby_url, "holdings_wb")
+    # Spark's JDBC writer QUOTES its lowercase column names, so Derby
+    # preserves them (the fixture's unquoted DDL was uppercased)
+    assert sorted((r.id, r.symbol, r.weight) for r in back.collect()) == [
+        (0, "AMD", 1.0),
+        (9, "NVDA", 4.0),
+    ]
