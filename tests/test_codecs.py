@@ -320,3 +320,43 @@ def test_header_manifest_agrees_with_real_decode(spark):
         rate, n_ch, samples = decode_wav(blob)
         n = len(samples) // n_ch
         assert got[doc_id] == (rate, n, n)
+
+
+def test_png_decoder_quarantine_contract_under_corruption():
+    """The kernels catch ONLY ValueError, so decode_png must map every
+    malformed input to ValueError — a truncation or bit flip that
+    escaped as IndexError/struct.error/zlib.error would fail the whole
+    Spark job instead of quarantining the row."""
+    blob = encode_png(_gradient(9, 7, 3))
+    # every prefix truncation
+    for cut in range(0, len(blob), 3):
+        try:
+            decode_png(blob[:cut])
+        except ValueError:
+            pass  # the contract
+        # any other exception type propagates and fails the test
+    # single-bit flips across the whole blob (signature, lengths, tags,
+    # compressed payload, CRCs)
+    for pos in range(8, len(blob), 5):
+        mutated = bytearray(blob)
+        mutated[pos] ^= 0x40
+        try:
+            decode_png(bytes(mutated))
+        except ValueError:
+            pass
+
+
+def test_wav_decoder_quarantine_contract_under_corruption():
+    blob = _wav_blob(samples=tuple(range(-100, 100)))
+    for cut in range(0, len(blob), 3):
+        try:
+            decode_wav(blob[:cut])
+        except ValueError:
+            pass
+    for pos in range(0, len(blob), 5):
+        mutated = bytearray(blob)
+        mutated[pos] ^= 0x40
+        try:
+            wav_stats(bytes(mutated))
+        except ValueError:
+            pass
