@@ -285,3 +285,63 @@ def q_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(1000 * n_bytes div n_tokens AS BIGINT) AS bytes_per_token_e3",
         )
     )
+
+
+_MIX_BUDGET = 1_000_000  # planned corpus size, tokens
+
+
+@register(
+    "q_mixture_plan",
+    oracle=f"""
+    WITH sizes AS (
+      SELECT lang,
+             CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+                  AS BIGINT) AS n_avail,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY lang),
+    s AS (SELECT lang, n_avail, n_chars,
+                 sqrt(CAST(n_chars AS DOUBLE)) AS s FROM sizes),
+    tot AS (SELECT list_reduce(list(s ORDER BY lang), (a, b) -> a + b) AS ts
+            FROM s),
+    w AS (SELECT lang, n_avail,
+                 CAST(FLOOR(10000.0 * s / ts) AS BIGINT) AS weight_bp
+          FROM s CROSS JOIN tot)
+    SELECT lang, n_avail, weight_bp,
+           CAST(weight_bp * {_MIX_BUDGET} // 10000 AS BIGINT) AS token_budget,
+           CAST(LEAST(weight_bp * {_MIX_BUDGET} // 10000, n_avail)
+                AS BIGINT) AS planned_tokens,
+           CAST(CASE WHEN weight_bp * {_MIX_BUDGET} // 10000 > n_avail
+                THEN 1 ELSE 0 END AS INT) AS short
+    FROM w
+    """,
+)
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture PLAN a curation run executes: temperature shares
+    (alpha=0.5, character-sized) converted to per-language token budgets
+    against a fixed total, clamped by what each language can actually
+    supply — with a ``short`` flag where the budget exceeds availability
+    (the signal to re-run with a lower temperature or accept repetition).
+    Composes q_temperature_mix's weights with q_fertility's token
+    counting; all integer division on groups-sized relations."""
+    from oic_options_chains_spark.operators.sampling import temperature_weights
+    from oic_options_chains_spark.operators.text import token_count_re
+
+    d = load_table(spark, sf_dir, "documents")
+    avail = d.groupBy("lang").agg(
+        F.sum(token_count_re(F.col("text"))).cast("bigint").alias("n_avail")
+    )
+    w = temperature_weights(d, "lang", alpha_quarters=2, size_col="n_chars")
+    return (
+        w.select("lang", "weight_bp")
+        .join(avail, "lang")
+        .selectExpr(
+            "lang",
+            "n_avail",
+            "weight_bp",
+            f"CAST(weight_bp * {_MIX_BUDGET} div 10000 AS BIGINT) AS token_budget",
+            f"CAST(LEAST(weight_bp * {_MIX_BUDGET} div 10000, n_avail) AS BIGINT)"
+            " AS planned_tokens",
+            f"CAST(CASE WHEN weight_bp * {_MIX_BUDGET} div 10000 > n_avail"
+            " THEN 1 ELSE 0 END AS INT) AS short",
+        )
+    )
