@@ -458,3 +458,96 @@ def patch_grid(
         F.least(p, F.col("__w") - x0).cast("int").alias("patch_w"),
         F.least(p, F.col("__h") - y0).cast("int").alias("patch_h"),
     )
+
+
+def gif_dimensions(content: Column) -> dict[str, Column]:
+    """Width/height from a GIF87a/89a logical screen descriptor (bytes
+    7-8 / 9-10, LITTLE-endian) — header metadata with zero decode, NULL
+    for non-GIF blobs (the ``png_dimensions`` pattern)."""
+    magic = F.substring(content, 1, 6).cast("string")
+    is_gif = magic.isin("GIF87a", "GIF89a")
+    return {
+        "width": F.when(is_gif, _le_int(content, 7, 2).cast("int")),
+        "height": F.when(is_gif, _le_int(content, 9, 2).cast("int")),
+    }
+
+
+def bmp_dimensions(content: Column) -> dict[str, Column]:
+    """Width/height from a BMP BITMAPINFOHEADER (bytes 19-22 / 23-26,
+    LITTLE-endian signed — a negative height means top-down rows, so
+    the magnitude is reported). NULL unless the 'BM' magic matches."""
+    is_bmp = F.hex(F.substring(content, 1, 2)) == "424D"
+    # two's-complement: values past 2^31-1 are negative 32-bit ints
+    def signed(pos: int) -> Column:
+        raw = _le_int(content, pos, 4)
+        return F.when(raw > 0x7FFFFFFF, raw - 0x100000000).otherwise(raw)
+
+    return {
+        "width": F.when(is_bmp, F.abs(signed(19)).cast("int")),
+        "height": F.when(is_bmp, F.abs(signed(23)).cast("int")),
+    }
+
+
+TEXT_PAYLOADS = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("n_raw_bytes", T.LongType(), True),
+    ]
+)
+
+
+def decompress_text(df: DataFrame, max_bytes: int = 16 << 20) -> DataFrame:
+    """Inflate compressed text blobs (the WARC/crawl-ingestion shape):
+    gzip members (1F 8B) and raw zlib streams (0x78 header) via the
+    stdlib, everything else NULL-quarantined. Two safety properties a
+    100 TB crawl ingest needs:
+
+    - BOMB-GUARDED: inflation runs through ``zlib.decompressobj`` with
+      ``max_length``, so a decompression bomb yields a quarantined row
+      (NULL text) after at most ``max_bytes`` of output — it cannot OOM
+      the executor.
+    - Quarantine contract: truncated/corrupt streams and non-UTF-8
+      payloads all surface as NULL text with the row's id preserved,
+      never as a task failure.
+
+    Same zero-shuffle mapInPandas placement as the codec kernels."""
+
+    def _inflate(raw: bytes) -> str | None:
+        import zlib
+
+        if len(raw) < 2:
+            return None
+        if raw[:2] == b"\x1f\x8b":
+            wbits = 16 + zlib.MAX_WBITS  # gzip wrapper
+        elif raw[0] == 0x78:
+            wbits = zlib.MAX_WBITS  # raw zlib
+        else:
+            return None
+        try:
+            d = zlib.decompressobj(wbits)
+            out = d.decompress(raw, max_bytes)
+            if not d.eof and d.unconsumed_tail:
+                return None  # bomb guard tripped before the stream ended
+            return out.decode("utf-8")
+        except (zlib.error, UnicodeDecodeError):
+            return None
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(blob)
+                text = _inflate(raw)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "text": text,
+                        "n_raw_bytes": len(raw) if text is not None else None,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=TEXT_PAYLOADS.fieldNames())
+
+    return df.select("media_id", "content").mapInPandas(run, TEXT_PAYLOADS)

@@ -191,3 +191,61 @@ def test_patch_grid_clamps_edges(spark):
     # exact-multiple image -> single full patch
     assert [k for k in got if k[0] == 2] == [(2, 0, 0)]
     assert got[(2, 0, 0)] == (0, 0, 32, 32)
+
+
+def test_gif_and_bmp_dimensions(spark):
+    import struct as _struct
+
+    from oic_options_chains_spark.operators.multimodal import (
+        bmp_dimensions,
+        gif_dimensions,
+    )
+
+    gif = b"GIF89a" + _struct.pack("<HH", 320, 200) + b"\x00" * 10
+    bmp = (
+        b"BM" + b"\x00" * 16 + _struct.pack("<ii", 640, -480) + b"\x00" * 10
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(gif)), (2, bytearray(bmp)), (3, bytearray(b"neither"))],
+        "media_id long, content binary",
+    )
+    g = gif_dimensions(F.col("content"))
+    b = bmp_dimensions(F.col("content"))
+    got = {
+        r.media_id: (r.gw, r.gh, r.bw, r.bh)
+        for r in df.select(
+            "media_id",
+            g["width"].alias("gw"),
+            g["height"].alias("gh"),
+            b["width"].alias("bw"),
+            b["height"].alias("bh"),
+        ).collect()
+    }
+    assert got[1] == (320, 200, None, None)
+    # negative BMP height means top-down rows; magnitude reported
+    assert got[2] == (None, None, 640, 480)
+    assert got[3] == (None, None, None, None)
+
+
+def test_decompress_text_kernel_and_bomb_guard(spark):
+    import gzip as _gzip
+    import zlib as _zlib
+
+    from oic_options_chains_spark.operators.multimodal import decompress_text
+
+    body = "hello compressed corpus éà"
+    rows = [
+        (1, bytearray(_gzip.compress(body.encode()))),
+        (2, bytearray(_zlib.compress(b"zlib stream text"))),
+        (3, bytearray(b"plain uncompressed")),            # not a stream
+        (4, bytearray(_gzip.compress(b"\xff\xfe garbage")[:-4])),  # truncated
+        (5, bytearray(_gzip.compress(b"\x00" * (1 << 22)))),  # 4 MiB zeros
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r.media_id: r for r in decompress_text(df, max_bytes=1 << 20).collect()}
+    assert got[1].text == body and got[1].n_raw_bytes == len(rows[0][1])
+    assert got[2].text == "zlib stream text"
+    assert got[3].text is None
+    assert got[4].text is None
+    # the 4 MiB payload exceeds the 1 MiB guard: quarantined, not OOM'd
+    assert got[5].text is None
