@@ -1167,3 +1167,131 @@ def q_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", dims["width"].alias("width"), dims["height"].alias("height")
     )
     return patch_grid(parsed, id_col="doc_id", patch=32)
+
+
+@register(
+    "q_media_dims_ext",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             16 + doc_id % 1024 AS w,
+             16 + (doc_id * 7) % 1024 AS h,
+             doc_id % 5 AS ring
+      FROM documents),
+    blob AS (
+      SELECT doc_id,
+             CASE
+               WHEN ring = 0 THEN
+                 (unhex('89504E470D0A1A0A0000000D49484452') ||
+                  unhex(lpad(hex(w), 8, '0')) ||
+                  unhex(lpad(hex(h), 8, '0')) || unhex('08060000'))
+               WHEN ring = 1 THEN
+                 (unhex('474946383961') ||
+                  unhex(lpad(hex(w % 256), 2, '0')) ||
+                  unhex(lpad(hex(w // 256), 2, '0')) ||
+                  unhex(lpad(hex(h % 256), 2, '0')) ||
+                  unhex(lpad(hex(h // 256), 2, '0')) || unhex('00'))
+               WHEN ring = 2 THEN
+                 (unhex('424D') || unhex(repeat('00', 16)) ||
+                  unhex(lpad(hex(w % 256), 2, '0')) ||
+                  unhex(lpad(hex(w // 256), 2, '0')) || unhex('0000') ||
+                  unhex(lpad(hex(h % 256), 2, '0')) ||
+                  unhex(lpad(hex(h // 256), 2, '0')) || unhex('0000'))
+               WHEN ring = 3 THEN unhex('FFD8FFE000')
+               ELSE unhex('00')
+             END AS content
+      FROM b),
+    h AS (SELECT doc_id, hex(content) AS hx FROM blob),
+    p AS (SELECT doc_id, hx,
+                 CASE
+                   WHEN starts_with(hx, '89504E470D0A1A0A') THEN 'png'
+                   WHEN starts_with(hx, 'FFD8FF') THEN 'jpeg'
+                   WHEN starts_with(hx, '47494638') THEN 'gif'
+                   ELSE CASE WHEN starts_with(hx, '424D')
+                             THEN 'bmp' ELSE 'unknown' END
+                 END AS format
+          FROM h)
+    SELECT doc_id, format,
+           CAST(CASE
+             WHEN format = 'png' THEN CAST(concat('0x', substring(hx, 33, 8)) AS INT)
+             WHEN format = 'gif' THEN
+               CAST(concat('0x', substring(hx, 13, 2)) AS INT)
+               + 256 * CAST(concat('0x', substring(hx, 15, 2)) AS INT)
+             WHEN format = 'bmp' THEN
+               CAST(concat('0x', substring(hx, 37, 2)) AS INT)
+               + 256 * CAST(concat('0x', substring(hx, 39, 2)) AS INT)
+           END AS INT) AS width,
+           CAST(CASE
+             WHEN format = 'png' THEN CAST(concat('0x', substring(hx, 41, 8)) AS INT)
+             WHEN format = 'gif' THEN
+               CAST(concat('0x', substring(hx, 17, 2)) AS INT)
+               + 256 * CAST(concat('0x', substring(hx, 19, 2)) AS INT)
+             WHEN format = 'bmp' THEN
+               CAST(concat('0x', substring(hx, 45, 2)) AS INT)
+               + 256 * CAST(concat('0x', substring(hx, 47, 2)) AS INT)
+           END AS INT) AS height
+    FROM p
+    """,
+)
+def q_media_dims_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-dimension parsing across FOUR container formats — PNG
+    (big-endian IHDR), GIF (little-endian screen descriptor), BMP
+    (little-endian BITMAPINFOHEADER), JPEG (no header dims without the
+    entropy scan: NULL) — over a synthesized format ring. Pure JVM hex
+    arithmetic (operators/multimodal.{png,gif,bmp}_dimensions); the
+    router a mixed media lake runs before scheduling any decoder."""
+    from oic_options_chains_spark.operators.multimodal import (
+        bmp_dimensions,
+        gif_dimensions,
+        png_dimensions,
+        sniff_format,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    w = 16 + F.col("doc_id") % 1024
+    h = 16 + (F.col("doc_id") * 7) % 1024
+    le2 = lambda v: F.concat(  # noqa: E731
+        F.unhex(F.lpad(F.hex(v % 256), 2, "0")),
+        F.unhex(F.lpad(F.hex(F.floor(v / 256).cast("bigint")), 2, "0")),
+    )
+    png = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A0000000D49484452")),
+        F.unhex(F.lpad(F.hex(w), 8, "0")),
+        F.unhex(F.lpad(F.hex(h), 8, "0")),
+        F.unhex(F.lit("08060000")),
+    )
+    gif = F.concat(
+        F.unhex(F.lit("474946383961")), le2(w), le2(h), F.unhex(F.lit("00"))
+    )
+    bmp = F.concat(
+        F.unhex(F.lit("424D")),
+        F.unhex(F.lit("00" * 16)),
+        le2(w),
+        F.unhex(F.lit("0000")),
+        le2(h),
+        F.unhex(F.lit("0000")),
+    )
+    ring = F.col("doc_id") % 5
+    blob = (
+        F.when(ring == 0, png)
+        .when(ring == 1, gif)
+        .when(ring == 2, bmp)
+        .when(ring == 3, F.unhex(F.lit("FFD8FFE000")))
+        .otherwise(F.unhex(F.lit("00")))
+    )
+    withb = d.select("doc_id", blob.alias("content"))
+    fmt = sniff_format(F.col("content"))
+    # sniff_format reports the RIFF/BM families at container level; for
+    # dims routing BMP is its own branch
+    fmt = F.when(
+        F.hex(F.substring(F.col("content"), 1, 2)) == "424D", "bmp"
+    ).otherwise(fmt)
+    pd_, gd, bd = (
+        png_dimensions(F.col("content")),
+        gif_dimensions(F.col("content")),
+        bmp_dimensions(F.col("content")),
+    )
+    pick = lambda k: (  # noqa: E731
+        F.coalesce(pd_[k], gd[k], bd[k]).cast("int").alias(k)
+    )
+    return withb.select("doc_id", fmt.alias("format"), pick("width"), pick("height"))
