@@ -482,10 +482,14 @@ def bmp_dimensions(content: Column) -> dict[str, Column]:
         raw = _le_int(content, pos, 4)
         return F.when(raw > 0x7FFFFFFF, raw - 0x100000000).otherwise(raw)
 
-    return {
-        "width": F.when(is_bmp, F.abs(signed(19)).cast("int")),
-        "height": F.when(is_bmp, F.abs(signed(23)).cast("int")),
-    }
+    # |INT32_MIN| does not fit an int: a hostile biHeight of -2^31 would
+    # wrap negative under the cast, so out-of-range magnitudes are
+    # malformed -> NULL rather than garbage dims
+    def dim(pos: int) -> Column:
+        mag = F.abs(signed(pos))
+        return F.when(is_bmp & (mag <= 0x7FFFFFFF), mag.cast("int"))
+
+    return {"width": dim(19), "height": dim(23)}
 
 
 TEXT_PAYLOADS = T.StructType(
@@ -516,20 +520,32 @@ def decompress_text(df: DataFrame, max_bytes: int = 16 << 20) -> DataFrame:
     def _inflate(raw: bytes) -> str | None:
         import zlib
 
-        if len(raw) < 2:
+        if raw is None or len(raw) < 2:
             return None
-        if raw[:2] == b"\x1f\x8b":
-            wbits = 16 + zlib.MAX_WBITS  # gzip wrapper
-        elif raw[0] == 0x78:
-            wbits = zlib.MAX_WBITS  # raw zlib
-        else:
+        gzip_wrapped = raw[:2] == b"\x1f\x8b"
+        if not gzip_wrapped and raw[0] != 0x78:
             return None
+        wbits = (16 + zlib.MAX_WBITS) if gzip_wrapped else zlib.MAX_WBITS
         try:
-            d = zlib.decompressobj(wbits)
-            out = d.decompress(raw, max_bytes)
-            if not d.eof and d.unconsumed_tail:
-                return None  # bomb guard tripped before the stream ended
-            return out.decode("utf-8")
+            # loop over CONCATENATED gzip members (the WARC norm: one
+            # member per record) — a single decompressobj stops at the
+            # first member's trailer and leaves the rest in unused_data
+            parts, budget = [], max_bytes
+            while raw:
+                d = zlib.decompressobj(wbits)
+                parts.append(d.decompress(raw, budget))
+                if not d.eof:
+                    # truncated stream (missing trailer/adler32) OR the
+                    # bomb guard clipped the output — either way the
+                    # text would be silently partial: quarantine
+                    return None
+                budget -= len(parts[-1])
+                if budget <= 0 and d.unused_data:
+                    return None  # bomb guard: more members than budget
+                raw = d.unused_data if gzip_wrapped else b""
+                if not gzip_wrapped and d.unused_data:
+                    return None  # trailing garbage after a zlib stream
+            return b"".join(parts).decode("utf-8")
         except (zlib.error, UnicodeDecodeError):
             return None
 
@@ -539,7 +555,9 @@ def decompress_text(df: DataFrame, max_bytes: int = 16 << 20) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
-                raw = bytes(blob)
+                # NULL content (a failed fetch) quarantines like any
+                # other undecodable row — never a task failure
+                raw = bytes(blob) if blob is not None else None
                 text = _inflate(raw)
                 rows.append(
                     {

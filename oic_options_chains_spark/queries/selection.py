@@ -331,9 +331,14 @@ def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(token_count_re(F.col("text"))).cast("bigint").alias("n_avail")
     )
     w = temperature_weights(d, "lang", alpha_quarters=2, size_col="n_chars")
+    # null-SAFE join: both sides group by lang, and a NULL-lang slice is
+    # a legitimate group the oracle (GROUP BY, no lang join) would keep —
+    # a plain inner join would silently drop it (NULL != NULL)
     return (
         w.select("lang", "weight_bp")
-        .join(avail, "lang")
+        .join(avail.withColumnRenamed("lang", "__lang"),
+              F.col("lang").eqNullSafe(F.col("__lang")))
+        .drop("__lang")
         .selectExpr(
             "lang",
             "n_avail",

@@ -33,9 +33,9 @@ def test_rotations_agree_and_cover_the_registry(spark):
 
     assert set(q) == set(QUERIES)
     assert set(o) == set(ORACLE)
-    # every oracle key appears at the same position in both rotations
-    # (the driver pairs them by iteration order)
-    q_positions = {k: i for i, k in enumerate(q)}
-    assert o == sorted(o, key=lambda k: q_positions[k])
+    # the registries must be IDENTICAL lists, not merely consistently
+    # ordered: a query that lost its oracle would shift every later
+    # positional pairing while relative-order checks still passed
+    assert q == o
     # rotation is deterministic across calls within a round
     assert list(mod.queries()) == q

@@ -249,3 +249,40 @@ def test_decompress_text_kernel_and_bomb_guard(spark):
     assert got[4].text is None
     # the 4 MiB payload exceeds the 1 MiB guard: quarantined, not OOM'd
     assert got[5].text is None
+
+
+def test_decompress_text_truncation_multimember_and_null(spark):
+    """Review regressions: (1) a gzip stream truncated in its TRAILER
+    must quarantine, not return silently-complete-looking text; (2)
+    concatenated gzip members (the WARC shape) must ALL decode; (3) a
+    NULL content cell quarantines instead of failing the task."""
+    import gzip as _gzip
+
+    from oic_options_chains_spark.operators.multimodal import decompress_text
+
+    members = _gzip.compress("record one. ".encode()) + _gzip.compress(
+        "record two.".encode()
+    )
+    trunc_trailer = _gzip.compress(b"perfectly valid ascii text")[:-6]
+    rows = [
+        (1, bytearray(members)),
+        (2, bytearray(trunc_trailer)),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r.media_id: r.text for r in decompress_text(df).collect()}
+    assert got[1] == "record one. record two."
+    assert got[2] is None
+    assert got[3] is None
+
+
+def test_bmp_int32_min_height_is_null_not_wrapped(spark):
+    import struct as _struct
+
+    from oic_options_chains_spark.operators.multimodal import bmp_dimensions
+
+    bmp = b"BM" + b"\x00" * 16 + _struct.pack("<ii", 10, -(2**31)) + b"\x00" * 4
+    df = spark.createDataFrame([(1, bytearray(bmp))], "media_id long, content binary")
+    b = bmp_dimensions(F.col("content"))
+    r = df.select(b["width"].alias("w"), b["height"].alias("h")).collect()[0]
+    assert r.w == 10 and r.h is None
