@@ -32,25 +32,30 @@ def entry(spark: SparkSession) -> DataFrame:
     return build_chain(spark, "/root/testdata/sf0.001")
 
 
-def _recorded_rounds(here: str | None = None) -> tuple[dict[str, int], set[str], set[str]]:
-    """How many driver CORRECTNESS_r*.json rounds have a row per query,
-    the most recent round's recorded key set, and the set of keys whose
-    LATEST recorded row is red (any explicit False among rows_match /
-    schema_match / hash_match).
+def _recorded_rounds(
+    here: str | None = None,
+) -> tuple[dict[str, int], dict[str, int], set[str], set[str]]:
+    """Per-query driver attestation state from CORRECTNESS_r*.json:
+    (rounds-recorded count, LAST round recorded, most recent round's key
+    set, keys whose LATEST recorded row is red — any explicit False among
+    rows_match / schema_match / hash_match).
 
     The driver records the first 50 ``queries()`` entries per round, and
     the registry holds more than 50 — so the dicts below are ordered
-    least-recorded-first (stable by registration order within a tier).
+    oldest-attested-first (stable by registration order within a tier).
     Every query then rotates into the driver's 50-row window across
-    rounds and accumulates a hash-checked row; without the rotation the
-    tail of the registry would stay green-but-unattested forever.
+    rounds and keeps a FRESH hash-checked row; without the rotation a key
+    attested once in an early round would stay green-but-stale forever
+    while the code under it churns.
     """
     import glob
     import json
+    import re
 
     if here is None:
         here = os.path.dirname(os.path.abspath(__file__))
     seen: dict[str, int] = {}
+    last_round: dict[str, int] = {}
     latest: set[str] = set()
     latest_red: set[str] = set()
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
@@ -59,10 +64,13 @@ def _recorded_rounds(here: str | None = None) -> tuple[dict[str, int], set[str],
                 rows = json.load(fh)
         except (OSError, ValueError):
             continue
+        match = re.search(r"r(\d+)", os.path.basename(path))
+        rnd = int(match.group(1)) if match else 0
         if isinstance(rows, dict):
             latest = set(rows)
             for key, row in rows.items():
                 seen[key] = seen.get(key, 0) + 1
+                last_round[key] = max(last_round.get(key, 0), rnd)
                 checks = (
                     (row.get("rows_match"), row.get("schema_match"), row.get("hash_match"))
                     if isinstance(row, dict)
@@ -72,17 +80,24 @@ def _recorded_rounds(here: str | None = None) -> tuple[dict[str, int], set[str],
                     latest_red.add(key)
                 else:
                     latest_red.discard(key)
-    return seen, latest, latest_red
+    return seen, last_round, latest, latest_red
 
 
 def _rotated(mapping: dict, here: str | None = None) -> dict:
-    seen, latest, latest_red = _recorded_rounds(here)
+    seen, last_round, latest, latest_red = _recorded_rounds(here)
     order = list(mapping)
     # latest-red keys FIRST (a red row that never re-enters the window
-    # can never turn green), then least-recorded; among equals, prefer
-    # keys the most recent round did NOT cover (so consecutive rounds
-    # alternate the tail)
-    key = lambda k: (k not in latest_red, seen.get(k, 0), k in latest, order.index(k))  # noqa: E731
+    # can never turn green), then OLDEST-attested (a key last hash-checked
+    # in round 2 is staler than one checked last round, regardless of how
+    # many total rows it has), then least-recorded, preferring keys the
+    # most recent round did NOT cover (so consecutive rounds alternate)
+    key = lambda k: (  # noqa: E731
+        k not in latest_red,
+        last_round.get(k, 0),
+        seen.get(k, 0),
+        k in latest,
+        order.index(k),
+    )
     return {k: mapping[k] for k in sorted(order, key=key)}
 
 

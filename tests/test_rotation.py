@@ -7,10 +7,13 @@ out unfixably). These tests pin the ordering contract:
 
 1. latest-red keys come first — a red row always re-enters the next
    window, because a red that never re-records can never turn green;
-2. then never/least-recorded keys (coverage grows monotonically);
-3. among equals, keys absent from the most recent round precede keys it
+2. then OLDEST-attested keys (a key last hash-checked rounds ago is
+   staler than one checked last round — the window REFRESHES old rows,
+   never lets them age while the code under them churns);
+3. then never/least-recorded keys (coverage grows monotonically);
+4. among equals, keys absent from the most recent round precede keys it
    covered (consecutive rounds alternate the tail);
-4. registration order is the final, stable tie-break.
+5. registration order is the final, stable tie-break.
 
 No Spark session needed — this is pure ordering logic over synthetic
 CORRECTNESS_r*.json files.
@@ -94,10 +97,44 @@ def test_repo_round4_window_covers_all_pending_keys():
     key must land inside the next 50-entry window."""
     from oic_options_chains_spark.queries import QUERIES
 
-    seen, _latest, latest_red = entry_mod._recorded_rounds()
+    seen, _last_round, _latest, latest_red = entry_mod._recorded_rounds()
     window = list(entry_mod._rotated(dict(QUERIES)))[:50]
     for key in latest_red:
         assert key in window, f"latest-red {key} outside the window"
     never = [k for k in QUERIES if k not in seen]
     for key in never:
         assert key in window, f"never-attested {key} outside the window"
+
+
+def test_oldest_attested_precedes_recently_attested(tmp_path):
+    # q0 green in r1 only (stale), q1 green in r1 AND r3 (fresh); the
+    # stale key must re-enter the window before the fresh one even
+    # though both are green and q1 has MORE recorded rows.
+    mapping = {"q0": 0, "q1": 1, "q2": 2}
+    _write_round(tmp_path, 1, {"q0": _green(), "q1": _green()})
+    _write_round(tmp_path, 3, {"q1": _green(), "q2": _green()})
+    order = list(entry_mod._rotated(mapping, str(tmp_path)))
+    assert order[0] == "q0", "stale-attested key must lead the window"
+    # among the r3-fresh pair, least-recorded (q2) precedes q1
+    assert order[1:] == ["q2", "q1"]
+
+
+def test_repo_window_refreshes_stalest_cohort():
+    """Against the REAL repo history: the next window must be filled with
+    the 50 oldest-attested keys (no green key may be staler than any key
+    left outside the window)."""
+    from oic_options_chains_spark.queries import QUERIES
+
+    _seen, last_round, _latest, latest_red = entry_mod._recorded_rounds()
+    order = list(entry_mod._rotated(dict(QUERIES)))
+    window, outside = order[:50], order[50:]
+    if not outside:
+        return
+    oldest_outside = min(last_round.get(k, 0) for k in outside)
+    for key in window:
+        if key in latest_red:
+            continue
+        assert last_round.get(key, 0) <= oldest_outside, (
+            f"{key} (r{last_round.get(key, 0)}) holds a window slot while a "
+            f"staler key (r{oldest_outside}) waits outside"
+        )
