@@ -37,6 +37,10 @@ import numpy as np
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# decode cap: 16M pixels (4096x4096). The inflate is bounded by the
+# IHDR-declared payload, so this caps the allocation a crafted header
+# can demand; kernel-tier images are orders of magnitude smaller.
+_MAX_PIXELS = 1 << 24
 
 
 def encode_png(pixels: np.ndarray) -> bytes:
@@ -108,12 +112,21 @@ def decode_png(blob: bytes) -> np.ndarray:
     if color_type not in _CHANNELS:
         raise ValueError(f"unsupported PNG color type {color_type}")
     c = _CHANNELS[color_type]
+    if w * h > _MAX_PIXELS:
+        # IHDR-declared dimensions bound the inflate below; a bomb that
+        # also lies about w*h must be rejected before allocating
+        raise ValueError(f"PNG dimensions {w}x{h} exceed decode cap")
     stride = w * c
+    expected = h * (stride + 1)
+    # bounded inflate: a zlib bomb expands only to expected+1 bytes
+    # (the +1 detects overrun) before being rejected as a ValueError,
+    # so it quarantines instead of escaping as MemoryError
+    d = zlib.decompressobj()
     try:
-        raw = zlib.decompress(b"".join(idat))
+        raw = d.decompress(b"".join(idat), expected + 1)
     except zlib.error as e:
         raise ValueError(f"PNG IDAT inflate failed: {e}") from e
-    if len(raw) != h * (stride + 1):
+    if len(raw) != expected or not d.eof or d.unconsumed_tail:
         raise ValueError("PNG pixel payload size mismatch")
     out = np.zeros((h, stride), dtype=np.uint8)
     for y in range(h):

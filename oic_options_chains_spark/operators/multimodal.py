@@ -465,7 +465,10 @@ def gif_dimensions(content: Column) -> dict[str, Column]:
     7-8 / 9-10, LITTLE-endian) — header metadata with zero decode, NULL
     for non-GIF blobs (the ``png_dimensions`` pattern)."""
     magic = F.substring(content, 1, 6).cast("string")
-    is_gif = magic.isin("GIF87a", "GIF89a")
+    # a truncated blob whose magic survives must yield NULL, not a
+    # partial-byte _le_int assembled from whatever remains: the screen
+    # descriptor ends at byte 10, so shorter blobs are malformed
+    is_gif = magic.isin("GIF87a", "GIF89a") & (F.octet_length(content) >= 10)
     return {
         "width": F.when(is_gif, _le_int(content, 7, 2).cast("int")),
         "height": F.when(is_gif, _le_int(content, 9, 2).cast("int")),
@@ -476,7 +479,11 @@ def bmp_dimensions(content: Column) -> dict[str, Column]:
     """Width/height from a BMP BITMAPINFOHEADER (bytes 19-22 / 23-26,
     LITTLE-endian signed — a negative height means top-down rows, so
     the magnitude is reported). NULL unless the 'BM' magic matches."""
-    is_bmp = F.hex(F.substring(content, 1, 2)) == "424D"
+    # BITMAPINFOHEADER dims end at byte 26; a truncated 'BM' blob is
+    # malformed -> NULL, never a partial-byte assembly
+    is_bmp = (F.hex(F.substring(content, 1, 2)) == "424D") & (
+        F.octet_length(content) >= 26
+    )
     # two's-complement: values past 2^31-1 are negative 32-bit ints
     def signed(pos: int) -> Column:
         raw = _le_int(content, pos, 4)

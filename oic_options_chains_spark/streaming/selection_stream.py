@@ -124,7 +124,13 @@ def read_model_stats(spark: SparkSession, model_dir: str) -> DataFrame:
     ]
     if comp is not None:
         paths.append(os.path.join(model_dir, f"compacted-v={comp[0]}"))
-    parts = spark.read.schema(_STATS_SCHEMA).parquet(*paths)
+    if not paths:
+        # fresh model_dir (no partials, no base): a defined empty model,
+        # not a zero-path analyzer error — read_model_ratios then yields
+        # the all-buckets-zero ratio table and compact_model is a no-op
+        parts = spark.createDataFrame([], _STATS_SCHEMA)
+    else:
+        parts = spark.read.schema(_STATS_SCHEMA).parquet(*paths)
     return parts.groupBy("bucket").agg(
         F.sum("c_raw").cast("bigint").alias("c_raw"),
         F.sum("c_tgt").cast("bigint").alias("c_tgt"),

@@ -360,3 +360,58 @@ def test_wav_decoder_quarantine_contract_under_corruption():
             wav_stats(bytes(mutated))
         except ValueError:
             pass
+
+
+def _chunk(tag, data):
+    return (
+        struct.pack(">I", len(data)) + tag + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def test_zlib_bomb_png_quarantines_without_inflating():
+    """A crafted IDAT that would expand ~1000x past the declared pixel
+    payload must be rejected as ValueError after at most expected+1
+    bytes of inflate — never a MemoryError escaping the kernels'
+    quarantine catch (ADVICE r5)."""
+    # declares 2x2 RGB (expected payload 14 bytes) but carries 32 MiB of
+    # zeros compressed to ~32 KiB
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bomb = zlib.compress(b"\x00" * (32 << 20), 9)
+    blob = (
+        b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", bomb) + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="size mismatch"):
+        decode_png(blob)
+
+
+def test_png_dimension_cap_rejected_before_inflate():
+    """A hostile IHDR declaring billions of pixels is rejected before
+    any allocation keyed off its dimensions."""
+    ihdr = struct.pack(">IIBBBBB", 0xFFFF, 0xFFFF, 8, 2, 0, 0, 0)
+    blob = (
+        b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\x00")) + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="decode cap"):
+        decode_png(blob)
+
+
+def test_truncated_idat_stream_still_quarantines():
+    """An IDAT whose zlib stream ends early (correct CRC, incomplete
+    DEFLATE) must map to ValueError via the bounded-inflate path."""
+    img = _gradient(6, 5, 3)
+    full = encode_png(img)
+    # rebuild with the IDAT's compressed payload cut in half
+    pos, out = 8, full[:8]
+    while pos + 8 <= len(full):
+        (length,) = struct.unpack(">I", full[pos : pos + 4])
+        tag = full[pos + 4 : pos + 8]
+        data = full[pos + 8 : pos + 8 + length]
+        if tag == b"IDAT":
+            data = data[: len(data) // 2]
+        out += _chunk(tag, data)
+        pos += 12 + length
+    with pytest.raises(ValueError):
+        decode_png(out)

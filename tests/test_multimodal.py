@@ -286,3 +286,43 @@ def test_bmp_int32_min_height_is_null_not_wrapped(spark):
     b = bmp_dimensions(F.col("content"))
     r = df.select(b["width"].alias("w"), b["height"].alias("h")).collect()[0]
     assert r.w == 10 and r.h is None
+
+
+def test_truncated_gif_bmp_headers_are_null_not_garbage(spark):
+    """ADVICE r5: a truncated blob whose magic survives must yield NULL
+    dims, never a partial-byte _le_int assembly."""
+    import struct as _struct
+
+    from oic_options_chains_spark.operators.multimodal import (
+        bmp_dimensions,
+        gif_dimensions,
+    )
+
+    rows = [
+        (1, bytearray(b"GIF89a\x40")),            # magic + 1 width byte
+        (2, bytearray(b"GIF89a" + _struct.pack("<H", 320) + b"\xc8")),  # half height
+        (3, bytearray(b"BM" + b"\x00" * 16 + b"\x80\x02")),  # dims cut mid-width
+        (4, bytearray(b"BM")),                    # bare magic
+        # exactly at the minimum lengths: still decodes
+        (5, bytearray(b"GIF87a" + _struct.pack("<HH", 7, 9))),
+        (6, bytearray(b"BM" + b"\x00" * 16 + _struct.pack("<ii", 3, 4))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    g = gif_dimensions(F.col("content"))
+    b = bmp_dimensions(F.col("content"))
+    got = {
+        r.media_id: (r.gw, r.gh, r.bw, r.bh)
+        for r in df.select(
+            "media_id",
+            g["width"].alias("gw"),
+            g["height"].alias("gh"),
+            b["width"].alias("bw"),
+            b["height"].alias("bh"),
+        ).collect()
+    }
+    assert got[1] == (None, None, None, None)
+    assert got[2] == (None, None, None, None)
+    assert got[3] == (None, None, None, None)
+    assert got[4] == (None, None, None, None)
+    assert got[5] == (7, 9, None, None)
+    assert got[6] == (None, None, 3, 4)

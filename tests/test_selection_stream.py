@@ -126,3 +126,14 @@ def test_batch_replayed_after_compaction_is_not_double_counted(spark, tmp_path):
     # while a genuinely NEW batch still lands
     write_batch_stats(spark.createDataFrame(_docs(50, 10), SCHEMA), _tgt(), model, 2)
     assert sorted(map(tuple, read_model_stats(spark, model).collect())) != truth
+
+
+def test_fresh_model_dir_reads_as_defined_empty_model(spark, tmp_path):
+    """ADVICE r5: a model_dir with no batch partials and no compacted
+    base must read as an empty stats table (and compact cleanly), not a
+    zero-path analyzer error."""
+    model = str(tmp_path / "fresh_model")
+    os.makedirs(model, exist_ok=True)
+    assert read_model_stats(spark, model).collect() == []
+    compact_model(spark, model)  # no-op base, must not raise
+    assert read_model_stats(spark, model).collect() == []
