@@ -13,9 +13,12 @@ decode honestly (``operators/codecs.py``):
   CRC verification); ``decode_audio`` parses RIFF/WAVE PCM-16. Rows
   that fail to decode carry NULL stats (or drop, for resize) — the
   quarantine-friendly shape.
-- JPEG/GIF/video remain behind the same seam awaiting a real library
-  (an entropy decoder is a library, not a function); ``sniff_format``
-  routes blobs before any kernel runs.
+- JPEG/GIF/video PIXEL decode remains behind the same seam awaiting a
+  real library (an entropy decoder is a library, not a function);
+  ``sniff_format`` routes blobs before any kernel runs. JPEG
+  DIMENSIONS, though, are header metadata: ``jpeg_dimensions`` walks
+  the marker segments to the SOFn frame header in pure JVM column
+  arithmetic — no decode, no Python.
 - ``fake=True`` (the default in schema tests) derives deterministic
   "decoded" stats from the bytes themselves (md5-seeded), so the full
   distributed path — batch iteration, struct results, frame explode — is
@@ -497,6 +500,102 @@ def bmp_dimensions(content: Column) -> dict[str, Column]:
         return F.when(is_bmp & (mag <= 0x7FFFFFFF), mag.cast("int"))
 
     return {"width": dim(19), "height": dim(23)}
+
+
+def jpeg_dimensions(
+    content: Column,
+    max_preamble: int = 1 << 20,
+    max_segments: int = 24,
+) -> dict[str, Column]:
+    """Width/height from a JPEG SOF0..SOF15 frame header via a BOUNDED
+    marker-segment walk — entirely JVM column arithmetic (hex +
+    substring + conv inside one ``F.aggregate`` over a constant
+    sequence), zero Python, zero entropy decode.
+
+    JPEG carries its dimensions in the SOFn segment (marker FFC0-FFCF
+    minus the non-frame C4/C8/CC), which sits after a variable-length
+    preamble of APPn/DQT/COM segments — there is no fixed header offset,
+    so the parse is a marker walk: at each step read ``FF mm`` + the
+    big-endian segment length and hop to the next marker. The walk is a
+    RUNTIME loop of ``max_segments`` iterations (an ``aggregate`` over
+    ``sequence(1, N)`` with a (pos, w, h, dead) state struct), so the
+    expression tree — and therefore codegen size — is constant no matter
+    the bound; real-world files reach SOF well inside 24 segments (SOI,
+    a handful of APPn including EXIF, DQTs, then SOF).
+
+    Quarantine contract (the ``png_dimensions`` pattern): any malformed
+    shape — bad magic, a non-FF byte where a marker must start, a
+    truncated segment, EOI/SOS before any SOF, a segment length < 2, or
+    SOF beyond ``max_preamble`` bytes / ``max_segments`` markers — yields
+    NULL, never partial garbage. FF fill bytes before markers and
+    standalone TEM/RSTn markers are skipped per the spec.
+    """
+    hx = F.hex(F.substring(content, 1, max_preamble))
+    hlen = F.length(hx)
+    is_jpeg = F.substring(hx, 1, 6) == "FFD8FF"
+
+    def u16(char_pos: Column) -> Column:
+        # big-endian u16 at a 1-based hex-char position
+        return F.conv(F.substring(hx, char_pos.cast("int"), 4), 16, 10).cast("int")
+
+    def step(acc: Column, _elem: Column) -> Column:
+        pos = acc["pos"]  # 1-based BYTE position of the next marker
+        done = acc["w"].isNotNull() | acc["dead"]
+        have_marker = hlen >= pos * 2 + 2
+        is_ff = F.substring(hx, (pos * 2 - 1).cast("int"), 2) == "FF"
+        m = F.conv(F.substring(hx, (pos * 2 + 1).cast("int"), 2), 16, 10).cast("int")
+        seg_len = u16(pos * 2 + 3)
+        is_fill = m == 255  # FF fill byte: next byte is the real marker
+        is_standalone = (m == 1) | ((m >= 208) & (m <= 215))  # TEM / RSTn
+        is_sof = (m >= 192) & (m <= 207) & ~m.isin(196, 200, 204)
+        is_end = m.isin(217, 218)  # EOI, or SOS before any SOF: no dims
+        has_len = hlen >= pos * 2 + 6
+        sof_ok = is_sof & (hlen >= pos * 2 + 16)
+        new_dead = acc["dead"] | (
+            ~done
+            & (
+                ~have_marker
+                | ~is_ff
+                | is_end
+                | (is_sof & ~sof_ok)
+                | (
+                    ~is_fill
+                    & ~is_standalone
+                    & ~is_sof
+                    & ~is_end
+                    & (~has_len | (seg_len < 2))
+                )
+            )
+        )
+        found = ~done & sof_ok
+        # SOF payload: len(2) precision(1) height(2) width(2) ...
+        new_h = F.when(found, u16(pos * 2 + 9)).otherwise(acc["h"])
+        new_w = F.when(found, u16(pos * 2 + 13)).otherwise(acc["w"])
+        new_pos = (
+            F.when(done | new_dead | found, pos)
+            .when(is_fill, pos + 1)
+            .when(is_standalone, pos + 2)
+            .otherwise(pos + 2 + seg_len)
+        )
+        return F.struct(
+            new_pos.alias("pos"),
+            new_w.alias("w"),
+            new_h.alias("h"),
+            new_dead.alias("dead"),
+        )
+
+    init = F.struct(
+        F.lit(3).cast("bigint").alias("pos"),  # first marker after FFD8
+        F.lit(None).cast("int").alias("w"),
+        F.lit(None).cast("int").alias("h"),
+        (~is_jpeg).alias("dead"),
+    )
+    state = F.aggregate(F.sequence(F.lit(1), F.lit(int(max_segments))), init, step)
+    ok = ~state["dead"]
+    return {
+        "width": F.when(ok, state["w"]),
+        "height": F.when(ok, state["h"]),
+    }
 
 
 TEXT_PAYLOADS = T.StructType(

@@ -1179,7 +1179,7 @@ def q_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
              doc_id % 5 AS ring
       FROM documents),
     blob AS (
-      SELECT doc_id,
+      SELECT doc_id, w, h,
              CASE
                WHEN ring = 0 THEN
                  (unhex('89504E470D0A1A0A0000000D49484452') ||
@@ -1197,12 +1197,18 @@ def q_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
                   unhex(lpad(hex(w // 256), 2, '0')) || unhex('0000') ||
                   unhex(lpad(hex(h % 256), 2, '0')) ||
                   unhex(lpad(hex(h // 256), 2, '0')) || unhex('0000'))
-               WHEN ring = 3 THEN unhex('FFD8FFE000')
+               WHEN ring = 3 THEN
+                 (unhex('FFD8FFE000104A46494600010100000100010000FFFE00040000') ||
+                  unhex(CASE WHEN doc_id % 2 = 0 THEN 'FFC0' ELSE 'FFC2' END) ||
+                  unhex('001108') ||
+                  unhex(lpad(hex(h), 4, '0')) ||
+                  unhex(lpad(hex(w), 4, '0')) ||
+                  unhex('03011100021101031101'))
                ELSE unhex('00')
              END AS content
       FROM b),
-    h AS (SELECT doc_id, hex(content) AS hx FROM blob),
-    p AS (SELECT doc_id, hx,
+    h AS (SELECT doc_id, w, h AS ph, hex(content) AS hx FROM blob),
+    p AS (SELECT doc_id, w, ph, hx,
                  CASE
                    WHEN starts_with(hx, '89504E470D0A1A0A') THEN 'png'
                    WHEN starts_with(hx, 'FFD8FF') THEN 'jpeg'
@@ -1220,6 +1226,9 @@ def q_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
              WHEN format = 'bmp' THEN
                CAST(concat('0x', substring(hx, 37, 2)) AS INT)
                + 256 * CAST(concat('0x', substring(hx, 39, 2)) AS INT)
+             -- jpeg: the oracle reports the PLANTED width; the Spark
+             -- side must RECOVER it from the SOF marker walk
+             WHEN format = 'jpeg' THEN w
            END AS INT) AS width,
            CAST(CASE
              WHEN format = 'png' THEN CAST(concat('0x', substring(hx, 41, 8)) AS INT)
@@ -1229,6 +1238,7 @@ def q_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
              WHEN format = 'bmp' THEN
                CAST(concat('0x', substring(hx, 45, 2)) AS INT)
                + 256 * CAST(concat('0x', substring(hx, 47, 2)) AS INT)
+             WHEN format = 'jpeg' THEN ph
            END AS INT) AS height
     FROM p
     """,
@@ -1236,13 +1246,18 @@ def q_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_dims_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Header-dimension parsing across FOUR container formats — PNG
     (big-endian IHDR), GIF (little-endian screen descriptor), BMP
-    (little-endian BITMAPINFOHEADER), JPEG (no header dims without the
-    entropy scan: NULL) — over a synthesized format ring. Pure JVM hex
-    arithmetic (operators/multimodal.{png,gif,bmp}_dimensions); the
-    router a mixed media lake runs before scheduling any decoder."""
+    (little-endian BITMAPINFOHEADER), JPEG (bounded SOF marker walk:
+    baseline SOF0 on even doc_ids, progressive SOF2 on odd, behind a
+    JFIF APP0 + COM preamble) — over a synthesized format ring. Pure
+    JVM hex arithmetic (operators/multimodal.{png,gif,bmp,jpeg}_
+    dimensions); the router a mixed media lake runs before scheduling
+    any decoder. The oracle plants the JPEG dims and reports them from
+    ground truth, so the Spark side must RECOVER them from the marker
+    walk to match."""
     from oic_options_chains_spark.operators.multimodal import (
         bmp_dimensions,
         gif_dimensions,
+        jpeg_dimensions,
         png_dimensions,
         sniff_format,
     )
@@ -1271,12 +1286,23 @@ def q_media_dims_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
         le2(h),
         F.unhex(F.lit("0000")),
     )
+    sof_marker = F.when(F.col("doc_id") % 2 == 0, F.lit("FFC0")).otherwise(
+        F.lit("FFC2")
+    )
+    jpeg = F.concat(
+        F.unhex(F.lit("FFD8FFE000104A46494600010100000100010000FFFE00040000")),
+        F.unhex(sof_marker),
+        F.unhex(F.lit("001108")),
+        F.unhex(F.lpad(F.hex(h), 4, "0")),
+        F.unhex(F.lpad(F.hex(w), 4, "0")),
+        F.unhex(F.lit("03011100021101031101")),
+    )
     ring = F.col("doc_id") % 5
     blob = (
         F.when(ring == 0, png)
         .when(ring == 1, gif)
         .when(ring == 2, bmp)
-        .when(ring == 3, F.unhex(F.lit("FFD8FFE000")))
+        .when(ring == 3, jpeg)
         .otherwise(F.unhex(F.lit("00")))
     )
     withb = d.select("doc_id", blob.alias("content"))
@@ -1286,12 +1312,13 @@ def q_media_dims_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
     fmt = F.when(
         F.hex(F.substring(F.col("content"), 1, 2)) == "424D", "bmp"
     ).otherwise(fmt)
-    pd_, gd, bd = (
+    pd_, gd, bd, jd = (
         png_dimensions(F.col("content")),
         gif_dimensions(F.col("content")),
         bmp_dimensions(F.col("content")),
+        jpeg_dimensions(F.col("content")),
     )
     pick = lambda k: (  # noqa: E731
-        F.coalesce(pd_[k], gd[k], bd[k]).cast("int").alias(k)
+        F.coalesce(pd_[k], gd[k], bd[k], jd[k]).cast("int").alias(k)
     )
     return withb.select("doc_id", fmt.alias("format"), pick("width"), pick("height"))

@@ -326,3 +326,79 @@ def test_truncated_gif_bmp_headers_are_null_not_garbage(spark):
     assert got[4] == (None, None, None, None)
     assert got[5] == (7, 9, None, None)
     assert got[6] == (None, None, 3, 4)
+
+
+def _jseg(marker, payload):
+    import struct as _struct
+
+    return bytes([0xFF, marker]) + _struct.pack(">H", len(payload) + 2) + payload
+
+
+def _jsof(marker, w, h):
+    import struct as _struct
+
+    return _jseg(
+        marker,
+        bytes([8]) + _struct.pack(">HH", h, w) + bytes.fromhex("03011100021101031101"),
+    )
+
+
+def test_jpeg_dimensions_sof_marker_walk(spark):
+    """Bounded SOF walk: baseline/progressive/extended-sequential SOFs
+    behind APP0/EXIF/DQT/DHT preambles parse; every malformed shape
+    (no SOF, EOI/SOS first, truncation, bad marker byte, walk past the
+    segment bound) yields NULL — never partial garbage."""
+    from oic_options_chains_spark.operators.multimodal import jpeg_dimensions
+
+    app0 = _jseg(0xE0, bytes.fromhex("4A46494600010100000100010000"))
+    exif = _jseg(0xE1, b"Exif\x00\x00" + b"\x00" * 5000)
+    dqt = _jseg(0xDB, bytes(65))
+    dht = _jseg(0xC4, bytes(20))  # C4 is DHT, not a SOF
+    blobs = [
+        (1, b"\xff\xd8" + app0 + dqt + _jsof(0xC0, 640, 480)),
+        (2, b"\xff\xd8" + app0 + exif + dqt + _jsof(0xC2, 1024, 768)),
+        (3, b"\xff\xd8" + app0 + dht + _jsof(0xC1, 31, 17)),
+        (4, b"\xff\xd8" + app0 + dqt),  # no SOF then EOF
+        (5, b"\xff\xd8" + app0 + b"\xff\xd9"),  # EOI before SOF
+        (6, (b"\xff\xd8" + app0 + _jsof(0xC0, 9, 9))[:20]),  # cut mid-walk
+        (7, b"\xff\xd8" + b"\xff\xff" + app0[1:] + _jsof(0xC0, 5, 7)),  # fill byte
+        (8, b"not a jpeg"),
+        (9, b"\xff\xd8" + app0 + b"\x00\x11" + _jsof(0xC0, 3, 3)),  # non-FF marker
+        # 30 COM segments exceed the 24-marker walk bound: documented NULL
+        (10, b"\xff\xd8" + b"".join(_jseg(0xFE, b"xx") for _ in range(30)) + _jsof(0xC0, 2, 2)),
+        # SOS before any SOF: dims unrecoverable without entropy decode
+        (11, b"\xff\xd8" + app0 + _jseg(0xDA, bytes(10)) + _jsof(0xC0, 4, 4)),
+        # zero-payload segment length (< 2) is malformed
+        (12, b"\xff\xd8" + b"\xff\xe0\x00\x01" + _jsof(0xC0, 4, 4)),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in blobs], "media_id long, content binary"
+    )
+    d = jpeg_dimensions(F.col("content"))
+    got = {
+        r.media_id: (r.w, r.h)
+        for r in df.select("media_id", d["width"].alias("w"), d["height"].alias("h")).collect()
+    }
+    assert got[1] == (640, 480)
+    assert got[2] == (1024, 768)
+    assert got[3] == (31, 17)
+    for i in (4, 5, 6, 8, 9, 10, 11, 12):
+        assert got[i] == (None, None), f"blob {i} must quarantine"
+    assert got[7] == (5, 7)
+
+
+def test_jpeg_dimensions_plan_stays_jvm_side(spark):
+    """The marker walk must compile to a constant-size JVM plan: no
+    Python (BatchEvalPython/ArrowEvalPython) regardless of the segment
+    bound."""
+    from oic_options_chains_spark.operators.multimodal import jpeg_dimensions
+
+    df = spark.createDataFrame([(1, bytearray(b"\xff\xd8"))], "i long, content binary")
+    d = jpeg_dimensions(F.col("content"), max_segments=64)
+    plan = (
+        df.select(d["width"], d["height"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan
