@@ -1,13 +1,15 @@
-"""Dependency-free media codecs: PNG (stdlib zlib) and WAV PCM (struct).
+"""Dependency-free media codecs: PNG (stdlib zlib), baseline JPEG
+(T.81 Huffman + DCT over numpy), and WAV PCM (struct).
 
 These are the REAL kernels behind the ``fake=False`` seam in
 ``operators/multimodal.py``. The container ships no Pillow/libvips/
 torchaudio, but a complete baseline PNG codec needs only ``zlib``
-(DEFLATE) plus the five scanline filters, and RIFF/WAVE PCM is plain
-struct parsing — so the decode path is honest working code, not a stub,
-for the two formats the synthetic corpus carries. JPEG/GIF/video stay
-behind ``NotImplementedError`` (an entropy decoder is a library, not a
-function) and are routed around via ``sniff_format``.
+(DEFLATE) plus the five scanline filters, a baseline-sequential JPEG
+codec needs only the public T.81 tables + an 8x8 DCT, and RIFF/WAVE PCM
+is plain struct parsing — so the decode path is honest working code,
+not a stub, for the formats a web-crawl media column actually carries.
+Progressive JPEG (SOF2+), arithmetic coding, and video stay gated
+(ValueError) and are routed around via ``sniff_format``.
 
 Supported surface (rejects anything else with ValueError, so a caller
 can quarantine rather than mis-decode):
@@ -16,6 +18,11 @@ can quarantine rather than mis-decode):
   6 (RGBA); no interlace, no palette. All five row filters (None/Sub/
   Up/Average/Paeth) on decode; encode writes filter 0. Chunk CRCs are
   VERIFIED on decode (a flipped bit fails loudly, not as noise pixels).
+- JPEG: baseline sequential (SOF0), 8-bit, Huffman, grayscale or YCbCr,
+  sampling factors to 2x2 (4:4:4 / 4:2:2 / 4:2:0), restart intervals.
+  Encode writes SOF0 with Annex K typical tables at a chosen
+  subsampling, so the decoder's interleaved paths are testable from
+  self-contained fixtures.
 - WAV: canonical RIFF/WAVE with ``fmt `` + ``data`` chunks, PCM
   (format tag 1), 16-bit samples.
 
@@ -185,12 +192,23 @@ def luma(pixels: np.ndarray) -> np.ndarray:
     return p[:, :, 0]
 
 
+def decode_image(blob: bytes) -> np.ndarray:
+    """Magic-byte dispatch over the real decoders: PNG or baseline JPEG
+    to (h, w, c) uint8; ValueError on anything else (the quarantine
+    contract every kernel relies on)."""
+    if blob[:8] == _PNG_SIG:
+        return decode_png(blob)
+    if blob[:2] == b"\xff\xd8":
+        return decode_jpeg(blob)
+    raise ValueError("unsupported image container (not PNG/JPEG)")
+
+
 def image_stats(blob: bytes, feature_dims: int) -> tuple[int, int, float, list[float]]:
-    """The real counterpart of multimodal._fake_image_stats: decode,
-    integer luma, and a ``feature_dims``-cell mean-luma grid feature
-    (the flattened luma split into contiguous cells — a deterministic
-    fixed-width embedding stand-in)."""
-    px = decode_png(blob)
+    """The real counterpart of multimodal._fake_image_stats: decode
+    (PNG or baseline JPEG), integer luma, and a ``feature_dims``-cell
+    mean-luma grid feature (the flattened luma split into contiguous
+    cells — a deterministic fixed-width embedding stand-in)."""
+    px = decode_image(blob)
     h, w = px.shape[:2]
     lm = luma(px).reshape(-1)
     mean_luma = float(lm.mean()) / 255.0
@@ -237,3 +255,548 @@ def wav_stats(blob: bytes) -> tuple[int, int, int, int]:
         return rate, 0, 0, 0
     a = np.abs(samples.astype(np.int64))
     return rate, n, int(a.max()), int((1000 * a.sum()) // len(samples))
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81): decoder for SOF0 sequential scans and a
+# 4:4:4 encoder, dependency-free (numpy only). Retires the last image
+# fake= seam: progressive (SOF2+), arithmetic coding, 12-bit and video
+# stay gated. The reference pipeline has no media tier at all — this is
+# part of the training-data extension surface (SURVEY.md section 6).
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+)
+
+# Annex K.1 base quantization tables (luminance / chrominance)
+_QL_BASE = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+    ]
+)
+_QC_BASE = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    ]
+)
+
+# Annex K.3 typical Huffman tables: (bits[16], values)
+_DC_L = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_DC_C = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+_AC_L = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_AC_C = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_basis() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II basis M: forward F = M f M^T, inverse
+    f = M^T F M."""
+    n = np.arange(8)
+    k = n.reshape(-1, 1)
+    m = np.cos((2 * n + 1) * k * np.pi / 16.0)
+    m[0] *= np.sqrt(1.0 / 2.0)
+    return m * 0.5
+
+
+_DCT_M = _dct_basis()
+
+
+def _huff_decode_table(bits: list[int], values: list[int]) -> dict:
+    """(code_length, code) -> symbol for a canonical T.81 table."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if k >= len(values):
+                raise ValueError("JPEG DHT symbol count mismatch")
+            table[(length, code)] = values[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 byte
+    de-stuffing; raises ValueError past the end (truncated scan)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG scan truncated")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("JPEG scan truncated at stuffing")
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed 0xFF data byte
+                else:
+                    raise ValueError(f"unexpected marker FF{nxt:02X} in scan")
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict) -> int:
+        length, code = 0, 0
+        while length < 16:
+            code = (code << 1) | self.bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _decode_block(
+    br: _BitReader, dc_tab: dict, ac_tab: dict, quant: np.ndarray, pred: int
+) -> tuple[np.ndarray, int]:
+    """One 8x8 block: Huffman -> dequant -> dezigzag -> IDCT, returning
+    (spatial block float64, new DC predictor)."""
+    s = br.huff(dc_tab)
+    if s > 11:
+        raise ValueError(f"invalid JPEG DC magnitude {s}")
+    diff = _extend(br.receive(s), s) if s else 0
+    pred += diff
+    zz = np.zeros(64, dtype=np.int32)
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        rs = br.huff(ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC run past block end")
+        zz[k] = _extend(br.receive(s), s)
+        k += 1
+    coeffs = np.zeros(64, dtype=np.float64)
+    coeffs[_ZIGZAG] = zz * quant
+    block = coeffs.reshape(8, 8)
+    return _DCT_M.T @ block @ _DCT_M, pred
+
+
+def decode_jpeg(blob: bytes) -> np.ndarray:
+    """(h, w, c) uint8 pixels from a BASELINE sequential JPEG (SOF0,
+    8-bit, Huffman, 1 or 3 components, sampling factors up to 2x2,
+    restart intervals honored). Grayscale decodes to c=1, YCbCr to c=3
+    RGB via the JFIF matrix. ValueError on anything else — progressive
+    (SOF2+), arithmetic coding, 12-bit, unknown tables, truncation —
+    so the kernels quarantine rather than mis-decode."""
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+    frame = None
+    restart = 0
+    while True:
+        if pos + 2 > len(blob):
+            raise ValueError("JPEG truncated before SOS")
+        if blob[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        m = blob[pos + 1]
+        if m == 0xFF:
+            pos += 1
+            continue
+        pos += 2
+        if m in (0x01, *range(0xD0, 0xD8)):
+            continue
+        if m == 0xD9:
+            raise ValueError("JPEG EOI before scan")
+        if pos + 2 > len(blob):
+            raise ValueError("JPEG segment truncated")
+        (seg_len,) = struct.unpack(">H", blob[pos : pos + 2])
+        if seg_len < 2 or pos + seg_len > len(blob):
+            raise ValueError("JPEG segment length out of range")
+        body = blob[pos + 2 : pos + seg_len]
+        pos += seg_len
+        if m == 0xDB:  # DQT
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit JPEG quant tables unsupported")
+                if b + 65 > len(body):
+                    raise ValueError("JPEG DQT truncated")
+                quant[tq] = np.frombuffer(
+                    body[b + 1 : b + 65], dtype=np.uint8
+                ).astype(np.int32)
+                b += 65
+        elif m == 0xC4:  # DHT
+            b = 0
+            while b + 17 <= len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1 : b + 17])
+                n = sum(bits)
+                vals = list(body[b + 17 : b + 17 + n])
+                if len(vals) != n:
+                    raise ValueError("JPEG DHT truncated")
+                huff[(tc, th)] = _huff_decode_table(bits, vals)
+                b += 17 + n
+        elif m == 0xDD:  # DRI
+            if len(body) != 2:
+                raise ValueError("JPEG DRI malformed")
+            (restart,) = struct.unpack(">H", body)
+        elif m == 0xC0:  # SOF0 baseline
+            if len(body) < 6:
+                raise ValueError("JPEG SOF0 truncated")
+            prec, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            if h == 0 or w == 0 or w * h > _MAX_PIXELS:
+                raise ValueError(f"JPEG dimensions {w}x{h} out of range")
+            if nc not in (1, 3):
+                raise ValueError(f"unsupported JPEG component count {nc}")
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("JPEG SOF0 component list truncated")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                hi, vi = hv >> 4, hv & 0x0F
+                if not (1 <= hi <= 2 and 1 <= vi <= 2):
+                    raise ValueError(f"unsupported JPEG sampling {hi}x{vi}")
+                comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"non-baseline JPEG (SOF{m - 0xC0}) unsupported")
+        elif m == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF0")
+            ns = body[0]
+            if ns != len(frame["comps"]):
+                raise ValueError("JPEG interleaved-scan component mismatch")
+            sel = {}
+            for i in range(ns):
+                cs, tt = body[1 + 2 * i : 3 + 2 * i]
+                sel[cs] = (tt >> 4, tt & 0x0F)
+            return _decode_scan(blob, pos, frame, quant, huff, sel, restart)
+        # APPn/COM and other tables: skipped
+    raise ValueError("JPEG has no scan")
+
+
+def _decode_scan(blob, pos, frame, quant, huff, sel, restart):
+    comps = frame["comps"]
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = []
+    for c in comps:
+        if c["tq"] not in quant:
+            raise ValueError(f"JPEG missing quant table {c['tq']}")
+        dc_id, ac_id = sel.get(c["id"], (0, 0))
+        if (0, dc_id) not in huff or (1, ac_id) not in huff:
+            raise ValueError("JPEG missing Huffman table")
+        planes.append(
+            np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        )
+    br = _BitReader(blob[pos:])
+    preds = [0] * len(comps)
+    n_mcu = mcux * mcuy
+    for idx in range(n_mcu):
+        if restart and idx and idx % restart == 0:
+            # byte-align and consume the RSTn marker
+            br.n = 0
+            if br.pos + 2 > len(br.data) or br.data[br.pos] != 0xFF or not (
+                0xD0 <= br.data[br.pos + 1] <= 0xD7
+            ):
+                raise ValueError("JPEG restart marker missing")
+            br.pos += 2
+            preds = [0] * len(comps)
+        my, mx = divmod(idx, mcux)
+        for ci, c in enumerate(comps):
+            dc_id, ac_id = sel.get(c["id"], (0, 0))
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    # DQT tables arrive in zigzag order, matching zz
+                    block, preds[ci] = _decode_block(
+                        br,
+                        huff[(0, dc_id)],
+                        huff[(1, ac_id)],
+                        quant[c["tq"]],
+                        preds[ci],
+                    )
+                    y0 = (my * c["v"] + by) * 8
+                    x0 = (mx * c["h"] + bx) * 8
+                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+    out_planes = []
+    for ci, c in enumerate(comps):
+        p = planes[ci] + 128.0
+        # nearest upsample to full MCU-grid resolution, then crop
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        out_planes.append(p[:h, :w])
+    if len(out_planes) == 1:
+        y = np.clip(np.rint(out_planes[0]), 0, 255).astype(np.uint8)
+        return y[:, :, None]
+    y, cb, cr = out_planes
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    """MSB-first bit writer with T.81 0xFF00 byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        # pad the final byte with 1-bits per the spec
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)
+
+
+def _huff_encode_table(bits: list[int], values: list[int]) -> dict:
+    """symbol -> (code, length) for a canonical T.81 table."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[values[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling of the Annex K base tables (public formula:
+    scale = 5000/q below 50 else 200-2q, clamp each entry to 1..255)."""
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    ql = np.clip((_QL_BASE * scale + 50) // 100, 1, 255).astype(np.int32)
+    qc = np.clip((_QC_BASE * scale + 50) // 100, 1, 255).astype(np.int32)
+    return ql, qc
+
+
+def _encode_block(
+    bw: _BitWriter, block: np.ndarray, quant: np.ndarray, dc_tab: dict, ac_tab: dict, pred: int
+) -> int:
+    f = _DCT_M @ block @ _DCT_M.T
+    zz = np.rint(f.reshape(64)[_ZIGZAG] / quant).astype(np.int32)
+    diff = int(zz[0]) - pred
+    pred = int(zz[0])
+    s = int(diff).bit_length() if diff else 0
+    code, length = dc_tab[s]
+    bw.write(code, length)
+    if s:
+        bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if k > last_nz:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_tab[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        s = abs(v).bit_length()
+        code, length = ac_tab[(run << 4) | s]
+        bw.write(code, length)
+        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_tab[0x00]  # EOB
+        bw.write(code, length)
+    return pred
+
+
+_SUBSAMPLING = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+
+
+def encode_jpeg(
+    pixels: np.ndarray, quality: int = 85, subsampling: str = "444"
+) -> bytes:
+    """Baseline sequential JPEG (SOF0, Annex K typical Huffman tables,
+    IJG quality-scaled quant tables) from (h, w, 3) RGB or
+    (h, w)/(h, w, 1) grayscale uint8. ``subsampling`` picks the luma
+    sampling factors — '444' (1x1), '422' (2x1), '420' (2x2, chroma box
+    -averaged) — so the decoder's interleaved-MCU paths are testable
+    from self-contained fixtures. The counterpart of ``decode_jpeg``
+    for roundtrip tests and fixture synthesis."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nc = arr.shape
+    if nc not in (1, 3):
+        raise ValueError(f"encode_jpeg needs 1 or 3 channels, got {nc}")
+    if subsampling not in _SUBSAMPLING:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    hy, vy = _SUBSAMPLING[subsampling] if nc == 3 else (1, 1)
+    ql, qc = _quality_tables(quality)
+    p = arr.astype(np.float64)
+    if nc == 3:
+        r, g, b = p[:, :, 0], p[:, :, 1], p[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+        qtabs = [ql, qc, qc]
+        sampling = [(hy, vy), (1, 1), (1, 1)]
+    else:
+        planes = [p[:, :, 0]]
+        qtabs = [ql]
+        sampling = [(1, 1)]
+    # MCU grid is set by the max factors; each plane is downsampled by
+    # (hmax/h_i, vmax/v_i) box mean, then edge-padded to its block grid
+    mcux = -(-w // (8 * hy))
+    mcuy = -(-h // (8 * vy))
+    prepped = []
+    for pl, (hi, vi) in zip(planes, sampling):
+        fy, fx = vy // vi, hy // hi
+        if fy > 1 or fx > 1:
+            # pad to factor multiples, then box-average
+            py_, px_ = -(-pl.shape[0] // fy) * fy, -(-pl.shape[1] // fx) * fx
+            q = np.pad(
+                pl, ((0, py_ - pl.shape[0]), (0, px_ - pl.shape[1])), mode="edge"
+            )
+            pl = q.reshape(py_ // fy, fy, px_ // fx, fx).mean(axis=(1, 3))
+        th, tw = mcuy * vi * 8, mcux * hi * 8
+        prepped.append(
+            np.pad(
+                pl, ((0, th - pl.shape[0]), (0, tw - pl.shape[1])), mode="edge"
+            )
+            - 128.0
+        )
+    planes = prepped
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(ql.astype(np.uint8)))
+    if nc == 3:
+        out += seg(0xDB, bytes([1]) + bytes(qc.astype(np.uint8)))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for i in range(nc):
+        hi, vi = sampling[i]
+        sof += bytes([i + 1, (hi << 4) | vi, 0 if i == 0 else 1])
+    out += seg(0xC0, sof)
+    tabs = [(_DC_L, 0x00), (_AC_L, 0x10)]
+    if nc == 3:
+        tabs += [(_DC_C, 0x01), (_AC_C, 0x11)]
+    for (bits, vals), tid in tabs:
+        out += seg(0xC4, bytes([tid]) + bytes(bits) + bytes(vals))
+    sos = bytes([nc])
+    for i in range(nc):
+        sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+    dc_l, ac_l = _huff_encode_table(*_DC_L), _huff_encode_table(*_AC_L)
+    dc_c, ac_c = _huff_encode_table(*_DC_C), _huff_encode_table(*_AC_C)
+    bw = _BitWriter()
+    preds = [0] * nc
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(nc):
+                hi, vi = sampling[ci]
+                dct, act = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
+                for by in range(vi):
+                    for bx in range(hi):
+                        y0 = (my * vi + by) * 8
+                        x0 = (mx * hi + bx) * 8
+                        preds[ci] = _encode_block(
+                            bw,
+                            planes[ci][y0 : y0 + 8, x0 : x0 + 8],
+                            qtabs[ci],
+                            dct,
+                            act,
+                            preds[ci],
+                        )
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -8,17 +8,17 @@ shapes, mapInPandas signatures, zero-shuffle placement) is real and
 tested, and so is the codec step for the formats a stdlib build can
 decode honestly (``operators/codecs.py``):
 
-- ``decode_media(fake=False)`` / ``resize_images(fake=False)`` run a
-  complete baseline PNG codec (zlib inflate, all five scanline filters,
-  CRC verification); ``decode_audio`` parses RIFF/WAVE PCM-16. Rows
-  that fail to decode carry NULL stats (or drop, for resize) — the
-  quarantine-friendly shape.
-- JPEG/GIF/video PIXEL decode remains behind the same seam awaiting a
-  real library (an entropy decoder is a library, not a function);
-  ``sniff_format`` routes blobs before any kernel runs. JPEG
-  DIMENSIONS, though, are header metadata: ``jpeg_dimensions`` walks
-  the marker segments to the SOFn frame header in pure JVM column
-  arithmetic — no decode, no Python.
+- ``decode_media(fake=False)`` / ``resize_images(fake=False)`` run
+  complete baseline PNG (zlib inflate, all five scanline filters, CRC
+  verification) and baseline JPEG (T.81 Huffman + DCT, 4:4:4/4:2:2/
+  4:2:0, restart intervals) codecs; ``decode_audio`` parses RIFF/WAVE
+  PCM-16. Rows that fail to decode carry NULL stats (or drop, for
+  resize) — the quarantine-friendly shape.
+- Progressive JPEG / GIF pixel / video decode remains behind the same
+  seam awaiting a real library; ``sniff_format`` routes blobs before
+  any kernel runs. JPEG DIMENSIONS never need the codec:
+  ``jpeg_dimensions`` walks the marker segments to the SOFn frame
+  header in pure JVM column arithmetic — no decode, no Python.
 - ``fake=True`` (the default in schema tests) derives deterministic
   "decoded" stats from the bytes themselves (md5-seeded), so the full
   distributed path — batch iteration, struct results, frame explode — is
@@ -137,14 +137,15 @@ def _fake_image_stats(blob: bytes, dims: int) -> tuple[int, int, float, list[flo
 def decode_media(df: DataFrame, fake: bool = True, feature_dims: int = 8) -> DataFrame:
     """Decode + feature-extract images: ``MEDIA`` rows -> ``IMAGE_FEATURES``.
 
-    ``fake=False`` runs the REAL dependency-free PNG codec
-    (``operators/codecs.py``: stdlib zlib inflate + all five scanline
-    filters, CRC-verified) — integer Rec.601 luma and a mean-luma grid
-    feature. Rows whose blob fails to decode (non-PNG format, malformed
-    chunk) keep their media_id with NULL stats — the quarantine-friendly
-    shape; route known-other formats to their own kernels via
-    ``sniff_format`` upstream. ``fake=True`` keeps the md5-seeded
-    deterministic stand-in for library-free schema tests.
+    ``fake=False`` runs the REAL dependency-free codecs
+    (``operators/codecs.py``: PNG via stdlib zlib inflate + all five
+    scanline filters CRC-verified, baseline JPEG via T.81 Huffman +
+    DCT) — integer Rec.601 luma and a mean-luma grid feature. Rows
+    whose blob fails to decode (unknown format, malformed chunk,
+    progressive JPEG) keep their media_id with NULL stats — the
+    quarantine-friendly shape; route known-other formats to their own
+    kernels via ``sniff_format`` upstream. ``fake=True`` keeps the
+    md5-seeded deterministic stand-in for library-free schema tests.
     """
 
     def run(batches: Iterator) -> Iterator:
@@ -178,11 +179,13 @@ def decode_media(df: DataFrame, fake: bool = True, feature_dims: int = 8) -> Dat
 
 def resize_images(df: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
     """Resize kernel: same plumbing, new binary out. ``fake=False`` runs
-    the real codec path — PNG decode, deterministic nearest-neighbor
-    resample, PNG re-encode (``operators/codecs.py``); rows that fail to
-    decode are DROPPED (quarantine upstream via ``sniff_format``). The
-    fake keeps the bytes opaque (digest-stamped) but the schema/flow is
-    the real one."""
+    the real codec path — PNG/baseline-JPEG decode, deterministic
+    nearest-neighbor resample, PNG re-encode (``operators/codecs.py``;
+    output is always PNG so resized bytes are deterministic — JPEG
+    re-encode would be lossy twice); rows that fail to decode are
+    DROPPED (quarantine upstream via ``sniff_format``). The fake keeps
+    the bytes opaque (digest-stamped) but the schema/flow is the real
+    one."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -194,7 +197,7 @@ def resize_images(df: DataFrame, width: int, height: int, fake: bool = True) -> 
         import pandas as pd
 
         from oic_options_chains_spark.operators.codecs import (
-            decode_png,
+            decode_image,
             encode_png,
             resize_nearest,
         )
@@ -208,7 +211,7 @@ def resize_images(df: DataFrame, width: int, height: int, fake: bool = True) -> 
                     ).digest()
                 else:
                     try:
-                        px = decode_png(bytes(blob))
+                        px = decode_image(bytes(blob))
                     except ValueError:
                         continue
                     content = encode_png(resize_nearest(px, width, height))
