@@ -101,3 +101,74 @@ def run_corpus_admission_once(
         .start()
     )
     q.awaitTermination()
+
+
+def corpus_build_admission(stream: DataFrame) -> DataFrame:
+    """The STREAMING twin of ``q_corpus_build``'s admission stages,
+    gate-for-gate: token window 5..1000, stopword floor >= 200 bp,
+    top-token repetition cap < 5000 bp, then content-fingerprint dedup
+    with a deterministic min-doc_id winner
+    (``stateful.first_seen_min_filter``). Emits (doc_id, fingerprint,
+    n_tokens) — the exact admitted set the batch flagship computes,
+    provided ingest files arrive in doc_id-ascending chunks (then the
+    streamed first-seen winner equals the batch global min per
+    fingerprint; the equivalence test pins this bit-for-bit)."""
+    from oic_options_chains_spark.streaming.stateful import first_seen_min_filter
+
+    q = quality_metrics(F.col("text"))
+    r = repetition_metrics(F.col("text"))
+    gated = (
+        stream.select(
+            "doc_id",
+            fingerprint(F.col("text")).alias("fingerprint"),
+            q["n_tokens"].alias("n_tokens"),
+            q["stop_ratio_bp"].alias("stop_ratio_bp"),
+            r["top_token_bp"].alias("top_token_bp"),
+        )
+        .filter(
+            F.col("n_tokens").between(5, 1000)
+            & (F.col("stop_ratio_bp") >= 200)
+            & (F.col("top_token_bp") < 5000)
+        )
+        .select("doc_id", "fingerprint", "n_tokens")
+    )
+    return first_seen_min_filter(gated, ["fingerprint"], "doc_id")
+
+
+def run_corpus_build_once(
+    spark: SparkSession,
+    source_dir: str,
+    admitted_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """One AvailableNow drain of the streaming corpus build's admission
+    leg into an append-only parquet table. Replays are no-ops: the
+    keyed fingerprint state swallows re-offered rows."""
+    stream = spark.readStream.schema(DOCUMENT_SCHEMA).parquet(source_dir)
+    q = (
+        corpus_build_admission(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", admitted_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def finalize_corpus_build(spark: SparkSession, admitted_dir: str) -> DataFrame:
+    """Epoch-close finalize over the streamed admitted table: the batch
+    flagship's train split + sharded concat-split packing, unchanged
+    (packing needs per-shard global cumulative sums, which an
+    append-mode stream cannot emit incrementally — so the build runs
+    admission in the stream and packs at epoch close, the standard
+    lambda-free split). Output schema == ``q_corpus_build``."""
+    from oic_options_chains_spark.operators.sampling import split_assign
+    from oic_options_chains_spark.queries.corpus import pack_stream_offsets
+
+    admitted = spark.read.schema(ADMITTED_SCHEMA).parquet(admitted_dir)
+    train = admitted.filter(split_assign(F.col("doc_id")) == "train")
+    return pack_stream_offsets(
+        train.select("doc_id", "n_tokens"), context=256, n_shards=8
+    )

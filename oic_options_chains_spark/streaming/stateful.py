@@ -84,3 +84,60 @@ def first_seen_filter(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+def first_seen_min_filter(
+    stream: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    ttl_minutes: int | None = None,
+) -> DataFrame:
+    """``first_seen_filter`` with a DETERMINISTIC within-batch winner:
+    the row minimizing ``order_col`` (ties by its first occurrence).
+
+    Cross-batch semantics are unchanged — the first BATCH that carries a
+    key emits one row and later batches emit nothing — but inside a
+    batch the min-order row wins instead of an arbitrary shuffle
+    survivor. When a source delivers files in ``order_col``-ascending
+    chunks (e.g. doc_id-ranged ingest files), the streamed winner per
+    key therefore equals the global-batch ``min(order_col)`` winner —
+    the property the batch==streamed corpus equivalence test pins."""
+    out_schema = stream.schema
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def dedup(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            if ttl_minutes is not None:
+                state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+            for _ in pdfs:
+                pass
+            return
+        best = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            cand = pdf.loc[[pdf[order_col].idxmin()]]
+            if best is None or cand[order_col].iloc[0] < best[order_col].iloc[0]:
+                best = cand
+        state.update((1,))
+        if ttl_minutes is not None:
+            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+        if best is not None:
+            yield best
+
+    return stream.groupBy(*key_cols).applyInPandasWithState(
+        dedup,
+        outputStructType=out_schema,
+        stateStructType="seen long",
+        outputMode="append",
+        timeoutConf=timeout,
+    )

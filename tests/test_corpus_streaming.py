@@ -63,3 +63,52 @@ def test_streaming_admission_gates_and_dedups_across_batches(spark, tmp_path):
     # Batch 3: nothing new — a drain with no files is a no-op.
     run()
     assert _admitted(spark, out) == second
+
+
+def test_streamed_corpus_build_equals_batch_flagship(spark, tmp_path):
+    """VERDICT r5 item 8: the streaming corpus build (gates + keyed
+    fingerprint dedup across THREE micro-batch drains + epoch-close
+    finalize) must produce bit-identical output to the batch flagship
+    q_corpus_build over the same sf0.01 documents, and a full replay of
+    every ingest file must change nothing (exactly-once admission)."""
+    from oic_options_chains_spark.queries import QUERIES
+    from oic_options_chains_spark.streaming.corpus_pipeline import (
+        finalize_corpus_build,
+        run_corpus_build_once,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+    src = str(tmp_path / "src")
+    admitted = str(tmp_path / "admitted")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    hi = docs.agg({"doc_id": "max"}).collect()[0][0]
+    cuts = [hi // 3, 2 * hi // 3]
+    chunks = [
+        docs.filter(docs.doc_id <= cuts[0]),
+        docs.filter((docs.doc_id > cuts[0]) & (docs.doc_id <= cuts[1])),
+        docs.filter(docs.doc_id > cuts[1]),
+    ]
+    # doc_id-ascending chunks: each drain sees a disjoint ascending
+    # range, so the streamed first-seen winner == batch min(doc_id)
+    for i, chunk in enumerate(chunks):
+        chunk.coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
+        run_corpus_build_once(spark, src + "/*", admitted, ckpt)
+
+    batch = QUERIES["q_corpus_build"](spark, sf_dir)
+    streamed = finalize_corpus_build(spark, admitted)
+    cols = sorted(batch.columns)
+    assert sorted(streamed.columns) == cols
+    b = sorted(map(tuple, batch.select(*cols).collect()))
+    s = sorted(map(tuple, streamed.select(*cols).collect()))
+    assert len(b) > 0
+    assert b == s
+
+    # replay every file through a FRESH drain: state swallows all
+    run_corpus_build_once(spark, src + "/*", admitted, ckpt)
+    replayed = sorted(
+        map(tuple, finalize_corpus_build(spark, admitted).select(*cols).collect())
+    )
+    assert replayed == s

@@ -17,6 +17,11 @@ import math
 import duckdb
 import pytest
 
+# full-registry gate: ~minutes per suite. The FULL profile (default,
+# what the driver and CI run) includes these; the fast inner loop is
+#   python -m pytest tests/ -m 'not parity'
+pytestmark = pytest.mark.parity
+
 from oic_options_chains_spark.queries import ORACLE, QUERIES
 
 from tests.conftest import SF_DIR

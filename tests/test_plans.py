@@ -277,3 +277,37 @@ def test_round5_selection_plans(spark, sf_dir):
     sel = _plan(QUERIES["q_dsir_select"](spark, sf_dir))
     assert "TakeOrderedAndProject" in sel
     assert "BroadcastHashJoin" in sel  # ratio_sc joins the counts broadcast
+
+
+def test_interval_join_bucketizes_no_nested_loop(spark, sf_dir):
+    """VERDICT r5 item 6: the range join's bucket strategy must plan as
+    an EQUI-join on the bucket key (hash/sort-merge, AQE-splittable) —
+    never BroadcastNestedLoopJoin or CartesianProduct, which are the
+    |points| x |intervals| scale-killers Spark falls back to for bare
+    non-equi predicates."""
+    plan = _plan(QUERIES["q_interval_join"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the equi leg on the exploded bucket key is what makes it scale
+    assert "__bucket" in plan
+
+
+def test_interval_join_broadcast_strategy_is_explicit_only(spark, sf_dir):
+    """The broadcast strategy (small-intervals path) IS a nested loop by
+    design — assert the default stays 'bucket' so a caller has to opt
+    into the dimension-sized variant explicitly."""
+    import inspect
+
+    from oic_options_chains_spark.operators.rangejoin import interval_join
+
+    assert inspect.signature(interval_join).parameters["strategy"].default == "bucket"
+
+
+def test_pit_join_shuffles_on_entity_key_not_nested_loop(spark, sf_dir):
+    """The point-in-time join must plan its equi leg (user_id) as the
+    join key with the range predicate as a residual condition inside
+    each key partition — not degrade to a nested loop over the whole
+    dim side."""
+    plan = _plan(QUERIES["q_pit_join"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,156 @@
+"""Deterministic local scale-up of the driver's sf0.1 tables.
+
+The driver generates /root/testdata/sf{0.001,0.01,0.1}; scale-curve
+evidence needs points ABOVE the bench SF to show each plan's cost
+actually bends the way SCALING.md argues (sublinear pair counts for
+LSH banding, linear scans for row-local ops). This produces sf0.5 and
+sf1 under <repo>/.scale/ by replicating sf0.1 K times (K=5, 10) with:
+
+- every key domain shifted per replica (custkey/orderkey/partkey/
+  suppkey/doc_id/vec_id/event_id/user_id), so PK uniqueness and FK
+  integrity survive replication — join fan-outs grow linearly, never
+  quadratically, exactly as a larger TPC-H SF would behave;
+- document text mutated per replica (replica token + word rotation),
+  so shingle/minhash distributions keep the base corpus's self-
+  similarity instead of manufacturing K-sized exact-dup clusters that
+  would inflate LSH pair counts quadratically for data (not plan)
+  reasons;
+- embeddings perturbed per replica with a small deterministic offset,
+  preserving norm/cluster structure while keeping vectors distinct;
+- region/nation copied as-is (fixed dimensions at every TPC-H SF).
+
+Schemas are preserved byte-for-byte via pyarrow (the us-timestamp
+columns must not be rewritten to a different physical type, or Spark's
+reader would see a different schema than the driver tables).
+
+Usage: python tools/gen_scale.py [--out .scale] [--factors 5 10]
+Idempotent: skips a table whose output already exists unless --force.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+
+# key columns per table and the domain they index into; every column
+# that references a domain shifts by replica * span(domain)
+KEY_DOMAINS = {
+    "customer": {"c_custkey": "custkey"},
+    "supplier": {"s_suppkey": "suppkey"},
+    "part": {"p_partkey": "partkey"},
+    "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+    "lineitem": {
+        "l_orderkey": "orderkey",
+        "l_partkey": "partkey",
+        "l_suppkey": "suppkey",
+    },
+    "events": {"event_id": "event_id", "user_id": "user_id"},
+    "documents": {"doc_id": "doc_id"},
+    "embeddings": {"vec_id": "vec_id"},
+}
+COPY_AS_IS = ("region", "nation")
+
+
+def _domain_spans() -> dict[str, int]:
+    spans: dict[str, int] = {}
+    for table, cols in KEY_DOMAINS.items():
+        t = pq.read_table(f"{SRC}/{table}.parquet", columns=list(cols))
+        for col, domain in cols.items():
+            hi = pc.max(t[col]).as_py() or 0
+            spans[domain] = max(spans.get(domain, 0), int(hi) + 1)
+    return spans
+
+
+def _mutate_documents(tbl: pa.Table, replica: int) -> pa.Table:
+    """Replica token + word rotation: same length distribution, same
+    language stats, distinct shingles."""
+    if replica == 0:
+        return tbl
+    texts = tbl["text"].to_pylist()
+    out = []
+    for i, s in enumerate(texts):
+        if s is None:
+            out.append(None)
+            continue
+        words = s.split(" ")
+        k = (replica * 7 + i) % max(len(words), 1)
+        out.append(f"r{replica} " + " ".join(words[k:] + words[:k]))
+    idx = tbl.schema.get_field_index("text")
+    return tbl.set_column(idx, tbl.schema.field(idx), pa.array(out, pa.string()))
+
+
+def _mutate_embeddings(tbl: pa.Table, replica: int) -> pa.Table:
+    if replica == 0:
+        return tbl
+    vecs = tbl["embedding"].to_pylist()
+    out = []
+    for i, v in enumerate(vecs):
+        if v is None:
+            out.append(None)
+            continue
+        out.append(
+            [
+                x + 0.01 * ((replica * 31 + i + j) % 7 - 3)
+                for j, x in enumerate(v)
+            ]
+        )
+    idx = tbl.schema.get_field_index("embedding")
+    return tbl.set_column(
+        idx, tbl.schema.field(idx), pa.array(out, tbl.schema.field(idx).type)
+    )
+
+
+def _replicate(table: str, factor: int, spans: dict[str, int]) -> pa.Table:
+    base = pq.read_table(f"{SRC}/{table}.parquet")
+    parts = []
+    for r in range(factor):
+        t = base
+        for col, domain in KEY_DOMAINS.get(table, {}).items():
+            if r:
+                idx = t.schema.get_field_index(col)
+                field = t.schema.field(idx)
+                shifted = pc.cast(
+                    pc.add(t[col], r * spans[domain]), field.type
+                )
+                t = t.set_column(idx, field, shifted)
+        if table == "documents":
+            t = _mutate_documents(t, r)
+        elif table == "embeddings":
+            t = _mutate_embeddings(t, r)
+        parts.append(t)
+    return pa.concat_tables(parts).combine_chunks()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "..", ".scale"))
+    ap.add_argument("--factors", nargs="+", type=int, default=[5, 10])
+    ap.add_argument("--force", action="store_true")
+    args = ap.parse_args()
+    spans = _domain_spans()
+    for factor in args.factors:
+        sf = factor * 0.1
+        label = f"sf{sf:g}"
+        out_dir = os.path.abspath(os.path.join(args.out, label))
+        os.makedirs(out_dir, exist_ok=True)
+        for table in (*COPY_AS_IS, *KEY_DOMAINS):
+            dst = f"{out_dir}/{table}.parquet"
+            if os.path.exists(dst) and not args.force:
+                print(f"skip {label}/{table} (exists)")
+                continue
+            if table in COPY_AS_IS:
+                t = pq.read_table(f"{SRC}/{table}.parquet")
+            else:
+                t = _replicate(table, factor, spans)
+            pq.write_table(t, dst)
+            print(f"wrote {label}/{table}: {t.num_rows} rows")
+
+
+if __name__ == "__main__":
+    main()
