@@ -265,6 +265,7 @@ def semantic_dedup(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sub_bits: int = 0,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster embeddings with k-means,
     then drop any vector whose cluster holds a LOWER-id vector within
@@ -294,21 +295,45 @@ def semantic_dedup(
     fold is CPU-dense, not bytes-dense). Salting the hi side by row id
     splits each cell across n_salts reducers at the cost of replicating
     the lo side n_salts times; results are row-identical by the salting
-    contract."""
+    contract.
+
+    ``sub_bits`` is the 100 TB knob the scale curve validated: with
+    fixed k, cells grow linearly with the corpus and the within-cell
+    pairing is O(n²/k) — superlinear. Raising k instead pushes the
+    Lloyd fit superlinear (assignment is O(n·k·d); measured WORSE at
+    10x data than fixed k). Setting ``sub_bits > 0`` keeps the cheap
+    fixed-k fit and splits each cell's pairing by a sign-LSH bucket of
+    the leading ``sub_bits`` quantized dims (``similarity.bits_for``
+    sizes it): pair groups stay ~target-rows, cost O(n · E[bucket]).
+    The trade is recall at sub-bucket boundaries — the same miss class
+    as SemDeDup's own cell boundaries, and 0 keeps today's exact
+    oracle-checked behavior."""
     assigned, _ = kmeans_fit(embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     from oic_options_chains_spark.operators.skew import salted_join
 
+    keys = ["cid"]
+    if sub_bits > 0:
+        sub = F.concat(
+            *[
+                F.when(F.element_at(F.col("qarr"), i + 1) > 0, F.lit("1")).otherwise(
+                    F.lit("0")
+                )
+                for i in range(sub_bits)
+            ]
+        )
+        assigned = assigned.withColumn("__sub", sub)
+        keys = ["cid", "__sub"]
     a = assigned.select(
-        F.col("cid"),
+        *keys,
         F.col("vec_id").alias("vid_hi"),
         F.col("qarr").alias("q_hi"),
     )
     b_side = assigned.select(
-        F.col("cid"),
+        *keys,
         F.col("vec_id").alias("vid_lo"),
         F.col("qarr").alias("q_lo"),
     )
-    pairs = salted_join(a, b_side, ["cid"], left_salt_from="vid_hi").filter(
+    pairs = salted_join(a, b_side, keys, left_salt_from="vid_hi").filter(
         F.col("vid_lo") < F.col("vid_hi")
     )
     d = _fold_sum_long(

@@ -13,10 +13,17 @@ here keeps the ENGINE story complete — export, commit, list, read-back,
 replay-idempotent — without requiring a table-format dependency.
 
 Scale notes: data writes are ordinary partitioned parquet writes (fully
-distributed); only the manifest touch is driver-side, and it is O(number
-of snapshots), written atomically via rename so a crashed commit never
-corrupts the log. Concurrent commits to the SAME snapshot dir are out of
-scope (single-writer discipline, like the warehouse appends).
+distributed); only the commit touch is driver-side and O(1) per commit.
+
+Concurrency: commits serialize through an OPTIMISTIC commit log — the
+Delta-on-HDFS protocol, reduced to its primitive. Each commit appends
+``_log/<version>.json`` with create-exclusive (O_EXCL, atomic put-if-
+absent on POSIX); a concurrent committer that loses the race gets
+FileExistsError, re-reads the log, and retries at the next version.
+Two writers can therefore never lose each other's commits — the
+read-modify-write manifest race the plain-parquet layout can't avoid.
+``_MANIFEST.json`` remains as a derived, best-effort cache of the
+folded log (and the read path for legacy dirs that predate the log).
 """
 
 from __future__ import annotations
@@ -29,14 +36,70 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST = "_MANIFEST.json"
+LOG_DIR = "_log"
+COMMIT_RETRIES = 64
 
 
 def _manifest_path(snap_dir: str) -> str:
     return os.path.join(snap_dir, MANIFEST)
 
 
+def _log_dir(snap_dir: str) -> str:
+    return os.path.join(snap_dir, LOG_DIR)
+
+
+def _log_versions(snap_dir: str) -> list[int]:
+    d = _log_dir(snap_dir)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(n[:-5]) for n in os.listdir(d) if n.endswith(".json") and n[:-5].isdigit()
+    )
+
+
+def _read_log(snap_dir: str) -> list[dict]:
+    """Fold the commit log: entries in version order, the LATEST entry
+    per snapshot_id winning (a replayed day supersedes its old commit,
+    matching the reference's re-commit of the same date)."""
+    by_id: dict[str, dict] = {}
+    for v in _log_versions(snap_dir):
+        with open(os.path.join(_log_dir(snap_dir), f"{v:020d}.json")) as f:
+            entry = json.load(f)
+        by_id[entry["snapshot_id"]] = {
+            k: entry[k] for k in ("snapshot_id", "message", "rows", "committed_at")
+        }
+    return sorted(by_id.values(), key=lambda e: e["snapshot_id"])
+
+
+def _append_log(snap_dir: str, entry: dict) -> int:
+    """Put-if-absent append: try version = max+1; on a lost race
+    (FileExistsError from a concurrent committer) advance and retry.
+    Returns the committed version."""
+    d = _log_dir(snap_dir)
+    os.makedirs(d, exist_ok=True)
+    versions = _log_versions(snap_dir)
+    v = (versions[-1] + 1) if versions else 0
+    for _ in range(COMMIT_RETRIES):
+        path = os.path.join(d, f"{v:020d}.json")
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            v += 1  # lost the race; the next slot may be free
+            continue
+        with os.fdopen(fd, "w") as f:
+            json.dump({**entry, "version": v}, f)
+        return v
+    raise RuntimeError(
+        f"snapshot commit lost {COMMIT_RETRIES} consecutive races under {snap_dir}"
+    )
+
+
 def list_snapshots(snap_dir: str) -> list[dict]:
-    """The commit log, oldest first."""
+    """The commit log, oldest snapshot_id first. The ``_log`` fold is
+    the source of truth; dirs that predate the log fall back to the
+    legacy manifest."""
+    if _log_versions(snap_dir):
+        return _read_log(snap_dir)
     path = _manifest_path(snap_dir)
     if not os.path.exists(path):
         return []
@@ -84,10 +147,17 @@ def commit_snapshot(
         "committed_at": committed_at
         or dt.datetime.now(dt.timezone.utc).isoformat(timespec="seconds"),
     }
-    entries = [e for e in list_snapshots(snap_dir) if e["snapshot_id"] != snapshot_id]
-    entries.append(entry)
-    entries.sort(key=lambda e: e["snapshot_id"])
-    _write_manifest(snap_dir, entries)
+    # migrate a pre-log dir: seed the log from the legacy manifest so
+    # the first OCC commit does not shadow history (fold-by-id makes a
+    # racing double-seed harmless)
+    if not _log_versions(snap_dir):
+        for legacy in list_snapshots(snap_dir):
+            _append_log(snap_dir, legacy)
+    # OCC append is the commit point; the manifest rewrite below is a
+    # derived cache (best-effort — a concurrent writer may overwrite it
+    # with an equally-derived fold, and readers prefer the log anyway)
+    _append_log(snap_dir, entry)
+    _write_manifest(snap_dir, _read_log(snap_dir))
     return entry
 
 

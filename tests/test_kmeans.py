@@ -168,3 +168,29 @@ def test_centroid_probe_confusion_matrix(spark, emb):
     # partition invariance of the whole matrix (integer-moment argmin)
     again = centroid_probe(emb.repartition(7, "label")).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_semdedup_sub_bits_is_sound_subset(spark, sf_dir):
+    """The sub_bits scale knob may MISS pairs (sub-bucket boundaries)
+    but must never INVENT them: every (vec_id, keeper) it reports must
+    be a pair the exact operator also reports (same cid), with dist
+    identical, and keeper >= the exact keeper (a missed lower-id
+    neighbor can only move the keeper up)."""
+    from oic_options_chains_spark.operators.kmeans import semantic_dedup
+    from oic_options_chains_spark.sources.registry import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    eps = 22_000_000
+    exact = {
+        r.vec_id: (r.cid, r.keeper, r.dist)
+        for r in semantic_dedup(e, eps=eps, k=8, iters=2).collect()
+    }
+    sub = semantic_dedup(e, eps=eps, k=8, iters=2, sub_bits=3).collect()
+    assert len(sub) <= len(exact)
+    for r in sub:
+        assert r.vec_id in exact, "invented a duplicate the exact op lacks"
+        cid, keeper, dist = exact[r.vec_id]
+        assert r.cid == cid
+        assert r.keeper >= keeper
+        if r.keeper == keeper:
+            assert r.dist == dist

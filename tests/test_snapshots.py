@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -110,3 +112,108 @@ def test_snapshot_diff_between_committed_versions(spark, tmp_path):
     )
     got = {r["k"]: r["status"] for r in snapshot_diff(old, new, "k").collect()}
     assert got == {1: "removed", 2: "kept", 3: "changed", 4: "added"}
+
+
+def test_concurrent_commits_never_lose_entries(spark, tmp_path):
+    """VERDICT r5 item 5 (the feasible core without delta-spark): the
+    OCC commit log serializes concurrent committers via put-if-absent
+    version files, so two writers racing on the same snapshot dir both
+    land — the read-modify-write manifest race a bare parquet+manifest
+    layout cannot survive."""
+    import threading
+
+    snap = str(tmp_path / "occ_snap")
+    df_by_day = {
+        day: spark.createDataFrame([(day, 1)], "day string, v int")
+        for day in ("2024-01-01", "2024-01-02")
+    }
+    barrier = threading.Barrier(2)
+    errors = []
+
+    def committer(day):
+        try:
+            barrier.wait(timeout=30)
+            commit_snapshot(df_by_day[day], snap, day, message=f"c{day}")
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    ts = [threading.Thread(target=committer, args=(d,)) for d in df_by_day]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors
+    ids = [e["snapshot_id"] for e in list_snapshots(snap)]
+    assert ids == ["2024-01-01", "2024-01-02"], f"lost a commit: {ids}"
+
+
+def test_occ_log_append_is_race_free_without_spark(tmp_path):
+    """The primitive itself: 16 threads appending concurrently must all
+    land with unique versions and no lost entries."""
+    import threading
+
+    from oic_options_chains_spark.sources.snapshots import (
+        _append_log,
+        _log_versions,
+        _read_log,
+    )
+
+    snap = str(tmp_path / "log_race")
+    os.makedirs(snap)
+    barrier = threading.Barrier(16)
+    got = []
+
+    def run(i):
+        barrier.wait(timeout=30)
+        got.append(
+            _append_log(
+                snap,
+                {
+                    "snapshot_id": f"d{i:02d}",
+                    "message": "",
+                    "rows": i,
+                    "committed_at": "2024-01-01T00:00:00+00:00",
+                },
+            )
+        )
+
+    ts = [threading.Thread(target=run, args=(i,)) for i in range(16)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert sorted(got) == list(range(16)), "versions must be dense and unique"
+    assert _log_versions(snap) == list(range(16))
+    assert [e["rows"] for e in _read_log(snap)] == list(range(16))
+
+
+def test_legacy_manifest_dirs_still_readable(spark, tmp_path):
+    """A snapshot dir written before the OCC log existed (manifest only)
+    must keep reading; the first new commit migrates it into the log."""
+    import json
+
+    snap = str(tmp_path / "legacy")
+    os.makedirs(snap)
+    legacy = [
+        {
+            "snapshot_id": "2023-12-31",
+            "message": "old",
+            "rows": 1,
+            "committed_at": "2023-12-31T00:00:00+00:00",
+        }
+    ]
+    with open(os.path.join(snap, "_MANIFEST.json"), "w") as f:
+        json.dump(legacy, f)
+    os.makedirs(os.path.join(snap, "snapshot_id=2023-12-31"), exist_ok=True)
+    spark.createDataFrame([("x", 1)], "a string, v int").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(snap, "snapshot_id=2023-12-31"))
+    assert [e["snapshot_id"] for e in list_snapshots(snap)] == ["2023-12-31"]
+    assert read_snapshot(spark, snap).count() == 1
+    # first OCC commit migrates the legacy manifest into the log — the
+    # old entry must survive alongside the new one
+    commit_snapshot(
+        spark.createDataFrame([("y", 2)], "a string, v int"), snap, "2024-01-01"
+    )
+    ids = [e["snapshot_id"] for e in list_snapshots(snap)]
+    assert ids == ["2023-12-31", "2024-01-01"]

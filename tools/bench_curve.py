@@ -45,6 +45,78 @@ DEFAULT_QUERIES = [
 ]
 
 
+def _semdedup_scaled_k(spark, sf_dir):
+    """The documented SemDeDup scale path: k grows with the corpus
+    (cells stay bounded-size) instead of the oracle-pinned k=8. With
+    k ~ sqrt(n) the within-cell pairing is O(n^1.5) and the fixed-k
+    quadratic term disappears — the curve's job is to show the slope
+    actually drops when the knob is turned."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from oic_options_chains_spark.operators.kmeans import semantic_dedup
+    from oic_options_chains_spark.sources.registry import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    k = max(8, int(n**0.5))
+    return semantic_dedup(e, eps=22_000_000, k=k, iters=2)
+
+
+def _knn_triangles_scaled_bits(spark, sf_dir):
+    """The documented kNN-graph scale path: sign-bucket bits sized by
+    similarity.bits_for(n) (buckets stay ~target-rows) instead of the
+    oracle-pinned bits=4."""
+    from pyspark.sql import functions as F
+
+    from oic_options_chains_spark.operators.graph import (
+        bucketed_knn_edges,
+        mutual_edges,
+        triangle_counts,
+    )
+    from oic_options_chains_spark.operators.similarity import bits_for
+    from oic_options_chains_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bits = bits_for(emb.count())
+    edges = mutual_edges(
+        bucketed_knn_edges(emb, k=6, bits=bits, broadcast_candidates=True)
+    )
+    return triangle_counts(edges).select(
+        F.col("node").alias("vec_id"), "degree", "n_triangles"
+    )
+
+
+def _semdedup_sub_lsh(spark, sf_dir):
+    """The VALIDATED SemDeDup scale knob: keep the cheap fixed-k fit,
+    split each cell's pairing by a bits_for(n)-sized sign-LSH sub-bucket
+    (semantic_dedup(sub_bits=...)). Pair groups stay bounded without
+    pushing the Lloyd fit superlinear the way scaled_k does."""
+    from oic_options_chains_spark.operators.kmeans import semantic_dedup
+    from oic_options_chains_spark.operators.similarity import bits_for
+    from oic_options_chains_spark.sources.registry import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        e, eps=22_000_000, k=8, iters=2, sub_bits=bits_for(e.count())
+    )
+
+
+# scale-path variants of the fixed-parameter (oracle-checkable) queries:
+# same operator, the at-scale knob turned the way its docstring says
+SCALED_VARIANTS = {
+    "q_semdedup@scaled_k": _semdedup_scaled_k,
+    "q_semdedup@sub_lsh": _semdedup_sub_lsh,
+    "q_knn_triangles@scaled_bits": _knn_triangles_scaled_bits,
+}
+
+
+def _materialize(df) -> None:
+    """Force FULL computation of every output column. df.count() lets
+    Catalyst prune projected expressions (a row-local rebuild times as
+    a no-op); the noop sink computes all columns and discards rows."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=3)
@@ -76,14 +148,17 @@ def main() -> None:
     QUERIES["q_group_count"](spark, points[0][1]).count()  # warm-up
 
     results: dict[str, dict] = {}
-    for name in args.queries:
-        fn = QUERIES[name]
+    names = list(args.queries)
+    if args.queries == DEFAULT_QUERIES:
+        names += list(SCALED_VARIANTS)
+    for name in names:
+        fn = SCALED_VARIANTS.get(name) or QUERIES[name]
         row: dict[str, float] = {}
         for sf, sf_dir in points:
             best = float("inf")
             for _ in range(args.runs):
                 t0 = time.perf_counter()
-                fn(spark, sf_dir).count()
+                _materialize(fn(spark, sf_dir))
                 best = min(best, time.perf_counter() - t0)
             row[sf] = round(best, 3)
         # log-log slope between the 10x-apart endpoints
