@@ -254,6 +254,53 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(e, eps=_SEMDEDUP_EPS, k=_K, iters=_ITERS)
 
 
+_SUB_BITS = 3
+
+
+@register(
+    "q_semdedup_sub",
+    oracle=f"""
+    {_kmeans_cte()},
+    sb AS (SELECT vec_id,
+                  (CASE WHEN MAX(CASE WHEN pos = 0 THEN q END) > 0
+                        THEN '1' ELSE '0' END ||
+                   CASE WHEN MAX(CASE WHEN pos = 1 THEN q END) > 0
+                        THEN '1' ELSE '0' END ||
+                   CASE WHEN MAX(CASE WHEN pos = 2 THEN q END) > 0
+                        THEN '1' ELSE '0' END) AS sub
+           FROM qv GROUP BY vec_id),
+    pr AS (SELECT a.vec_id AS hi, a.cid, b.vec_id AS lo
+           FROM a{_ITERS} a JOIN a{_ITERS} b
+             ON a.cid = b.cid AND b.vec_id < a.vec_id
+           JOIN sb sa ON sa.vec_id = a.vec_id
+           JOIN sb sbb ON sbb.vec_id = b.vec_id AND sbb.sub = sa.sub),
+    d AS (SELECT pr.hi, pr.cid, pr.lo,
+                 SUM((va.q - vb.q) * (va.q - vb.q)) AS d
+          FROM pr JOIN qv va ON va.vec_id = pr.hi
+                  JOIN qv vb ON vb.vec_id = pr.lo AND va.pos = vb.pos
+          GROUP BY 1, 2, 3)
+    SELECT hi AS vec_id, cid,
+           CAST(MIN(lo) AS BIGINT) AS keeper,
+           CAST(arg_min(d, lo) AS BIGINT) AS dist
+    FROM d WHERE d <= {_SEMDEDUP_EPS}
+    GROUP BY hi, cid
+    """,
+)
+def q_semdedup_sub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the sub-LSH scale knob on (``semantic_dedup(
+    sub_bits=3)``): within-cell pairing additionally restricted to the
+    same sign-bucket of the leading 3 quantized dims. This is the
+    100 TB form the scale curve validated (SCALING.md round-6 section:
+    slope 1.18 -> 0.34 at 10x data; raising k instead measured WORSE
+    because the Lloyd fit's assignment join goes superlinear). The
+    oracle replays the sub-bucket restriction exactly, so the knob's
+    pairing semantics — not just its speed — are hash-checked."""
+    e = _spread(load_table(spark, sf_dir, "embeddings"))
+    return semantic_dedup(
+        e, eps=_SEMDEDUP_EPS, k=_K, iters=_ITERS, sub_bits=_SUB_BITS
+    )
+
+
 _N_SUB = 8
 _K_SUB = 16
 _SUB_DIM = 8
