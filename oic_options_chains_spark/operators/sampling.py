@@ -450,3 +450,65 @@ def temperature_weights(
             .alias("weight_bp"),
         )
     )
+
+
+def priority_sample(
+    df: DataFrame, key: str, weight_col: str, k: int
+) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup 2007): a fixed-size-k
+    weight-biased sample with per-item Horvitz-Thompson weight
+    estimates, fully deterministic and integer-exact.
+
+    Each row draws a content-hash uniform u in [1, 2^60] (first 15 hex
+    chars of md5(key) — no RNG, reproducible across engines and
+    repartitioning) and gets priority q = w * 2^60 div u (the integer
+    form of w/u, monotone in it; ties broken by key). The k LARGEST
+    priorities are the sample; the (k+1)-th is the threshold tau, and
+    every selected row's weight estimate is max(w, floor-scaled tau
+    inverse) — emitted here as the raw integer (w, priority, tau) triple
+    so downstream estimators stay exact. Expected inclusion probability
+    is ~min(1, w/tau_w): heavy rows are always kept, light rows
+    proportionally to weight — the "keep exactly k documents,
+    token-biased" primitive a budgeted corpus sample needs (fixed k,
+    where ``systematic_weighted_sample`` fixes the STEP instead).
+
+    Integer discipline: u is 52 bits, w*2^50 stays under 2^63 for
+    weights to ~8000, and every division is bigint ``div`` — no double
+    anywhere (a ``/`` on bigints would silently round above 2^53), no
+    decimal rounding ahead of a floor. The scaled-unit outputs keep
+    downstream estimators exact: ``w_est_sc div 2^50`` recovers the
+    natural-unit HT estimate max(w, tau) when a float is acceptable.
+
+    Scale: ordering by priority plans as TakeOrderedAndProject
+    (per-partition top-(k+1) + driver k-merge) — no global sort, no
+    full shuffle; the threshold broadcast back is one row."""
+    u = (
+        F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 13), 16, 10)
+        .cast("bigint")
+        + 1
+    )
+    w = F.col(weight_col).cast("bigint")
+    ranked = (
+        df.select(
+            F.col(key),
+            w.alias("w"),
+            (w * F.lit(1 << 50)).alias("__ws"),
+            u.alias("__u"),
+        )
+        .withColumn("priority", F.expr("__ws div __u"))
+        .select(key, "w", "priority")
+        .orderBy(F.col("priority").desc(), F.col(key).asc())
+        .limit(k + 1)
+    )
+    topk = ranked.limit(k)
+    tau = ranked.orderBy(F.col("priority").asc(), F.col(key).desc()).limit(1)
+    return topk.crossJoin(
+        F.broadcast(tau.select(F.col("priority").alias("tau")))
+    ).select(
+        F.col(key),
+        F.col("w"),
+        F.col("priority"),
+        F.col("tau"),
+        # HT estimate in 2^50-scaled units: max(w, tau_natural) * 2^50
+        F.greatest(F.col("w") * F.lit(1 << 50), F.col("tau")).alias("w_est_sc"),
+    )

@@ -1322,3 +1322,68 @@ def q_media_dims_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(pd_[k], gd[k], bd[k], jd[k]).cast("int").alias(k)
     )
     return withb.select("doc_id", fmt.alias("format"), pick("width"), pick("height"))
+
+
+@register(
+    "q_url_canonical",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             doc_id % 2 AS m2, doc_id % 3 AS m3, doc_id % 4 AS m4,
+             doc_id % 5 AS m5, doc_id % 7 AS m7, doc_id % 9 AS m9,
+             doc_id % 11 AS m11
+      FROM documents)
+    SELECT doc_id,
+           (CASE WHEN m3 = 0 THEN 'https' ELSE 'http' END || '://' ||
+            'sub' || m5 || '.example' || m7 || '.com' ||
+            CASE WHEN m4 = 1 THEN ':8080' ELSE '' END ||
+            CASE WHEN m11 = 0 THEN '/' ELSE '/p/' || m5 || '/x' END ||
+            CASE WHEN m2 = 0 THEN '?a=1&b=' || m9 ELSE '' END)
+             AS canonical_url,
+           ('example' || m7 || '.com') AS domain
+    FROM m
+    """,
+)
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for crawl curation (operators/urls.py):
+    scheme/host lowercasing, www- and default-port stripping, fragment
+    and tracking-param (utm_*/gclid/fbclid/ref) removal, bytewise param
+    sort, empty-path normalization, registered-domain extraction — all
+    row-local JVM regexp/array arithmetic. The query synthesizes
+    deliberately MESSY urls (upper-case scheme and host, WWW. prefixes,
+    explicit :443/:80 default ports, tracking params, fragments) from
+    doc_id arithmetic; the oracle assembles the clean canonical from
+    the same arithmetic directly, so the Spark side must PARSE its way
+    back to ground truth to match — the q_media_dims_ext pattern."""
+    from oic_options_chains_spark.operators.urls import (
+        canonical_url,
+        registered_domain,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    m2, m3, m4 = did % 2, did % 3, did % 4
+    m5, m7, m9, m11 = did % 5, did % 7, did % 9, did % 11
+    s = lambda c: c.cast("string")  # noqa: E731
+    messy = F.concat(
+        F.when(m3 == 0, F.lit("HTTPS")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(m2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Sub"), s(m5), F.lit(".Example"), s(m7), F.lit(".COM"),
+        F.when(m4 == 0, F.when(m3 == 0, F.lit(":443")).otherwise(F.lit(":80")))
+        .when(m4 == 1, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.when(m11 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("/p/"), s(m5), F.lit("/x"))
+        ),
+        F.when(m2 == 0, F.concat(F.lit("?utm_source=x&b="), s(m9), F.lit("&a=1")))
+        .when(m3 == 1, F.lit("?gclid=zz1"))
+        .otherwise(F.lit("")),
+        F.when(m3 == 1, F.lit("#top")).otherwise(F.lit("")),
+    )
+    u = d.select("doc_id", messy.alias("url"))
+    return u.select(
+        "doc_id",
+        canonical_url(F.col("url")).alias("canonical_url"),
+        registered_domain(F.col("url")).alias("domain"),
+    )

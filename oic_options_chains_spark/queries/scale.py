@@ -197,6 +197,41 @@ def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_priority_sample",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+             (CAST(n_chars AS BIGINT) * 1125899906842624)
+               // (CAST(concat('0x',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                        AS BIGINT) + 1) AS priority
+      FROM documents),
+    r AS (SELECT * FROM p ORDER BY priority DESC, doc_id ASC LIMIT 51),
+    t AS (SELECT MIN(priority) AS tau FROM r),
+    s AS (SELECT * FROM p ORDER BY priority DESC, doc_id ASC LIMIT 50)
+    SELECT s.doc_id, s.w, s.priority, t.tau,
+           CAST(GREATEST(s.w * 1125899906842624, t.tau) AS BIGINT)
+             AS w_est_sc
+    FROM s, t
+    """,
+)
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup): exactly 50 documents,
+    length-biased, with the (k+1)-th priority as threshold and exact
+    scaled Horvitz-Thompson weight estimates — the fixed-SIZE
+    counterpart of q_systematic_sample's fixed-step scheme (a token
+    budget picks the step; a document budget picks k). Priorities are
+    content-hash integers (w * 2^50 div u), so membership is a pure
+    function of corpus content — no RNG, identical on every engine.
+    Plans as TakeOrderedAndProject: per-partition top-51, no global
+    sort."""
+    from oic_options_chains_spark.operators.sampling import priority_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return priority_sample(d, "doc_id", "n_chars", k=50)
+
+
+@register(
     "q_salted_join",
     oracle="""
     SELECT p.p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS n,
