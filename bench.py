@@ -92,6 +92,10 @@ HEADLINE = (
     "q_selection_build",
     "q_lm_score",
     "q_centroid_probe",
+    # round-6 additions
+    "q_semdedup_sub",
+    "q_priority_sample",
+    "q_url_canonical",
 )
 
 # single-JVM local bench has ~±20-30% run-to-run noise (ambient load
