@@ -1,15 +1,16 @@
 """Dependency-free media codecs: PNG (stdlib zlib), baseline JPEG
-(T.81 Huffman + DCT over numpy), and WAV PCM (struct).
+(T.81 Huffman + DCT over numpy), GIF (LZW), and WAV PCM (struct).
 
 These are the REAL kernels behind the ``fake=False`` seam in
 ``operators/multimodal.py``. The container ships no Pillow/libvips/
 torchaudio, but a complete baseline PNG codec needs only ``zlib``
 (DEFLATE) plus the five scanline filters, a baseline-sequential JPEG
-codec needs only the public T.81 tables + an 8x8 DCT, and RIFF/WAVE PCM
-is plain struct parsing — so the decode path is honest working code,
-not a stub, for the formats a web-crawl media column actually carries.
-Progressive JPEG (SOF2+), arithmetic coding, and video stay gated
-(ValueError) and are routed around via ``sniff_format``.
+codec needs only the public T.81 tables + an 8x8 DCT, GIF is LZW over a
+palette, and RIFF/WAVE PCM is plain struct parsing — so the decode path
+is honest working code, not a stub, for every image format a web-crawl
+media column actually carries. Progressive JPEG (SOF2+), arithmetic
+coding, and video stay gated (ValueError) and are routed around via
+``sniff_format``.
 
 Supported surface (rejects anything else with ValueError, so a caller
 can quarantine rather than mis-decode):
@@ -23,6 +24,11 @@ can quarantine rather than mis-decode):
   Encode writes SOF0 with Annex K typical tables at a chosen
   subsampling, so the decoder's interleaved paths are testable from
   self-contained fixtures.
+- GIF: GIF87a/89a first frame — LZW (early-change width growth,
+  4096-entry cap), global/local color tables, interlacing, frame
+  placement on the logical screen. Encode writes a lossless
+  single-frame GIF89a (<=256 distinct colors — quantization is a
+  policy, not a codec).
 - WAV: canonical RIFF/WAVE with ``fmt `` + ``data`` chunks, PCM
   (format tag 1), 16-bit samples.
 
@@ -193,14 +199,16 @@ def luma(pixels: np.ndarray) -> np.ndarray:
 
 
 def decode_image(blob: bytes) -> np.ndarray:
-    """Magic-byte dispatch over the real decoders: PNG or baseline JPEG
-    to (h, w, c) uint8; ValueError on anything else (the quarantine
-    contract every kernel relies on)."""
+    """Magic-byte dispatch over the real decoders: PNG, baseline JPEG,
+    or GIF to (h, w, c) uint8; ValueError on anything else (the
+    quarantine contract every kernel relies on)."""
     if blob[:8] == _PNG_SIG:
         return decode_png(blob)
     if blob[:2] == b"\xff\xd8":
         return decode_jpeg(blob)
-    raise ValueError("unsupported image container (not PNG/JPEG)")
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(blob)
+    raise ValueError("unsupported image container (not PNG/JPEG/GIF)")
 
 
 def image_stats(blob: bytes, feature_dims: int) -> tuple[int, int, float, list[float]]:
@@ -799,4 +807,237 @@ def encode_jpeg(
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# GIF (GIF87a/89a): LZW decode of the first frame + a lossless encoder.
+# With PNG and baseline JPEG above this completes the image tier; only
+# video remains behind the seam.
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_decode(data: bytes, min_code: int, expected: int) -> bytes:
+    """Variable-width LSB-first LZW (the GIF dialect: early-change width
+    growth, 4096-entry cap, clear/end codes). ValueError on truncation
+    or an out-of-range code."""
+    if not 2 <= min_code <= 11:
+        raise ValueError(f"GIF LZW min code size {min_code} out of range")
+    clear, end = 1 << min_code, (1 << min_code) + 1
+
+    def fresh() -> list[bytes | None]:
+        t: list[bytes | None] = [bytes([i]) for i in range(clear)]
+        t += [None, None]  # clear / end placeholders
+        return t
+
+    table = fresh()
+    width = min_code + 1
+    out = bytearray()
+    bitpos = 0
+    nbits = 8 * len(data)
+    prev: bytes | None = None
+    while True:
+        if bitpos + width > nbits:
+            raise ValueError("GIF LZW stream truncated (no end code)")
+        code = 0
+        for i in range(width):
+            code |= ((data[(bitpos + i) >> 3] >> ((bitpos + i) & 7)) & 1) << i
+        bitpos += width
+        if code == clear:
+            table = fresh()
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table) or table[code] is None:
+                raise ValueError("GIF LZW first code out of range")
+            entry = table[code]
+        else:
+            if code < len(table) and table[code] is not None:
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                raise ValueError("GIF LZW code out of range")
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+        out += entry
+        prev = entry
+        if len(out) > expected:
+            raise ValueError("GIF LZW output overruns image size")
+    if len(out) != expected:
+        raise ValueError("GIF LZW output short of image size")
+    return bytes(out)
+
+
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # interlace start/step
+
+
+def decode_gif(blob: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 RGB of the FIRST image frame of a GIF87a/89a —
+    full LZW decode, local/global color tables, interlacing, frames
+    placed on the logical screen (uncovered area takes the background
+    color). Animation beyond frame one and GCE transparency are out of
+    scope for the stats kernels (documented; later frames are ignored,
+    transparent pixels keep their palette color). ValueError on any
+    malformed shape — the quarantine contract."""
+    try:
+        return _decode_gif_inner(blob)
+    except (IndexError, struct.error) as e:
+        # bytes indexing past the end raises IndexError; the kernels
+        # catch only ValueError
+        raise ValueError(f"truncated GIF: {e}") from e
+
+
+def _decode_gif_inner(blob: bytes) -> np.ndarray:
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    if len(blob) < 13:
+        raise ValueError("GIF header truncated")
+    w, h = struct.unpack("<HH", blob[6:10])
+    packed, bg = blob[10], blob[11]
+    if w == 0 or h == 0 or w * h > _MAX_PIXELS:
+        raise ValueError(f"GIF dimensions {w}x{h} out of range")
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        if pos + 3 * n > len(blob):
+            raise ValueError("GIF global color table truncated")
+        gct = np.frombuffer(blob, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(blob):
+        marker = blob[pos]
+        if marker == 0x3B:  # trailer before any image
+            raise ValueError("GIF has no image data")
+        if marker == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1
+        elif marker == 0x2C:
+            left, top, iw, ih = struct.unpack("<HHHH", blob[pos + 1 : pos + 9])
+            ipk = blob[pos + 9]
+            pos += 10
+            ct = gct
+            if ipk & 0x80:
+                n = 2 << (ipk & 7)
+                if pos + 3 * n > len(blob):
+                    raise ValueError("GIF local color table truncated")
+                ct = np.frombuffer(blob, np.uint8, 3 * n, pos).reshape(n, 3)
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF image without any color table")
+            if iw == 0 or ih == 0 or left + iw > w or top + ih > h:
+                raise ValueError("GIF frame exceeds logical screen")
+            min_code = blob[pos]
+            pos += 1
+            data = bytearray()
+            while blob[pos] != 0:
+                ln = blob[pos]
+                chunk = blob[pos + 1 : pos + 1 + ln]
+                if len(chunk) != ln:
+                    raise ValueError("GIF image sub-block truncated")
+                data += chunk
+                pos += 1 + ln
+            pos += 1
+            idx = np.frombuffer(
+                _gif_lzw_decode(bytes(data), min_code, iw * ih), np.uint8
+            )
+            if int(idx.max(initial=0)) >= len(ct):
+                raise ValueError("GIF pixel index outside color table")
+            rows = idx.reshape(ih, iw)
+            if ipk & 0x40:  # interlaced: rows arrive in 4 passes
+                ordered = np.empty_like(rows)
+                src = 0
+                for start, step in _GIF_PASSES:
+                    for y in range(start, ih, step):
+                        ordered[y] = rows[src]
+                        src += 1
+                rows = ordered
+            canvas = np.full(
+                (h, w, 3),
+                ct[bg] if (gct is not None and bg < len(gct)) else 0,
+                dtype=np.uint8,
+            )
+            canvas[top : top + ih, left : left + iw] = ct[rows]
+            return canvas
+        else:
+            raise ValueError(f"unknown GIF block 0x{marker:02X}")
+    raise ValueError("GIF stream ended without trailer or image")
+
+
+def encode_gif(pixels: np.ndarray) -> bytes:
+    """Lossless GIF89a from (h, w, 3) RGB or (h, w)/(h, w, 1) gray uint8
+    with at most 256 distinct colors (ValueError above — GIF is
+    palettized; quantization is a policy, not a codec). Single
+    non-interlaced frame, global color table, standard LZW."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.shape[2] == 1:
+        arr = np.repeat(arr, 3, axis=2)
+    h, w, _ = arr.shape
+    flat = arr.reshape(-1, 3)
+    colors, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"GIF needs <=256 colors, got {len(colors)}")
+    size_field = 0
+    while (2 << size_field) < max(len(colors), 2):
+        size_field += 1
+    n_entries = 2 << size_field
+    palette = np.zeros((n_entries, 3), dtype=np.uint8)
+    palette[: len(colors)] = colors
+    min_code = max(2, size_field + 1)
+
+    # LZW compress (mirrors _gif_lzw_decode's table discipline exactly)
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    codes: list[tuple[int, int]] = [(clear, min_code + 1)]
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code + 1
+    cur = b""
+    for b in idx.astype(np.uint8).tobytes():
+        nxt = cur + bytes([b])
+        if nxt in table:
+            cur = nxt
+            continue
+        codes.append((table[cur], width))
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        cur = bytes([b])
+    if cur:
+        codes.append((table[cur], width))
+    codes.append((end, width))
+
+    # pack LSB-first
+    acc = 0
+    nacc = 0
+    payload = bytearray()
+    for code, cw in codes:
+        acc |= code << nacc
+        nacc += cw
+        while nacc >= 8:
+            payload.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+    if nacc:
+        payload.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | size_field, 0, 0])  # GCT flag+size, bg 0, aspect 0
+    out += palette.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([0, min_code])
+    for i in range(0, len(payload), 255):
+        block = payload[i : i + 255]
+        out += bytes([len(block)]) + block
+    out += b"\x00\x3b"
     return bytes(out)

@@ -549,8 +549,11 @@ def test_decode_image_dispatch():
     img = _smooth(9, 11)
     assert decode_image(encode_png(img)).shape == (9, 11, 3)
     assert decode_image(encode_jpeg(img)).shape == (9, 11, 3)
-    with pytest.raises(ValueError, match="container"):
+    # a truncated GIF routes to the GIF decoder and quarantines there
+    with pytest.raises(ValueError, match="GIF"):
         decode_image(b"GIF89a\x01\x00\x01\x00")
+    with pytest.raises(ValueError, match="container"):
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
 
 
 def test_jpeg_dims_router_agrees_with_real_decode(spark):
@@ -601,3 +604,133 @@ def test_decode_media_real_kernel_handles_jpeg(spark):
     # flat 200-gray: mean luma ~200/255
     assert abs(got[2].mean_luma - 200 / 255) < 0.01
     assert got[3].width is None and got[3].mean_luma is None
+
+
+# --------------------------------------------------------------------------
+# GIF codec
+# --------------------------------------------------------------------------
+
+from oic_options_chains_spark.operators.codecs import (  # noqa: E402
+    decode_gif,
+    encode_gif,
+)
+
+
+def _paletted(h, w, n_colors=7):
+    y, x = np.mgrid[0:h, 0:w]
+    idx = (3 * y + 5 * x) % n_colors
+    palette = np.array(
+        [[37 * i % 256, (91 * i + 13) % 256, (151 * i + 7) % 256] for i in range(n_colors)],
+        dtype=np.uint8,
+    )
+    return palette[idx]
+
+
+def test_gif_roundtrip_exact():
+    img = _paletted(23, 31)
+    out = decode_gif(encode_gif(img))
+    assert np.array_equal(out, img)
+
+
+def test_gif_roundtrip_exercises_lzw_width_growth():
+    # 200 distinct colors force an 8-bit palette and code widths past
+    # the initial size; a >255-byte payload forces sub-block splitting
+    img = _paletted(64, 64, n_colors=200)
+    out = decode_gif(encode_gif(img))
+    assert np.array_equal(out, img)
+
+
+def test_gif_grayscale_input():
+    gray = (np.mgrid[0:9, 0:11][1] * 20 % 160).astype(np.uint8)
+    out = decode_gif(encode_gif(gray))
+    assert np.array_equal(out[:, :, 0], gray)
+    assert np.array_equal(out[:, :, 0], out[:, :, 1])
+
+
+def test_gif_too_many_colors_rejected():
+    i = np.arange(512, dtype=np.int32).reshape(16, 32)
+    img = np.stack([i % 256, i // 256, np.zeros_like(i)], axis=-1).astype(np.uint8)
+    with pytest.raises(ValueError, match="256 colors"):
+        encode_gif(img)
+
+
+def test_gif_interlaced_decode():
+    """Rebuild an encoded frame as interlaced: set the flag and reorder
+    rows into pass order; decode must undo it exactly."""
+    img = _paletted(13, 9)
+    blob = bytearray(encode_gif(img))
+    # image descriptor starts after header(6)+LSD(7)+GCT
+    size_field = blob[10] & 7
+    desc = 13 + 3 * (2 << size_field)
+    assert blob[desc] == 0x2C
+    blob[desc + 9] |= 0x40  # interlace flag
+    # re-encode pixel rows in interlace pass order
+    passes = [y for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)) for y in range(start, 13, step)]
+    reordered = img[passes]
+    inter = bytearray(encode_gif(reordered))
+    # splice the reordered image's LZW data into the interlaced header
+    out = bytes(blob[: desc + 10]) + bytes(inter[desc + 10 :])
+    assert np.array_equal(decode_gif(out), img)
+
+
+def test_gif_animated_returns_first_frame():
+    a, b = _paletted(8, 8), _paletted(8, 8)[::-1]
+    ba, bb = encode_gif(a), encode_gif(b)
+    size_field = ba[10] & 7
+    desc = 13 + 3 * (2 << size_field)
+    # frame blocks only (strip header + trailer), concatenated
+    fa, fb = ba[desc:-1], bb[desc:-1]
+    merged = ba[:desc] + fa + fb + b"\x3b"
+    assert np.array_equal(decode_gif(merged), a)
+
+
+def test_gif_frame_placement_and_background():
+    """A frame smaller than the logical screen lands at (left, top);
+    the uncovered canvas takes the background color."""
+    img = _paletted(4, 4)
+    blob = bytearray(encode_gif(img))
+    size_field = blob[10] & 7
+    desc = 13 + 3 * (2 << size_field)
+    # logical screen 8x6, bg color index 1, frame at left=3, top=2
+    blob[6:10] = struct.pack("<HH", 8, 6)
+    blob[11] = 1
+    blob[desc + 1 : desc + 9] = struct.pack("<HHHH", 3, 2, 4, 4)
+    out = decode_gif(bytes(blob))
+    assert out.shape == (6, 8, 3)
+    palette = np.frombuffer(bytes(blob[13 : 13 + 3 * (2 << size_field)]), np.uint8).reshape(-1, 3)
+    assert np.array_equal(out[2:6, 3:7], img)
+    assert np.array_equal(out[0, 0], palette[1])
+
+
+def test_gif_decoder_quarantine_contract_under_corruption():
+    blob = encode_gif(_paletted(11, 13, n_colors=30))
+    for cut in range(0, len(blob), 5):
+        try:
+            decode_gif(blob[:cut])
+        except ValueError:
+            pass
+    for pos in range(6, len(blob), 7):
+        mutated = bytearray(blob)
+        mutated[pos] ^= 0x20
+        try:
+            out = decode_gif(bytes(mutated))
+            assert out.dtype == np.uint8
+        except ValueError:
+            pass
+
+
+def test_decode_image_dispatches_gif():
+    img = _paletted(6, 5)
+    assert np.array_equal(decode_image(encode_gif(img)), img)
+
+
+def test_decode_media_real_kernel_handles_gif(spark):
+    from oic_options_chains_spark.operators.multimodal import decode_media
+
+    img = _paletted(10, 12)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(encode_gif(img)), None)],
+        "media_id long, kind string, content binary, meta string",
+    )
+    row = decode_media(df, fake=False).collect()[0]
+    assert (row.width, row.height) == (12, 10)
