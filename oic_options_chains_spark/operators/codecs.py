@@ -8,8 +8,10 @@ torchaudio, but a complete baseline PNG codec needs only ``zlib``
 codec needs only the public T.81 tables + an 8x8 DCT, GIF is LZW over a
 palette, and RIFF/WAVE PCM is plain struct parsing — so the decode path
 is honest working code, not a stub, for every image format a web-crawl
-media column actually carries. Progressive JPEG (SOF2+), arithmetic
-coding, and video stay gated (ValueError) and are routed around via
+media column actually carries, plus MJPEG AVI video (a RIFF demux over
+the JPEG decoder). Progressive JPEG (SOF2+), arithmetic coding, and
+interframe video codecs (H.264/VP9/AV1 — an entropy+prediction stack,
+not a function) stay gated (ValueError) and are routed around via
 ``sniff_format``.
 
 Supported surface (rejects anything else with ValueError, so a caller
@@ -1041,3 +1043,108 @@ def encode_gif(pixels: np.ndarray) -> bytes:
         out += bytes([len(block)]) + block
     out += b"\x00\x3b"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Video: RIFF-AVI MJPEG — a demuxer over the JPEG decoder above. Every
+# frame is an independent baseline JPEG ('00dc'/'00db' chunks inside the
+# 'movi' LIST), so dependency-free decode is honest; interframe codecs
+# (H.264/VP9/AV1) are genuinely out of scope without a library and stay
+# gated via the unsupported-fourcc ValueError.
+# ---------------------------------------------------------------------------
+
+_MAX_FRAMES = 100_000
+
+
+def mjpeg_frames(blob: bytes) -> list[bytes]:
+    """The JPEG payload of every video frame chunk of a RIFF-AVI, in
+    stream order — parse only, no pixel decode (callers sample/decode
+    per frame). ValueError on non-AVI, truncated chunks, or a stream
+    with no video frames (the quarantine contract)."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI blob")
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            tag = blob[pos : pos + 4]
+            (length,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+            body_end = pos + 8 + length
+            if body_end > end:
+                raise ValueError("AVI chunk overruns container")
+            if tag == b"LIST":
+                walk(pos + 12, body_end)  # skip the 4-byte list type
+            elif tag[2:4] in (b"dc", b"db") and tag[:2].isdigit():
+                frames.append(blob[pos + 8 : body_end])
+                if len(frames) > _MAX_FRAMES:
+                    raise ValueError("AVI frame count exceeds decode cap")
+            pos = body_end + (length & 1)  # chunks are word-aligned
+
+    walk(12, min(len(blob), 8 + struct.unpack("<I", blob[4:8])[0]))
+    if not frames:
+        raise ValueError("AVI has no video frame chunks")
+    return frames
+
+
+def decode_avi_mjpeg(blob: bytes) -> list[np.ndarray]:
+    """Every frame of an MJPEG AVI as (h, w, c) uint8 — each chunk is a
+    standalone baseline JPEG. A non-JPEG frame chunk (an interframe
+    codec) raises ValueError, so e.g. an H.264 AVI quarantines instead
+    of mis-decoding."""
+    return [decode_jpeg(f) for f in mjpeg_frames(blob)]
+
+
+def encode_avi_mjpeg(
+    frames: list[np.ndarray], fps: int = 10, quality: int = 85
+) -> bytes:
+    """Minimal single-stream MJPEG AVI from uint8 frame arrays (all the
+    same shape) — RIFF('AVI ' hdrl(avih, strl(strh, strf)) movi(00dc*)).
+    The test-fixture counterpart of ``decode_avi_mjpeg``."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    payloads = []
+    for f in frames:
+        if f.shape[:2] != (h, w):
+            raise ValueError("all frames must share one shape")
+        payloads.append(encode_jpeg(f, quality=quality))
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // max(fps, 1),  # us per frame
+        0, 0, 0,
+        len(payloads), 0, 1, 0, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(payloads), 0, 0, 0, 0)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", p) for p in payloads))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def video_stats(
+    blob: bytes, every_n: int = 1
+) -> tuple[int, int, int, list[tuple[int, float]]]:
+    """(n_frames, width, height, [(frame_idx, mean_luma_0_1)]) for every
+    ``every_n``-th frame of an MJPEG AVI — the real counterpart of the
+    byte-window fake in multimodal.sample_frames."""
+    frames = mjpeg_frames(blob)
+    stats = []
+    w = h = 0
+    for idx in range(0, len(frames), max(every_n, 1)):
+        px = decode_jpeg(frames[idx])
+        h, w = px.shape[:2]
+        stats.append((idx, float(luma(px).mean()) / 255.0))
+    return len(frames), w, h, stats

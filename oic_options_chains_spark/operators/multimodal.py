@@ -14,11 +14,13 @@ decode honestly (``operators/codecs.py``):
   4:2:0, restart intervals) codecs; ``decode_audio`` parses RIFF/WAVE
   PCM-16. Rows that fail to decode carry NULL stats (or drop, for
   resize) — the quarantine-friendly shape.
-- Progressive JPEG / GIF pixel / video decode remains behind the same
-  seam awaiting a real library; ``sniff_format`` routes blobs before
-  any kernel runs. JPEG DIMENSIONS never need the codec:
-  ``jpeg_dimensions`` walks the marker segments to the SOFn frame
-  header in pure JVM column arithmetic — no decode, no Python.
+- ``sample_frames(fake=False)`` demuxes MJPEG AVI (RIFF walk + the
+  JPEG decoder per frame); progressive JPEG and interframe video
+  codecs (H.264/VP9/AV1) remain behind the seam awaiting a real
+  library; ``sniff_format`` routes blobs before any kernel runs. JPEG
+  DIMENSIONS never need the codec: ``jpeg_dimensions`` walks the
+  marker segments to the SOFn frame header in pure JVM column
+  arithmetic — no decode, no Python.
 - ``fake=True`` (the default in schema tests) derives deterministic
   "decoded" stats from the bytes themselves (md5-seeded), so the full
   distributed path — batch iteration, struct results, frame explode — is
@@ -266,29 +268,58 @@ def decode_audio(df: DataFrame) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(run, AUDIO_FEATURES)
 
 
-def sample_frames(df: DataFrame, frame_bytes: int = 256, every_n: int = 2) -> DataFrame:
+def sample_frames(
+    df: DataFrame, frame_bytes: int = 256, every_n: int = 2, fake: bool = True
+) -> DataFrame:
     """Frame-sample videos: one output row per sampled frame (a flatMap in
-    mapInPandas — output length independent of input length). The fake
-    treats fixed-size byte windows as frames; a real build would hand the
-    bytes to PyAV at this seam."""
+    mapInPandas — output length independent of input length).
+
+    ``fake=False`` runs the REAL demuxer for MJPEG AVI blobs
+    (``codecs.mjpeg_frames`` + the baseline JPEG decoder): frame_idx is
+    the actual stream index and frame_digest the md5 of the DECODED
+    pixel bytes, so two byte-different encodes of the same frames
+    dedup. Blobs that fail to demux/decode (interframe codecs, non-AVI,
+    corruption) are DROPPED — quarantine upstream via ``sniff_format``.
+    The fake treats fixed-size byte windows as frames so the flatMap
+    plumbing tests without media."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
+
+        from oic_options_chains_spark.operators.codecs import (
+            decode_jpeg,
+            mjpeg_frames,
+        )
 
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
                 raw = bytes(blob)
-                n_frames = max(len(raw) // frame_bytes, 1)
-                for idx in range(0, n_frames, every_n):
-                    window = raw[idx * frame_bytes : (idx + 1) * frame_bytes]
-                    rows.append(
-                        {
-                            "media_id": mid,
-                            "frame_idx": idx,
-                            "frame_digest": hashlib.md5(window).hexdigest(),
-                        }
-                    )
+                if fake:
+                    n_frames = max(len(raw) // frame_bytes, 1)
+                    for idx in range(0, n_frames, every_n):
+                        window = raw[idx * frame_bytes : (idx + 1) * frame_bytes]
+                        rows.append(
+                            {
+                                "media_id": mid,
+                                "frame_idx": idx,
+                                "frame_digest": hashlib.md5(window).hexdigest(),
+                            }
+                        )
+                    continue
+                try:
+                    frames = mjpeg_frames(raw)
+                    for idx in range(0, len(frames), every_n):
+                        px = decode_jpeg(frames[idx])
+                        rows.append(
+                            {
+                                "media_id": mid,
+                                "frame_idx": idx,
+                                "frame_digest": hashlib.md5(px.tobytes()).hexdigest(),
+                            }
+                        )
+                except ValueError:
+                    continue
             yield pd.DataFrame(rows, columns=FRAME_SAMPLES.fieldNames())
 
     return df.select("media_id", "content").mapInPandas(run, FRAME_SAMPLES)
