@@ -1,0 +1,77 @@
+"""Robust statistics gates: group-wise median / MAD outlier screens.
+
+Mean/stddev quality gates break on the exact data they exist to catch —
+one corrupted 1e12 price drags the mean past every legitimate row. The
+robust pair (median, median-absolute-deviation) has a 50% breakdown
+point, which is why data-quality systems gate on ``|x - med| > k*MAD``.
+
+Determinism discipline (the repo-wide rule: no float in decision
+paths): inputs are pre-scaled integers, and the median is the LOWER
+median — the value at 1-indexed position ``(n+1) div 2`` of the sorted
+group — selected by ``row_number`` so both Spark and any SQL oracle
+pick the identical element (interpolating ``median()``/``percentile``
+built-ins differ between engines on even counts and produce floats).
+MAD is then the lower median of ``|x - med|``, and the outlier test
+``|x - med| * 1000 > k_e3 * MAD`` is pure integer arithmetic
+(``k_e3`` = k scaled by 1000, so fractional k needs no floats).
+
+Scale: two windowed passes hash-partitioned by the group key (rank +
+count within each group), then one aggregate — the same shape as any
+grouped sort; no global sort, no driver loop. Skewed groups ride AQE
+like every other grouped window here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def group_median(df: DataFrame, group_col: str, value_col: str, out: str = "median") -> DataFrame:
+    """Deterministic lower median per group (see module docstring)."""
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
+    ranked = df.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy(group_col))
+    )
+    pos = ((F.col("__n") + 1) - ((F.col("__n") + 1) % 2)) / 2
+    return ranked.filter(F.col("__rn") == pos.cast("bigint")).select(
+        group_col, F.col(value_col).cast("bigint").alias(out)
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: Column,
+    k_e3: int = 5000,
+) -> DataFrame:
+    """Per-group robust outlier report over a pre-scaled INTEGER value:
+    (group, n_rows, median, mad, n_outliers) where an outlier satisfies
+    ``|x - median| * 1000 > k_e3 * mad``. With ``mad = 0`` (over half
+    the group identical) any deviation at all is an outlier — the
+    degenerate case the comparison handles naturally."""
+    vals = df.select(F.col(group_col).alias("g"), value_col.cast("bigint").alias("x"))
+    med = group_median(vals, "g", "x", "median")
+    with_med = vals.join(F.broadcast(med), "g").withColumn(
+        "dev", F.abs(F.col("x") - F.col("median"))
+    )
+    mad = group_median(with_med, "g", "dev", "mad")
+    return (
+        with_med.join(F.broadcast(mad), "g")
+        .groupBy("g", "median", "mad")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(
+                F.when(F.col("dev") * 1000 > F.lit(k_e3) * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n_rows",
+            "median",
+            "mad",
+            "n_outliers",
+        )
+    )

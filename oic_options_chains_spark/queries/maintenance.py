@@ -514,3 +514,55 @@ def q_value_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("abs_diff_cents"),
     )
+
+
+@register(
+    "q_mad_outliers",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag AS g,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS x
+      FROM lineitem),
+    r AS (SELECT g, x,
+                 row_number() OVER (PARTITION BY g ORDER BY x) AS rn,
+                 COUNT(*) OVER (PARTITION BY g) AS n
+          FROM v),
+    med AS (SELECT g, x AS median FROM r WHERE rn = (n + 1) // 2),
+    d AS (SELECT v.g, v.x, m.median, ABS(v.x - m.median) AS dev
+          FROM v JOIN med m ON v.g = m.g),
+    r2 AS (SELECT g, dev,
+                  row_number() OVER (PARTITION BY g ORDER BY dev) AS rn,
+                  COUNT(*) OVER (PARTITION BY g) AS n
+           FROM d),
+    mad AS (SELECT g, dev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+    SELECT d.g AS l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(d.median) AS BIGINT) AS median,
+           CAST(MIN(mad.mad) AS BIGINT) AS mad,
+           CAST(SUM(CASE WHEN d.dev * 1000 > 5000 * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM d JOIN mad ON d.g = mad.g
+    GROUP BY d.g
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier screen per return-flag over
+    cent-scaled prices (operators/robust.mad_outliers): the 50%-
+    breakdown-point quality gate a corrupted 1e12 price cannot drag,
+    unlike mean/stddev. Lower-median selection by row_number keeps both
+    engines on the identical element (built-in median() interpolates on
+    even counts and floats); the outlier test |x-med|*1000 > k_e3*MAD
+    is pure integer arithmetic. Scaling goes through DECIMAL(18,2)
+    before *100 — a double*100 cast would round differently per
+    engine."""
+    from oic_options_chains_spark.operators.robust import mad_outliers
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.col("l_extendedprice").cast("decimal(18,2)") * 100
+    return mad_outliers(
+        li.select("l_returnflag", cents.alias("cents")),
+        "l_returnflag",
+        F.col("cents"),
+        k_e3=5000,
+    )

@@ -167,3 +167,32 @@ def test_salted_join_identical_to_plain(spark):
         for r in salted_join(left, right, on=["k"], left_salt_from="rid").collect()
     }
     assert salted == plain
+
+
+def test_mad_outliers_breakdown_resilience(spark):
+    """The point of MAD: one absurd value must not move the gate. Inject
+    a 1e12 row into a tight group — median/mad unchanged, exactly one
+    outlier counted."""
+    from pyspark.sql import functions as F
+
+    from oic_options_chains_spark.operators.robust import mad_outliers
+
+    base = [("a", 100 + (i % 7)) for i in range(99)]
+    df = spark.createDataFrame(base + [("a", 10**12)], "g string, x long")
+    row = mad_outliers(df, "g", F.col("x"), k_e3=5000).collect()[0]
+    clean = mad_outliers(
+        spark.createDataFrame(base, "g string, x long"), "g", F.col("x"), k_e3=5000
+    ).collect()[0]
+    assert row.median == clean.median and row.mad == clean.mad
+    assert row.n_rows == 100 and row.n_outliers == clean.n_outliers + 1
+
+
+def test_mad_zero_flags_any_deviation(spark):
+    from pyspark.sql import functions as F
+
+    from oic_options_chains_spark.operators.robust import mad_outliers
+
+    rows = [("g", 5)] * 10 + [("g", 6)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    r = mad_outliers(df, "g", F.col("x")).collect()[0]
+    assert r.mad == 0 and r.n_outliers == 1
