@@ -96,6 +96,8 @@ HEADLINE = (
     "q_semdedup_sub",
     "q_priority_sample",
     "q_url_canonical",
+    "q_mad_outliers",
+    "q_hybrid_rrf",
 )
 
 # single-JVM local bench has ~±20-30% run-to-run noise (ambient load

@@ -1107,3 +1107,127 @@ def q_ann_recall_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = batch_topk(e, queries, k=10)
     approx = batch_topk_multiprobe(e, queries, k=10, bits=4)
     return ann_recall(exact, approx)
+
+
+_RRF_TERMS = ("table", "join", "query")
+_RRF_TERMS_SQL = "('table', 'join', 'query')"
+
+
+@register(
+    "q_hybrid_rrf",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    dscored AS (
+      SELECT e.vec_id, {_COS_SQL} AS cos
+      FROM embeddings e CROSS JOIN q),
+    dense AS (
+      SELECT vec_id AS id, rank AS rd FROM (
+        SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id ASC)
+                 AS rank
+        FROM dscored) WHERE rank <= 20),
+    tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+    ad AS (SELECT CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+           FROM dl),
+    dfq AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term),
+    nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM dl),
+    factors AS (
+      SELECT tf.doc_id,
+             CAST(FLOOR(1000000.0 *
+                  ((CAST(tf.tf AS DOUBLE) * 2.2)
+                   / (CAST(tf.tf AS DOUBLE)
+                      + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl))))
+               AS BIGINT) AS tf_sat_e6,
+             CAST(FLOOR(1000000.0 *
+                  ((n - CAST(doc_freq AS DOUBLE) + 0.5)
+                   / (CAST(doc_freq AS DOUBLE) + 0.5)))
+               AS BIGINT) AS idf_rational_e6
+      FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+      CROSS JOIN ad CROSS JOIN nd
+      WHERE tf.term IN {_RRF_TERMS_SQL}),
+    sscore AS (SELECT doc_id, SUM(tf_sat_e6 * idf_rational_e6) AS s
+               FROM factors GROUP BY doc_id),
+    sparse AS (
+      SELECT doc_id AS id, rank AS rs FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC)
+                 AS rank
+        FROM sscore) WHERE rank <= 20),
+    fused AS (
+      SELECT COALESCE(d.id, s.id) AS id,
+             (CASE WHEN d.rd IS NULL THEN 0
+                   ELSE 1000000000 // (60 + d.rd) END
+              + CASE WHEN s.rs IS NULL THEN 0
+                     ELSE 1000000000 // (60 + s.rs) END) AS rrf_sc,
+             d.rd AS dense_rank, s.rs AS sparse_rank
+      FROM dense d FULL OUTER JOIN sparse s ON d.id = s.id)
+    SELECT CAST(id AS BIGINT) AS id, CAST(rrf_sc AS BIGINT) AS rrf_sc,
+           CAST(dense_rank AS INT) AS dense_rank,
+           CAST(sparse_rank AS INT) AS sparse_rank,
+           CAST(row_number() OVER (ORDER BY rrf_sc DESC, id ASC) AS INT)
+             AS rank
+    FROM fused
+    QUALIFY rank <= 10
+    """,
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack et al.):
+    a dense leg (cosine top-20 vs the vec_id=0 query vector) and a
+    sparse leg (BM25-factor score of a fixed term set, top-20) fused as
+    sum of 10^9 div (60 + rank) — the standard RAG-prep combiner, and
+    integer-exact once each leg's rank is fixed (both legs break ties
+    on id). Rankings go through orderBy+limit (TakeOrderedAndProject:
+    per-partition top-k, no global sort); the fusion join touches 2k
+    rows."""
+    from pyspark.sql import Window
+
+    from oic_options_chains_spark.operators.ranking import bm25_components
+    from oic_options_chains_spark.operators.similarity import brute_force_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents")
+    query = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_vec")
+    )
+    dense = brute_force_topk(e, query, k=20).select(
+        F.col("vec_id").alias("id"), F.col("rank").alias("rd")
+    )
+    sscore = (
+        bm25_components(d)
+        .filter(F.col("term").isin(*_RRF_TERMS))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf_sat_e6") * F.col("idf_rational_e6"))
+            .cast("bigint")
+            .alias("s")
+        )
+    )
+    # top-20 via TakeOrderedAndProject, then rank the 20 survivors (a
+    # k-sized window, not a corpus-sized one)
+    stop = sscore.orderBy(F.col("s").desc(), F.col("doc_id").asc()).limit(20)
+    sparse = stop.withColumn(
+        "rs",
+        F.row_number().over(
+            Window.orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        ),
+    ).select(F.col("doc_id").alias("id"), "rs")
+    contrib = lambda r: F.when(  # noqa: E731
+        F.col(r).isNotNull(), F.expr(f"1000000000 div (60 + {r})")
+    ).otherwise(F.lit(0))
+    fused = (
+        dense.join(sparse, "id", "full_outer")
+        .select(
+            F.col("id").cast("bigint").alias("id"),
+            (contrib("rd") + contrib("rs")).cast("bigint").alias("rrf_sc"),
+            F.col("rd").cast("int").alias("dense_rank"),
+            F.col("rs").cast("int").alias("sparse_rank"),
+        )
+    )
+    ranked = fused.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("rrf_sc").desc(), F.col("id").asc()))
+        .cast("int"),
+    )
+    return ranked.filter(F.col("rank") <= 10)
