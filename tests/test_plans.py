@@ -311,3 +311,29 @@ def test_pit_join_shuffles_on_entity_key_not_nested_loop(spark, sf_dir):
     plan = _plan(QUERIES["q_pit_join"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round6_additions_have_no_cartesian_and_no_python(spark, sf_dir):
+    """Round-6 registrations: no CartesianProduct (the only cross joins
+    are broadcast query-vector/threshold rows), no Python in the plan,
+    and the two top-k queries rank via TakeOrderedAndProject rather
+    than a corpus-wide single-reducer sort."""
+    for name in (
+        "q_semdedup_sub",
+        "q_priority_sample",
+        "q_url_canonical",
+        "q_mad_outliers",
+        "q_hybrid_rrf",
+    ):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "EvalPython" not in plan, name
+    assert "TakeOrdered" in _plan(QUERIES["q_priority_sample"](spark, sf_dir))
+    assert "TakeOrdered" in _plan(QUERIES["q_hybrid_rrf"](spark, sf_dir))
+
+
+def test_url_canonical_is_shuffle_free(spark, sf_dir):
+    """URL parsing/canonicalization is row-local: the whole plan must
+    run inside the scan stage (no Exchange)."""
+    plan = _plan(QUERIES["q_url_canonical"](spark, sf_dir))
+    assert "Exchange" not in plan
