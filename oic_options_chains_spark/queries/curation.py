@@ -1387,3 +1387,93 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         canonical_url(F.col("url")).alias("canonical_url"),
         registered_domain(F.col("url")).alias("domain"),
     )
+
+
+@register(
+    "q_k_anonymity",
+    oracle="""
+    WITH q AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM customer),
+    cells AS (
+      SELECT c_nationkey, c_mktsegment,
+             (cents + 10000000) // 100000 AS bal_bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT cents) AS BIGINT) AS l_distinct
+      FROM q GROUP BY 1, 2, 3)
+    SELECT c_nationkey, c_mktsegment, bal_bucket, n_rows, l_distinct,
+           CAST(CASE WHEN n_rows >= 5 THEN 1 ELSE 0 END AS INT) AS k_anonymous,
+           CAST(CASE WHEN l_distinct >= 2 THEN 1 ELSE 0 END AS INT) AS l_diverse
+    FROM cells
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy release audit (operators/privacy.k_anonymity_cells): every
+    (nation, segment, balance-bucket) quasi-identifier cell with its size
+    (k-anonymity) and distinct-sensitive-value count (l-diversity) in ONE
+    grouped aggregate — the out-of-band counterpart to q_redact's in-band
+    PII scrub. Balance goes through the DECIMAL(18,2)-cents path (the
+    q_mad_outliers rule) and the bucket offset keeps the integer division
+    on non-negative operands, where Spark's trunc-div and DuckDB's
+    floor-div agree."""
+    from oic_options_chains_spark.operators.privacy import k_anonymity_cells
+
+    c = load_table(spark, sf_dir, "customer")
+    cents = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("bigint")
+    q = c.select(
+        "c_nationkey", "c_mktsegment", cents.alias("cents")
+    ).withColumn("bal_bucket", F.expr("(cents + 10000000) div 100000"))
+    return k_anonymity_cells(
+        q, ["c_nationkey", "c_mktsegment", "bal_bucket"], F.col("cents"), k=5, l=2
+    )
+
+
+@register(
+    "q_anon_release",
+    oracle="""
+    WITH q AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM customer),
+    cells AS (
+      SELECT c_nationkey, c_mktsegment,
+             (cents + 10000000) // 100000 AS bal_bucket,
+             COUNT(*) AS n_rows, COUNT(DISTINCT cents) AS l_distinct
+      FROM q GROUP BY 1, 2, 3)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(n_rows) AS BIGINT) AS n_records,
+           CAST(SUM(CASE WHEN n_rows < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS cells_below_k,
+           CAST(SUM(CASE WHEN n_rows < 5 THEN n_rows ELSE 0 END) AS BIGINT)
+             AS records_below_k,
+           CAST(SUM(CASE WHEN l_distinct < 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS cells_below_l,
+           CAST(SUM(CASE WHEN n_rows >= 5 AND l_distinct >= 2
+                         THEN n_rows ELSE 0 END) AS BIGINT)
+             AS records_releasable
+    FROM cells
+    """,
+)
+def q_anon_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The release gate over q_k_anonymity's cells
+    (operators/privacy.suppression_summary): one row saying how much of
+    the corpus a suppress-below-k / suppress-non-diverse release keeps.
+    The roll-up reduces CELLS (QI-domain-bounded), so it costs nothing
+    beyond the cell aggregate at any scale."""
+    from oic_options_chains_spark.operators.privacy import (
+        k_anonymity_cells,
+        suppression_summary,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    cents = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("bigint")
+    q = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        cents.alias("cents"),
+    ).withColumn("bal_bucket", F.expr("(cents + 10000000) div 100000"))
+    cells = k_anonymity_cells(
+        q, ["c_nationkey", "c_mktsegment", "bal_bucket"], F.col("cents"), k=5, l=2
+    )
+    return suppression_summary(cells, ["c_nationkey", "c_mktsegment", "bal_bucket"])
