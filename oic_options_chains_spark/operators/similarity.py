@@ -568,3 +568,99 @@ def batch_topk_multiprobe(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def token_vectors(
+    df: DataFrame,
+    n_sub: int,
+    vec_col: str = "embedding",
+    pos_col: str = "tpos",
+    out_col: str = "tvec",
+) -> DataFrame:
+    """Late-interaction view of a single-vector table: split each
+    embedding into ``n_sub`` contiguous sub-vectors ("token embeddings"
+    in ColBERT terms — here carved from the stored vector, since the
+    corpus stores one pooled vector per item). Row-local (explode only,
+    no shuffle); output has n_sub× the rows and 1/n_sub the floats per
+    row, so bytes scanned per vector are unchanged."""
+    sub_len = (F.size(F.col(vec_col)) / n_sub).cast("int")
+    slices = F.transform(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        lambda i: F.slice(F.col(vec_col), i * sub_len + 1, sub_len),
+    )
+    return df.select(
+        *[c for c in df.columns if c != vec_col],
+        F.posexplode(slices).alias(pos_col, out_col),
+    )
+
+
+def maxsim_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_sub: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """ColBERT-style MaxSim late-interaction retrieval (Khattab &
+    Zaharia, SIGIR 2020): score(q, d) = Σ_{query token} max_{doc token}
+    ⟨q_token, d_token⟩, then top-``k`` docs per query.
+
+    Late interaction beats single-dot retrieval when different parts of
+    a query match different parts of a document; at 100 TB the shape is
+    the thing: the corpus side explodes row-locally into token vectors
+    (ONE scan, no shuffle), the query token table (|Q|·n_sub rows)
+    broadcasts, each (doc token × query token) dot is quantized to
+    floor(1e6·dot) BIGINT immediately — so the max-then-sum reduction is
+    exact integer arithmetic, engine-independent — and the whole
+    reduction is one map-side-combinable aggregate keyed on
+    (query, doc). Top-k per query is a WindowGroupLimit, never a global
+    sort.
+
+    Returns (query_id, id, score_e6, rank).
+    """
+    dt = token_vectors(
+        embeddings.select(id_col, vec_col), n_sub, vec_col=vec_col,
+        pos_col="dpos", out_col="dvec",
+    )
+    qt = token_vectors(
+        queries.select(query_id_col, query_vec_col), n_sub,
+        vec_col=query_vec_col, pos_col="qpos", out_col="qvec",
+    )
+    pair = dt.crossJoin(F.broadcast(qt)).select(
+        query_id_col,
+        id_col,
+        "qpos",
+        F.floor(F.lit(1e6) * dot(F.col("dvec"), F.col("qvec")))
+        .cast("bigint")
+        .alias("__dot_e6"),
+    )
+    # max over doc tokens per query token, then sum over query tokens —
+    # fused into ONE aggregate on (query, doc): each query token's max is
+    # a null-skipping conditional max, so the whole MaxSim reduction is a
+    # single map-side-combinable exchange (a naive groupBy-qpos-then-
+    # groupBy plan pays two).
+    qtok_maxes = [
+        F.max(F.when(F.col("qpos") == i, F.col("__dot_e6"))) for i in range(n_sub)
+    ]
+    score = qtok_maxes[0]
+    for m in qtok_maxes[1:]:
+        score = score + m
+    scored = pair.groupBy(query_id_col, id_col).agg(
+        score.cast("bigint").alias("score_e6")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score_e6").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            "score_e6",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

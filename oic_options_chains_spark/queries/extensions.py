@@ -1231,3 +1231,54 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int"),
     )
     return ranked.filter(F.col("rank") <= 10)
+
+
+@register(
+    "q_maxsim",
+    oracle="""
+    WITH d AS (
+      SELECT vec_id, embedding, len(embedding) // 4 AS sl FROM embeddings),
+    dt0 AS (SELECT vec_id, embedding, sl, unnest(range(0, 4)) AS dpos FROM d),
+    dt AS (SELECT vec_id, dpos,
+                  embedding[dpos * sl + 1:(dpos + 1) * sl] AS dvec
+           FROM dt0),
+    q0 AS (SELECT vec_id AS query_id, embedding,
+                  len(embedding) // 4 AS sl, unnest(range(0, 4)) AS qpos
+           FROM embeddings WHERE vec_id < 3),
+    qt AS (SELECT query_id, qpos,
+                  embedding[qpos * sl + 1:(qpos + 1) * sl] AS qvec
+           FROM q0),
+    pair AS (
+      SELECT qt.query_id, dt.vec_id, qt.qpos,
+             CAST(FLOOR(1e6 * list_reduce(
+               list_transform(list_zip(dt.dvec, qt.qvec),
+                              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+               (acc, x) -> acc + x)) AS BIGINT) AS dot_e6
+      FROM dt CROSS JOIN qt),
+    m AS (SELECT query_id, vec_id, qpos, MAX(dot_e6) AS mx
+          FROM pair GROUP BY 1, 2, 3),
+    s AS (SELECT query_id, vec_id, CAST(SUM(mx) AS BIGINT) AS score_e6
+          FROM m GROUP BY 1, 2),
+    r AS (SELECT query_id, vec_id, score_e6,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score_e6 DESC, vec_id ASC) AS rank
+          FROM s)
+    SELECT query_id, vec_id, score_e6, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 5
+    """,
+)
+def q_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style MaxSim late-interaction top-5 for a 3-query batch
+    (operators/similarity.maxsim_topk): each vector is carved into 4
+    token sub-vectors, score = Σ_q max_d ⟨q_tok, d_tok⟩ with every dot
+    quantized to floor(1e6·dot) BIGINT before the max/sum reduction —
+    so the ranking arithmetic is exact integers on both engines. The
+    corpus side explodes row-locally (one scan, no shuffle); the 12-row
+    query-token table broadcasts; one (query, doc)-keyed aggregate."""
+    from oic_options_chains_spark.operators.similarity import maxsim_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return maxsim_topk(e, queries, k=5, n_sub=4)
