@@ -245,3 +245,99 @@ def lm_quality_scores(
             id_col, "n_bigrams", "CAST(__t div n_bigrams AS BIGINT) AS lm_score"
         )
     )
+
+
+def nb_class_confusion(
+    df: DataFrame,
+    class_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    holdout_mod: int = 5,
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """Token-posterior-voting document classifier, log-free, evaluated on
+    a held-out split — the fastText-style linear router LLM pipelines use
+    for language/quality routing (CCNet's lang-id gate), with the
+    corpus's own labels as supervision.
+
+    Rows with ``id % holdout_mod == 0`` are the test split; the rest fit
+    add-1-smoothed per-token class posteriors. A true multinomial-NB
+    argmax needs the log-product Σ n_w·log p(w|c), and cross-engine
+    logarithms are not bit-reproducible — the earlier mean-LIKELIHOOD
+    surrogate (Σ n_w·p_sc(w|c)) is exact but degenerates to the majority
+    class, because a linear sum of likelihoods never penalizes the tokens
+    a class has NO evidence for. Voting with the per-token POSTERIOR
+    fixes both at once:
+
+        r_sc(w,c)  = floor( S * (count(w,c)+1) / (count(w,·)+|C|) )
+        score(d,c) = Σ_w n_w(d) * r_sc(w,c)
+
+    Each token distributes ~S of voting mass ACROSS the classes (Σ_c
+    r_sc ≈ S for every w), so class-size imbalance cannot dominate, and
+    a language-unique token votes ~S for its language and ~0 elsewhere —
+    argmax_c Σ n_w·P(c|w), the sum-of-posteriors linear classifier. All
+    arithmetic is integer multiply + integer division in decimal(38,0):
+    bit-identical ranking on both engines. Out-of-vocabulary test tokens
+    contribute the same floor(S/|C|) to every class, so they are dropped
+    (inner join); a test doc that is ENTIRELY out-of-vocabulary has no
+    evidence and is absent from the output on both engines.
+
+    Returns the confusion matrix (class_true, class_pred, n_docs).
+
+    Scale shape (100 TB): the model is a vocabulary×classes table
+    (Zipf-tiny) from one token-keyed exchange with map-side combine;
+    test docs reduce to (doc, word, n) — one doc-keyed exchange — then
+    probe the broadcast model; argmax is a |classes|-deep window per doc.
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = df.select(
+        F.col(id_col), F.col(class_col), F.lower(F.col(text_col)).alias("__t")
+    )
+    is_test = (F.col(id_col) % holdout_mod) == 0
+    train, test = base.filter(~is_test), base.filter(is_test)
+
+    tt = train.select(class_col, F.explode(F.split(F.col("__t"), " ")).alias("w"))
+    c = tt.groupBy(class_col, "w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    cw = c.groupBy("w").agg(F.sum("c").cast("bigint").alias("cw"))
+    classes = train.select(class_col).distinct()
+    ncls = classes.agg(F.count(F.lit(1)).cast("bigint").alias("ncls"))
+
+    # densify: every (word, class) pair gets a posterior, smoothed —
+    # vocab × |C| rows, still dictionary-sized
+    model = (
+        cw.crossJoin(F.broadcast(classes))
+        .join(c, [class_col, "w"], "left")
+        .crossJoin(F.broadcast(ncls))
+        .select(
+            class_col,
+            "w",
+            (dec(F.coalesce(F.col("c"), F.lit(0)) + 1) * scale).alias("__num"),
+            dec(F.col("cw") + F.col("ncls")).alias("__den"),
+        )
+        .selectExpr(class_col, "w", "CAST(__num div __den AS BIGINT) AS r_sc")
+    )
+
+    tc = (
+        test.select(F.col(id_col), F.explode(F.split(F.col("__t"), " ")).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_w"))
+    )
+    scored = (
+        tc.join(model, "w")
+        .groupBy(id_col, class_col)
+        .agg(F.sum(dec(F.col("n_w")) * F.col("r_sc")).alias("__score"))
+    )
+    w_pred = Window.partitionBy(id_col).orderBy(
+        F.col("__score").desc(), F.col(class_col).asc()
+    )
+    pred = (
+        scored.withColumn("__rk", F.row_number().over(w_pred))
+        .filter(F.col("__rk") == 1)
+        .select(F.col(id_col), F.col(class_col).alias(f"{class_col}_pred"))
+    )
+    return (
+        test.select(F.col(id_col), F.col(class_col).alias(f"{class_col}_true"))
+        .join(pred, id_col)
+        .groupBy(f"{class_col}_true", f"{class_col}_pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )

@@ -220,3 +220,54 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return lm_quality_scores(d)
+
+
+@register(
+    "q_nb_classifier",
+    oracle="""
+    WITH base AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+    train AS (SELECT * FROM base WHERE doc_id % 5 <> 0),
+    test AS (SELECT * FROM base WHERE doc_id % 5 = 0),
+    tt AS (SELECT lang, unnest(string_split(t, ' ')) AS w FROM train),
+    c AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c FROM tt GROUP BY 1, 2),
+    cw AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cw FROM c GROUP BY 1),
+    classes AS (SELECT DISTINCT lang FROM train),
+    ncls AS (SELECT CAST(COUNT(*) AS BIGINT) AS ncls FROM classes),
+    model AS (
+      SELECT cl.lang, cw.w,
+             CAST((CAST(COALESCE(c.c, 0) + 1 AS HUGEINT) * 1048576)
+                  // CAST(cw.cw + ncls.ncls AS HUGEINT) AS BIGINT) AS r_sc
+      FROM cw CROSS JOIN classes cl CROSS JOIN ncls
+      LEFT JOIN c ON c.lang = cl.lang AND c.w = cw.w),
+    tc AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS n_w
+      FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM test)
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT tc.doc_id, m.lang,
+             SUM(CAST(n_w AS HUGEINT) * m.r_sc) AS score
+      FROM tc JOIN model m ON m.w = tc.w
+      GROUP BY 1, 2),
+    pred AS (
+      SELECT doc_id, lang AS lang_pred,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang ASC) AS rk
+      FROM scored)
+    SELECT t.lang AS lang_true, p.lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred p JOIN test t ON p.doc_id = t.doc_id
+    WHERE p.rk = 1
+    GROUP BY 1, 2
+    """,
+)
+def q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out confusion matrix of the log-free token-posterior-voting
+    classifier trained on the corpus's own labels
+    (operators/lm.nb_class_confusion) — the fastText-style linear router
+    of CCNet-era curation, with the 20% doc_id%5==0 split as test.
+    Integer-exact scaled-posterior voting (argmax_c Σ n_w·P(c|w)), argmax
+    per doc via a |classes|-deep window."""
+    from oic_options_chains_spark.operators.lm import nb_class_confusion
+
+    d = load_table(spark, sf_dir, "documents")
+    return nb_class_confusion(d, class_col="lang", holdout_mod=5)
