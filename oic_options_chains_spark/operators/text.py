@@ -143,3 +143,41 @@ def fingerprint(text: Column) -> Column:
     engines and stable across Spark versions.
     """
     return F.md5(normalize_text(text))
+
+
+# Unicode web-text folding map: typographic punctuation a crawl emits ->
+# the ASCII the tokenizer/dedup layer expects. translate() is a
+# codepoint-for-codepoint map (JVM-side, no regex engine), so it handles
+# every 1:1 fold; the 1:N folds (ellipsis) go through regexp_replace
+# afterwards. Escapes, not literals: invisible characters in source are
+# unreviewable.
+_FOLD_SRC = (
+    "\u2018\u2019\u201a\u201b"   # single quotes
+    "\u201c\u201d\u201e"          # double quotes
+    "\u2013\u2014\u2212"          # en/em dash, minus sign
+    "\u00a0\u2009\u202f\u3000"   # nbsp, thin/narrow-nbsp, ideographic space
+)
+_FOLD_DST = '\'\'\'\'"""---    '
+# zero-width chars / joiners / BOM / soft hyphen: delete outright
+# (translate drops source chars with no destination counterpart)
+_ZERO_WIDTH = "\u200b\u200c\u200d\u2060\ufeff\u00ad"
+
+
+def normalize_web_text(text: Column) -> Column:
+    """Crawl-grade text normalization, entirely JVM column arithmetic:
+
+    1. fold typographic quotes/dashes and exotic spaces to ASCII
+       (codepoint map via ``translate`` — no regex engine involved),
+    2. delete zero-width characters, BOM, and soft hyphens,
+    3. expand ellipsis to ``...``,
+    4. collapse whitespace runs and trim.
+
+    This is the pass a dedup/tokenizer layer wants BEFORE fingerprinting:
+    two crawls of the same page differing only in typography and
+    invisible characters normalize to identical strings. Case is
+    preserved — callers compose with lower()/fingerprint() as needed
+    (normalize_text stays the hashing canonicalizer).
+    """
+    folded = F.translate(text, _FOLD_SRC + _ZERO_WIDTH, _FOLD_DST)
+    expanded = F.regexp_replace(folded, "\u2026", "...")
+    return F.trim(F.regexp_replace(expanded, r"\s+", " "))

@@ -1282,3 +1282,40 @@ def q_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return maxsim_topk(e, queries, k=5, n_sub=4)
+
+
+@register(
+    "q_text_normalize",
+    oracle="""
+    SELECT doc_id,
+           '"' || text || '"-...' AS norm_text,
+           CAST(length(text) + 6 AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-grade unicode normalization
+    (operators/text.normalize_web_text): the query first DIRTIES the
+    clean corpus deterministically — curly quotes around each doc, every
+    space swapped for NBSP, a zero-width space after every 'e', an
+    em-dash and a real ellipsis appended — then normalizes. The oracle
+    states the clean ground truth directly ('\"' || text || '\"-...'),
+    so the Spark side must fold/delete/collapse its way back to it (the
+    q_url_canonical messy-in/ground-truth-out pattern). All JVM
+    translate/regexp arithmetic, no Python."""
+    from oic_options_chains_spark.operators.text import normalize_web_text
+
+    d = load_table(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("\u201c"),
+        F.regexp_replace(
+            F.translate(F.col("text"), " ", "\u00a0"), "e", "e\u200b"
+        ),
+        F.lit("\u201d\u2014\u2026"),
+    )
+    norm = normalize_web_text(messy)
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).cast("bigint").alias("n_chars"),
+    )
