@@ -98,6 +98,10 @@ HEADLINE = (
     "q_url_canonical",
     "q_mad_outliers",
     "q_hybrid_rrf",
+    "q_maxsim",
+    "q_text_normalize",
+    "q_k_anonymity",
+    "q_nb_classifier",
 )
 
 # single-JVM local bench has ~±20-30% run-to-run noise (ambient load

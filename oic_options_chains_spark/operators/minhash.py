@@ -619,3 +619,104 @@ def containment_pairs(
         )
         .filter(F.col("containment_bp") >= min_containment_bp)
     )
+
+
+def incremental_lsh_dedup(
+    base: DataFrame,
+    delta: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_jaccard_bp: int = 2000,
+    num_hashes: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Incremental corpus update: near-dup-screen a DELTA batch against an
+    already-deduped BASE corpus without re-pairing the base against
+    itself.
+
+    This is the shape a 100 TB corpus actually runs dedup in: the base's
+    (doc, band, band_key) index is computed once per epoch (at scale it is
+    a materialized, bucket-partitioned table — here recomputed because the
+    testdata is file-backed), and each incoming batch only (1) minhashes
+    ITSELF, (2) equi-joins its band keys against the base index (bucket
+    join — work proportional to matched buckets, never |base|×|delta|),
+    (3) exact-verifies the candidates by n-gram Jaccard. The base-side
+    self-pairing cost of q_minhash_lsh_pairs is paid zero times here.
+
+    Returns one row per delta doc: (id, kept, dup_of, jaccard_bp) with
+    kept=0 when a base doc verifies at >= ``min_jaccard_bp`` (dup_of = the
+    best-matching base doc, jaccard descending / id ascending), else
+    kept=1 with NULL dup_of. Delta-internal duplicates are left to the
+    ordinary within-batch pass (lsh_candidate_pairs on the delta alone);
+    this operator owns only the delta-vs-base frontier.
+    """
+    base_bands = minhash_band_keys(
+        doc_shingles(base, id_col, text_col, distinct=False),
+        id_col, num_hashes, rows_per_band,
+    )
+    delta_bands = minhash_band_keys(
+        doc_shingles(delta, id_col, text_col, distinct=False),
+        id_col, num_hashes, rows_per_band,
+    )
+    cand = (
+        delta_bands.alias("d")
+        .join(base_bands.alias("b"), on=["band", "band_key"])
+        .select(
+            F.col(f"d.{id_col}").alias("delta_id"),
+            F.col(f"b.{id_col}").alias("base_id"),
+        )
+        .distinct()
+    )
+    sh_d = doc_shingles(delta, id_col, text_col, distinct=True)
+    sh_b = doc_shingles(base, id_col, text_col, distinct=True)
+    sz_d = sh_d.groupBy(id_col).agg(F.count(F.lit(1)).cast("bigint").alias("sz_d"))
+    sz_b = sh_b.groupBy(id_col).agg(F.count(F.lit(1)).cast("bigint").alias("sz_b"))
+    inter = (
+        cand.join(sh_d.alias("sa"), F.col("delta_id") == F.col(f"sa.{id_col}"))
+        .join(
+            sh_b.alias("sb"),
+            (F.col("base_id") == F.col(f"sb.{id_col}"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("delta_id", "base_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    jac = (
+        F.lit(10000.0)
+        * F.col("inter").cast("double")
+        / (
+            F.col("sz_d").cast("double")
+            + F.col("sz_b").cast("double")
+            - F.col("inter").cast("double")
+        )
+    )
+    verified = (
+        inter.join(sz_d, F.col("delta_id") == F.col(f"{id_col}")).drop(id_col)
+        .join(sz_b, F.col("base_id") == F.col(f"{id_col}")).drop(id_col)
+        .select(
+            "delta_id",
+            "base_id",
+            F.floor(jac).cast("bigint").alias("jaccard_bp"),
+        )
+        .filter(F.col("jaccard_bp") >= min_jaccard_bp)
+    )
+    w = Window.partitionBy("delta_id").orderBy(
+        F.col("jaccard_bp").desc(), F.col("base_id").asc()
+    )
+    best = (
+        verified.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("delta_id", "base_id", "jaccard_bp")
+    )
+    return (
+        delta.select(id_col)
+        .join(best, F.col(id_col) == F.col("delta_id"), "left")
+        .select(
+            id_col,
+            F.when(F.col("base_id").isNull(), 1).otherwise(0)
+            .cast("int")
+            .alias("kept"),
+            F.col("base_id").alias("dup_of"),
+            "jaccard_bp",
+        )
+    )

@@ -1319,3 +1319,66 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm.alias("norm_text"),
         F.length(norm).cast("bigint").alias("n_chars"),
     )
+
+
+@register(
+    "q_dedup_incremental",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+                  FROM documents),
+    idx AS (SELECT doc_id, t,
+                   unnest(range(0, greatest(len(t) - 2, 0))) AS i
+            FROM toks),
+    sh AS (SELECT DISTINCT doc_id,
+                  t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS shingle
+           FROM idx),
+    seeds AS (SELECT unnest(range(0, 8)) AS seed),
+    sig AS (SELECT doc_id, CAST(seed AS INT) AS seed,
+                   MIN(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
+            FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+    bands AS (SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+                     string_agg(minhash, ',' ORDER BY seed) AS band_key
+              FROM sig GROUP BY doc_id, seed // 4),
+    cand AS (SELECT DISTINCT d.doc_id AS delta_id, b.doc_id AS base_id
+             FROM bands d
+             JOIN bands b ON d.band = b.band AND d.band_key = b.band_key
+             WHERE d.doc_id % 10 >= 8 AND b.doc_id % 10 < 8),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
+    inter AS (SELECT c.delta_id, c.base_id, CAST(COUNT(*) AS BIGINT) AS inter
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.delta_id
+              JOIN sh b ON b.doc_id = c.base_id AND b.shingle = a.shingle
+              GROUP BY 1, 2),
+    jac AS (SELECT i.delta_id, i.base_id,
+                   CAST(FLOOR(10000.0 * i.inter
+                        / (sa.sz + sb.sz - i.inter)) AS BIGINT) AS jaccard_bp
+            FROM inter i
+            JOIN sz sa ON sa.doc_id = i.delta_id
+            JOIN sz sb ON sb.doc_id = i.base_id),
+    best AS (SELECT delta_id, base_id, jaccard_bp,
+                    row_number() OVER (PARTITION BY delta_id
+                                       ORDER BY jaccard_bp DESC, base_id ASC)
+                      AS rk
+             FROM jac WHERE jaccard_bp >= 2000)
+    SELECT d.doc_id,
+           CAST(CASE WHEN best.base_id IS NULL THEN 1 ELSE 0 END AS INT)
+             AS kept,
+           best.base_id AS dup_of, best.jaccard_bp
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) d
+    LEFT JOIN (SELECT * FROM best WHERE rk = 1) best
+           ON best.delta_id = d.doc_id
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental delta-vs-base near-dup screen
+    (operators/minhash.incremental_lsh_dedup): the 20% doc_id%10>=8 slice
+    plays the incoming batch, the other 80% the already-deduped corpus.
+    The delta's band keys bucket-join the base's band INDEX (at scale a
+    materialized table) — the base never self-pairs — and candidates are
+    exact-verified by shingle Jaccard before a delta doc is dropped."""
+    from oic_options_chains_spark.operators.minhash import incremental_lsh_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % 10 < 8)
+    delta = d.filter(F.col("doc_id") % 10 >= 8)
+    return incremental_lsh_dedup(base, delta, min_jaccard_bp=2000)
