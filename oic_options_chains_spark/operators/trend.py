@@ -173,3 +173,57 @@ def group_changepoint(
         F.expr("CAST(sy1 div CAST(n1 AS DECIMAL(38,0)) AS BIGINT)").alias("mean_left"),
         F.expr("CAST(sy2 div CAST(n2 AS DECIMAL(38,0)) AS BIGINT)").alias("mean_right"),
     )
+
+
+def gap_fill_ffill(
+    df: DataFrame,
+    group_col: str,
+    date_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Calendar densification + forward fill: emit one row per group per
+    DAY between that group's first and last observation, carrying the
+    last observed value across the gaps — the resample step every
+    daily-series consumer (trend fits, changepoint scans, drift windows)
+    wants to run on a gapless axis.
+
+    (group, day, value, is_observed): value is the observation when one
+    exists, else the most recent prior observation (never NULL — the
+    calendar starts AT the first observation). is_observed flags carried
+    rows so downstream can weight them.
+
+    Scale shape: bounds are a per-group min/max aggregate (group-keyed,
+    map-side combined); the calendar explodes row-locally from
+    ``sequence()`` — days-per-group rows, bounded by the time span, not
+    the fact count; the fill is ONE window over (group, day), the same
+    partitioning the explode already has. A fact table of any size
+    reduces to (groups × days) before the window runs.
+    """
+    obs = df.groupBy(group_col, date_col).agg(
+        F.sum(value_col).cast("bigint").alias("__v")
+    )
+    bounds = obs.groupBy(group_col).agg(
+        F.min(date_col).alias("__d0"), F.max(date_col).alias("__d1")
+    )
+    cal = bounds.select(
+        group_col,
+        F.explode(
+            F.sequence(F.col("__d0"), F.col("__d1"), F.expr("interval 1 day"))
+        ).alias(date_col),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(date_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cal.join(obs, [group_col, date_col], "left")
+        .select(
+            group_col,
+            date_col,
+            F.last("__v", ignorenulls=True).over(w).alias(value_col),
+            F.when(F.col("__v").isNull(), 0).otherwise(1)
+            .cast("int")
+            .alias("is_observed"),
+        )
+    )

@@ -634,3 +634,49 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_left",
         "mean_right",
     )
+
+
+@register(
+    "q_gap_fill",
+    oracle="""
+    WITH obs AS (
+      SELECT l_returnflag AS g, l_shipdate AS day,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS rev
+      FROM lineitem GROUP BY 1, 2),
+    bounds AS (SELECT g, MIN(day) AS d0, MAX(day) AS d1 FROM obs GROUP BY 1),
+    cal AS (SELECT g,
+                   CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                        AS DATE) AS day
+            FROM bounds),
+    filled AS (
+      SELECT cal.g, cal.day,
+             last_value(obs.rev IGNORE NULLS) OVER (
+               PARTITION BY cal.g ORDER BY cal.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS rev_filled,
+             CASE WHEN obs.rev IS NULL THEN 0 ELSE 1 END AS is_observed
+      FROM cal LEFT JOIN obs ON obs.g = cal.g AND obs.day = cal.day)
+    SELECT g AS l_returnflag, day,
+           CAST(rev_filled AS BIGINT) AS revenue_cents,
+           CAST(is_observed AS INT) AS is_observed
+    FROM filled
+    """,
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill + forward fill of the per-flag daily revenue
+    series (operators/trend.gap_fill_ffill): one gapless row per flag per
+    day between its first and last shipment, carrying the last observed
+    revenue across silent days — the densified axis trend/changepoint/
+    drift consumers assume. Revenue goes through the DECIMAL(18,2)-cents
+    path so the fill is exact integers."""
+    from oic_options_chains_spark.operators.trend import gap_fill_ffill
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+    daily = li.select(
+        "l_returnflag",
+        F.col("l_shipdate").cast("date").alias("day"),
+        cents.alias("revenue_cents"),
+    )
+    return gap_fill_ffill(daily, "l_returnflag", "day", "revenue_cents")
