@@ -1,5 +1,6 @@
-"""Dependency-free media codecs: PNG (stdlib zlib), baseline JPEG
-(T.81 Huffman + DCT over numpy), GIF (LZW), and WAV PCM (struct).
+"""Dependency-free media codecs: PNG (stdlib zlib), JPEG — baseline
+AND progressive (T.81 Huffman + DCT over numpy), GIF (LZW), and WAV PCM
+(struct).
 
 These are the REAL kernels behind the ``fake=False`` seam in
 ``operators/multimodal.py``. The container ships no Pillow/libvips/
@@ -9,7 +10,7 @@ codec needs only the public T.81 tables + an 8x8 DCT, GIF is LZW over a
 palette, and RIFF/WAVE PCM is plain struct parsing — so the decode path
 is honest working code, not a stub, for every image format a web-crawl
 media column actually carries, plus MJPEG AVI video (a RIFF demux over
-the JPEG decoder). Progressive JPEG (SOF2+), arithmetic coding, and
+the JPEG decoder). Arithmetic-coded/hierarchical/12-bit JPEG and
 interframe video codecs (H.264/VP9/AV1 — an entropy+prediction stack,
 not a function) stay gated (ValueError) and are routed around via
 ``sniff_format``.
@@ -21,11 +22,12 @@ can quarantine rather than mis-decode):
   6 (RGBA); no interlace, no palette. All five row filters (None/Sub/
   Up/Average/Paeth) on decode; encode writes filter 0. Chunk CRCs are
   VERIFIED on decode (a flipped bit fails loudly, not as noise pixels).
-- JPEG: baseline sequential (SOF0), 8-bit, Huffman, grayscale or YCbCr,
-  sampling factors to 2x2 (4:4:4 / 4:2:2 / 4:2:0), restart intervals.
-  Encode writes SOF0 with Annex K typical tables at a chosen
-  subsampling, so the decoder's interleaved paths are testable from
-  self-contained fixtures.
+- JPEG: baseline sequential (SOF0) AND progressive (SOF2, spectral
+  selection + successive approximation per Annex G), 8-bit, Huffman,
+  grayscale or YCbCr, sampling factors to 2x2 (4:4:4 / 4:2:2 / 4:2:0),
+  restart intervals. Encoders write both forms (Annex K tables for
+  baseline; per-scan fixed-length tables for the progressive script),
+  so every decoder path is testable from self-contained fixtures.
 - GIF: GIF87a/89a first frame — LZW (early-change width growth,
   4096-entry cap), global/local color tables, interlacing, frame
   placement on the logical screen. Encode writes a lossless
@@ -270,8 +272,8 @@ def wav_stats(blob: bytes) -> tuple[int, int, int, int]:
 # ---------------------------------------------------------------------------
 # Baseline JPEG (ITU-T T.81): decoder for SOF0 sequential scans and a
 # 4:4:4 encoder, dependency-free (numpy only). Retires the last image
-# fake= seam: progressive (SOF2+), arithmetic coding, 12-bit and video
-# stay gated. The reference pipeline has no media tier at all — this is
+# fake= seam: arithmetic coding, 12-bit, and interframe video stay
+# gated. The reference pipeline has no media tier at all — this is
 # part of the training-data extension surface (SURVEY.md section 6).
 # ---------------------------------------------------------------------------
 
@@ -459,10 +461,12 @@ def _decode_block(
 def decode_jpeg(blob: bytes) -> np.ndarray:
     """(h, w, c) uint8 pixels from a BASELINE sequential JPEG (SOF0,
     8-bit, Huffman, 1 or 3 components, sampling factors up to 2x2,
-    restart intervals honored). Grayscale decodes to c=1, YCbCr to c=3
-    RGB via the JFIF matrix. ValueError on anything else — progressive
-    (SOF2+), arithmetic coding, 12-bit, unknown tables, truncation —
-    so the kernels quarantine rather than mis-decode."""
+    restart intervals honored) or a PROGRESSIVE JPEG (SOF2: spectral
+    selection + successive approximation per T.81 Annex G, dispatched to
+    _decode_jpeg_progressive). Grayscale decodes to c=1, YCbCr to c=3
+    RGB via the JFIF matrix. ValueError on anything else — arithmetic
+    coding, hierarchical, 12-bit, unknown tables, truncation — so the
+    kernels quarantine rather than mis-decode."""
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -538,7 +542,9 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                     raise ValueError(f"unsupported JPEG sampling {hi}x{vi}")
                 comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
             frame = {"w": w, "h": h, "comps": comps}
-        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif m == 0xC2:  # SOF2: progressive, Huffman — own multi-scan path
+            return _decode_jpeg_progressive(blob)
+        elif m in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"non-baseline JPEG (SOF{m - 0xC0}) unsupported")
         elif m == 0xDA:  # SOS
             if frame is None:
@@ -601,6 +607,13 @@ def _decode_scan(blob, pos, frame, quant, huff, sel, restart):
                     y0 = (my * c["v"] + by) * 8
                     x0 = (mx * c["h"] + bx) * 8
                     planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+    return _finish_planes(planes, comps, w, h, hmax, vmax)
+
+
+def _finish_planes(planes, comps, w, h, hmax, vmax):
+    """Shared decode back-end: level shift, nearest chroma upsample to
+    the MCU grid, crop, and (for 3 components) the JFIF YCbCr->RGB
+    matrix. Used by both the baseline and progressive paths."""
     out_planes = []
     for ci, c in enumerate(comps):
         p = planes[ci] + 128.0
@@ -618,6 +631,336 @@ def _decode_scan(blob, pos, frame, quant, huff, sel, restart):
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2, Huffman): spectral selection + successive
+# approximation, decoded per ITU-T T.81 Annex G into per-component
+# coefficient planes that share the baseline path's dequant/IDCT/color
+# back-end. The matching encoder below emits the classic multi-scan
+# script so the decoder is testable from self-contained fixtures.
+# ---------------------------------------------------------------------------
+
+
+def _prog_block_order(frame, scomps, interleaved):
+    """Yield (ci, by, bx) block coordinates in T.81 scan order.
+
+    Interleaved scans walk the MCU grid (PADDED to full MCUs — dummy
+    blocks included); a non-interleaved scan walks only the single
+    component's ceil(size/8) block grid."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    if interleaved:
+        for idx in range(mcux * mcuy):
+            my, mx = divmod(idx, mcux)
+            for ci, c in scomps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        yield ci, my * c["v"] + by, mx * c["h"] + bx
+    else:
+        ci, c = scomps[0]
+        comp_w = -(-frame["w"] * c["h"] // hmax)
+        comp_h = -(-frame["h"] * c["v"] // vmax)
+        nbw = -(-comp_w // 8)
+        nbh = -(-comp_h // 8)
+        for idx in range(nbh * nbw):
+            by, bx = divmod(idx, nbw)
+            yield ci, by, bx
+
+
+def _prog_units_per_restart(frame, scomps, interleaved):
+    """Restart intervals count MCUs when interleaved, blocks otherwise —
+    returns blocks-per-unit per scan component structure."""
+    if interleaved:
+        return sum(c["h"] * c["v"] for _, c in scomps)
+    return 1
+
+
+def _decode_jpeg_progressive(blob: bytes) -> np.ndarray:
+    """(h, w, c) uint8 pixels from a PROGRESSIVE JPEG (SOF2, 8-bit,
+    Huffman, sampling factors up to 2x2): every scan — DC first/refine,
+    AC first/refine with EOB runs, interleaved or single-component,
+    restart intervals — accumulates into per-component zigzag
+    coefficient planes; dequant + IDCT + upsample + color run once at
+    EOI. ValueError on malformed/truncated input (quarantine contract,
+    same as the baseline path)."""
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    coefs: list[np.ndarray] = []
+    restart = 0
+    saw_scan = False
+    while True:
+        # resync to the next marker (skips fill 0xFFs; never treats the
+        # entropy-stuffed FF00 as a marker)
+        while True:
+            if pos + 2 > len(blob):
+                raise ValueError("JPEG truncated before EOI")
+            if blob[pos] == 0xFF and blob[pos + 1] not in (0x00, 0xFF):
+                break
+            pos += 1
+        m = blob[pos + 1]
+        pos += 2
+        if m in (0x01, *range(0xD0, 0xD8)):
+            continue
+        if m == 0xD9:  # EOI
+            break
+        if pos + 2 > len(blob):
+            raise ValueError("JPEG segment truncated")
+        (seg_len,) = struct.unpack(">H", blob[pos : pos + 2])
+        if seg_len < 2 or pos + seg_len > len(blob):
+            raise ValueError("JPEG segment length out of range")
+        body = blob[pos + 2 : pos + seg_len]
+        pos += seg_len
+        if m == 0xDB:  # DQT
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit JPEG quant tables unsupported")
+                if b + 65 > len(body):
+                    raise ValueError("JPEG DQT truncated")
+                quant[tq] = np.frombuffer(
+                    body[b + 1 : b + 65], dtype=np.uint8
+                ).astype(np.int32)
+                b += 65
+        elif m == 0xC4:  # DHT (tables may be redefined between scans)
+            b = 0
+            while b + 17 <= len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1 : b + 17])
+                n = sum(bits)
+                vals = list(body[b + 17 : b + 17 + n])
+                if len(vals) != n:
+                    raise ValueError("JPEG DHT truncated")
+                huff[(tc, th)] = _huff_decode_table(bits, vals)
+                b += 17 + n
+        elif m == 0xDD:  # DRI
+            if len(body) != 2:
+                raise ValueError("JPEG DRI malformed")
+            (restart,) = struct.unpack(">H", body)
+        elif m == 0xC2:  # SOF2
+            if frame is not None:
+                raise ValueError("JPEG multiple frames unsupported")
+            if len(body) < 6:
+                raise ValueError("JPEG SOF2 truncated")
+            prec, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            if h == 0 or w == 0 or w * h > _MAX_PIXELS:
+                raise ValueError(f"JPEG dimensions {w}x{h} out of range")
+            if nc not in (1, 3):
+                raise ValueError(f"unsupported JPEG component count {nc}")
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("JPEG SOF2 component list truncated")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                hi, vi = hv >> 4, hv & 0x0F
+                if not (1 <= hi <= 2 and 1 <= vi <= 2):
+                    raise ValueError(f"unsupported JPEG sampling {hi}x{vi}")
+                comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            coefs = [
+                np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+                for c in comps
+            ]
+        elif m in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                   0xCD, 0xCE, 0xCF):
+            raise ValueError(f"mixed-frame JPEG (SOF{m - 0xC0}) unsupported")
+        elif m == 0xDA:  # SOS: one progressive scan
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF2")
+            ns = body[0]
+            if len(body) != 1 + 2 * ns + 3 or not 1 <= ns <= len(frame["comps"]):
+                raise ValueError("JPEG SOS header malformed")
+            scomps, sel = [], {}
+            for i in range(ns):
+                cs, tt = body[1 + 2 * i : 3 + 2 * i]
+                matches = [
+                    (ci, c) for ci, c in enumerate(frame["comps"]) if c["id"] == cs
+                ]
+                if not matches:
+                    raise ValueError(f"JPEG scan references unknown component {cs}")
+                scomps.append(matches[0])
+                sel[matches[0][0]] = (tt >> 4, tt & 0x0F)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            pos = _prog_decode_scan(
+                blob, pos, frame, coefs, huff, scomps, sel, ss, se, ah, al, restart
+            )
+            saw_scan = True
+        # APPn/COM: skipped
+    if frame is None or not saw_scan:
+        raise ValueError("progressive JPEG has no scan")
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = []
+    for ci, c in enumerate(comps):
+        if c["tq"] not in quant:
+            raise ValueError(f"JPEG missing quant table {c['tq']}")
+        q = quant[c["tq"]].astype(np.float64)
+        bh, bwid, _ = coefs[ci].shape
+        zz = coefs[ci].reshape(-1, 64).astype(np.float64) * q
+        nat = np.zeros_like(zz)
+        nat[:, _ZIGZAG] = zz
+        blocks = np.einsum(
+            "ij,njk,kl->nil", _DCT_M.T, nat.reshape(-1, 8, 8), _DCT_M
+        )
+        plane = (
+            blocks.reshape(bh, bwid, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bwid * 8)
+        )
+        planes.append(plane)
+    return _finish_planes(planes, comps, frame["w"], frame["h"], hmax, vmax)
+
+
+def _prog_decode_scan(
+    blob, pos, frame, coefs, huff, scomps, sel, ss, se, ah, al, restart
+):
+    """Decode ONE progressive scan's entropy data into ``coefs``;
+    returns the byte offset just past the scan."""
+    if ss == 0:
+        if se != 0:
+            raise ValueError("JPEG DC scan must have Se=0")
+    else:
+        if len(scomps) != 1:
+            raise ValueError("JPEG AC scans must be single-component")
+        if not ss <= se <= 63:
+            raise ValueError("JPEG spectral band out of range")
+    if ah not in (0, al + 1):
+        raise ValueError("JPEG successive approximation must step by one bit")
+    interleaved = len(scomps) > 1
+    # DC-first scans need a DC table per component; AC scans an AC table;
+    # DC-refine scans read raw bits only
+    for ci, c in scomps:
+        td, ta = sel[ci]
+        if ss == 0 and ah == 0 and (0, td) not in huff:
+            raise ValueError("JPEG missing DC Huffman table")
+        if ss > 0 and (1, ta) not in huff:
+            raise ValueError("JPEG missing AC Huffman table")
+    br = _BitReader(blob[pos:])
+    preds = {ci: 0 for ci, _ in scomps}
+    eobrun = 0
+    blocks_per_unit = _prog_units_per_restart(frame, scomps, interleaved)
+    unit = 0
+    nblock = 0
+    for ci, by, bx in _prog_block_order(frame, scomps, interleaved):
+        if nblock % blocks_per_unit == 0:
+            if restart and unit and unit % restart == 0:
+                br.n = 0
+                if (
+                    br.pos + 2 > len(br.data)
+                    or br.data[br.pos] != 0xFF
+                    or not 0xD0 <= br.data[br.pos + 1] <= 0xD7
+                ):
+                    raise ValueError("JPEG restart marker missing")
+                br.pos += 2
+                preds = {k: 0 for k in preds}
+                eobrun = 0
+            unit += 1
+        nblock += 1
+        coef = coefs[ci][by, bx]
+        td, ta = sel[ci]
+        if ss == 0:
+            if ah == 0:  # DC first
+                s = br.huff(huff[(0, td)])
+                if s > 11:
+                    raise ValueError(f"invalid JPEG DC magnitude {s}")
+                diff = _extend(br.receive(s), s) if s else 0
+                preds[ci] += diff
+                coef[0] = preds[ci] << al
+            else:  # DC refine: one appended bit
+                if br.bit():
+                    coef[0] = int(coef[0]) | (1 << al)
+        elif ah == 0:
+            eobrun = _ac_first_block(br, coef, huff[(1, ta)], ss, se, al, eobrun)
+        else:
+            eobrun = _ac_refine_block(br, coef, huff[(1, ta)], ss, se, al, eobrun)
+    return pos + br.pos
+
+
+def _ac_first_block(br, coef, actab, ss, se, al, eobrun):
+    """T.81 G.1.2.2 AC first pass for one block: runs, magnitudes shifted
+    up by Al, EOB-run accounting."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = br.huff(actab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.receive(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC run past spectral band")
+        coef[k] = _extend(br.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(br, coef, actab, ss, se, al, eobrun):
+    """T.81 G.1.2.3 AC refinement for one block: newly-significant
+    coefficients arrive as ±1<<Al; already-nonzero coefficients receive
+    correction bits (including inside zero-runs and EOB runs)."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = br.huff(actab)
+            r, s = rs >> 4, rs & 0x0F
+            s_val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.receive(r)
+                    eobrun += 1  # includes THIS block's correction tail
+                    break
+                # r == 15: sixteen zero-history coefficients skipped
+            else:
+                if s != 1:
+                    raise ValueError("JPEG AC refine magnitude != 1")
+                s_val = p1 if br.bit() else m1
+            while k <= se:
+                if coef[k] != 0:
+                    if br.bit() and (coef[k] & p1) == 0:
+                        coef[k] += p1 if coef[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s_val and k <= se:
+                coef[k] = s_val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if coef[k] != 0:
+                if br.bit() and (coef[k] & p1) == 0:
+                    coef[k] += p1 if coef[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 class _BitWriter:
@@ -706,16 +1049,12 @@ def _encode_block(
 _SUBSAMPLING = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
 
 
-def encode_jpeg(
-    pixels: np.ndarray, quality: int = 85, subsampling: str = "444"
-) -> bytes:
-    """Baseline sequential JPEG (SOF0, Annex K typical Huffman tables,
-    IJG quality-scaled quant tables) from (h, w, 3) RGB or
-    (h, w)/(h, w, 1) grayscale uint8. ``subsampling`` picks the luma
-    sampling factors — '444' (1x1), '422' (2x1), '420' (2x2, chroma box
-    -averaged) — so the decoder's interleaved-MCU paths are testable
-    from self-contained fixtures. The counterpart of ``decode_jpeg``
-    for roundtrip tests and fixture synthesis."""
+def _prep_jpeg_planes(pixels, quality, subsampling):
+    """Shared encoder front-end: validate, color-convert, box-downsample
+    chroma, edge-pad every plane to its MCU-aligned block grid. Returns
+    (planes, qtabs, sampling, mcux, mcuy, h, w, nc, ql, qc) — used by the
+    baseline and progressive encoders so both produce IDENTICAL
+    quantized coefficients for the same input."""
     arr = np.asarray(pixels, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
@@ -760,7 +1099,22 @@ def encode_jpeg(
             )
             - 128.0
         )
-    planes = prepped
+    return prepped, qtabs, sampling, mcux, mcuy, h, w, nc, ql, qc
+
+
+def encode_jpeg(
+    pixels: np.ndarray, quality: int = 85, subsampling: str = "444"
+) -> bytes:
+    """Baseline sequential JPEG (SOF0, Annex K typical Huffman tables,
+    IJG quality-scaled quant tables) from (h, w, 3) RGB or
+    (h, w)/(h, w, 1) grayscale uint8. ``subsampling`` picks the luma
+    sampling factors — '444' (1x1), '422' (2x1), '420' (2x2, chroma box
+    -averaged) — so the decoder's interleaved-MCU paths are testable
+    from self-contained fixtures. The counterpart of ``decode_jpeg``
+    for roundtrip tests and fixture synthesis."""
+    planes, qtabs, sampling, mcux, mcuy, h, w, nc, ql, qc = _prep_jpeg_planes(
+        pixels, quality, subsampling
+    )
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
@@ -808,6 +1162,298 @@ def encode_jpeg(
                         )
     bw.flush()
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _plane_coefs(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """(bh, bw, 64) int32 zigzag quantized coefficients for one padded
+    plane — the same rint(F/Q) the baseline encoder applies per block,
+    vectorized, so progressive and baseline encodings of one input carry
+    IDENTICAL coefficient data."""
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+    f = np.einsum("ij,nbjk,kl->nbil", _DCT_M, blocks, _DCT_M.T)
+    return np.rint(f.reshape(bh, bw, 64)[:, :, _ZIGZAG] / qtab).astype(np.int32)
+
+
+def _fixed_length_table(symbols: set) -> tuple[list[int], list[int]]:
+    """Canonical T.81 table giving every used symbol the same length L
+    with one codepoint spare (the all-ones code stays unused, as the
+    spec's table-building procedure guarantees). Deterministic: values
+    sorted ascending."""
+    values = sorted(symbols)
+    n = max(1, len(values))
+    length = 1
+    while (1 << length) - 1 < n:
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = n
+    return bits, values
+
+
+def _shifted_mag(v: int, al: int) -> int:
+    """T.81 AC point transform: magnitude shifted toward zero."""
+    return abs(int(v)) >> al
+
+
+class _ScanEvents:
+    """Symbol/bit event recorder for one progressive scan: first pass
+    collects the Huffman symbol set, second pass writes DHT + SOS +
+    entropy-coded data."""
+
+    def __init__(self) -> None:
+        self.events: list[tuple] = []
+        self.symbols: set[int] = set()
+
+    def sym(self, s: int) -> None:
+        self.events.append(("s", s))
+        self.symbols.add(s)
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.events.append(("b", v, n))
+
+    def rst(self, m: int) -> None:
+        self.events.append(("r", m))
+
+    def write(self, bw: "_BitWriter", enc_table: dict | None, out: bytearray) -> None:
+        for ev in self.events:
+            if ev[0] == "s":
+                code, length = enc_table[ev[1]]
+                bw.write(code, length)
+            elif ev[0] == "b":
+                bw.write(ev[1], ev[2])
+            else:  # restart: byte-align, emit RSTm, fresh writer state
+                bw.flush()
+                out += bw.out
+                bw.out = bytearray()
+                out += bytes([0xFF, 0xD0 + ev[1]])
+        bw.flush()
+        out += bw.out
+        bw.out = bytearray()
+
+
+def _enc_dc_first_scan(ev, coefs, frame, scomps, al, restart):
+    preds = {ci: 0 for ci, _ in scomps}
+    blocks_per_unit = _prog_units_per_restart(frame, scomps, len(scomps) > 1)
+    unit = nblock = 0
+    rst_i = 0
+    for ci, by, bx in _prog_block_order(frame, scomps, len(scomps) > 1):
+        if nblock % blocks_per_unit == 0:
+            if restart and unit and unit % restart == 0:
+                ev.rst(rst_i % 8)
+                rst_i += 1
+                preds = {k: 0 for k in preds}
+            unit += 1
+        nblock += 1
+        val = int(coefs[ci][by, bx, 0]) >> al  # DC: arithmetic shift
+        diff = val - preds[ci]
+        preds[ci] = val
+        s = abs(diff).bit_length()
+        ev.sym(s)
+        if s:
+            ev.bits(diff if diff > 0 else diff + (1 << s) - 1, s)
+
+
+def _enc_dc_refine_scan(ev, coefs, frame, scomps, al):
+    for ci, by, bx in _prog_block_order(frame, scomps, len(scomps) > 1):
+        ev.bits((int(coefs[ci][by, bx, 0]) >> al) & 1, 1)
+
+
+def _enc_ac_first_scan(ev, coefs, frame, scomps, ss, se, al):
+    eobrun = 0
+
+    def emit_eobrun():
+        nonlocal eobrun
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            ev.sym(nbits << 4)
+            ev.bits(eobrun - (1 << nbits), nbits)
+            eobrun = 0
+
+    for ci, by, bx in _prog_block_order(frame, scomps, False):
+        coef = coefs[ci][by, bx]
+        vals = [
+            (_shifted_mag(coef[k], al) if coef[k] >= 0 else -_shifted_mag(coef[k], al))
+            for k in range(ss, se + 1)
+        ]
+        last_nz = max((i for i, v in enumerate(vals) if v), default=-1)
+        if last_nz < 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                emit_eobrun()
+            continue
+        emit_eobrun()
+        r = 0
+        for i in range(last_nz + 1):
+            v = vals[i]
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                ev.sym(0xF0)
+                r -= 16
+            s = abs(v).bit_length()
+            ev.sym((r << 4) | s)
+            ev.bits(v if v > 0 else v + (1 << s) - 1, s)
+            r = 0
+        if last_nz < se - ss:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                emit_eobrun()
+    emit_eobrun()
+
+
+def _enc_ac_refine_scan(ev, coefs, frame, scomps, ss, se, al):
+    """libjpeg's encode_mcu_AC_refine event-for-event: correction bits of
+    already-nonzero coefficients buffer up and flush after the next
+    emitted symbol (ZRL, newly-significant, or the deferred EOBn)."""
+    eobrun = 0
+    be: list[int] = []  # correction bits pending with the deferred EOBn
+
+    def emit_eobrun():
+        nonlocal eobrun, be
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            ev.sym(nbits << 4)
+            ev.bits(eobrun - (1 << nbits), nbits)
+            for b in be:
+                ev.bits(b, 1)
+            be = []
+            eobrun = 0
+
+    for ci, by, bx in _prog_block_order(frame, scomps, False):
+        coef = coefs[ci][by, bx]
+        absv = [_shifted_mag(coef[k], al) for k in range(ss, se + 1)]
+        eob = max((i for i, t in enumerate(absv) if t == 1), default=-1)
+        r = 0
+        br: list[int] = []  # bits pending with this block's next symbol
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob:
+                emit_eobrun()
+                ev.sym(0xF0)
+                r -= 16
+                for b in br:
+                    ev.bits(b, 1)
+                br = []
+            if t > 1:
+                br.append(t & 1)
+                continue
+            emit_eobrun()
+            ev.sym((r << 4) | 1)
+            ev.bits(1 if coef[ss + i] >= 0 else 0, 1)
+            for b in br:
+                ev.bits(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            be.extend(br)
+            if eobrun == 0x7FFF or len(be) > 900:
+                emit_eobrun()
+    emit_eobrun()
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Progressive JPEG (SOF2) with the classic libjpeg-style scan
+    script: interleaved DC first at Al=1, spectral-split luma AC (1-5,
+    6-63) descending two approximation bits, full-band chroma AC, DC
+    refine, then AC refinement scans down to Al=0. Coefficients are the
+    SAME rint(F/Q) the baseline encoder produces, so decoding a
+    progressive encoding must yield pixels IDENTICAL to the baseline
+    encoding of the same input — the roundtrip the tests pin. Each scan
+    carries its own fixed-length Huffman table (progressive EOBn symbols
+    are not in the Annex K baseline tables). ``restart_interval``
+    applies to the DC-first scan (DRI is reset to 0 afterwards)."""
+    planes, qtabs, sampling, mcux, mcuy, h, w, nc, ql, qc = _prep_jpeg_planes(
+        pixels, quality, subsampling
+    )
+    coefs = [_plane_coefs(pl, qt) for pl, qt in zip(planes, qtabs)]
+    comps = [
+        {"id": i + 1, "h": hi, "v": vi, "tq": 0 if i == 0 else 1}
+        for i, (hi, vi) in enumerate(sampling)
+    ]
+    frame = {"w": w, "h": h, "comps": comps}
+    all_c = list(enumerate(comps))
+
+    # scan script: (kind, comps, Ss, Se, Ah, Al)
+    if nc == 1:
+        script = [
+            ("dc", all_c, 0, 0, 0, 1),
+            ("ac", [all_c[0]], 1, 5, 0, 1),
+            ("ac", [all_c[0]], 6, 63, 0, 1),
+            ("dcr", all_c, 0, 0, 1, 0),
+            ("acr", [all_c[0]], 1, 5, 1, 0),
+            ("acr", [all_c[0]], 6, 63, 1, 0),
+        ]
+    else:
+        script = [
+            ("dc", all_c, 0, 0, 0, 1),
+            ("ac", [all_c[0]], 1, 5, 0, 2),
+            ("ac", [all_c[1]], 1, 63, 0, 1),
+            ("ac", [all_c[2]], 1, 63, 0, 1),
+            ("ac", [all_c[0]], 6, 63, 0, 2),
+            ("dcr", all_c, 0, 0, 1, 0),
+            ("acr", [all_c[0]], 1, 5, 2, 1),
+            ("acr", [all_c[0]], 6, 63, 2, 1),
+            ("acr", [all_c[1]], 1, 63, 1, 0),
+            ("acr", [all_c[2]], 1, 63, 1, 0),
+            ("acr", [all_c[0]], 1, 5, 1, 0),
+            ("acr", [all_c[0]], 6, 63, 1, 0),
+        ]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(ql.astype(np.uint8)))
+    if nc == 3:
+        out += seg(0xDB, bytes([1]) + bytes(qc.astype(np.uint8)))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += seg(0xC2, sof)
+
+    dri_active = 0
+    for si, (kind, scomps, ss, se, ah, al) in enumerate(script):
+        want_dri = restart_interval if kind == "dc" else 0
+        if want_dri != dri_active:
+            out += seg(0xDD, struct.pack(">H", want_dri))
+            dri_active = want_dri
+        ev = _ScanEvents()
+        if kind == "dc":
+            _enc_dc_first_scan(ev, coefs, frame, scomps, al, want_dri)
+        elif kind == "dcr":
+            _enc_dc_refine_scan(ev, coefs, frame, scomps, al)
+        elif kind == "ac":
+            _enc_ac_first_scan(ev, coefs, frame, scomps, ss, se, al)
+        else:
+            _enc_ac_refine_scan(ev, coefs, frame, scomps, ss, se, al)
+        enc_table = None
+        if ev.symbols:
+            tclass = 0 if kind == "dc" else 1
+            bits, values = _fixed_length_table(ev.symbols)
+            out += seg(
+                0xC4, bytes([(tclass << 4) | 0]) + bytes(bits) + bytes(values)
+            )
+            enc_table = _huff_encode_table(bits, values)
+        sos = bytes([len(scomps)])
+        for _, c in scomps:
+            tt = 0x00 if kind in ("dc", "dcr") else 0x00  # table id 0 both
+            sos += bytes([c["id"], tt])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        ev.write(_BitWriter(), enc_table, out)
     out += b"\xff\xd9"
     return bytes(out)
 

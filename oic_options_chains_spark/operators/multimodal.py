@@ -10,14 +10,15 @@ decode honestly (``operators/codecs.py``):
 
 - ``decode_media(fake=False)`` / ``resize_images(fake=False)`` run
   complete baseline PNG (zlib inflate, all five scanline filters, CRC
-  verification) and baseline JPEG (T.81 Huffman + DCT, 4:4:4/4:2:2/
-  4:2:0, restart intervals) codecs; ``decode_audio`` parses RIFF/WAVE
-  PCM-16. Rows that fail to decode carry NULL stats (or drop, for
-  resize) — the quarantine-friendly shape.
+  verification) and JPEG — baseline AND progressive SOF2 (T.81 Huffman
+  + DCT, 4:4:4/4:2:2/4:2:0, restart intervals, spectral selection +
+  successive approximation) — codecs; ``decode_audio`` parses RIFF/
+  WAVE PCM-16. Rows that fail to decode carry NULL stats (or drop,
+  for resize) — the quarantine-friendly shape.
 - ``sample_frames(fake=False)`` demuxes MJPEG AVI (RIFF walk + the
-  JPEG decoder per frame); progressive JPEG and interframe video
-  codecs (H.264/VP9/AV1) remain behind the seam awaiting a real
-  library; ``sniff_format`` routes blobs before any kernel runs. JPEG
+  JPEG decoder per frame); interframe video codecs (H.264/VP9/AV1)
+  remain behind the seam awaiting a real library; ``sniff_format``
+  routes blobs before any kernel runs. JPEG
   DIMENSIONS never need the codec: ``jpeg_dimensions`` walks the
   marker segments to the SOFn frame header in pure JVM column
   arithmetic — no decode, no Python.
@@ -142,9 +143,9 @@ def decode_media(df: DataFrame, fake: bool = True, feature_dims: int = 8) -> Dat
     ``fake=False`` runs the REAL dependency-free codecs
     (``operators/codecs.py``: PNG via stdlib zlib inflate + all five
     scanline filters CRC-verified, baseline JPEG via T.81 Huffman +
-    DCT) — integer Rec.601 luma and a mean-luma grid feature. Rows
-    whose blob fails to decode (unknown format, malformed chunk,
-    progressive JPEG) keep their media_id with NULL stats — the
+    DCT, baseline and progressive) — integer Rec.601 luma and a
+    mean-luma grid feature. Rows whose blob fails to decode (unknown
+    format, malformed chunk) keep their media_id with NULL stats — the
     quarantine-friendly shape; route known-other formats to their own
     kernels via ``sniff_format`` upstream. ``fake=True`` keeps the
     md5-seeded deterministic stand-in for library-free schema tests.

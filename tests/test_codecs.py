@@ -516,12 +516,15 @@ def test_jpeg_restart_interval_decode():
     assert int(np.abs(out.astype(int) - ref.astype(int)).max()) <= 1
 
 
-def test_jpeg_progressive_rejected():
+def test_jpeg_relabelled_sof2_still_quarantines():
+    """A baseline stream relabelled SOF2 is MALFORMED progressive (its
+    interleaved full-band scan violates Se=0 for DC scans): the
+    progressive path must quarantine it, not mis-decode."""
     blob = bytearray(encode_jpeg(_smooth(16, 16), quality=80))
     # flip the SOF0 marker (FFC0) to SOF2 (FFC2)
     idx = bytes(blob).find(b"\xff\xc0")
     blob[idx + 1] = 0xC2
-    with pytest.raises(ValueError, match="non-baseline"):
+    with pytest.raises(ValueError, match="Se=0"):
         decode_jpeg(bytes(blob))
 
 
