@@ -10,7 +10,7 @@ accumulators).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Observation
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 
@@ -36,3 +36,64 @@ def observed_counts(
             F.sum(F.when(predicate, 1).otherwise(0)).cast("bigint").alias(name)
         )
     return df.observe(obs, *aggs), obs
+
+
+def watermark_lateness_audit(
+    df: DataFrame,
+    arrival_col: str,
+    time_col: str,
+    delays_s: tuple[int, ...] = (0, 10, 60, 300, 900),
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Watermark tuning from a recorded stream: how many events would a
+    watermark of each candidate delay DROP, measured from the stream's
+    own out-of-orderness.
+
+    An event's lateness is how far event time lags the high-water mark
+    at its arrival: ``running_max(event_time, by arrival order) -
+    event_time``. A Structured Streaming watermark of delay ``d`` drops
+    exactly the events with lateness > d, so the audit table
+    (delay_s, n_dropped, drop_bp) is the empirical curve an operator
+    reads before choosing ``withWatermark``. All arithmetic on epoch
+    microseconds (exact integers); drop_bp = floor(10000·n/total).
+
+    Scale shape: the running max is one window ordered by the arrival
+    column. A recorded stream's arrival order is a single global
+    sequence, so the window is unavoidably one ordered pass — run the
+    audit per ingest partition/day (compose upstream via partitionBy on
+    the window) when the recording spans more than one executor's worth
+    of events; the threshold roll-up then reduces a handful of counters.
+    """
+    us = (F.unix_micros(F.col(time_col).cast("timestamp"))).alias("__us")
+    order = [F.col(arrival_col)] + ([F.col(tie_col)] if tie_col else [])
+    w = (
+        Window.orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    keep = [F.col(arrival_col)] + ([F.col(tie_col)] if tie_col else [])
+    lat = df.select(*keep, us).select(
+        (F.max("__us").over(w) - F.col("__us")).alias("__lat_us")
+    )
+    total = F.count(F.lit(1))
+    aggs = [
+        F.sum((F.col("__lat_us") > d * 1_000_000).cast("int"))
+        .cast("bigint")
+        .alias(f"__n{i}")
+        for i, d in enumerate(delays_s)
+    ]
+    one = lat.agg(total.cast("bigint").alias("__total"), *aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("int").alias("delay_s"),
+                F.col(f"__n{i}").alias("n_dropped"),
+                F.floor(F.lit(10000) * F.col(f"__n{i}") / F.col("__total"))
+                .cast("bigint")
+                .alias("drop_bp"),
+            )
+            for i, d in enumerate(delays_s)
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select(
+        "r.delay_s", "r.n_dropped", "r.drop_bp"
+    )

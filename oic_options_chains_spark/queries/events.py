@@ -680,3 +680,52 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents.alias("revenue_cents"),
     )
     return gap_fill_ffill(daily, "l_returnflag", "day", "revenue_cents")
+
+
+@register(
+    "q_watermark_audit",
+    oracle="""
+    WITH arr AS (
+      SELECT event_id, epoch_us(ts) AS us,
+             epoch_us(ts) + (event_id % 16) * 20000000 AS arr_us
+      FROM events),
+    lat AS (
+      SELECT MAX(us) OVER (ORDER BY arr_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - us AS lat_us
+      FROM arr),
+    t AS (SELECT * FROM (VALUES (0), (10), (60), (300), (900)) v(delay_s))
+    SELECT CAST(t.delay_s AS INT) AS delay_s,
+           CAST(SUM(CASE WHEN lat.lat_us > t.delay_s * 1000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(FLOOR(10000.0 * SUM(CASE WHEN lat.lat_us > t.delay_s * 1000000
+                                         THEN 1 ELSE 0 END)
+                      / COUNT(*)) AS BIGINT) AS drop_bp
+    FROM lat CROSS JOIN t
+    GROUP BY t.delay_s
+    """,
+)
+def q_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical watermark-drop curve
+    (operators/metrics.watermark_lateness_audit): an event's lateness is
+    its event-time distance below the running high-water mark in ARRIVAL
+    order; a watermark of delay d drops exactly lateness > d. The
+    recorded events table is perfectly ordered (event_id follows ts), so
+    the query simulates transport jitter deterministically — arrival =
+    ts + (event_id % 16)·20 s — and the audit must recover the resulting
+    drop curve (the q_url_canonical messy-in pattern). One ordered
+    window + one counter roll-up."""
+    from oic_options_chains_spark.operators.metrics import (
+        watermark_lateness_audit,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    jittered = e.select(
+        "event_id",
+        "ts",
+        (F.unix_micros(F.col("ts")) + (F.col("event_id") % 16) * 20_000_000)
+        .alias("arr_us"),
+    )
+    return watermark_lateness_audit(
+        jittered, "arr_us", "ts", tie_col="event_id"
+    )
