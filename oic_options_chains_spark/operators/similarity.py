@@ -664,3 +664,39 @@ def maxsim_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def mrr_of_true_nearest(
+    exact: DataFrame,
+    approx: DataFrame,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Reciprocal rank of the TRUE nearest neighbor inside an
+    approximate ranking, per query: (query_id, true_id, found_rank,
+    rr_e6) with rr_e6 = floor(1e6 / rank) and 0 on a miss — the MRR
+    companion to ann_recall (recall asks "how much of the top-k
+    survived", MRR asks "where did the single right answer land").
+    Exact rationals only (integer division), so both engines agree
+    bit-for-bit; the mean over queries is one trivial downstream
+    aggregate.
+
+    Scale: both inputs are the retrieval operators' k-rows-per-query
+    outputs; the eval is one queries-sized broadcast-able join."""
+    true1 = exact.filter(F.col("rank") == 1).select(
+        query_id_col, F.col(id_col).alias("true_id")
+    )
+    found = approx.select(
+        query_id_col, F.col(id_col).alias("true_id"), F.col("rank").alias("__r")
+    )
+    return (
+        true1.join(found, [query_id_col, "true_id"], "left")
+        .select(
+            query_id_col,
+            "true_id",
+            F.col("__r").cast("int").alias("found_rank"),
+            F.coalesce(
+                F.expr("CAST(1000000 div __r AS BIGINT)"), F.lit(0).cast("bigint")
+            ).alias("rr_e6"),
+        )
+    )

@@ -1382,3 +1382,61 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = d.filter(F.col("doc_id") % 10 < 8)
     delta = d.filter(F.col("doc_id") % 10 >= 8)
     return incremental_lsh_dedup(base, delta, min_jaccard_bp=2000)
+
+
+@register(
+    "q_ann_mrr",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 5),
+    xscored AS (
+      SELECT q.query_id, e.vec_id, {_COS_SQL} AS cos
+      FROM embeddings e CROSS JOIN q),
+    exact1 AS (
+      SELECT query_id, vec_id AS true_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id ASC) AS rank
+        FROM xscored) WHERE rank = 1),
+    qb AS (SELECT vec_id AS query_id, embedding AS qv, {_QBUCKET_SQL} AS qbucket
+           FROM embeddings WHERE vec_id < 5),
+    cand AS (
+      SELECT qb.query_id, e.vec_id, e.embedding, qb.qv
+      FROM embeddings e JOIN qb
+        ON {_QBUCKET_SQL.replace("embedding", "e.embedding")} = qb.qbucket),
+    ascored AS (SELECT query_id, vec_id, {_COS_SQL.replace("q.qv", "e.qv")} AS cos
+                FROM cand e),
+    approx AS (
+      SELECT query_id, vec_id, rank FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id ASC) AS rank
+        FROM ascored) WHERE rank <= 10)
+    SELECT e.query_id, e.true_id,
+           CAST(a.rank AS INT) AS found_rank,
+           CAST(COALESCE(1000000 // a.rank, 0) AS BIGINT) AS rr_e6
+    FROM exact1 e LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.vec_id = e.true_id
+    """,
+)
+def q_ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank of the TRUE nearest neighbor inside the
+    single-probe IVF top-10, per query
+    (operators/similarity.mrr_of_true_nearest) — the MRR companion to
+    q_ann_recall: recall asks how much of the top-k survived the bucket
+    pruning, this asks where the one right answer landed (rr_e6 =
+    floor(1e6/rank), 0 when pruning lost it). Exact integer rationals,
+    one queries-sized join."""
+    from oic_options_chains_spark.operators.similarity import (
+        batch_topk,
+        batch_topk_ivf,
+        mrr_of_true_nearest,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = batch_topk(e, queries, k=10)
+    approx = batch_topk_ivf(e, queries, k=10, bits=4)
+    return mrr_of_true_nearest(exact, approx)
