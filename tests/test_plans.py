@@ -337,3 +337,33 @@ def test_url_canonical_is_shuffle_free(spark, sf_dir):
     run inside the scan stage (no Exchange)."""
     plan = _plan(QUERIES["q_url_canonical"](spark, sf_dir))
     assert "Exchange" not in plan
+
+
+def test_round6_operators_plan_properties(spark, sf_dir):
+    """Round-6 additions: no cartesian anywhere; exchange budgets pinned
+    at the values the operators were designed to (a regression that adds
+    a shuffle fails HERE); the small sides actually broadcast."""
+    budgets = {
+        # one grouped aggregate (count + count_distinct share the QI key)
+        "q_k_anonymity": {"exch": 2, "bcast": 0},
+        # calendar explode + one fill window; bounds broadcast back
+        "q_gap_fill": {"exch": 2, "bcast": 1},
+        # one ordered window + one counter roll-up: no hash exchange
+        "q_watermark_audit": {"exch": 0, "bcast": 0},
+        # corpus explodes row-locally; 12-row query-token table
+        # broadcasts; ONE (query, doc) aggregate + one rank window
+        "q_maxsim": {"exch": 2, "bcast": 1},
+    }
+    for name, b in budgets.items():
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        n_exch = plan.count("Exchange hashpartitioning")
+        assert n_exch <= b["exch"], (name, n_exch, plan)
+        assert plan.count("BroadcastExchange") >= b["bcast"], name
+    # the incremental dedup must never self-pair the base index
+    plan = _plan(QUERIES["q_dedup_incremental"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the NB router's model join must stay broadcast (vocabulary-sized)
+    plan = _plan(QUERIES["q_nb_classifier"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 3, plan.count("BroadcastExchange")
