@@ -102,6 +102,9 @@ HEADLINE = (
     "q_text_normalize",
     "q_k_anonymity",
     "q_nb_classifier",
+    "q_dedup_incremental",
+    "q_gap_fill",
+    "q_watermark_audit",
 )
 
 # single-JVM local bench has ~±20-30% run-to-run noise (ambient load
