@@ -158,3 +158,61 @@ def sequence_boundaries(
         .cast("bigint")
         .alias("seg_end"),
     )
+
+
+def interleave_media_segments(
+    df: DataFrame,
+    tokens_per_seg: int = 50,
+    media_mod: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Multimodal training-record assembly: split each document into
+    ``tokens_per_seg``-token text segments and interleave a media
+    placeholder between consecutive segments — the LLaVA-style
+    text/image interleave a vision-language pipeline feeds the packer,
+    with the media reference resolved later against the media manifest
+    (here a deterministic ``media:<(id·31+slot) % media_mod>`` key).
+
+    (id, seg_idx, kind, content, n_tokens): text segments at even
+    seg_idx, media placeholders (n_tokens=1, the sentinel token) at odd;
+    no placeholder after the final segment.
+
+    Scale shape: one ``transform`` + ``flatten`` + ``posexplode`` —
+    entirely row-local, shuffle-free (the output feeds pack_sequences'
+    shard window, which owns the only exchange)."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    n = F.size(toks)
+    nsegs = ((n + (tokens_per_seg - 1)) / tokens_per_seg).cast("int")
+    did = F.col(id_col)
+
+    def per_seg(i):
+        text_s = F.struct(
+            (2 * i).cast("int").alias("seg_idx"),
+            F.lit("text").alias("kind"),
+            F.concat_ws(
+                " ", F.slice(toks, i * tokens_per_seg + 1, tokens_per_seg)
+            ).alias("content"),
+            F.least(F.lit(tokens_per_seg), n - i * tokens_per_seg)
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+        img_s = F.struct(
+            (2 * i + 1).cast("int").alias("seg_idx"),
+            F.lit("image").alias("kind"),
+            F.concat(
+                F.lit("media:"), ((did * 31 + i) % media_mod).cast("string")
+            ).alias("content"),
+            F.lit(1).cast("bigint").alias("n_tokens"),
+        )
+        return F.array(text_s, img_s)
+
+    segs = F.flatten(F.transform(F.sequence(F.lit(0), nsegs - 1), per_seg))
+    # every segment emitted a trailing placeholder; drop the one after
+    # the final text segment (interleave, not append) — nsegs rides
+    # along the explode so the trim is a row-local filter, no join
+    return (
+        df.select(did, nsegs.alias("__nsegs"), F.explode(segs).alias("s"))
+        .filter(F.col("s.seg_idx") != 2 * F.col("__nsegs") - 1)
+        .select(id_col, "s.seg_idx", "s.kind", "s.content", "s.n_tokens")
+    )

@@ -659,3 +659,41 @@ def q_pack_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.lower(F.col("text")), " ")).cast("bigint").alias("n_tokens"),
     )
     return sequence_boundaries(sized, "doc_id", "n_tokens", context=256, n_shards=8)
+
+
+@register(
+    "q_interleave_media",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+                  FROM documents),
+    s AS (SELECT doc_id, t, len(t) AS n, (len(t) + 49) // 50 AS nsegs
+          FROM toks),
+    i AS (SELECT doc_id, t, n, nsegs, unnest(range(0, nsegs)) AS i FROM s),
+    txt AS (SELECT doc_id, CAST(2 * i AS INT) AS seg_idx, 'text' AS kind,
+                   array_to_string(t[i*50+1:least((i+1)*50, n)], ' ')
+                     AS content,
+                   CAST(least(50, n - i*50) AS BIGINT) AS n_tokens
+            FROM i),
+    img AS (SELECT doc_id, CAST(2 * i + 1 AS INT) AS seg_idx,
+                   'image' AS kind,
+                   'media:' || CAST((doc_id * 31 + i) % 1000 AS VARCHAR)
+                     AS content,
+                   CAST(1 AS BIGINT) AS n_tokens
+            FROM i WHERE i < nsegs - 1)
+    SELECT * FROM txt UNION ALL SELECT * FROM img
+    """,
+)
+def q_interleave_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vision-language interleave (operators/chunking.
+    interleave_media_segments): 50-token text segments with a media
+    placeholder between consecutive segments — the LLaVA-style record
+    shape a multimodal packer consumes, media refs resolved later
+    against the manifest. Entirely row-local transform/flatten/explode;
+    the only exchange in a real pipeline belongs to the downstream
+    pack_sequences shard window."""
+    from oic_options_chains_spark.operators.chunking import (
+        interleave_media_segments,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return interleave_media_segments(d, tokens_per_seg=50, media_mod=1000)

@@ -166,12 +166,22 @@ def main() -> None:
         results[name] = {**row, "slope": round(slope, 2)}
         print(json.dumps({"query": name, **results[name]}), flush=True)
 
+    # merge with an existing curve file so targeted --queries runs extend
+    # the recorded set instead of clobbering it
+    merged = results
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as fh:
+                prev = json.load(fh).get("queries", {})
+            merged = {**prev, **results}
+        except (OSError, ValueError):
+            pass
     with open(args.out, "w") as fh:
         json.dump(
             {
                 "points_sf": [p[0] for p in points],
                 "runs_per_point": args.runs,
-                "queries": results,
+                "queries": merged,
             },
             fh,
             indent=1,
