@@ -216,3 +216,39 @@ def interleave_media_segments(
         .filter(F.col("s.seg_idx") != 2 * F.col("__nsegs") - 1)
         .select(id_col, "s.seg_idx", "s.kind", "s.content", "s.n_tokens")
     )
+
+
+def pack_grouped_stream_offsets(
+    df: DataFrame,
+    group_col: str = "doc_id",
+    seq_col: str = "seg_idx",
+    n_tokens_col: str = "n_tokens",
+    context: int = 256,
+    n_shards: int = 8,
+) -> DataFrame:
+    """pack_stream_offsets for SEGMENTED records: the stream is laid out
+    in md5 order of the GROUP (document) with each group's segments kept
+    contiguous and in ``seq_col`` order — the invariant a multimodal
+    record needs (a media placeholder must land next to its text
+    segment, never shuffled away from it). Same sharded one-exchange
+    cumsum shape as the flat packer."""
+    from oic_options_chains_spark.operators.sampling import hash_bucket
+
+    g = F.col(group_col)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.md5(g.cast("string")).asc(), g.asc(), F.col(seq_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = F.col(n_tokens_col).cast("bigint")
+    return (
+        df.withColumn("shard", hash_bucket(g, n_shards).cast("int"))
+        .withColumn("__cum", F.sum(toks).over(w))
+        .withColumn("stream_start", F.col("__cum") - toks)
+        .drop("__cum")
+        .withColumn(
+            "seq_index",
+            F.floor(F.col("stream_start") / context).cast("bigint"),
+        )
+        .withColumn("seq_offset", (F.col("stream_start") % context).cast("bigint"))
+    )

@@ -697,3 +697,57 @@ def q_interleave_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return interleave_media_segments(d, tokens_per_seg=50, media_mod=1000)
+
+
+@register(
+    "q_vl_build",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+                  FROM documents),
+    s AS (SELECT doc_id, t, len(t) AS n, (len(t) + 49) // 50 AS nsegs
+          FROM toks),
+    i AS (SELECT doc_id, t, n, nsegs, unnest(range(0, nsegs)) AS i FROM s),
+    segs AS (
+      SELECT doc_id, CAST(2 * i AS INT) AS seg_idx, 'text' AS kind,
+             CAST(least(50, n - i*50) AS BIGINT) AS n_tokens
+      FROM i
+      UNION ALL
+      SELECT doc_id, CAST(2 * i + 1 AS INT) AS seg_idx, 'image' AS kind,
+             CAST(1 AS BIGINT) AS n_tokens
+      FROM i WHERE i < nsegs - 1),
+    sharded AS (
+      SELECT *, CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                     AS INT) % 8 AS shard,
+             md5(CAST(doc_id AS VARCHAR)) AS hh
+      FROM segs),
+    c AS (SELECT doc_id, seg_idx, kind, n_tokens, shard,
+                 SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY hh, doc_id, seg_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM sharded)
+    SELECT doc_id, seg_idx, kind, n_tokens, CAST(shard AS INT) AS shard,
+           CAST(cum - n_tokens AS BIGINT) AS stream_start,
+           CAST((cum - n_tokens) // 256 AS BIGINT) AS seq_index,
+           CAST((cum - n_tokens) % 256 AS BIGINT) AS seq_offset
+    FROM c
+    """,
+)
+def q_vl_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vision-language corpus flagship: interleave_media_segments ->
+    pack_grouped_stream_offsets in ONE plan — every text segment and
+    media placeholder gets its shard, stream offset, and
+    sequence-index/offset, with a document's segments contiguous in the
+    packed stream (the multimodal invariant the flat packer can't
+    give). Row-local interleave + one sharded cumsum exchange."""
+    from oic_options_chains_spark.operators.chunking import (
+        interleave_media_segments,
+        pack_grouped_stream_offsets,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    segs = interleave_media_segments(d, tokens_per_seg=50, media_mod=1000)
+    return pack_grouped_stream_offsets(
+        segs.select("doc_id", "seg_idx", "kind", "n_tokens"),
+        context=256,
+        n_shards=8,
+    )
