@@ -133,3 +133,47 @@ def posting_lists(
             ",",
         ).alias("positions"),
     )
+
+
+def phrase_match(
+    df: DataFrame,
+    phrase: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-phrase retrieval from positional postings: documents where
+    ``phrase``'s terms occur at consecutive token positions, with the
+    match count and first match position — the proximity step a search
+    stack runs AFTER the postings fetch, never by re-scanning documents.
+
+    The plan is the postings build restricted to the phrase's terms
+    (broadcast semi-join before anything shuffles) followed by an
+    n-way self-equi-join on (doc, offset-aligned position): term i must
+    sit at pos = p0 + i. Join keys carry the position arithmetic, so
+    every stage is an equi-join — work is proportional to the probe
+    terms' posting sizes, independent of corpus width.
+
+    Returns (id, n_matches, first_pos)."""
+    assert len(phrase) >= 2, "a phrase needs at least two terms"
+    spark = df.sparkSession
+    probes = spark.createDataFrame(
+        [(t,) for t in set(phrase)], "term STRING"
+    )
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias(
+            "pos", "term"
+        ),
+    ).join(F.broadcast(probes), "term")
+    base = tok.filter(F.col("term") == phrase[0]).select(
+        F.col(id_col), F.col("pos").alias("p0")
+    )
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = tok.filter(F.col("term") == term).select(
+            F.col(id_col), (F.col("pos") - i).alias("p0")
+        )
+        base = base.join(nxt, [id_col, "p0"])
+    return base.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        F.min("p0").cast("bigint").alias("first_pos"),
+    )

@@ -566,3 +566,30 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cents"),
         k_e3=5000,
     )
+
+
+@register(
+    "q_phrase_match",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+                  FROM documents),
+    pos AS (SELECT doc_id, t[i + 1] AS term, CAST(i AS BIGINT) AS i
+            FROM (SELECT doc_id, t, unnest(range(0, len(t))) AS i FROM toks)),
+    a AS (SELECT doc_id, i AS p0 FROM pos WHERE term = 'table'),
+    b AS (SELECT doc_id, i - 1 AS p0 FROM pos WHERE term = 'hash')
+    SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(MIN(a.p0) AS BIGINT) AS first_pos
+    FROM a JOIN b ON a.doc_id = b.doc_id AND a.p0 = b.p0
+    GROUP BY a.doc_id
+    """,
+)
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval ('table hash') from positional postings
+    (operators/ranking.phrase_match): broadcast probe filter, then an
+    offset-aligned equi-join — term i must sit at p0+i — so proximity
+    costs posting-list work, never a document re-scan. The postings-fetch
+    counterpart of q_posting_lists."""
+    from oic_options_chains_spark.operators.ranking import phrase_match
+
+    d = load_table(spark, sf_dir, "documents")
+    return phrase_match(d, ["table", "hash"])
