@@ -105,6 +105,8 @@ HEADLINE = (
     "q_dedup_incremental",
     "q_gap_fill",
     "q_watermark_audit",
+    "q_vl_build",
+    "q_phrase_match",
 )
 
 # single-JVM local bench has ~±20-30% run-to-run noise (ambient load
