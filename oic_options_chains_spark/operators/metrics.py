@@ -97,3 +97,45 @@ def watermark_lateness_audit(
     return one.select(F.explode(rows).alias("r")).select(
         "r.delay_s", "r.n_dropped", "r.drop_bp"
     )
+
+
+def backfill_manifest(
+    df: DataFrame,
+    arrival_col: str,
+    time_col: str,
+    watermark_s: int,
+    bucket: str = "hour",
+    tie_col: str | None = None,
+) -> DataFrame:
+    """The worklist a watermark choice creates: events a watermark of
+    ``watermark_s`` would have dropped, grouped by their EVENT-TIME
+    bucket — exactly the partitions a batch backfill must recompute to
+    reconcile the streaming tables. (watermark_lateness_audit sizes the
+    drop; this names the partitions.)
+
+    (bucket_start, n_late, min_lateness_s, max_lateness_s). Same single
+    ordered pass as the audit, then a bucket-keyed aggregate."""
+    us = (F.unix_micros(F.col(time_col).cast("timestamp"))).alias("__us")
+    order = [F.col(arrival_col)] + ([F.col(tie_col)] if tie_col else [])
+    w = (
+        Window.orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    keep = [F.col(arrival_col), F.col(time_col)] + (
+        [F.col(tie_col)] if tie_col else []
+    )
+    lat = df.select(*keep, us).select(
+        F.col(time_col),
+        (F.max("__us").over(w) - F.col("__us")).alias("__lat_us"),
+    )
+    late = lat.filter(F.col("__lat_us") > watermark_s * 1_000_000)
+    return (
+        late.groupBy(
+            F.date_trunc(bucket, F.col(time_col)).alias("bucket_start")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_late"),
+            (F.min("__lat_us") / 1_000_000).cast("bigint").alias("min_lateness_s"),
+            (F.max("__lat_us") / 1_000_000).cast("bigint").alias("max_lateness_s"),
+        )
+    )

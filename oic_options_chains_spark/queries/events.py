@@ -729,3 +729,45 @@ def q_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return watermark_lateness_audit(
         jittered, "arr_us", "ts", tie_col="event_id"
     )
+
+
+@register(
+    "q_backfill_manifest",
+    oracle="""
+    WITH arr AS (
+      SELECT event_id, ts, epoch_us(ts) AS us,
+             epoch_us(ts) + (event_id % 16) * 20000000 AS arr_us
+      FROM events),
+    lat AS (
+      SELECT ts,
+             MAX(us) OVER (ORDER BY arr_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - us AS lat_us
+      FROM arr)
+    SELECT date_trunc('hour', ts) AS bucket_start,
+           CAST(COUNT(*) AS BIGINT) AS n_late,
+           CAST(FLOOR(MIN(lat_us) / 1000000) AS BIGINT) AS min_lateness_s,
+           CAST(FLOOR(MAX(lat_us) / 1000000) AS BIGINT) AS max_lateness_s
+    FROM lat WHERE lat_us > 60 * 1000000
+    GROUP BY 1
+    """,
+)
+def q_backfill_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reprocessing worklist a 60 s watermark creates
+    (operators/metrics.backfill_manifest): the would-be-dropped events
+    of q_watermark_audit's jittered stream, grouped by their event-time
+    HOUR — the exact partitions a batch backfill recomputes to reconcile
+    the streaming tables. Same ordered pass as the audit plus one
+    bucket-keyed aggregate."""
+    from oic_options_chains_spark.operators.metrics import backfill_manifest
+
+    e = load_table(spark, sf_dir, "events")
+    jittered = e.select(
+        "event_id",
+        "ts",
+        (F.unix_micros(F.col("ts")) + (F.col("event_id") % 16) * 20_000_000)
+        .alias("arr_us"),
+    )
+    return backfill_manifest(
+        jittered, "arr_us", "ts", watermark_s=60, tie_col="event_id"
+    )
