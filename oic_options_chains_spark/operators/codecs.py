@@ -28,11 +28,14 @@ can quarantine rather than mis-decode):
   restart intervals. Encoders write both forms (Annex K tables for
   baseline; per-scan fixed-length tables for the progressive script),
   so every decoder path is testable from self-contained fixtures.
-- GIF: GIF87a/89a first frame — LZW (early-change width growth,
-  4096-entry cap), global/local color tables, interlacing, frame
-  placement on the logical screen. Encode writes a lossless
-  single-frame GIF89a (<=256 distinct colors — quantization is a
-  policy, not a codec).
+- GIF: GIF87a/89a — LZW (early-change width growth, 4096-entry cap),
+  global/local color tables, interlacing, frame placement on the
+  logical screen, AND full animation compositing (decode_gif_frames:
+  sub-rect deltas, transparency, disposal methods 1/2/3 — the
+  inter-frame model web GIFs actually ship). Encoders write a lossless
+  single-frame GIF89a and a delta-optimized animation
+  (encode_gif_animation); <=256 distinct colors — quantization is a
+  policy, not a codec.
 - WAV: canonical RIFF/WAVE with ``fmt `` + ``data`` chunks, PCM
   (format tag 1), 16-bit samples.
 
@@ -1459,7 +1462,7 @@ def encode_jpeg_progressive(
 
 
 # ---------------------------------------------------------------------------
-# GIF (GIF87a/89a): LZW decode of the first frame + a lossless encoder.
+# GIF (GIF87a/89a): LZW, single-frame and composited animation paths.
 # With PNG and baseline JPEG above this completes the image tier; only
 # video remains behind the seam.
 # ---------------------------------------------------------------------------
@@ -1619,6 +1622,282 @@ def _decode_gif_inner(blob: bytes) -> np.ndarray:
     raise ValueError("GIF stream ended without trailer or image")
 
 
+def _gif_lzw_encode(data: bytes, min_code: int) -> bytes:
+    """GIF-dialect LZW compressor (mirrors _gif_lzw_decode's table
+    discipline exactly: early-change width growth, 4096-entry cap,
+    leading clear code, trailing end code), packed LSB-first."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    codes: list[tuple[int, int]] = [(clear, min_code + 1)]
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code + 1
+    cur = b""
+    for b in data:
+        nxt = cur + bytes([b])
+        if nxt in table:
+            cur = nxt
+            continue
+        codes.append((table[cur], width))
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        cur = bytes([b])
+    if cur:
+        codes.append((table[cur], width))
+    codes.append((end, width))
+    acc = 0
+    nacc = 0
+    payload = bytearray()
+    for code, cw in codes:
+        acc |= code << nacc
+        nacc += cw
+        while nacc >= 8:
+            payload.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+    if nacc:
+        payload.append(acc & 0xFF)
+    return bytes(payload)
+
+
+def decode_gif_frames(blob: bytes, max_frames: int | None = None) -> list[np.ndarray]:
+    """All composited frames of an (optionally animated) GIF89a as
+    (h, w, 3) uint8 canvases — REAL interframe decoding: per-frame
+    Graphic Control Extensions drive transparency (transparent pixels
+    keep the prior canvas content) and disposal (1/none = leave,
+    2 = restore the frame rect to background, 3 = restore to the
+    pre-frame canvas). This is the inter-frame delta model animated
+    GIFs actually ship (sub-rect frames + transparency = motion deltas),
+    so frame sampling over web GIFs composites correctly instead of
+    returning torn partial rects. ValueError on malformed/truncated
+    input (quarantine contract)."""
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    if len(blob) < 13:
+        raise ValueError("GIF header truncated")
+    w, h = struct.unpack("<HH", blob[6:10])
+    packed, bg = blob[10], blob[11]
+    if w == 0 or h == 0 or w * h > _MAX_PIXELS:
+        raise ValueError(f"GIF dimensions {w}x{h} out of range")
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        if pos + 3 * n > len(blob):
+            raise ValueError("GIF global color table truncated")
+        gct = np.frombuffer(blob, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    bg_rgb = (
+        gct[bg] if (gct is not None and bg < len(gct)) else np.zeros(3, np.uint8)
+    )
+    canvas = np.full((h, w, 3), bg_rgb, dtype=np.uint8)
+    frames: list[np.ndarray] = []
+    # pending GCE state for the NEXT image descriptor
+    disposal, transparent = 0, None
+    while pos < len(blob):
+        marker = blob[pos]
+        if marker == 0x3B:  # trailer
+            break
+        if marker == 0x21:  # extension
+            if pos + 2 > len(blob):
+                raise ValueError("GIF extension truncated")
+            label = blob[pos + 1]
+            pos += 2
+            subs = []
+            while pos < len(blob) and blob[pos] != 0:
+                ln = blob[pos]
+                chunk = blob[pos + 1 : pos + 1 + ln]
+                if len(chunk) != ln:
+                    raise ValueError("GIF extension sub-block truncated")
+                subs.append(chunk)
+                pos += 1 + ln
+            if pos >= len(blob):
+                raise ValueError("GIF extension unterminated")
+            pos += 1
+            if label == 0xF9 and subs and len(subs[0]) >= 4:
+                gpk = subs[0][0]
+                disposal = (gpk >> 2) & 0x07
+                transparent = subs[0][3] if gpk & 0x01 else None
+        elif marker == 0x2C:
+            if pos + 10 > len(blob):
+                raise ValueError("GIF image descriptor truncated")
+            left, top, iw, ih = struct.unpack("<HHHH", blob[pos + 1 : pos + 9])
+            ipk = blob[pos + 9]
+            pos += 10
+            ct = gct
+            if ipk & 0x80:
+                n = 2 << (ipk & 7)
+                if pos + 3 * n > len(blob):
+                    raise ValueError("GIF local color table truncated")
+                ct = np.frombuffer(blob, np.uint8, 3 * n, pos).reshape(n, 3)
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF image without any color table")
+            if iw == 0 or ih == 0 or left + iw > w or top + ih > h:
+                raise ValueError("GIF frame exceeds logical screen")
+            if pos >= len(blob):
+                raise ValueError("GIF image data truncated")
+            min_code = blob[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(blob) and blob[pos] != 0:
+                ln = blob[pos]
+                chunk = blob[pos + 1 : pos + 1 + ln]
+                if len(chunk) != ln:
+                    raise ValueError("GIF image sub-block truncated")
+                data += chunk
+                pos += 1 + ln
+            if pos >= len(blob):
+                raise ValueError("GIF image data unterminated")
+            pos += 1
+            idx = np.frombuffer(
+                _gif_lzw_decode(bytes(data), min_code, iw * ih), np.uint8
+            )
+            if int(idx.max(initial=0)) >= len(ct):
+                raise ValueError("GIF pixel index outside color table")
+            rows = idx.reshape(ih, iw)
+            if ipk & 0x40:  # interlaced
+                ordered = np.empty_like(rows)
+                src_row = 0
+                for start, step in _GIF_PASSES:
+                    for y in range(start, ih, step):
+                        ordered[y] = rows[src_row]
+                        src_row += 1
+                rows = ordered
+            saved = (
+                canvas[top : top + ih, left : left + iw].copy()
+                if disposal == 3
+                else None
+            )
+            rect = canvas[top : top + ih, left : left + iw]
+            if transparent is not None:
+                opaque = rows != transparent
+                rect[opaque] = ct[rows[opaque]]
+            else:
+                rect[:] = ct[rows]
+            frames.append(canvas.copy())
+            if max_frames is not None and len(frames) >= max_frames:
+                return frames
+            if disposal == 2:
+                canvas[top : top + ih, left : left + iw] = bg_rgb
+            elif disposal == 3:
+                canvas[top : top + ih, left : left + iw] = saved
+            disposal, transparent = 0, None
+        else:
+            raise ValueError(f"unknown GIF block 0x{marker:02X}")
+    if not frames:
+        raise ValueError("GIF has no image data")
+    return frames
+
+
+def encode_gif_animation(
+    frames: list[np.ndarray],
+    disposals: list[int] | None = None,
+    loop: int = 0,
+) -> bytes:
+    """Animated GIF89a from a list of (h, w, 3)/(h, w) uint8 frames,
+    encoded the way real optimizers do: frame 0 ships the full canvas;
+    every later frame ships only the BOUNDING RECT of pixels that
+    changed, with unchanged pixels inside the rect marked transparent —
+    so decoding requires genuine inter-frame compositing. One global
+    palette (<= 255 distinct colors across all frames; one index is
+    reserved for transparency). ``disposals`` overrides the per-frame
+    disposal method (default 1 = leave); pass 2/3 to exercise the
+    restore paths. The roundtrip counterpart of ``decode_gif_frames``."""
+    if not frames:
+        raise ValueError("encode_gif_animation needs at least one frame")
+    arrs = []
+    for f in frames:
+        a = np.asarray(f, dtype=np.uint8)
+        if a.ndim == 2:
+            a = a[:, :, None]
+        if a.shape[2] == 1:
+            a = np.repeat(a, 3, axis=2)
+        if a.ndim != 3 or a.shape[2] != 3:
+            raise ValueError("frames must be (h,w,3) or grayscale")
+        arrs.append(a)
+    h, w = arrs[0].shape[:2]
+    if any(a.shape[:2] != (h, w) for a in arrs):
+        raise ValueError("all frames must share one canvas size")
+    colors = np.unique(np.concatenate([a.reshape(-1, 3) for a in arrs]), axis=0)
+    if len(colors) > 255:
+        raise ValueError(f"GIF animation needs <= 255 colors, got {len(colors)}")
+    lut = {tuple(c): i for i, c in enumerate(colors)}
+    t_idx = len(colors)  # reserved transparency index
+    n_pal = 1
+    while (2 << n_pal - 1) < t_idx + 1:
+        n_pal += 1
+    pal_size = 2 << (n_pal - 1)
+    palette = np.zeros((pal_size, 3), np.uint8)
+    palette[: len(colors)] = colors
+    disposals = disposals or [1] * len(arrs)
+
+    def indices(a):
+        flat = a.reshape(-1, 3)
+        return np.array([lut[tuple(px)] for px in flat], np.uint8).reshape(
+            a.shape[:2]
+        )
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (n_pal - 1), 0, 0])  # GCT flag+size, bg=0, no aspect
+    out += palette.tobytes()
+    # NETSCAPE looping extension
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01" + struct.pack("<H", loop) + b"\x00"
+    canvas = None
+    for fi, a in enumerate(arrs):
+        disp = disposals[fi] if fi < len(disposals) else 1
+        if canvas is None or disp in (2, 3):
+            left = top = 0
+            iw, ih = w, h
+            rect_idx = indices(a)
+            transparent = None
+        else:
+            diff = np.any(a != canvas, axis=2)
+            if not diff.any():
+                # no change: 1x1 fully-transparent rect keeps the frame
+                left = top = 0
+                iw = ih = 1
+                rect_idx = np.full((1, 1), t_idx, np.uint8)
+                transparent = t_idx
+            else:
+                ys, xs = np.where(diff)
+                top, left = int(ys.min()), int(xs.min())
+                ih, iw = int(ys.max()) - top + 1, int(xs.max()) - left + 1
+                sub = a[top : top + ih, left : left + iw]
+                unchanged = ~diff[top : top + ih, left : left + iw]
+                rect_idx = indices(sub)
+                rect_idx[unchanged] = t_idx
+                transparent = t_idx
+        # GCE: disposal + transparency
+        gpk = (disp & 0x07) << 2 | (1 if transparent is not None else 0)
+        out += bytes([0x21, 0xF9, 4, gpk, 0, 0, transparent or 0, 0])
+        out += bytes([0x2C]) + struct.pack("<HHHH", left, top, iw, ih)
+        out += bytes([0])  # no local table, not interlaced
+        min_code = max(n_pal, 2)
+        out += bytes([min_code])
+        lzw = _gif_lzw_encode(rect_idx.reshape(-1).tobytes(), min_code)
+        for off in range(0, len(lzw), 255):
+            chunk = lzw[off : off + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+        # maintain the reference canvas the way the DECODER will:
+        # the shown content is always `a`; disposal then rewrites the rect
+        if disp == 2:
+            canvas = a.copy()
+            canvas[top : top + ih, left : left + iw] = palette[0]
+        elif disp == 3:
+            if canvas is None:
+                canvas = np.full((h, w, 3), palette[0], np.uint8)
+            # pre-frame canvas restored: unchanged
+        else:
+            canvas = a.copy()
+    out += b"\x3b"
+    return bytes(out)
+
+
 def encode_gif(pixels: np.ndarray) -> bytes:
     """Lossless GIF89a from (h, w, 3) RGB or (h, w)/(h, w, 1) gray uint8
     with at most 256 distinct colors (ValueError above — GIF is
@@ -1641,43 +1920,7 @@ def encode_gif(pixels: np.ndarray) -> bytes:
     palette = np.zeros((n_entries, 3), dtype=np.uint8)
     palette[: len(colors)] = colors
     min_code = max(2, size_field + 1)
-
-    # LZW compress (mirrors _gif_lzw_decode's table discipline exactly)
-    clear, end = 1 << min_code, (1 << min_code) + 1
-    codes: list[tuple[int, int]] = [(clear, min_code + 1)]
-    table = {bytes([i]): i for i in range(clear)}
-    next_code = end + 1
-    width = min_code + 1
-    cur = b""
-    for b in idx.astype(np.uint8).tobytes():
-        nxt = cur + bytes([b])
-        if nxt in table:
-            cur = nxt
-            continue
-        codes.append((table[cur], width))
-        if next_code < 4096:
-            table[nxt] = next_code
-            next_code += 1
-            if next_code == (1 << width) + 1 and width < 12:
-                width += 1
-        cur = bytes([b])
-    if cur:
-        codes.append((table[cur], width))
-    codes.append((end, width))
-
-    # pack LSB-first
-    acc = 0
-    nacc = 0
-    payload = bytearray()
-    for code, cw in codes:
-        acc |= code << nacc
-        nacc += cw
-        while nacc >= 8:
-            payload.append(acc & 0xFF)
-            acc >>= 8
-            nacc -= 8
-    if nacc:
-        payload.append(acc & 0xFF)
+    payload = _gif_lzw_encode(idx.astype(np.uint8).tobytes(), min_code)
 
     out = bytearray(b"GIF89a")
     out += struct.pack("<HH", w, h)
@@ -1784,8 +2027,17 @@ def video_stats(
     blob: bytes, every_n: int = 1
 ) -> tuple[int, int, int, list[tuple[int, float]]]:
     """(n_frames, width, height, [(frame_idx, mean_luma_0_1)]) for every
-    ``every_n``-th frame of an MJPEG AVI — the real counterpart of the
+    ``every_n``-th frame of an MJPEG AVI or an ANIMATED GIF (composited
+    inter-frame, decode_gif_frames) — the real counterpart of the
     byte-window fake in multimodal.sample_frames."""
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        gif = decode_gif_frames(blob)
+        stats = [
+            (idx, float(luma(gif[idx]).mean()) / 255.0)
+            for idx in range(0, len(gif), max(every_n, 1))
+        ]
+        h, w = gif[0].shape[:2]
+        return len(gif), w, h, stats
     frames = mjpeg_frames(blob)
     stats = []
     w = h = 0

@@ -275,8 +275,10 @@ def sample_frames(
     """Frame-sample videos: one output row per sampled frame (a flatMap in
     mapInPandas — output length independent of input length).
 
-    ``fake=False`` runs the REAL demuxer for MJPEG AVI blobs
-    (``codecs.mjpeg_frames`` + the baseline JPEG decoder): frame_idx is
+    ``fake=False`` runs the REAL demuxers: MJPEG AVI blobs
+    (``codecs.mjpeg_frames`` + the JPEG decoder) and ANIMATED GIFs
+    (``codecs.decode_gif_frames`` — true inter-frame compositing of
+    sub-rect deltas, transparency, disposal methods): frame_idx is
     the actual stream index and frame_digest the md5 of the DECODED
     pixel bytes, so two byte-different encodes of the same frames
     dedup. Blobs that fail to demux/decode (interframe codecs, non-AVI,
@@ -288,6 +290,7 @@ def sample_frames(
         import pandas as pd
 
         from oic_options_chains_spark.operators.codecs import (
+            decode_gif_frames,
             decode_jpeg,
             mjpeg_frames,
         )
@@ -309,9 +312,19 @@ def sample_frames(
                         )
                     continue
                 try:
-                    frames = mjpeg_frames(raw)
-                    for idx in range(0, len(frames), every_n):
-                        px = decode_jpeg(frames[idx])
+                    if raw[:6] in (b"GIF87a", b"GIF89a"):
+                        pixel_frames = decode_gif_frames(raw)
+                        picks = [
+                            (i, pixel_frames[i])
+                            for i in range(0, len(pixel_frames), every_n)
+                        ]
+                    else:
+                        jpegs = mjpeg_frames(raw)
+                        picks = [
+                            (i, decode_jpeg(jpegs[i]))
+                            for i in range(0, len(jpegs), every_n)
+                        ]
+                    for idx, px in picks:
                         rows.append(
                             {
                                 "media_id": mid,
