@@ -75,3 +75,44 @@ def mad_outliers(
             "n_outliers",
         )
     )
+
+
+def impute_group_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    out: str = "value",
+) -> DataFrame:
+    """Median imputation: fill NULLs of a pre-scaled INTEGER column with
+    the group's lower median of the OBSERVED values — the robust default
+    a feature-repair pass wants (a mean would import the very outliers
+    mad_outliers screens).
+
+    Returns the input rows with ``out`` (observed or imputed, BIGINT)
+    and ``was_imputed`` (0/1). Groups with no observed value at all keep
+    NULL (imputing from nothing is fabrication, not repair) and flag
+    was_imputed=0 — callers route those to quarantine.
+
+    Scale: one grouped-median pass over the observed subset (two
+    group-keyed windows, see module docstring) broadcast back onto the
+    full relation — group-count-sized, never a second corpus shuffle."""
+    observed = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("g"), F.col(value_col).cast("bigint").alias("x")
+    )
+    med = group_median(observed, "g", "x", "__med")
+    return (
+        df.join(
+            F.broadcast(med), df[group_col] == F.col("g"), "left"
+        )
+        .drop("g")
+        .withColumn(
+            out,
+            F.coalesce(F.col(value_col).cast("bigint"), F.col("__med")),
+        )
+        .withColumn(
+            "was_imputed",
+            (F.col(value_col).isNull() & F.col("__med").isNotNull())
+            .cast("int"),
+        )
+        .drop("__med")
+    )

@@ -593,3 +593,47 @@ def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return phrase_match(d, ["table", "hash"])
+
+
+@register(
+    "q_impute",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_mktsegment,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL
+                  ELSE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+             END AS cents
+      FROM customer),
+    obs AS (SELECT c_mktsegment AS g, cents AS x FROM c
+            WHERE cents IS NOT NULL),
+    r AS (SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x) AS rn,
+                 COUNT(*) OVER (PARTITION BY g) AS n
+          FROM obs),
+    med AS (SELECT g, x AS med FROM r WHERE rn = (n + 1) // 2)
+    SELECT c.c_custkey, c.c_mktsegment,
+           CAST(COALESCE(c.cents, med.med) AS BIGINT) AS cents,
+           CAST(CASE WHEN c.cents IS NULL AND med.med IS NOT NULL
+                     THEN 1 ELSE 0 END AS INT) AS was_imputed
+    FROM c LEFT JOIN med ON med.g = c.c_mktsegment
+    """,
+)
+def q_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust feature repair (operators/robust.impute_group_median):
+    every seventh customer's balance is masked NULL deterministically,
+    then refilled with the market segment's lower-median of the OBSERVED
+    balances — integer-exact via the q_mad_outliers median discipline,
+    with a was_imputed audit flag. The median table is group-count-sized
+    and broadcasts back; the corpus shuffles zero extra times."""
+    from oic_options_chains_spark.operators.robust import impute_group_median
+
+    c = load_table(spark, sf_dir, "customer")
+    cents = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("bigint")
+    masked = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None)).otherwise(cents)
+        .alias("cents_raw"),
+    )
+    return impute_group_median(
+        masked, "c_mktsegment", "cents_raw", out="cents"
+    ).select("c_custkey", "c_mktsegment", "cents", "was_imputed")
