@@ -87,13 +87,21 @@ def _rotated(mapping: dict, here: str | None = None) -> dict:
     seen, last_round, latest, latest_red = _recorded_rounds(here)
     order = list(mapping)
     # latest-red keys FIRST (a red row that never re-enters the window
-    # can never turn green), then OLDEST-attested (a key last hash-checked
-    # in round 2 is staler than one checked last round, regardless of how
-    # many total rows it has), then least-recorded, preferring keys the
-    # most recent round did NOT cover (so consecutive rounds alternate)
+    # can never turn green), then by staleness: OLDEST-attested first (a
+    # key last hash-checked in round 2 is staler than one checked last
+    # round, regardless of how many total rows it has). Never-attested
+    # keys enter AS IF last attested two rounds ago (max(maxr-2, 0)):
+    # they already pass the three local parity gates against current
+    # code, so a green driver row that has aged three-plus rounds of
+    # code churn outranks them for a window slot — but they still
+    # precede anything attested recently (and win their staleness tie
+    # on recorded-row count 0). Final ties: least-recorded, keys the
+    # most recent round did NOT cover, registration order.
+    maxr = max(last_round.values(), default=0)
+    never_rank = max(maxr - 2, 0)
     key = lambda k: (  # noqa: E731
         k not in latest_red,
-        last_round.get(k, 0),
+        last_round.get(k, never_rank),
         seen.get(k, 0),
         k in latest,
         order.index(k),

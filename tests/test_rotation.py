@@ -7,10 +7,12 @@ out unfixably). These tests pin the ordering contract:
 
 1. latest-red keys come first — a red row always re-enters the next
    window, because a red that never re-records can never turn green;
-2. then OLDEST-attested keys (a key last hash-checked rounds ago is
-   staler than one checked last round — the window REFRESHES old rows,
-   never lets them age while the code under them churns);
-3. then never/least-recorded keys (coverage grows monotonically);
+2. then by staleness, OLDEST-attested first; never-attested keys rank
+   as if attested at maxr-2 (they pass the three local parity gates
+   against current code, so a green driver row aging three-plus rounds
+   of churn refreshes FIRST, while new keys still precede anything
+   recently attested and win staleness ties on row count);
+3. then least-recorded (coverage grows monotonically);
 4. among equals, keys absent from the most recent round precede keys it
    covered (consecutive rounds alternate the tail);
 5. registration order is the final, stable tie-break.
@@ -92,18 +94,30 @@ def test_rows_only_checks_are_not_red(tmp_path):
     assert order[0] == "qc"
 
 
-def test_repo_round4_window_covers_all_pending_keys():
-    """Against the REAL repo history: every latest-red and never-attested
-    key must land inside the next 50-entry window."""
+def test_repo_window_admits_reds_and_ranks_never_attested():
+    """Against the REAL repo history: every latest-red key must land
+    inside the next 50-entry window, and a never-attested key may only
+    wait outside if every window slot is held by a red or a STALER key
+    (virtual round < the never-attested rank maxr-2) — i.e. new
+    registrations queue behind genuinely aging driver rows, never
+    behind fresh ones."""
     from oic_options_chains_spark.queries import QUERIES
 
-    seen, _last_round, _latest, latest_red = entry_mod._recorded_rounds()
-    window = list(entry_mod._rotated(dict(QUERIES)))[:50]
+    seen, last_round, _latest, latest_red = entry_mod._recorded_rounds()
+    order = list(entry_mod._rotated(dict(QUERIES)))
+    window = order[:50]
     for key in latest_red:
         assert key in window, f"latest-red {key} outside the window"
-    never = [k for k in QUERIES if k not in seen]
-    for key in never:
-        assert key in window, f"never-attested {key} outside the window"
+    maxr = max(last_round.values(), default=0)
+    never_rank = max(maxr - 2, 0)
+    never_outside = [
+        k for k in QUERIES if k not in seen and k not in window
+    ]
+    if never_outside:
+        for w in window:
+            assert (
+                w in latest_red or last_round.get(w, never_rank) <= never_rank
+            ), f"{w} holds a slot while never-attested keys wait"
 
 
 def test_oldest_attested_precedes_recently_attested(tmp_path):
@@ -121,8 +135,8 @@ def test_oldest_attested_precedes_recently_attested(tmp_path):
 
 def test_repo_window_refreshes_stalest_cohort():
     """Against the REAL repo history: the next window must be filled with
-    the 50 oldest-attested keys (no green key may be staler than any key
-    left outside the window)."""
+    the 50 stalest keys by VIRTUAL round (never-attested rank as
+    maxr-2): no key may hold a slot while a staler one waits outside."""
     from oic_options_chains_spark.queries import QUERIES
 
     _seen, last_round, _latest, latest_red = entry_mod._recorded_rounds()
@@ -130,11 +144,13 @@ def test_repo_window_refreshes_stalest_cohort():
     window, outside = order[:50], order[50:]
     if not outside:
         return
-    oldest_outside = min(last_round.get(k, 0) for k in outside)
+    maxr = max(last_round.values(), default=0)
+    vr = lambda k: last_round.get(k, max(maxr - 2, 0))  # noqa: E731
+    oldest_outside = min(vr(k) for k in outside)
     for key in window:
         if key in latest_red:
             continue
-        assert last_round.get(key, 0) <= oldest_outside, (
-            f"{key} (r{last_round.get(key, 0)}) holds a window slot while a "
-            f"staler key (r{oldest_outside}) waits outside"
+        assert vr(key) <= oldest_outside, (
+            f"{key} (vr{vr(key)}) holds a window slot while a staler key "
+            f"(vr{oldest_outside}) waits outside"
         )
