@@ -117,3 +117,29 @@ def test_progressive_through_the_spark_kernel(spark):
     want = decode_jpeg(encode_jpeg(img, quality=95))
     assert got[1].mean_luma == pytest.approx(float(luma(want).mean()) / 255.0)
     assert got[2].width is None
+
+
+@pytest.mark.parametrize("kind", ["noise", "lowfreq", "hotpixel"])
+@pytest.mark.parametrize("sub", ["444", "420"])
+def test_progressive_adversarial_coefficient_shapes(kind, sub):
+    """Shapes chosen to stress specific Annex G paths: noise (dense AC,
+    correction bits inside ZRL runs), low-frequency blocks (long EOB
+    runs folding trailing zeros), isolated hot pixels (sparse
+    high-frequency coefficients after long zero runs — the
+    ZRL-beyond-EOB fold)."""
+    rng = np.random.default_rng(hash((kind, sub)) % 2**32)
+    h, w = 25, 38
+    if kind == "noise":
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    elif kind == "lowfreq":
+        y, x = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [((y // 8 + x // 8 + k) % 4 * 63).astype(np.uint8) for k in range(3)],
+            axis=-1,
+        )
+    else:
+        img = np.full((h, w, 3), 128, np.uint8)
+        img[::7, ::5] = 255
+    base = decode_jpeg(encode_jpeg(img, quality=70, subsampling=sub))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=70, subsampling=sub))
+    assert np.array_equal(base, prog)
