@@ -127,7 +127,9 @@ def test_progressive_adversarial_coefficient_shapes(kind, sub):
     runs folding trailing zeros), isolated hot pixels (sparse
     high-frequency coefficients after long zero runs — the
     ZRL-beyond-EOB fold)."""
-    rng = np.random.default_rng(hash((kind, sub)) % 2**32)
+    import zlib
+
+    rng = np.random.default_rng(zlib.crc32(f"{kind}/{sub}".encode()))
     h, w = 25, 38
     if kind == "noise":
         img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
