@@ -116,3 +116,71 @@ def impute_group_median(
         )
         .drop("__med")
     )
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+) -> DataFrame:
+    """Per-group winsorization of a pre-scaled INTEGER column: values
+    below the group's P{lo_pct} clip up to it, above P{hi_pct} clip down
+    — the TRANSFORM sibling of mad_outliers' report (screens flag, this
+    repairs). Percentile boundaries are ORDER STATISTICS selected by
+    row_number at 1-indexed position max(1, ceil(pct*n/100)) — exact
+    integers, no interpolation, engine-identical.
+
+    Returns per-group: (group, n_rows, n_clipped_lo, n_clipped_hi,
+    lo_bound, hi_bound, sum_winsorized).
+
+    Scale: one group-keyed windowed rank to select the two boundary
+    rows, broadcast back (group-count-sized), one aggregate."""
+    vals = df.select(
+        F.col(group_col).alias("g"), F.col(value_col).cast("bigint").alias("x")
+    )
+    w = Window.partitionBy("g").orderBy(F.col("x").asc())
+    ranked = vals.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
+    pos = lambda pct: F.greatest(  # noqa: E731
+        F.lit(1), F.ceil(F.col("__n") * pct / 100)
+    )
+    bounds = (
+        ranked.filter(
+            (F.col("__rn") == pos(lo_pct)) | (F.col("__rn") == pos(hi_pct))
+        )
+        .groupBy("g")
+        .agg(
+            F.min(F.when(F.col("__rn") == pos(lo_pct), F.col("x"))).alias("lo"),
+            F.max(F.when(F.col("__rn") == pos(hi_pct), F.col("x"))).alias("hi"),
+        )
+    )
+    return (
+        vals.join(F.broadcast(bounds), "g")
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum((F.col("x") < F.col("lo")).cast("int"))
+            .cast("bigint")
+            .alias("n_clipped_lo"),
+            F.sum((F.col("x") > F.col("hi")).cast("int"))
+            .cast("bigint")
+            .alias("n_clipped_hi"),
+            F.min("lo").cast("bigint").alias("lo_bound"),
+            F.min("hi").cast("bigint").alias("hi_bound"),
+            F.sum(F.greatest(F.least(F.col("x"), F.col("hi")), F.col("lo")))
+            .cast("bigint")
+            .alias("sum_winsorized"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n_rows",
+            "n_clipped_lo",
+            "n_clipped_hi",
+            "lo_bound",
+            "hi_bound",
+            "sum_winsorized",
+        )
+    )

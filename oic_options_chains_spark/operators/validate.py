@@ -107,3 +107,45 @@ def quality_report(
         out = dup if out is None else out.unionByName(dup)
     assert out is not None, "declare at least one check"
     return out
+
+
+def implication_audit(
+    df: DataFrame, rules: dict[str, tuple[F.Column, F.Column]]
+) -> DataFrame:
+    """Conditional-functional-dependency audit: for each named rule
+    (antecedent, consequent), count the rows the rule APPLIES to and the
+    rows that VIOLATE it (antecedent true, consequent not true) — the
+    cross-table sibling of quality_report's row-local expectations
+    (e.g. "a finalized order must have every line shipped").
+
+    One conditional-aggregation pass over ``df`` for ALL rules (no
+    per-rule scans), exploded to one audit row per rule:
+    (check, n_applicable, n_violations). NULL consequents count as
+    violations — an unverifiable implication is a violation, not a
+    pass."""
+    aggs = []
+    for i, (ante, cons) in enumerate(rules.values()):
+        applies = ante.cast("boolean")
+        holds = F.coalesce(cons.cast("boolean"), F.lit(False))
+        aggs.append(
+            F.sum(F.when(applies, 1).otherwise(0)).cast("bigint").alias(f"__a{i}")
+        )
+        aggs.append(
+            F.sum(F.when(applies & ~holds, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"__v{i}")
+        )
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("check"),
+                F.col(f"__a{i}").alias("n_applicable"),
+                F.col(f"__v{i}").alias("n_violations"),
+            )
+            for i, name in enumerate(rules)
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select(
+        "r.check", "r.n_applicable", "r.n_violations"
+    )

@@ -1440,3 +1440,58 @@ def q_ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = batch_topk(e, queries, k=10)
     approx = batch_topk_ivf(e, queries, k=10, bits=4)
     return mrr_of_true_nearest(exact, approx)
+
+
+@register(
+    "q_ngram_novelty",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+                  FROM documents),
+    idx AS (SELECT doc_id, t,
+                   unnest(range(0, greatest(len(t) - 2, 0))) AS i
+            FROM toks),
+    sh AS (SELECT DISTINCT doc_id,
+                  t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS shingle
+           FROM idx),
+    df AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
+           FROM sh GROUP BY 1)
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           CAST(10000 * SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS novelty_bp
+    FROM sh JOIN df ON df.shingle = sh.shingle
+    GROUP BY sh.doc_id
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    3-gram shingles appearing NOWHERE else in the corpus (corpus
+    df == 1) — the duplication/memorization-risk profile a dataset card
+    reports (a novelty collapse flags template farms; novelty ~1 flags
+    unique content worth upweighting). Shingle df is a dictionary-sized
+    aggregate of the same inverted index the dedup tier builds
+    (operators/minhash.doc_shingles); the ratio is an exact integer
+    basis-point division."""
+    from oic_options_chains_spark.operators.minhash import doc_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(d, "doc_id", "text", distinct=True)
+    dfreq = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("int")).cast("bigint").alias("n_novel"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            "CAST(10000 * n_novel div n_shingles AS BIGINT) AS novelty_bp",
+        )
+    )

@@ -637,3 +637,134 @@ def q_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return impute_group_median(
         masked, "c_mktsegment", "cents_raw", out="cents"
     ).select("c_custkey", "c_mktsegment", "cents", "was_imputed")
+
+
+@register(
+    "q_cross_check",
+    oracle="""
+    WITH la AS (
+      SELECT l_orderkey,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_f
+      FROM lineitem GROUP BY 1),
+    j AS (
+      SELECT o.o_orderkey, o.o_orderstatus,
+             COALESCE(la.n_lines, 0) AS n_lines,
+             COALESCE(la.n_f, 0) AS n_f
+      FROM orders o LEFT JOIN la ON la.l_orderkey = o.o_orderkey)
+    SELECT 'order_has_lines' AS check,
+           CAST(COUNT(*) AS BIGINT) AS n_applicable,
+           CAST(SUM(CASE WHEN n_lines = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations
+    FROM j
+    UNION ALL
+    SELECT 'F_implies_all_lines_shipped',
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                          AND NOT (n_lines > 0 AND n_f = n_lines)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM j
+    UNION ALL
+    SELECT 'O_implies_some_line_open',
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                          AND NOT (n_f < n_lines) THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM j
+    """,
+)
+def q_cross_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table implication audit
+    (operators/validate.implication_audit): TPC-H status semantics as
+    conditional functional dependencies — a finalized ('F') order must
+    have every line shipped, an open ('O') order must have an unshipped
+    line, every order must have lines at all. One line-side aggregate
+    joins the orders side; ALL rules fold into one conditional-agg pass.
+    The report states whatever the data actually violates (the synthetic
+    generator is not constraint-faithful — that is exactly what an audit
+    is for)."""
+    from oic_options_chains_spark.operators.validate import implication_audit
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    la = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum((F.col("l_linestatus") == "F").cast("int"))
+        .cast("bigint")
+        .alias("n_f"),
+    )
+    j = (
+        o.select("o_orderkey", "o_orderstatus")
+        .join(la, "o_orderkey", "left")
+        .select(
+            "o_orderstatus",
+            F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
+            F.coalesce(F.col("n_f"), F.lit(0)).alias("n_f"),
+        )
+    )
+    return implication_audit(
+        j,
+        {
+            "order_has_lines": (F.lit(True), F.col("n_lines") > 0),
+            "F_implies_all_lines_shipped": (
+                F.col("o_orderstatus") == "F",
+                (F.col("n_lines") > 0) & (F.col("n_f") == F.col("n_lines")),
+            ),
+            "O_implies_some_line_open": (
+                F.col("o_orderstatus") == "O",
+                F.col("n_f") < F.col("n_lines"),
+            ),
+        },
+    )
+
+
+@register(
+    "q_winsorize",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag AS g,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+      FROM lineitem),
+    r AS (SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x) AS rn,
+                 COUNT(*) OVER (PARTITION BY g) AS n
+          FROM v),
+    b AS (SELECT g,
+                 MIN(CASE WHEN rn = greatest(1, CAST(ceil(n * 5 / 100.0)
+                                                     AS BIGINT))
+                          THEN x END) AS lo,
+                 MAX(CASE WHEN rn = greatest(1, CAST(ceil(n * 95 / 100.0)
+                                                     AS BIGINT))
+                          THEN x END) AS hi
+          FROM r GROUP BY g)
+    SELECT v.g AS l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN v.x < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_lo,
+           CAST(SUM(CASE WHEN v.x > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_hi,
+           CAST(MIN(b.lo) AS BIGINT) AS lo_bound,
+           CAST(MIN(b.hi) AS BIGINT) AS hi_bound,
+           CAST(SUM(greatest(least(v.x, b.hi), b.lo)) AS BIGINT)
+             AS sum_winsorized
+    FROM v JOIN b ON v.g = b.g
+    GROUP BY v.g
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/P95 winsorization of cent-scaled prices per return flag
+    (operators/robust.winsorize): order-statistic boundaries (exact
+    row_number selection, never interpolating percentile built-ins),
+    clip counts, and the winsorized sum — the repair TRANSFORM next to
+    q_mad_outliers' screen."""
+    from oic_options_chains_spark.operators.robust import winsorize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+    return winsorize(
+        li.select("l_returnflag", cents.alias("cents")),
+        "l_returnflag",
+        "cents",
+    )
