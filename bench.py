@@ -107,6 +107,9 @@ HEADLINE = (
     "q_watermark_audit",
     "q_vl_build",
     "q_phrase_match",
+    "q_ngram_novelty",
+    "q_cross_check",
+    "q_winsorize",
 )
 
 # single-JVM local bench has ~±20-30% run-to-run noise (ambient load
