@@ -512,3 +512,47 @@ def priority_sample(
         # HT estimate in 2^50-scaled units: max(w, tau_natural) * 2^50
         F.greatest(F.col("w") * F.lit(1 << 50), F.col("tau")).alias("w_est_sc"),
     )
+
+
+def source_calibration(
+    df: DataFrame,
+    source_col: str,
+    order_cols: Sequence[str],
+    n_bins: int = 10,
+) -> DataFrame:
+    """Cross-source score calibration audit: every row gets its
+    WITHIN-SOURCE equal-count bin and its GLOBAL bin over the same
+    deterministic order, and the audit is the (source, src_bin,
+    global_bin, n_rows) contingency matrix. A well-calibrated scorer
+    concentrates mass on the diagonal; a source whose bin-5 rows land
+    in global bin-9 is scoring on a different scale and must be
+    renormalized before a shared quality threshold is applied — the
+    classic failure of mixing crawl snapshots with curated sources.
+
+    Exact integers everywhere: both bins are (rank-1)*n_bins div n + 1
+    over rank/count (the rank_bins rule), never NTILE. Scale: the
+    global side is rank_bins' two-phase rank (no global sort); the
+    per-source side is one source-partitioned window; the matrix
+    reduces to at most |sources|·n_bins² rows."""
+    g = rank_bins(df, list(order_cols), n_bins=n_bins, out="__gbin")
+    w = Window.partitionBy(source_col).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    binned = (
+        g.withColumn("__srank", F.row_number().over(w))
+        .withColumn(
+            "__sn", F.count(F.lit(1)).over(Window.partitionBy(source_col))
+        )
+        .withColumn(
+            "__sbin",
+            F.expr(f"CAST((__srank - 1) * {n_bins} div __sn + 1 AS INT)"),
+        )
+    )
+    return (
+        binned.groupBy(
+            F.col(source_col),
+            F.col("__sbin").alias("src_bin"),
+            F.col("__gbin").alias("global_bin"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )

@@ -1477,3 +1477,44 @@ def q_anon_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         q, ["c_nationkey", "c_mktsegment", "bal_bucket"], F.col("cents"), k=5, l=2
     )
     return suppression_summary(cells, ["c_nationkey", "c_mktsegment", "bal_bucket"])
+
+
+@register(
+    "q_source_calibration",
+    oracle="""
+    WITH base AS (SELECT doc_id, source, n_chars FROM documents),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+    g AS (SELECT doc_id, source,
+                 row_number() OVER (ORDER BY n_chars, doc_id) AS grank
+          FROM base),
+    gb AS (SELECT g.doc_id, g.source,
+                  CAST((g.grank - 1) * 10 // n.n + 1 AS INT) AS global_bin
+           FROM g CROSS JOIN n),
+    s AS (SELECT doc_id,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars, doc_id) AS srank,
+                 COUNT(*) OVER (PARTITION BY source) AS sn
+          FROM base)
+    SELECT gb.source, CAST((s.srank - 1) * 10 // s.sn + 1 AS INT) AS src_bin,
+           gb.global_bin, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM gb JOIN s ON s.doc_id = gb.doc_id
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_source_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source score-calibration matrix
+    (operators/sampling.source_calibration): per-source vs global
+    equal-count deciles of the length score, as a (source, src_bin,
+    global_bin, n) contingency table — the audit that catches a source
+    scoring on its own scale before a shared quality threshold is
+    applied. Exact integer binning (the rank_bins rule, never NTILE);
+    the global side rides the two-phase global_rank, no global sort."""
+    from oic_options_chains_spark.operators.sampling import source_calibration
+
+    d = load_table(spark, sf_dir, "documents")
+    return source_calibration(
+        d.select("doc_id", "source", "n_chars"),
+        "source",
+        ["n_chars", "doc_id"],
+        n_bins=10,
+    )
