@@ -367,3 +367,16 @@ def test_round6_operators_plan_properties(spark, sf_dir):
     plan = _plan(QUERIES["q_nb_classifier"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastExchange") >= 3, plan.count("BroadcastExchange")
+
+
+@pytest.mark.parity
+def test_every_registered_plan_is_jvm_only_and_cartesian_free(spark, sf_dir):
+    """Registry-wide invariant (all ~191 queries, not a sample): no
+    Python evaluation node and no CartesianProduct in ANY registered
+    physical plan. Python belongs exclusively to the contracted
+    mapInPandas kernels (HTML parse, media codecs), which are not
+    relational queries; any unbounded pairing must ride an equi-join."""
+    for name, fn in QUERIES.items():
+        plan = _plan(fn(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
