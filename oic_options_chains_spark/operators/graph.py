@@ -36,7 +36,10 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from oic_options_chains_spark.operators.kmeans import QUANT, quantize
-from oic_options_chains_spark.operators.similarity import _probe_partitions
+from oic_options_chains_spark.operators.similarity import (
+    _probe_partitions,
+    _resolve_bits,
+)
 
 
 def _l2_int(a: Column, b: Column) -> Column:
@@ -70,7 +73,7 @@ def brute_knn_edges(
 def bucketed_knn_edges(
     embeddings: DataFrame,
     k: int,
-    bits: int = 4,
+    bits: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     broadcast_candidates: bool = False,
@@ -81,8 +84,13 @@ def bucketed_knn_edges(
     engine). The scale path: candidate pairs are bucket-bounded
     (≈ n·E[bucket] instead of n²), the same within-cell pairing
     SemDeDup uses; distances and ranking are the exact quantized
-    integers of ``brute_knn_edges``. Size ``bits`` to the corpus
-    (``similarity.bits_for``) — pinned explicitly by callers.
+    integers of ``brute_knn_edges``. By DEFAULT ``bits`` is derived
+    from the corpus size (``similarity.bits_for`` via the cached
+    ``_resolve_bits`` count) so buckets stay ~target-rows as the corpus
+    grows — a fixed width is O((n/2^b)^2) per bucket and goes
+    superlinear at 10x data (measured: slope 1.04 fixed vs 0.58
+    scaled, SCALE_CURVE round 6). Pin ``bits`` explicitly only for
+    oracle determinism on derived inputs.
 
     ``broadcast_candidates`` follows the ``similarity.near_dup_pairs``
     convention: False (default) is the scale-safe bucket-keyed shuffle
@@ -90,6 +98,7 @@ def bucketed_knn_edges(
     probe side so the CPU-dense distance fold parallelizes past the
     scan's file-split count — the bench-scale opt-in, proven to fit
     memory before use."""
+    bits = _resolve_bits(embeddings, bits)
     sign = F.concat(
         *[
             F.when(F.element_at(F.col(vec_col), i + 1) > 0, F.lit("1")).otherwise(

@@ -258,6 +258,22 @@ def ivf_kmeans_topk(
     )
 
 
+def _auto_sub_bits(n_rows: int, k: int) -> int:
+    """Default sub-LSH width for ``semantic_dedup``: 0 (exact
+    within-cell pairing) while the EXPECTED cell n/k fits the shared
+    bucket target, else ``similarity.bits_for`` of the cell size — the
+    split that keeps pair groups ~target-rows as the corpus grows."""
+    from oic_options_chains_spark.operators.similarity import (
+        DEFAULT_TARGET_BUCKET_ROWS,
+        bits_for,
+    )
+
+    expected_cell = n_rows / max(k, 1)
+    if expected_cell <= DEFAULT_TARGET_BUCKET_ROWS:
+        return 0
+    return bits_for(int(expected_cell))
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     eps: int,
@@ -265,7 +281,7 @@ def semantic_dedup(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    sub_bits: int = 0,
+    sub_bits: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster embeddings with k-means,
     then drop any vector whose cluster holds a LOWER-id vector within
@@ -301,13 +317,23 @@ def semantic_dedup(
     fixed k, cells grow linearly with the corpus and the within-cell
     pairing is O(n²/k) — superlinear. Raising k instead pushes the
     Lloyd fit superlinear (assignment is O(n·k·d); measured WORSE at
-    10x data than fixed k). Setting ``sub_bits > 0`` keeps the cheap
-    fixed-k fit and splits each cell's pairing by a sign-LSH bucket of
-    the leading ``sub_bits`` quantized dims (``similarity.bits_for``
-    sizes it): pair groups stay ~target-rows, cost O(n · E[bucket]).
-    The trade is recall at sub-bucket boundaries — the same miss class
-    as SemDeDup's own cell boundaries, and 0 keeps today's exact
-    oracle-checked behavior."""
+    10x data than fixed k). ``sub_bits > 0`` keeps the cheap fixed-k
+    fit and splits each cell's pairing by a sign-LSH bucket of the
+    leading ``sub_bits`` quantized dims: pair groups stay ~target-rows,
+    cost O(n · E[bucket]). The trade is recall at sub-bucket
+    boundaries — the same miss class as SemDeDup's own cell boundaries.
+
+    DEFAULT (``sub_bits=None``) derives the split from the EXPECTED
+    CELL size, ceil(log2((n/k)/target)) with target =
+    ``similarity.DEFAULT_TARGET_BUCKET_ROWS``: 0 (exact within-cell
+    pairing) while cells fit an executor, growing log2 with the corpus
+    after that — so the default path is scale-safe (measured slope
+    1.18 exact vs 0.34 sub-LSH at 10x data, SCALE_CURVE round 6)
+    while small/gate-scale corpora keep the exact oracle-checked
+    behavior bit-for-bit. Pin ``sub_bits=0`` for the verification
+    form, or an explicit width for oracle determinism at scale."""
+    if sub_bits is None:
+        sub_bits = _auto_sub_bits(embeddings.count(), k)
     assigned, _ = kmeans_fit(embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     from oic_options_chains_spark.operators.skew import salted_join
 

@@ -470,17 +470,23 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distances are integer L2 over the shared floor(x*4096) quantization;
     # the triangle join in the oracle uses natural a<b<c order, which is
     # algorithm-independent of the Spark side's degree orientation — the
-    # per-corner counts are identical either way
+    # per-corner counts are identical either way. The sign-bucket width
+    # replays similarity.bits_for (ceil(log2(n/1024)), floor 1, cap 16)
+    # in SQL, so the oracle tracks the Spark side's auto-derived bits at
+    # ANY sf, not just the gate's.
     oracle="""
-    WITH q AS (
+    WITH nb AS (
+      SELECT CASE WHEN COUNT(*) <= 1024 THEN 1
+             ELSE LEAST(16, GREATEST(1, CAST(CEIL(LOG2(COUNT(*) / 1024.0))
+                                             AS INT))) END AS b
+      FROM embeddings),
+    q AS (
       SELECT vec_id,
              list_transform(embedding,
                             x -> CAST(FLOOR(CAST(x AS DOUBLE) * 4096)
                                       AS BIGINT)) AS qa,
-             (CASE WHEN embedding[1] > 0 THEN '1' ELSE '0' END ||
-              CASE WHEN embedding[2] > 0 THEN '1' ELSE '0' END ||
-              CASE WHEN embedding[3] > 0 THEN '1' ELSE '0' END ||
-              CASE WHEN embedding[4] > 0 THEN '1' ELSE '0' END) AS bucket
+             list_transform(list_slice(embedding, 1, (SELECT b FROM nb)),
+                            x -> CASE WHEN x > 0 THEN 1 ELSE 0 END) AS bucket
       FROM embeddings),
     d AS (
       SELECT a.vec_id AS src, b.vec_id AS dst,
@@ -529,7 +535,7 @@ def q_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     edges = mutual_edges(
-        bucketed_knn_edges(emb, k=6, bits=4, broadcast_candidates=True)
+        bucketed_knn_edges(emb, k=6, broadcast_candidates=True)
     )
     return triangle_counts(edges).select(
         F.col("node").alias("vec_id"), "degree", "n_triangles"

@@ -187,3 +187,42 @@ def test_multiprobe_dominates_single_probe_recall(spark, sf_dir):
     # and recall of the exact result against itself is perfect
     perfect = ann_recall(exact, exact).collect()
     assert all(r.recall_bp == 10000 for r in perfect)
+
+
+def test_auto_sub_bits_scales_with_corpus():
+    """semantic_dedup's DEFAULT sub-LSH width: exact (0) while the
+    expected cell fits the bucket target, then log2 growth — the
+    round-6 scale-curve fix (slope 1.18 exact vs 0.34 sub-LSH)."""
+    from oic_options_chains_spark.operators.kmeans import _auto_sub_bits
+
+    assert _auto_sub_bits(500, 8) == 0  # gate-scale corpus: exact path
+    assert _auto_sub_bits(8 * 1024, 8) == 0  # boundary: cell == target
+    assert _auto_sub_bits(8 * 2048, 8) == 1
+    assert _auto_sub_bits(8 * 1024 * 1024, 8) == 10
+    # monotone nondecreasing in n
+    prev = 0
+    for n in (1_000, 10_000, 100_000, 1_000_000, 10_000_000):
+        b = _auto_sub_bits(n, 8)
+        assert b >= prev
+        prev = b
+
+
+def test_bucketed_knn_default_bits_auto(spark, sf_dir):
+    """bucketed_knn_edges with bits unset derives the sign-bucket width
+    from the corpus via bits_for (round-6 fix: fixed width is
+    superlinear at 10x data). At the 500-row gate corpus that is 1 bit,
+    and the edges equal the explicitly-pinned bits=1 build."""
+    from oic_options_chains_spark.operators.graph import bucketed_knn_edges
+    from oic_options_chains_spark.operators.similarity import bits_for
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assert bits_for(emb.count()) == 1
+    auto = sorted(
+        (r.src, r.dst, r.dist)
+        for r in bucketed_knn_edges(emb, k=6).collect()
+    )
+    pinned = sorted(
+        (r.src, r.dst, r.dist)
+        for r in bucketed_knn_edges(emb, k=6, bits=1).collect()
+    )
+    assert auto == pinned and len(auto) > 0
