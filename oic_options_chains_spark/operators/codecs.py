@@ -1662,6 +1662,14 @@ def _gif_lzw_encode(data: bytes, min_code: int) -> bytes:
     return bytes(payload)
 
 
+# Animation bomb guard (mirrors the PNG zlib-bomb cap): an uncapped
+# animated GIF amplifies ~1000x (sub-rect deltas -> full-canvas frames),
+# so a crafted multi-MB blob could OOM an executor. Exceeding either
+# budget raises ValueError -> quarantine, same contract as _MAX_PIXELS.
+_GIF_MAX_FRAMES = 1_000
+_GIF_MAX_TOTAL_PIXELS = 1 << 25  # ~96 MB of uint8 RGB canvases
+
+
 def decode_gif_frames(blob: bytes, max_frames: int | None = None) -> list[np.ndarray]:
     """All composited frames of an (optionally animated) GIF89a as
     (h, w, 3) uint8 canvases — REAL interframe decoding: per-frame
@@ -1672,7 +1680,12 @@ def decode_gif_frames(blob: bytes, max_frames: int | None = None) -> list[np.nda
     GIFs actually ship (sub-rect frames + transparency = motion deltas),
     so frame sampling over web GIFs composites correctly instead of
     returning torn partial rects. ValueError on malformed/truncated
-    input (quarantine contract)."""
+    input (quarantine contract). Without an explicit ``max_frames``
+    decoding is budget-capped (``_GIF_MAX_FRAMES`` frames /
+    ``_GIF_MAX_TOTAL_PIXELS`` total canvas pixels) and raises
+    ValueError past it — the animation analog of the PNG inflate
+    guard; an explicit ``max_frames`` TRUNCATES instead (the sampling
+    path, where the caller bounds its own read)."""
     if blob[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (bad signature)")
     if len(blob) < 13:
@@ -1780,6 +1793,11 @@ def decode_gif_frames(blob: bytes, max_frames: int | None = None) -> list[np.nda
             frames.append(canvas.copy())
             if max_frames is not None and len(frames) >= max_frames:
                 return frames
+            if max_frames is None and (
+                len(frames) >= _GIF_MAX_FRAMES
+                or len(frames) * w * h > _GIF_MAX_TOTAL_PIXELS
+            ):
+                raise ValueError("GIF decoded-frame budget exceeds decode cap")
             if disposal == 2:
                 canvas[top : top + ih, left : left + iw] = bg_rgb
             elif disposal == 3:
@@ -1954,7 +1972,15 @@ def mjpeg_frames(blob: bytes) -> list[bytes]:
         raise ValueError("not a RIFF/AVI blob")
     frames: list[bytes] = []
 
-    def walk(pos: int, end: int) -> None:
+    # Explicit-stack LIST traversal: a crafted blob with thousands of
+    # nested LIST headers must hit the quarantine ValueError, never
+    # RecursionError (which would escape the ValueError-only contract
+    # and kill the Spark task instead of dropping the row).
+    stack: list[tuple[int, int]] = [
+        (12, min(len(blob), 8 + struct.unpack("<I", blob[4:8])[0]))
+    ]
+    while stack:
+        pos, end = stack.pop()
         while pos + 8 <= end:
             tag = blob[pos : pos + 4]
             (length,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
@@ -1962,14 +1988,18 @@ def mjpeg_frames(blob: bytes) -> list[bytes]:
             if body_end > end:
                 raise ValueError("AVI chunk overruns container")
             if tag == b"LIST":
-                walk(pos + 12, body_end)  # skip the 4-byte list type
-            elif tag[2:4] in (b"dc", b"db") and tag[:2].isdigit():
+                # resume this level after the nested list body; stack
+                # depth == LIST nesting depth, capped (real RIFF is ~3)
+                if len(stack) >= 64:
+                    raise ValueError("AVI LIST nesting exceeds depth cap")
+                stack.append((body_end + (length & 1), end))
+                pos, end = pos + 12, body_end  # skip the 4-byte list type
+                continue
+            if tag[2:4] in (b"dc", b"db") and tag[:2].isdigit():
                 frames.append(blob[pos + 8 : body_end])
                 if len(frames) > _MAX_FRAMES:
                     raise ValueError("AVI frame count exceeds decode cap")
             pos = body_end + (length & 1)  # chunks are word-aligned
-
-    walk(12, min(len(blob), 8 + struct.unpack("<I", blob[4:8])[0]))
     if not frames:
         raise ValueError("AVI has no video frame chunks")
     return frames

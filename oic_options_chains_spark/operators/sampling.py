@@ -459,9 +459,9 @@ def priority_sample(
     weight-biased sample with per-item Horvitz-Thompson weight
     estimates, fully deterministic and integer-exact.
 
-    Each row draws a content-hash uniform u in [1, 2^60] (first 15 hex
+    Each row draws a content-hash uniform u in [1, 2^52] (first 13 hex
     chars of md5(key) — no RNG, reproducible across engines and
-    repartitioning) and gets priority q = w * 2^60 div u (the integer
+    repartitioning) and gets priority q = w * 2^50 div u (the integer
     form of w/u, monotone in it; ties broken by key). The k LARGEST
     priorities are the sample; the (k+1)-th is the threshold tau, and
     every selected row's weight estimate is max(w, floor-scaled tau
@@ -500,7 +500,15 @@ def priority_sample(
         .orderBy(F.col("priority").desc(), F.col(key).asc())
         .limit(k + 1)
     )
-    topk = ranked.limit(k)
+    # topk by explicit rank over the (k+1)-row candidate set — never a
+    # nested .limit(k) leaning on order preservation through limits.
+    # The single-partition window is fine: it sees at most k+1 rows.
+    rank_w = Window.orderBy(F.col("priority").desc(), F.col(key).asc())
+    topk = (
+        ranked.withColumn("__rn", F.row_number().over(rank_w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
     tau = ranked.orderBy(F.col("priority").asc(), F.col(key).desc()).limit(1)
     return topk.crossJoin(
         F.broadcast(tau.select(F.col("priority").alias("tau")))

@@ -814,3 +814,54 @@ def test_sample_frames_real_kernel(spark):
 
     expect = _hl.md5(decode_jpeg(encode_jpeg(frames[0], quality=95)).tobytes()).hexdigest()
     assert [r.frame_digest for r in got if r.frame_idx == 0] == [expect]
+
+
+def test_avi_nested_list_bomb_raises_valueerror_not_recursion():
+    """~5000 nested LIST headers must hit the quarantine ValueError
+    (depth cap), never RecursionError — a RecursionError would escape
+    the ValueError-only contract and kill the Spark task instead of
+    dropping the row."""
+    import struct as _s
+
+    depth = 5000
+    inner = b""
+    for _ in range(depth):
+        body = b"rec " + inner
+        inner = b"LIST" + _s.pack("<I", len(body)) + body
+    payload = b"AVI " + inner
+    blob = b"RIFF" + _s.pack("<I", len(payload)) + payload
+    with pytest.raises(ValueError, match="nesting"):
+        mjpeg_frames(blob)
+
+
+def test_avi_realistic_nesting_still_decodes():
+    """The depth cap must not reject real AVIs (hdrl/strl/movi ~3 deep):
+    the encoder's own output still round-trips."""
+    blob = encode_avi_mjpeg(_clip(2, 8, 8), fps=5)
+    assert len(mjpeg_frames(blob)) == 2
+
+
+def test_gif_animation_bomb_budget_quarantines():
+    """An animated GIF over the default frame budget must raise
+    ValueError (quarantine) instead of materializing thousands of
+    full-canvas frames — the animation analog of the PNG inflate cap."""
+    from oic_options_chains_spark.operators.codecs import (
+        _GIF_MAX_FRAMES,
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    frames = [np.full((4, 4, 3), 7, np.uint8)] * 4
+    blob = bytearray(encode_gif_animation(frames))
+    # splice the (image-descriptor + data) of frame 1 many more times:
+    # build a long animation without a huge encoder input
+    first_desc = bytes(blob).index(b"\x2c")  # first image separator
+    trailer = bytes(blob).rindex(b"\x3b")
+    body = bytes(blob)[first_desc:trailer]
+    n_copies = (_GIF_MAX_FRAMES // 4) + 2
+    bomb = bytes(blob)[:first_desc] + body * n_copies + b"\x3b"
+    with pytest.raises(ValueError, match="budget|cap"):
+        decode_gif_frames(bomb)
+    # explicit max_frames still truncates (the sampling path)
+    got = decode_gif_frames(bomb, max_frames=3)
+    assert len(got) == 3
