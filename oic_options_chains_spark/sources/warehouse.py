@@ -18,8 +18,10 @@ the logical plan is identical.
 
 from __future__ import annotations
 
+import contextlib
 import os
-from collections.abc import Sequence
+import time
+from collections.abc import Iterator, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -49,6 +51,70 @@ def read_table(
     return reader.parquet(table_dir)
 
 
+LOCK_DIR = "_locks"
+# An append holding a date lock longer than this is presumed crashed and
+# its lock may be stolen. Generous vs a single-day batch (seconds).
+LOCK_LEASE_SEC = 600.0
+LOCK_WAIT_SEC = 120.0
+# A daily batch carries one date (a backfill a handful); crossing this
+# means the caller passed an unbatched historical load — split it.
+MAX_LOCKED_DATES = 1000
+
+
+@contextlib.contextmanager
+def _partition_locks(
+    table_dir: str,
+    dates: Sequence[str],
+    lease_sec: float = LOCK_LEASE_SEC,
+    wait_sec: float = LOCK_WAIT_SEC,
+) -> Iterator[None]:
+    """Per-date-partition mutex via put-if-absent lock files (O_EXCL,
+    the same atomic primitive as the snapshot OCC log): the loser of a
+    race WAITS and retries, then re-reads the partition — so its
+    duplicate rows anti-join away against the winner's committed rows.
+    This is what turns append_day's read-antijoin-append from
+    "single-writer-per-partition discipline" into the reference's
+    actual guarantee (PK uniqueness under concurrent inserts,
+    schema.sql:23 ON CONFLICT DO NOTHING).
+
+    Dates are acquired in sorted order (no deadlock between writers
+    locking overlapping date sets); a lock file older than
+    ``lease_sec`` is presumed abandoned by a crashed writer and stolen
+    (unlink + re-race — O_EXCL serializes concurrent stealers)."""
+    d = os.path.join(table_dir, LOCK_DIR)
+    os.makedirs(d, exist_ok=True)
+    held: list[str] = []
+    try:
+        for date in sorted(set(dates)):
+            path = os.path.join(d, f"{date}.lock")
+            deadline = time.monotonic() + wait_sec
+            while True:
+                try:
+                    fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    os.close(fd)
+                    held.append(path)
+                    break
+                except FileExistsError:
+                    try:
+                        age = time.time() - os.path.getmtime(path)
+                    except OSError:
+                        continue  # holder just released; re-race
+                    if age > lease_sec:
+                        with contextlib.suppress(OSError):
+                            os.unlink(path)  # steal; O_EXCL re-races
+                        continue
+                    if time.monotonic() > deadline:
+                        raise TimeoutError(
+                            f"partition lock {path} held past {wait_sec}s"
+                        ) from None
+                    time.sleep(0.05)
+        yield
+    finally:
+        for path in held:
+            with contextlib.suppress(OSError):
+                os.unlink(path)
+
+
 def append_day(
     spark: SparkSession,
     table_dir: str,
@@ -70,27 +136,46 @@ def append_day(
     row-group min/max stats make per-symbol reads skip almost every file
     — the poor man's Z-order for the reference's dominant access pattern
     (one symbol, one day) without requiring a table format.
+
+    Concurrency: the read-antijoin-append runs under per-date partition
+    LOCKS (``_partition_locks``) — two writers racing on the same day
+    serialize, the loser re-reads the winner's committed rows, and PK
+    uniqueness holds like the reference's ON CONFLICT DO NOTHING under
+    concurrent inserts. The batch's distinct dates are collected on the
+    driver for this (bounded: a daily batch has one date, a backfill a
+    handful; tripwired at ``MAX_LOCKED_DATES``) and double as partition
+    pruning literals — an IN-list on the partition column prunes at the
+    file listing, one step earlier than the previous semi-join.
     """
     batch = dedup_by_key(incoming, pk)
-    if table_exists(table_dir):
-        dates = batch.select(date_col).distinct()
-        existing = read_table(spark, table_dir).join(
-            dates, on=date_col, how="left_semi"
+    # one computation of the (possibly expensive) incoming transform:
+    # the distinct-date collect below and the write must agree
+    batch = batch.localCheckpoint(eager=True)
+    date_rows = batch.select(date_col).distinct().limit(MAX_LOCKED_DATES + 1).collect()
+    if len(date_rows) > MAX_LOCKED_DATES:
+        raise ValueError(
+            f"append_day batch spans >{MAX_LOCKED_DATES} dates — split the backfill"
         )
-        batch = conflict_ignore_append(existing, batch, pk)
-    if cluster_by:
-        batch = batch.repartition(
-            *[F.col(c) for c in cluster_by]
-        ).sortWithinPartitions(*cluster_by)
-    if return_count:
-        # recon path (streaming per-batch counters): checkpoint so the
-        # count and the write share one computation of the anti-join
-        batch = batch.localCheckpoint(eager=True)
-        n = batch.count()
+    date_vals = [r[0] for r in date_rows]
+    with _partition_locks(table_dir, [str(v) for v in date_vals]):
+        if table_exists(table_dir):
+            existing = read_table(spark, table_dir).filter(
+                F.col(date_col).isin(date_vals)
+            )
+            batch = conflict_ignore_append(existing, batch, pk)
+        if cluster_by:
+            batch = batch.repartition(
+                *[F.col(c) for c in cluster_by]
+            ).sortWithinPartitions(*cluster_by)
+        if return_count:
+            # recon path (streaming per-batch counters): checkpoint so the
+            # count and the write share one computation of the anti-join
+            batch = batch.localCheckpoint(eager=True)
+            n = batch.count()
+            batch.write.mode("append").partitionBy(date_col).parquet(table_dir)
+            return n
         batch.write.mode("append").partitionBy(date_col).parquet(table_dir)
-        return n
-    batch.write.mode("append").partitionBy(date_col).parquet(table_dir)
-    return None
+        return None
 
 
 def write_bucketed(

@@ -217,3 +217,74 @@ def test_legacy_manifest_dirs_still_readable(spark, tmp_path):
     )
     ids = [e["snapshot_id"] for e in list_snapshots(snap)]
     assert ids == ["2023-12-31", "2024-01-01"]
+
+
+def test_concurrent_append_day_same_partition_keeps_pk_unique(spark, tmp_path):
+    """VERDICT r6 item 3: two writers racing append_day on the SAME date
+    partition with overlapping PKs must serialize through the per-date
+    partition locks — the loser re-reads the winner's committed rows, so
+    the table ends with exactly one row per PK (the reference's
+    ON CONFLICT DO NOTHING guarantee under concurrent inserts,
+    schema.sql:23). Without the locks both writers anti-join against the
+    same stale state and the overlap duplicates."""
+    import threading
+
+    from oic_options_chains_spark.sources.warehouse import append_day, read_table
+
+    tdir = str(tmp_path / "contended")
+    batches = {
+        "w1": spark.createDataFrame(
+            [("2024-01-02", k, "w1") for k in (1, 2, 3)], "date string, k int, src string"
+        ),
+        "w2": spark.createDataFrame(
+            [("2024-01-02", k, "w2") for k in (2, 3, 4)], "date string, k int, src string"
+        ),
+    }
+    barrier = threading.Barrier(2)
+    errors = []
+
+    def writer(name):
+        try:
+            barrier.wait(timeout=60)
+            append_day(spark, tdir, batches[name], ["date", "k"])
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    ts = [threading.Thread(target=writer, args=(n,)) for n in batches]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors, errors
+    rows = read_table(spark, tdir).collect()
+    keys = sorted(r.k for r in rows)
+    assert keys == [1, 2, 3, 4], f"PK uniqueness violated: {keys}"
+    # and a replay of either batch is a no-op (idempotency preserved)
+    append_day(spark, tdir, batches["w1"], ["date", "k"])
+    assert read_table(spark, tdir).count() == 4
+    # lock files are released
+    locks = os.listdir(os.path.join(tdir, "_locks"))
+    assert locks == [], f"leaked locks: {locks}"
+
+
+def test_partition_lock_lease_steal(tmp_path):
+    """A lock file left by a crashed writer (older than the lease) is
+    stolen; a fresh lock blocks until released then is acquired."""
+    import time as _t
+
+    from oic_options_chains_spark.sources.warehouse import _partition_locks
+
+    tdir = str(tmp_path / "lease")
+    lock_path = os.path.join(tdir, "_locks", "2024-01-02.lock")
+    os.makedirs(os.path.dirname(lock_path))
+    open(lock_path, "w").close()
+    stale = _t.time() - 10_000
+    os.utime(lock_path, (stale, stale))
+    with _partition_locks(tdir, ["2024-01-02"], lease_sec=600, wait_sec=5):
+        assert os.path.exists(lock_path)  # re-created by the stealer
+    assert not os.path.exists(lock_path)
+    # a FRESH foreign lock makes acquisition time out rather than steal
+    open(lock_path, "w").close()
+    with pytest.raises(TimeoutError):
+        with _partition_locks(tdir, ["2024-01-02"], lease_sec=600, wait_sec=0.3):
+            pass
