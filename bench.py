@@ -117,6 +117,26 @@ HEADLINE = (
 # track plan changes, not GC or box luck
 RUNS_PER_QUERY = 3
 
+# Driver-visible scale evidence (VERDICT r6 item 4): when benching at the
+# default sf0.1, also time the scale-shape-critical queries at the locally
+# generated 5x point (.scale/sf0.5, tools/gen_scale.py) so the sublinear
+# claims in SCALE_CURVE.json get the same external capture as the sf0.1
+# headline. Set is the pair-explosion / range-join / composite plans whose
+# 100 TB behavior is the actual question; row-local ops scale trivially.
+SCALE_QUERIES = (
+    "q_semdedup",
+    "q_knn_triangles",
+    "q_minhash_lsh_pairs",
+    "q_simhash_pairs",
+    "q_ann_ivf_pq",
+    "q_span_dedup",
+    "q_interval_join",
+    "q_pit_join",
+    "q_chain_build",
+    "q_pack_sequences",
+)
+SCALE_RUNS_PER_QUERY = 2
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -152,6 +172,25 @@ def main() -> None:
         "sf": sf,
     }
 
+    # sf0.5 scale section (only on the driver's default sf0.1 run; an
+    # explicit SPARK_GRAFT_SF_DIR override is someone iterating locally)
+    scale_detail: dict[str, float] = {}
+    scale_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".scale", "sf0.5"
+    )
+    if sf == "0.1" and os.path.isdir(scale_dir):
+        for name in SCALE_QUERIES:
+            fn = QUERIES[name]
+            best, n = float("inf"), 0
+            for _ in range(SCALE_RUNS_PER_QUERY):
+                start = time.perf_counter()
+                n = fn(spark, scale_dir).count()
+                best = min(best, time.perf_counter() - start)
+            scale_detail[name] = round(best, 3)
+            print(f"# sf0.5 {name}: {best:.3f}s rows={n}", file=sys.stderr)
+        out["sf05_total"] = round(sum(scale_detail.values()), 3)
+        out["sf05_n_queries"] = len(scale_detail)
+
     # Round-over-round regression visibility: ratio vs the persisted r01
     # per-query baseline (current / baseline; >1 is slower). Only
     # meaningful at the baseline's scale factor.
@@ -184,6 +223,8 @@ def main() -> None:
     # per-query detail (timings + vs_r01 ratios) to BENCH_DETAIL.json.
     detail = dict(out)
     detail["queries"] = timings
+    if scale_detail:
+        detail["sf05_queries"] = scale_detail
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )

@@ -380,3 +380,21 @@ def test_every_registered_plan_is_jvm_only_and_cartesian_free(spark, sf_dir):
         plan = _plan(fn(spark, sf_dir))
         assert "EvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_range_join_plans_stay_equi_keyed(spark, sf_dir):
+    """VERDICT r6 item 5: the two range joins must never regress to a
+    broadcast-nested-loop / cartesian over the range side.
+    q_interval_join's bucketed strategy turns point-in-interval into a
+    bucket EQUI join (exact bounds as a post-join filter); q_pit_join
+    shuffles on the entity equi-key with the time predicate evaluated
+    inside each key's partition. Exchange budgets pin the shuffle
+    count so a quietly-added repartition fails here, not at 100 TB."""
+    for name, max_exchanges in (("q_interval_join", 4), ("q_pit_join", 4)):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        n_ex = plan.count("Exchange ")
+        assert n_ex <= max_exchanges, f"{name}: {n_ex} exchanges > {max_exchanges}"
+        # the join itself must be hash- or sort-merge-keyed
+        assert ("SortMergeJoin" in plan) or ("HashJoin" in plan), name
