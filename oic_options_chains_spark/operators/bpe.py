@@ -1,0 +1,155 @@
+"""Iterative BPE merge training on the corpus word-frequency table.
+
+``q_bpe_pairs`` (operators/lm.bpe_pair_counts) computes the argmax
+statistic of the FIRST merge; this module runs the actual training
+loop: R rounds of count-adjacent-pairs -> pick the most frequent pair
+-> merge it everywhere — the Sennrich et al. 2016 algorithm, the
+standard tokenizer-construction step of an LLM data pipeline.
+
+Spark-first design:
+
+- Training runs over the WORD-FREQUENCY table, not the corpus: one
+  corpus-sized shuffle builds (word, n) once, and every subsequent
+  round touches a vocabulary-sized relation (classic BPE — pair counts
+  are weighted by word frequency). At 100 TB the corpus scan happens
+  once; the loop is cheap.
+- The symbol state of a word is a DELIMITED STRING (' a  b  c ':
+  tokens separated by TWO spaces, single-space sentinels at the ends),
+  not an array: merging pair (x, y) is then one JVM-side literal
+  ``replace(s, ' x  y ', ' xy ')``, whose left-to-right non-overlapping
+  semantics (Java ``String.replace``) are exactly BPE's leftmost-
+  non-overlapping merge — and exactly SQL ``replace`` in DuckDB, which
+  is what makes the whole loop oracle-checkable. The two-space
+  separator is load-bearing: with single spaces, adjacent occurrences
+  (' a b a b ') share the middle delimiter and the second merge is
+  missed; with doubled separators each match consumes only one of the
+  two, so ' a  b  a  b ' -> ' ab  ab ' in one round as BPE requires.
+- Pair extraction is shuffle-free per row (split + slice + zip_with);
+  the per-round aggregation shuffles only the (left, right) pair
+  domain (bounded by vocab * word length), and the argmax is ONE
+  collected row per round (bounded driver collect by construction,
+  like the k-means moment fold).
+- Each round's state is localCheckpointed: the lineage would otherwise
+  grow by one replace per round and re-run the whole prefix of the
+  loop at every action (the Lloyd-iteration lesson, operators/kmeans).
+
+Determinism: counts are exact integers; the argmax tie-break is
+(count DESC, left ASC, right ASC); merges on ties therefore replay
+identically on any engine/partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _word_state(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(word, n, s): corpus word frequencies with the initial symbol
+    state ' c h a r s ' (sentinel-spaced single characters)."""
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word")
+        )
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    # 'abc' -> ' a  b  c  ' (regexp adds the two-space separator per
+    # char; prepend the leading sentinel) — mirrored verbatim in SQL
+    return words.select(
+        "word",
+        "n",
+        F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1  ")).alias("s"),
+    )
+
+
+def _pair_counts(state: DataFrame) -> DataFrame:
+    """(left, right, pair_n): adjacent-symbol pair counts weighted by
+    word frequency. Row-local extraction; one pair-domain shuffle."""
+    toks = F.split(F.trim(F.col("s")), "  ")
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+    return (
+        state.select(F.explode(pairs).alias("p"), "n")
+        .select(F.col("p.l").alias("left"), F.col("p.r").alias("right"), "n")
+        .groupBy("left", "right")
+        .agg(F.sum("n").cast("bigint").alias("pair_n"))
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    rounds: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The learned merge table: (round, left_tok, right_tok, pair_n) — one row
+    per merge round, in training order. Stops early if no pair remains
+    (every word fully merged)."""
+    spark = docs.sparkSession
+    state = _word_state(docs, id_col, text_col).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, rounds + 1):
+        top = (
+            _pair_counts(state)
+            .orderBy(F.col("pair_n").desc(), F.col("left"), F.col("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, pair_n = top[0]["left"], top[0]["right"], top[0]["pair_n"]
+        merges.append((r, left, right, pair_n))
+        state = state.withColumn(
+            "s",
+            F.expr(
+                "replace(s, concat(' ', {l}, '  ', {r}, ' '), "
+                "concat(' ', {l}, {r}, ' '))".format(
+                    l=_sql_str(left), r=_sql_str(right)
+                )
+            ),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "round int, left_tok string, right_tok string, pair_n bigint"
+    )
+
+
+def bpe_vocab(
+    docs: DataFrame,
+    rounds: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_n: int = 1,
+) -> DataFrame:
+    """The token vocabulary AFTER ``rounds`` merges: (token, total_n) —
+    every symbol of every word's final state, weighted by word
+    frequency. What the tokenizer ships."""
+    state = _word_state(docs, id_col, text_col).localCheckpoint(eager=True)
+    for r, left, right, _ in bpe_train(docs, rounds, id_col, text_col).collect():
+        state = state.withColumn(
+            "s",
+            F.expr(
+                "replace(s, concat(' ', {l}, '  ', {r}, ' '), "
+                "concat(' ', {l}, {r}, ' '))".format(
+                    l=_sql_str(left), r=_sql_str(right)
+                )
+            ),
+        )
+    return (
+        state.select(
+            F.explode(F.split(F.trim(F.col("s")), "  ")).alias("token"), "n"
+        )
+        .groupBy("token")
+        .agg(F.sum("n").cast("bigint").alias("total_n"))
+        .filter(F.col("total_n") >= min_n)
+    )
+
+
+def _sql_str(s: str) -> str:
+    """SQL single-quoted literal (symbols come from corpus text, so
+    quoting matters)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"

@@ -184,3 +184,65 @@ def winsorize(
             "sum_winsorized",
         )
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance between the
+    ``value_col`` distributions of two groups — the standard drift test
+    a curation pipeline runs between crawl snapshots or sources before
+    trusting a shared quality threshold (the same failure
+    ``sampling.source_calibration`` audits, as a single statistic).
+
+    One row: (n_a, n_b, d_num, at_value) where the KS statistic is
+    D = d_num / (n_a * n_b) and ``at_value`` is the smallest value
+    attaining the supremum. INTEGER-EXACT: with step ECDFs the
+    supremum is reached at a jump, so sup|F_a - F_b| over all reals
+    equals max over observed values of |cum_a * n_b - cum_b * n_a| /
+    (n_a * n_b); numerator and denominators are bigints, no float
+    anywhere, and the result hash-replays on any engine.
+
+    Scale: counts aggregate to the DISTINCT-VALUE domain first (one
+    shuffle, map-side combined), so the ordered cumulative pass runs
+    over |values| rows, not |corpus| — for the integer scores this
+    gates (lengths, token counts, quality bins) that domain is
+    thousands, and the single-partition window is a deliberate,
+    bounded choice (same contract as the sketch register relations).
+    A truly continuous high-cardinality value should be binned
+    upstream (``rank_bins``) before testing."""
+    g = F.col(group_col)
+    per_value = (
+        df.filter(g.isin([group_a, group_b]))
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(
+            F.sum(F.when(g == group_a, 1).otherwise(0)).cast("bigint").alias("a"),
+            F.sum(F.when(g == group_b, 1).otherwise(0)).cast("bigint").alias("b"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_value.select(
+        "v",
+        F.sum("a").over(w).alias("ca"),
+        F.sum("b").over(w).alias("cb"),
+    )
+    totals = per_value.agg(
+        F.sum("a").cast("bigint").alias("n_a"),
+        F.sum("b").cast("bigint").alias("n_b"),
+    )
+    gap = cum.crossJoin(F.broadcast(totals)).select(
+        "n_a",
+        "n_b",
+        "v",
+        F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")).alias("g"),
+    )
+    return gap.groupBy("n_a", "n_b").agg(
+        F.max("g").cast("bigint").alias("d_num"),
+        F.min_by("v", F.struct((-F.col("g")).alias("ng"), F.col("v"))).alias(
+            "at_value"
+        ),
+    )

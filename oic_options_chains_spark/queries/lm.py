@@ -271,3 +271,89 @@ def q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return nb_class_confusion(d, class_col="lang", holdout_mod=5)
+
+
+_BPE_ROUNDS = 4
+
+
+def _bpe_cte(rounds: int = _BPE_ROUNDS) -> str:
+    """CTE blocks unrolling the BPE training loop of ``operators/bpe``:
+    w0 is the word-frequency table with the two-space-delimited symbol
+    state; per round r, p{r} counts adjacent pairs, m{r} is the argmax
+    merge (count DESC, pair ASC), w{r} the state with it applied via
+    the same literal ``replace`` protocol the Spark side uses."""
+    parts = [
+        """
+    WITH w0 AS (
+      SELECT word, n, ' ' || regexp_replace(word, '(.)', '\\1  ', 'g') AS s
+      FROM (SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+                  FROM documents)
+            WHERE len(word) > 0 GROUP BY word))"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""
+    px{r} AS (SELECT toks, n, unnest(range(1, len(toks))) AS i
+              FROM (SELECT string_split(trim(s), '  ') AS toks, n
+                    FROM w{r - 1})),
+    p{r} AS (SELECT toks[i] AS lft, toks[i + 1] AS rgt,
+                    CAST(SUM(n) AS BIGINT) AS pair_n
+             FROM px{r} GROUP BY 1, 2),
+    m{r} AS (SELECT lft, rgt, pair_n FROM p{r}
+             ORDER BY pair_n DESC, lft, rgt LIMIT 1),
+    w{r} AS (SELECT word, n,
+                    replace(s,
+                            ' ' || (SELECT lft FROM m{r}) || '  ' ||
+                            (SELECT rgt FROM m{r}) || ' ',
+                            ' ' || (SELECT lft FROM m{r}) ||
+                            (SELECT rgt FROM m{r}) || ' ') AS s
+             FROM w{r - 1})"""
+        )
+    return ",".join(parts)
+
+
+@register(
+    "q_bpe_train",
+    oracle=_bpe_cte()
+    + "\n    "
+    + "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS round, lft AS left_tok, "
+        f"rgt AS right_tok, pair_n FROM m{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    ),
+)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first 4 learned BPE merges (Sennrich et al. 2016) over the
+    corpus word-frequency table — the actual tokenizer-training loop,
+    not just the first-merge statistic (q_bpe_pairs). Each round is one
+    vocabulary-sized pair aggregation plus a single collected argmax
+    row; the merge applies as a literal string replace whose leftmost-
+    non-overlapping semantics the oracle replays exactly (see
+    operators/bpe.py for the two-space delimiter protocol that makes
+    adjacent occurrences merge correctly)."""
+    from oic_options_chains_spark.operators.bpe import bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_train(d, rounds=_BPE_ROUNDS)
+
+
+@register(
+    "q_bpe_vocab",
+    oracle=_bpe_cte()
+    + f"""
+    SELECT token, CAST(SUM(n) AS BIGINT) AS total_n FROM (
+      SELECT unnest(string_split(trim(s), '  ')) AS token, n
+      FROM w{_BPE_ROUNDS})
+    GROUP BY token
+    """,
+)
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The token vocabulary after the 4 trained merges: every word's
+    final symbols weighted by word frequency — what the tokenizer ships
+    (base alphabet + merged units). Proves the merge REWRITE side of
+    training end-to-end, not just the argmax choices."""
+    from oic_options_chains_spark.operators.bpe import bpe_vocab
+
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_vocab(d, rounds=_BPE_ROUNDS)

@@ -768,3 +768,52 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "cents",
     )
+
+
+@register(
+    "q_ks_drift",
+    oracle="""
+    WITH v AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS g,
+             CAST(len(text) AS BIGINT) AS x
+      FROM documents),
+    pv AS (SELECT x AS v,
+                  CAST(SUM(CASE WHEN g = 'even' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                  CAST(SUM(CASE WHEN g = 'odd' THEN 1 ELSE 0 END) AS BIGINT) AS b
+           FROM v GROUP BY x),
+    cum AS (SELECT v,
+                   SUM(a) OVER (ORDER BY v) AS ca,
+                   SUM(b) OVER (ORDER BY v) AS cb
+            FROM pv),
+    tot AS (SELECT CAST(SUM(a) AS BIGINT) AS n_a, CAST(SUM(b) AS BIGINT) AS n_b
+            FROM pv),
+    gap AS (SELECT t.n_a, t.n_b, c.v,
+                   ABS(c.ca * t.n_b - c.cb * t.n_a) AS g
+            FROM cum c CROSS JOIN tot t)
+    SELECT n_a, n_b,
+           CAST(MAX(g) AS BIGINT) AS d_num,
+           CAST((SELECT MIN(v) FROM gap
+                 WHERE g = (SELECT MAX(g) FROM gap)) AS BIGINT) AS at_value
+    FROM gap GROUP BY n_a, n_b
+    """,
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift statistic between the
+    text-length distributions of the even/odd doc_id halves
+    (operators/robust.ks_two_sample): D = d_num/(n_a*n_b), attained at
+    ``at_value``. Integer-exact by cross-multiplied ECDF gaps over the
+    distinct-value domain (step ECDFs reach their supremum at a jump,
+    so the value-domain max IS the supremum); the single-partition
+    cumulative window runs over |distinct lengths| rows, not |corpus|
+    — the drift gate for 'did this crawl snapshot shift against the
+    curated baseline' run before any shared quality threshold."""
+    from oic_options_chains_spark.operators.robust import ks_two_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    labeled = d.select(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("even"))
+        .otherwise(F.lit("odd"))
+        .alias("half"),
+        F.length("text").cast("bigint").alias("text_len"),
+    )
+    return ks_two_sample(labeled, "half", "text_len", "even", "odd")
