@@ -83,21 +83,24 @@ def main() -> int:
     for i, shard in enumerate(shards):
         env = dict(os.environ)
         env["SPARK_GRAFT_CPUS"] = str(cpus_per)
-        # per-shard Derby/warehouse dirs: two JVMs sharing metastore_db
-        # deadlock on the embedded Derby lock
+        # REPO on the import path: each shard runs from its own cwd (so
+        # concurrent JVMs don't fight over metastore_db/derby.log —
+        # saveAsTable tests create both in the working directory), and
+        # absolute test paths + PYTHONPATH make discovery cwd-free
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
         shard_tmp = os.path.join(REPO, f".suite_shard_{i}")
         os.makedirs(shard_tmp, exist_ok=True)
-        env["DERBY_OPTS"] = f"-Dderby.system.home={shard_tmp}"
         log = open(os.path.join(REPO, f".suite_shard_{i}.log"), "w")
         cmd = [
             sys.executable,
             "-m",
             "pytest",
-            *[os.path.relpath(p, REPO) for p in shard],
+            *shard,
             "-q",
             "--durations=0",
             "-p",
             "no:cacheprovider",
+            f"--rootdir={REPO}",
             *passthrough,
         ]
         procs.append(
