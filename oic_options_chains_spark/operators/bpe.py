@@ -153,3 +153,50 @@ def _sql_str(s: str) -> str:
     """SQL single-quoted literal (symbols come from corpus text, so
     quoting matters)."""
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def bpe_encode_stats(
+    docs: DataFrame,
+    rounds: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize the corpus with the trained merges: (doc_id, n_words,
+    n_tokens) per document — the fertility/compression measurement that
+    decides whether a tokenizer is worth shipping.
+
+    The 100 TB shape: training already reduced the corpus to the
+    word-frequency table, and the word -> final-symbol-count mapping IS
+    that table's end state — a vocabulary-sized dimension. Encoding the
+    corpus is therefore one explode (row-local) plus one broadcast join
+    against that dimension and a per-doc sum: the corpus is never
+    string-rewritten, only its words are looked up."""
+    state = _word_state(docs, id_col, text_col)
+    for _, left, right, _ in bpe_train(docs, rounds, id_col, text_col).collect():
+        state = state.withColumn(
+            "s",
+            F.expr(
+                "replace(s, concat(' ', {l}, '  ', {r}, ' '), "
+                "concat(' ', {l}, {r}, ' '))".format(
+                    l=_sql_str(left), r=_sql_str(right)
+                )
+            ),
+        )
+    word_tokens = state.select(
+        "word", F.size(F.split(F.trim(F.col("s")), "  ")).alias("w_tokens")
+    )
+    doc_words = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word"),
+        )
+        .filter(F.length("word") > 0)
+    )
+    return (
+        doc_words.join(F.broadcast(word_tokens), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("w_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )

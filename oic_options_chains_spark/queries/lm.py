@@ -357,3 +357,32 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return bpe_vocab(d, rounds=_BPE_ROUNDS)
+
+
+@register(
+    "q_bpe_encode",
+    oracle=_bpe_cte()
+    + f"""
+    , wt AS (SELECT word, len(string_split(trim(s), '  ')) AS w_tokens
+             FROM w{_BPE_ROUNDS}),
+    dw AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+           FROM documents)
+    SELECT dw.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(wt.w_tokens) AS BIGINT) AS n_tokens
+    FROM dw JOIN wt ON dw.word = wt.word
+    WHERE len(dw.word) > 0
+    GROUP BY dw.doc_id
+    """,
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization with the 4 trained merges: per-document word
+    and BPE-token counts — the fertility measurement that judges the
+    tokenizer. The corpus is never string-rewritten: the trained word ->
+    token-count mapping is a vocabulary-sized broadcast dimension and
+    encoding is explode + broadcast join + per-doc sum (the plan you
+    want at 100 TB)."""
+    from oic_options_chains_spark.operators.bpe import bpe_encode_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_encode_stats(d, rounds=_BPE_ROUNDS)
