@@ -110,6 +110,12 @@ HEADLINE = (
     "q_ngram_novelty",
     "q_cross_check",
     "q_winsorize",
+    # round-7 additions
+    "q_bpe_train",
+    "q_bpe_encode",
+    "q_ks_drift",
+    # OPH next to the k-permutation path it accelerates
+    "q_oph_lsh_pairs",
 )
 
 # single-JVM local bench has ~±20-30% run-to-run noise (ambient load

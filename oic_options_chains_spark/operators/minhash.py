@@ -720,3 +720,93 @@ def incremental_lsh_dedup(
             "jaccard_bp",
         )
     )
+
+
+def _wide_oph(shingle_df: DataFrame, id_col: str, num_bins: int) -> DataFrame:
+    """One row per doc with columns ``__d0..__d{k-1}``: the DENSIFIED
+    one-permutation-hashing sketch (Li, Owen & Zhang 2012; Shrivastava &
+    Li 2014 rotation densification).
+
+    Why it exists next to ``_wide_minhash``: the k-permutation path
+    computes k md5 digests PER SHINGLE ROW — at 100 TB the signature
+    scan is k x the corpus's hash throughput. OPH computes ONE digest
+    per shingle, buckets it into k bins by its hash value, takes the
+    per-bin minimum in the same single doc-keyed groupBy, and fills
+    empty bins by borrowing the nearest non-empty bin to the RIGHT
+    (circular) — the unbiased densification that keeps banding/LSH
+    collision semantics. Same shuffle shape, 1/k the CPU.
+
+    Exactness: bin = bigint of the digest's first 12 hex chars mod k,
+    min is over hex strings (order-free), the borrow is a k-arm
+    coalesce — every step replays in SQL, so OPH sketches are
+    oracle-checkable like the k-permutation ones."""
+    h = F.md5(F.col("shingle"))
+    bin_col = F.conv(F.substring(h, 1, 12), 16, 10).cast("bigint") % num_bins
+    mins = shingle_df.select(
+        F.col(id_col), h.alias("__h"), bin_col.alias("__bin")
+    ).groupBy(id_col).agg(
+        *[
+            F.min(F.when(F.col("__bin") == i, F.col("__h"))).alias(f"__m{i}")
+            for i in range(num_bins)
+        ]
+    )
+    dense = [
+        F.coalesce(
+            *[F.col(f"__m{(i + j) % num_bins}") for j in range(num_bins)]
+        ).alias(f"__d{i}")
+        for i in range(num_bins)
+    ]
+    return mins.select(F.col(id_col), *dense)
+
+
+def oph_signatures(
+    shingle_df: DataFrame, id_col: str, num_bins: int = 8
+) -> DataFrame:
+    """(doc, seed, minhash) rows from the densified OPH sketch — the
+    drop-in signature relation for LSH banding at 1/k the hashing CPU
+    of ``minhash_signatures``. ``seed`` is the bin index."""
+    wide = _wide_oph(shingle_df, id_col, num_bins)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(i).alias("seed"), F.col(f"__d{i}").alias("minhash"))
+            for i in range(num_bins)
+        ]
+    )
+    return wide.select(F.col(id_col), F.explode(pairs).alias("s")).select(
+        F.col(id_col),
+        F.col("s.seed").alias("seed"),
+        F.col("s.minhash").alias("minhash"),
+    )
+
+
+def oph_band_keys(
+    shingle_df: DataFrame,
+    id_col: str,
+    num_bins: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """(doc, band, band_key) straight from the OPH sketch — the fused
+    one-shuffle path to LSH buckets (``minhash_band_keys`` shape) at
+    1/k the signature CPU."""
+    assert num_bins % rows_per_band == 0
+    wide = _wide_oph(shingle_df, id_col, num_bins)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"__d{b * rows_per_band + j}")
+                        for j in range(rows_per_band)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(num_bins // rows_per_band)
+        ]
+    )
+    return wide.select(F.col(id_col), F.explode(bands).alias("s")).select(
+        F.col(id_col),
+        F.col("s.band").alias("band"),
+        F.col("s.band_key").alias("band_key"),
+    )

@@ -19,6 +19,7 @@ from oic_options_chains_spark.operators.minhash import (
     minhash_band_keys,
     minhash_signatures,
     ngram_jaccard_pairs,
+    oph_signatures,
 )
 from oic_options_chains_spark.operators.similarity import (
     brute_force_topk,
@@ -1495,3 +1496,94 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(10000 * n_novel div n_shingles AS BIGINT) AS novelty_bp",
         )
     )
+
+
+_OPH_BINS = 8
+
+
+def _oph_sql(k: int = _OPH_BINS) -> str:
+    """CTE mirroring operators/minhash._wide_oph: one md5 per shingle,
+    hash-value binning, per-bin minima, rotation densification as a
+    k-arm COALESCE. ('0x' || hex)::BIGINT == Spark's conv(hex,16,10)
+    for the 48-bit prefix used."""
+    mins = ",\n             ".join(
+        f"MIN(CASE WHEN bin = {i} THEN h END) AS m{i}" for i in range(k)
+    )
+    dense = ",\n             ".join(
+        "COALESCE("
+        + ", ".join(f"m{(i + j) % k}" for j in range(k))
+        + f") AS d{i}"
+        for i in range(k)
+    )
+    return (
+        "WITH "
+        + _SHINGLE_SQL
+        + f""",
+    oph0 AS (
+      SELECT doc_id, md5(shingle) AS h,
+             ('0x' || substring(md5(shingle), 1, 12))::BIGINT % {k} AS bin
+      FROM sh),
+    om AS (SELECT doc_id,
+             {mins}
+           FROM oph0 GROUP BY doc_id),
+    od AS (SELECT doc_id,
+             {dense}
+           FROM om)
+"""
+    )
+
+
+@register(
+    "q_minhash_oph",
+    oracle=_oph_sql()
+    + "    "
+    + "\n    UNION ALL ".join(
+        f"SELECT doc_id, CAST({i} AS INT) AS seed, d{i} AS minhash FROM od"
+        for i in range(_OPH_BINS)
+    ),
+)
+def q_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densified one-permutation-hashing sketch (Li/Owen/Zhang 2012 +
+    rotation densification): ONE md5 per shingle binned by hash value,
+    per-bin minima in the same single doc-keyed groupBy as the
+    k-permutation path, empty bins borrowing circularly — 1/k the
+    signature CPU of q_minhash_signature with the same banding/LSH
+    collision semantics. At 100 TB the signature scan is the dominant
+    dedup cost, which makes this THE default sketch at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    return oph_signatures(
+        doc_shingles(d, "doc_id", "text", distinct=False), "doc_id"
+    )
+
+
+@register(
+    "q_oph_lsh_pairs",
+    oracle=_oph_sql()
+    + """,
+    bands AS (
+      SELECT doc_id, CAST(0 AS INT) AS band,
+             d0 || ',' || d1 || ',' || d2 || ',' || d3 AS band_key FROM od
+      UNION ALL
+      SELECT doc_id, CAST(1 AS INT) AS band,
+             d4 || ',' || d5 || ',' || d6 || ',' || d7 AS band_key FROM od)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+    """,
+)
+def q_oph_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs over the OPH sketch: the fused
+    signature+banding single-shuffle path (oph_band_keys), bucket
+    self-join on (band, band_key) — q_minhash_lsh_pairs' plan shape at
+    1/k the hashing CPU."""
+    from oic_options_chains_spark.operators.minhash import (
+        lsh_candidate_pairs,
+        oph_band_keys,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    bands = oph_band_keys(
+        doc_shingles(d, "doc_id", "text", distinct=False), "doc_id"
+    )
+    return lsh_candidate_pairs(bands, "doc_id")
