@@ -810,3 +810,64 @@ def oph_band_keys(
         F.col("s.band").alias("band"),
         F.col("s.band_key").alias("band_key"),
     )
+
+
+def oph_bands_expr(
+    text_col,
+    num_bins: int = 8,
+    rows_per_band: int = 4,
+    shingle_n: int = 3,
+):
+    """The densified OPH band keys as a single ROW-LOCAL column
+    expression: array<struct<band int, band_key string>>, NULL when the
+    text has fewer than ``shingle_n`` words.
+
+    Why a second construction: ``oph_band_keys`` aggregates a shingle
+    relation (one doc-keyed shuffle) — right for batch. A STREAMING
+    near-dup operator needs the sketch with no shuffle and no state, so
+    this builds the identical bands from higher-order functions only
+    (split -> shingle transform -> md5 -> per-bin array_min -> rotation
+    coalesce): pure whole-stage-codegen projection, legal in any
+    streaming stage. Equality with the batch path is pinned by
+    tests/test_oph.py::test_bands_expr_matches_batch_path."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    words = F.split(F.lower(text_col), " ")
+    n_sh = F.greatest(F.size(words) - (shingle_n - 1), F.lit(0))
+    shingles = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + j) for j in range(shingle_n)]
+        ),
+    )
+    hs = F.transform(shingles, lambda s: F.md5(s))
+    mins = F.transform(
+        F.sequence(F.lit(0), F.lit(num_bins - 1)),
+        lambda b: F.array_min(
+            F.filter(
+                hs,
+                lambda h: F.conv(F.substring(h, 1, 12), 16, 10).cast("bigint")
+                % num_bins
+                == b.cast("bigint"),
+            )
+        ),
+    )
+    def _dense(i: int) -> Column:
+        return F.coalesce(
+            *[F.element_at(mins, ((i + j) % num_bins) + 1) for j in range(num_bins)]
+        )
+
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[_dense(b * rows_per_band + j) for j in range(rows_per_band)],
+                ).alias("band_key"),
+            )
+            for b in range(num_bins // rows_per_band)
+        ]
+    )
+    return F.when(n_sh > 0, bands)

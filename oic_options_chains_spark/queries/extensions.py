@@ -1587,3 +1587,45 @@ def q_oph_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_shingles(d, "doc_id", "text", distinct=False), "doc_id"
     )
     return lsh_candidate_pairs(bands, "doc_id")
+
+
+@register(
+    "q_neardup_owners",
+    oracle=_oph_sql()
+    + """,
+    bands AS (
+      SELECT doc_id, CAST(0 AS INT) AS band,
+             d0 || ',' || d1 || ',' || d2 || ',' || d3 AS band_key FROM od
+      UNION ALL
+      SELECT doc_id, CAST(1 AS INT) AS band,
+             d4 || ',' || d5 || ',' || d6 || ',' || d7 AS band_key FROM od),
+    owners AS (
+      SELECT band, band_key, MIN(doc_id) AS own
+      FROM bands GROUP BY band, band_key)
+    SELECT b.doc_id, CAST(MIN(o.own) AS BIGINT) AS dup_of
+    FROM bands b JOIN owners o
+      ON b.band = o.band AND b.band_key = o.band_key AND b.doc_id <> o.own
+    GROUP BY b.doc_id
+    """,
+)
+def q_neardup_owners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document earliest near-dup ancestor under the OPH bucket-
+    owner rule: each LSH bucket is owned by its min doc_id, and every
+    other member points at the smallest owner across its buckets. This
+    is the BATCH truth the streaming twin
+    (streaming/neardup_stream.streaming_near_dup) reproduces
+    cross-batch with keyed state — proven equivalent on id-ordered
+    ingest in tests/test_neardup_stream.py."""
+    from oic_options_chains_spark.operators.minhash import oph_band_keys
+
+    d = load_table(spark, sf_dir, "documents")
+    bands = oph_band_keys(
+        doc_shingles(d, "doc_id", "text", distinct=False), "doc_id"
+    )
+    owners = bands.groupBy("band", "band_key").agg(F.min("doc_id").alias("own"))
+    return (
+        bands.join(owners, ["band", "band_key"])
+        .filter(F.col("doc_id") != F.col("own"))
+        .groupBy("doc_id")
+        .agg(F.min("own").cast("bigint").alias("dup_of"))
+    )

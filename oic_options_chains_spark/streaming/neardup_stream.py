@@ -1,0 +1,129 @@
+"""Streaming NEAR-duplicate detection: OPH/LSH sketches in the stream,
+bucket ownership in keyed state.
+
+The batch dedup tier (operators/minhash) finds near-dup pairs by a
+bucket self-join — a batch-only shape (stream-stream self-joins need
+watermarks both sides and still can't see across micro-batches without
+unbounded state on BOTH sides). The streaming form splits the work the
+way the engine wants it split:
+
+1. Sketching is a STATELESS projection: ``oph_bands_expr`` builds each
+   document's densified OPH band keys row-locally with higher-order
+   functions (no shuffle, no Python, whole-stage codegen) — a document
+   needs only its own text for its sketch.
+2. Ownership is KEYED STATE: the stream explodes to (band, band_key)
+   rows, and an ``applyInPandasWithState`` kernel keeps one long per
+   bucket — the first document to claim it. Later documents that hit
+   an owned bucket emit (doc_id, dup_of=owner). State is O(distinct
+   buckets) x one long, hash-partitioned like any streaming agg, with
+   the standard TTL trade for unbounded corpora.
+
+Cross-batch semantics: a document streamed in batch 7 is checked
+against bucket owners from batches 1-6 — the "is this new crawl page a
+near-dup of ANYTHING seen so far" gate that a per-batch self-join
+cannot express. Within a batch the owner is the min doc_id (the batch
+tier's keeper rule); across batches it is first-arrival, which equals
+the global min when ingest files arrive id-ordered — the equivalence
+``tests/test_neardup_stream.py`` pins against the batch truth.
+
+A document sharing k bands with its duplicate emits k candidate rows
+(one per bucket); the consumer takes min(dup_of) per doc downstream —
+kept OUT of this operator so its output stays append-mode composable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from oic_options_chains_spark.operators.minhash import oph_bands_expr
+
+
+def bucket_owner_pairs(
+    bands: DataFrame,
+    doc_col: str = "doc_id",
+    ttl_minutes: int | None = None,
+) -> DataFrame:
+    """(band, band_key, doc_id, dup_of) from a streaming (band,
+    band_key, doc_id) relation: the first document per bucket becomes
+    its OWNER (emitting nothing); every later document hitting the
+    bucket emits one row pointing at the owner. Within a micro-batch
+    the min doc_id wins ownership and the batch's other docs point at
+    it — deterministic regardless of shuffle order."""
+    out_schema = "band int, band_key string, doc_id long, dup_of long"
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def owner(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        docs: list[int] = []
+        for pdf in pdfs:
+            docs.extend(int(d) for d in pdf[doc_col])
+        if not docs:
+            return
+        docs = sorted(set(docs))
+        if state.exists:
+            own = int(state.get[0])
+            later = [d for d in docs if d != own]
+        else:
+            own, later = docs[0], docs[1:]
+            state.update((own,))
+        if ttl_minutes is not None:
+            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+        if later:
+            yield pd.DataFrame(
+                {
+                    "band": key[0],
+                    "band_key": key[1],
+                    "doc_id": later,
+                    "dup_of": own,
+                }
+            )
+
+    return bands.groupBy("band", "band_key").applyInPandasWithState(
+        owner,
+        outputStructType=out_schema,
+        stateStructType="owner long",
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
+def streaming_near_dup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_bins: int = 8,
+    rows_per_band: int = 4,
+    ttl_minutes: int | None = None,
+) -> DataFrame:
+    """End-to-end streaming near-dup candidates from a document stream:
+    stateless OPH sketch projection -> explode bands -> stateful bucket
+    ownership. Output (band, band_key, doc_id, dup_of)."""
+    bands = (
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.explode(
+                oph_bands_expr(
+                    F.col(text_col), num_bins=num_bins, rows_per_band=rows_per_band
+                )
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.col("s.band").alias("band"),
+            F.col("s.band_key").alias("band_key"),
+        )
+    )
+    return bucket_owner_pairs(bands, "doc_id", ttl_minutes=ttl_minutes)

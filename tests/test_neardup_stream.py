@@ -1,0 +1,98 @@
+"""Streaming near-dup (streaming/neardup_stream): cross-batch bucket
+ownership, and batch==streamed equivalence against the batch OPH tier
+when ingest files arrive id-ordered."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from oic_options_chains_spark.operators.minhash import doc_shingles, oph_band_keys
+from oic_options_chains_spark.streaming.neardup_stream import streaming_near_dup
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog today"),
+    (1, "an entirely different document about spark structured streaming state"),
+    (2, "the quick brown fox jumps over the lazy dog today"),  # dup of 0
+    (3, "yet another unrelated piece of text with many unique words"),
+    (4, "an entirely different document about spark structured streaming state"),  # dup of 1
+    (5, "the quick brown fox jumps over the lazy dog today"),  # dup of 0
+]
+
+
+def _run_stream(spark, tmp_path, chunks):
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    for i, chunk in enumerate(chunks):
+        (src / f"f{i}.json").write_text(
+            "\n".join(json.dumps({"doc_id": d, "text": t}) for d, t in chunk)
+        )
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    q = (
+        streaming_near_dup(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out)
+
+
+def _batch_truth(spark):
+    """(doc, dup_of) pairs the batch tier implies: per bucket, every doc
+    except the min points at the min."""
+    docs = spark.createDataFrame(DOCS, SCHEMA)
+    sh = doc_shingles(docs, "doc_id", "text", distinct=False)
+    bands = oph_band_keys(sh, "doc_id")
+    owners = bands.groupBy("band", "band_key").agg(F.min("doc_id").alias("dup_of"))
+    return {
+        (r.doc_id, r.dup_of)
+        for r in bands.join(owners, ["band", "band_key"])
+        .filter(F.col("doc_id") != F.col("dup_of"))
+        .select("doc_id", "dup_of")
+        .distinct()
+        .collect()
+    }
+
+
+def test_streamed_equals_batch_on_ordered_chunks(spark, tmp_path):
+    """Files arrive doc_id-ordered (2 docs per micro-batch): the
+    streamed candidate set must equal the batch bucket-owner truth."""
+    chunks = [DOCS[0:2], DOCS[2:4], DOCS[4:6]]
+    got = {
+        (r.doc_id, r.dup_of)
+        for r in _run_stream(spark, tmp_path, chunks)
+        .select("doc_id", "dup_of")
+        .distinct()
+        .collect()
+    }
+    expect = _batch_truth(spark)
+    assert got == expect
+    assert (2, 0) in got and (5, 0) in got and (4, 1) in got
+    # non-dups never flagged
+    assert not any(d in (1, 3) for d, _ in got)
+
+
+def test_within_batch_min_owner(spark, tmp_path):
+    """Duplicates arriving in the SAME micro-batch: min doc_id owns the
+    bucket, the rest point at it — deterministic under shuffle."""
+    got = _run_stream(spark, tmp_path, [DOCS])  # all six in one batch
+    pairs = {(r.doc_id, r.dup_of) for r in got.select("doc_id", "dup_of").collect()}
+    assert (2, 0) in pairs and (5, 0) in pairs and (4, 1) in pairs
+    assert not any(d in (1, 3) for d, _ in pairs)

@@ -83,3 +83,30 @@ def test_oph_plan_hashes_once_per_shingle(spark, sf_dir):
     n_oph = oph._jdf.queryExecution().optimizedPlan().toString().count("md5")
     assert n_kperm >= 8
     assert n_oph <= 2
+
+
+def test_bands_expr_matches_batch_path(spark, sf_dir):
+    """The row-local expression sketch (oph_bands_expr, the streaming
+    form) must produce byte-identical band keys to the aggregated batch
+    path (oph_band_keys) on real corpus text."""
+    from oic_options_chains_spark.operators.minhash import oph_bands_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = doc_shingles(docs, "doc_id", "text", distinct=False)
+    batch = {
+        (r.doc_id, r.band): r.band_key
+        for r in oph_band_keys(sh, "doc_id").collect()
+    }
+    expr = {
+        (r.doc_id, r.band): r.band_key
+        for r in docs.select(
+            "doc_id", F.explode(oph_bands_expr(F.col("text"))).alias("s")
+        )
+        .select("doc_id", F.col("s.band").alias("band"), F.col("s.band_key").alias("band_key"))
+        .collect()
+        if r.band_key is not None
+    }
+    # every doc with >= 3 words agrees exactly; batch path only has
+    # rows for docs with shingles, so the key sets must match too
+    assert batch == expr
+    assert len(batch) > 0
