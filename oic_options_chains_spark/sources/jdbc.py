@@ -19,6 +19,8 @@ Scale notes:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 
 DEFAULT_FETCHSIZE = 10_000
@@ -85,3 +87,97 @@ def jdbc_or_registered(
     if registered is None:
         raise ValueError(f"no JDBC url and no registered DataFrame for {table!r}")
     return registered
+
+
+def conflict_ignore_sql(
+    target: str, staging: str, columns: Sequence[str], pk: Sequence[str], dialect: str
+) -> str:
+    """The one set-based statement that moves a staged batch into the
+    target with the reference's insert semantics (schema.sql:23 +
+    ``ON CONFLICT DO NOTHING``, transform-load.2025-08-19.rkt:209):
+
+    - ``postgresql``: the literal ``INSERT ... ON CONFLICT DO NOTHING``
+      — atomic under concurrent writers, the reference's exact form.
+    - ``derby`` (and ANSI engines without upsert): insert-select with a
+      NOT EXISTS anti-join on the PK — identical rows-inserted for
+      idempotent replay; under CONCURRENT writers the PK constraint
+      still guarantees uniqueness (the loser errors and retries) but
+      the statement itself is not conflict-swallowing.
+
+    Staging-side identifiers are double-quoted: Spark's JDBC writer
+    CREATEs the stage with quoted (case-exact) column names, while the
+    DB-owned target keeps its own (typically unquoted/folded) names —
+    mixing the two unquoted is a resolution error on Derby/Postgres.
+    """
+    cols = ", ".join(columns)
+    cols_s = ", ".join(f's."{c}"' for c in columns)
+    if dialect == "postgresql":
+        conflict = ", ".join(pk)
+        return (
+            f"INSERT INTO {target} ({cols}) SELECT {cols_s} FROM {staging} s "
+            f"ON CONFLICT ({conflict}) DO NOTHING"
+        )
+    on = " AND ".join(f't.{c} = s."{c}"' for c in pk)
+    return (
+        f"INSERT INTO {target} ({cols}) "
+        f"SELECT {cols_s} FROM {staging} s "
+        f"WHERE NOT EXISTS (SELECT 1 FROM {target} t WHERE {on})"
+    )
+
+
+def jdbc_conflict_ignore_append(
+    df: DataFrame,
+    url: str,
+    table: str,
+    pk: Sequence[str],
+    dialect: str = "derby",
+    staging_table: str | None = None,
+    user: str | None = None,
+    password: str | None = None,
+) -> None:
+    """Idempotent append into a LIVE JDBC table — the reference's actual
+    sink shape (PK'd Postgres table, conflict-ignoring daily loads),
+    not the parquet analog.
+
+    Scale split: the batch lands in a STAGING table via Spark's
+    distributed JDBC writer (every executor writes its partition over
+    its own connection), then ONE set-based driver statement moves it
+    into the target with conflict-ignore semantics and drops the stage.
+    The dedup work happens inside the database engine where the PK
+    index lives — never collected, never row-by-row over the wire.
+
+    In-batch duplicates are collapsed Spark-side first (the DB
+    statement guards against target conflicts, not intra-stage ones)."""
+    from oic_options_chains_spark.operators.dedup import dedup_by_key
+
+    staging = staging_table or f"{table}_stage"
+    batch = dedup_by_key(df, pk)
+    # Spark's default JDBC mapping writes StringType as CLOB on Derby,
+    # which cannot be compared against the target's VARCHAR PK columns;
+    # pin stage strings to VARCHAR so the set-based statement stays legal
+    string_cols = ", ".join(
+        f"{f.name} VARCHAR(4000)"
+        for f in batch.schema
+        if f.dataType.simpleString() == "string"
+    )
+    writer = batch.write.format("jdbc").options(
+        **jdbc_options(url, staging, user=user, password=password)
+    )
+    if string_cols:
+        writer = writer.option("createTableColumnTypes", string_cols)
+    writer.mode("overwrite").save()
+    spark = df.sparkSession
+    jvm = spark._jvm
+    conn = (
+        jvm.java.sql.DriverManager.getConnection(url, user, password)
+        if user is not None
+        else jvm.java.sql.DriverManager.getConnection(url)
+    )
+    try:
+        st = conn.createStatement()
+        st.execute(
+            conflict_ignore_sql(table, staging, [f.name for f in batch.schema], pk, dialect)
+        )
+        st.execute(f"DROP TABLE {staging}")
+    finally:
+        conn.close()

@@ -86,3 +86,62 @@ def test_write_back_appends_through_the_driver(spark, derby_url):
         (0, "AMD", 1.0),
         (9, "NVDA", 4.0),
     ]
+
+
+def test_conflict_ignore_append_is_idempotent_live(spark, derby_url):
+    """The reference's sink semantics against a REAL PK'd table:
+    replaying a batch inserts nothing; an overlapping batch inserts
+    only its new rows; in-batch duplicates collapse — all decided by
+    ONE set-based statement inside the database, never row-by-row."""
+    from oic_options_chains_spark.sources.jdbc import jdbc_conflict_ignore_append
+
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(derby_url)
+    st = conn.createStatement()
+    st.execute(
+        "CREATE TABLE chain_pk (sym VARCHAR(10) NOT NULL, d VARCHAR(10) NOT NULL,"
+        " px DOUBLE, PRIMARY KEY (sym, d))"
+    )
+    conn.close()
+
+    b1 = spark.createDataFrame(
+        [("AAA", "2024-01-02", 1.0), ("BBB", "2024-01-02", 2.0),
+         ("BBB", "2024-01-02", 2.0)],  # in-batch dup
+        "sym string, d string, px double",
+    )
+    jdbc_conflict_ignore_append(b1, derby_url, "chain_pk", ["sym", "d"])
+    count = lambda: read_jdbc(spark, derby_url, "chain_pk").count()  # noqa: E731
+    assert count() == 2
+
+    # full replay: no-op
+    jdbc_conflict_ignore_append(b1, derby_url, "chain_pk", ["sym", "d"])
+    assert count() == 2
+
+    # overlap: only the new row lands
+    b2 = spark.createDataFrame(
+        [("BBB", "2024-01-02", 99.0), ("CCC", "2024-01-02", 3.0)],
+        "sym string, d string, px double",
+    )
+    jdbc_conflict_ignore_append(b2, derby_url, "chain_pk", ["sym", "d"])
+    back = read_jdbc(spark, derby_url, "chain_pk")
+    cols = {c.lower(): c for c in back.columns}  # Derby folds to upper
+    rows = {
+        (r[cols["sym"]], r[cols["px"]]) for r in back.collect()
+    }
+    # existing BBB kept its ORIGINAL value (conflict-IGNORE, not upsert)
+    assert rows == {("AAA", 1.0), ("BBB", 2.0), ("CCC", 3.0)}
+    # staging table dropped
+    with pytest.raises(Exception):
+        read_jdbc(spark, derby_url, "chain_pk_stage").collect()
+
+
+def test_conflict_ignore_sql_dialects():
+    from oic_options_chains_spark.sources.jdbc import conflict_ignore_sql
+
+    pg = conflict_ignore_sql("t", "t_stage", ["a", "b", "v"], ["a", "b"], "postgresql")
+    assert pg == (
+        'INSERT INTO t (a, b, v) SELECT s."a", s."b", s."v" FROM t_stage s '
+        "ON CONFLICT (a, b) DO NOTHING"
+    )
+    dby = conflict_ignore_sql("t", "t_stage", ["a", "b", "v"], ["a", "b"], "derby")
+    assert "NOT EXISTS" in dby and 't.a = s."a" AND t.b = s."b"' in dby
