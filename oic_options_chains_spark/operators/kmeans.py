@@ -274,6 +274,45 @@ def _auto_sub_bits(n_rows: int, k: int) -> int:
     return bits_for(int(expected_cell))
 
 
+def _cell_pair_distances(assigned: DataFrame, sub_bits: int) -> DataFrame:
+    """(cid, vid_hi, vid_lo, d): exact integer distances of every
+    within-cell (optionally sub-LSH-restricted) ordered pair — the
+    pairing core shared by ``semantic_dedup`` (fixed eps) and
+    ``semantic_dedup_auto_eps`` (quantile-derived eps). Salted on the
+    cell key (see semantic_dedup docstring)."""
+    from oic_options_chains_spark.operators.skew import salted_join
+
+    keys = ["cid"]
+    if sub_bits > 0:
+        sub = F.concat(
+            *[
+                F.when(F.element_at(F.col("qarr"), i + 1) > 0, F.lit("1")).otherwise(
+                    F.lit("0")
+                )
+                for i in range(sub_bits)
+            ]
+        )
+        assigned = assigned.withColumn("__sub", sub)
+        keys = ["cid", "__sub"]
+    a = assigned.select(
+        *keys,
+        F.col("vec_id").alias("vid_hi"),
+        F.col("qarr").alias("q_hi"),
+    )
+    b_side = assigned.select(
+        *keys,
+        F.col("vec_id").alias("vid_lo"),
+        F.col("qarr").alias("q_lo"),
+    )
+    pairs = salted_join(a, b_side, keys, left_salt_from="vid_hi").filter(
+        F.col("vid_lo") < F.col("vid_hi")
+    )
+    d = _fold_sum_long(
+        F.zip_with(F.col("q_hi"), F.col("q_lo"), lambda x, y: (x - y) * (x - y))
+    )
+    return pairs.select("cid", "vid_hi", "vid_lo", d.alias("d"))
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     eps: int,
@@ -335,39 +374,7 @@ def semantic_dedup(
     if sub_bits is None:
         sub_bits = _auto_sub_bits(embeddings.count(), k)
     assigned, _ = kmeans_fit(embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
-    from oic_options_chains_spark.operators.skew import salted_join
-
-    keys = ["cid"]
-    if sub_bits > 0:
-        sub = F.concat(
-            *[
-                F.when(F.element_at(F.col("qarr"), i + 1) > 0, F.lit("1")).otherwise(
-                    F.lit("0")
-                )
-                for i in range(sub_bits)
-            ]
-        )
-        assigned = assigned.withColumn("__sub", sub)
-        keys = ["cid", "__sub"]
-    a = assigned.select(
-        *keys,
-        F.col("vec_id").alias("vid_hi"),
-        F.col("qarr").alias("q_hi"),
-    )
-    b_side = assigned.select(
-        *keys,
-        F.col("vec_id").alias("vid_lo"),
-        F.col("qarr").alias("q_lo"),
-    )
-    pairs = salted_join(a, b_side, keys, left_salt_from="vid_hi").filter(
-        F.col("vid_lo") < F.col("vid_hi")
-    )
-    d = _fold_sum_long(
-        F.zip_with(F.col("q_hi"), F.col("q_lo"), lambda x, y: (x - y) * (x - y))
-    )
-    close = pairs.select("cid", "vid_hi", "vid_lo", d.alias("d")).filter(
-        F.col("d") <= eps
-    )
+    close = _cell_pair_distances(assigned, sub_bits).filter(F.col("d") <= eps)
     best = close.groupBy("vid_hi", "cid").agg(
         F.min("vid_lo").alias("keeper"),
         F.min_by("d", "vid_lo").alias("dist"),
@@ -414,4 +421,64 @@ def centroid_probe(
         assigned.join(labels, "vec_id")
         .groupBy("label", F.col("cid").cast("int").alias("predicted"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+    )
+
+
+def semantic_dedup_auto_eps(
+    embeddings: DataFrame,
+    pct_bp: int = 100,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sub_bits: int | None = None,
+) -> DataFrame:
+    """SemDeDup with the eps threshold DERIVED from the corpus itself:
+    eps = the exact ``pct_bp``-basis-point lower order statistic of the
+    within-cell pair-distance distribution (position max(1,
+    (n_pairs * pct_bp) div 10000) under the total order (d, hi, lo)).
+
+    Why: a fixed eps is a per-corpus magic number — the right threshold
+    at 100 TB moves with the embedding model, the quantization, and the
+    corpus's self-similarity. "Drop the closest 1% of pairs" is the
+    operational contract curation actually wants, and the order
+    statistic makes it exact and engine-replayable (no float quantile
+    interpolation).
+
+    Scale: the pair relation is the same bounded within-cell pairing as
+    ``semantic_dedup`` (never corpus²); the order statistic uses the
+    two-phase ``global_rank`` (keyed on the distance value domain — no
+    single-reducer global sort), and the 1-row eps broadcasts back.
+
+    Returns the dropped rows (vec_id, cid, keeper, dist, eps) — eps
+    included so downstream audit sees the threshold that was applied."""
+    from oic_options_chains_spark.operators.sampling import global_rank
+
+    if sub_bits is None:
+        sub_bits = _auto_sub_bits(embeddings.count(), k)
+    assigned, _ = kmeans_fit(
+        embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    dists = _cell_pair_distances(assigned, sub_bits).localCheckpoint(eager=True)
+    ranked = global_rank(dists, ["d", "vid_hi", "vid_lo"], out="__rank")
+    n = dists.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    eps_row = (
+        ranked.crossJoin(F.broadcast(n))
+        .filter(
+            F.col("__rank")
+            == F.greatest(F.lit(1), F.expr(f"__n * {pct_bp} div 10000"))
+        )
+        .select(F.col("d").alias("eps"))
+    )
+    close = dists.crossJoin(F.broadcast(eps_row)).filter(F.col("d") <= F.col("eps"))
+    best = close.groupBy("vid_hi", "cid", "eps").agg(
+        F.min("vid_lo").alias("keeper"),
+        F.min_by("d", "vid_lo").alias("dist"),
+    )
+    return best.select(
+        F.col("vid_hi").alias("vec_id"),
+        "cid",
+        F.col("keeper").cast("bigint").alias("keeper"),
+        F.col("dist").cast("bigint").alias("dist"),
+        F.col("eps").cast("bigint").alias("eps"),
     )

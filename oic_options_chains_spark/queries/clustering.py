@@ -20,6 +20,7 @@ from oic_options_chains_spark.operators.kmeans import (
     ivf_kmeans_topk,
     kmeans_fit,
     semantic_dedup,
+    semantic_dedup_auto_eps,
 )
 from oic_options_chains_spark.queries.registry import register
 from oic_options_chains_spark.sources.registry import load_table
@@ -802,4 +803,48 @@ def q_prop_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_correct",
             "CAST(10000 * n_correct div n_nodes AS BIGINT) AS accuracy_bp",
         )
+    )
+
+
+_AUTO_EPS_BP = 100  # drop the closest 1% of within-cell pairs
+
+
+@register(
+    "q_semdedup_auto",
+    oracle=f"""
+    {_kmeans_cte()},
+    pr AS (SELECT a.vec_id AS hi, a.cid, b.vec_id AS lo
+           FROM a{_ITERS} a JOIN a{_ITERS} b
+             ON a.cid = b.cid AND b.vec_id < a.vec_id),
+    d AS (SELECT pr.hi, pr.cid, pr.lo,
+                 SUM((va.q - vb.q) * (va.q - vb.q)) AS d
+          FROM pr JOIN qv va ON va.vec_id = pr.hi
+                  JOIN qv vb ON vb.vec_id = pr.lo AND va.pos = vb.pos
+          GROUP BY 1, 2, 3),
+    r AS (SELECT d.*,
+                 row_number() OVER (ORDER BY d, hi, lo) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM d),
+    e AS (SELECT CAST(d AS BIGINT) AS eps FROM r
+          WHERE rn = GREATEST(1, (n * {_AUTO_EPS_BP}) // 10000))
+    SELECT hi AS vec_id, cid,
+           CAST(MIN(lo) AS BIGINT) AS keeper,
+           CAST(arg_min(d, lo) AS BIGINT) AS dist,
+           (SELECT eps FROM e) AS eps
+    FROM d WHERE d <= (SELECT eps FROM e)
+    GROUP BY hi, cid
+    """,
+)
+def q_semdedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with a SELF-TUNED threshold: eps is the exact 1%-of-
+    pairs lower order statistic of the within-cell distance
+    distribution (operators/kmeans.semantic_dedup_auto_eps) instead of
+    a per-corpus magic number — 'drop the closest 1% of pairs' is the
+    contract that survives an embedding-model or corpus change at
+    100 TB. The order statistic uses the two-phase global_rank (no
+    single-reducer sort) and broadcasts one eps row back; the oracle
+    replays the identical (d, hi, lo) total order."""
+    e = _spread(load_table(spark, sf_dir, "embeddings"))
+    return semantic_dedup_auto_eps(
+        e, pct_bp=_AUTO_EPS_BP, k=_K, iters=_ITERS, sub_bits=0
     )

@@ -65,9 +65,12 @@ def _read_log(snap_dir: str) -> list[dict]:
     for v in _log_versions(snap_dir):
         with open(os.path.join(_log_dir(snap_dir), f"{v:020d}.json")) as f:
             entry = json.load(f)
-        by_id[entry["snapshot_id"]] = {
+        folded = {
             k: entry[k] for k in ("snapshot_id", "message", "rows", "committed_at")
         }
+        if "data_dir" in entry:  # version-addressed commits (round 7+)
+            folded["data_dir"] = entry["data_dir"]
+        by_id[entry["snapshot_id"]] = folded
     return sorted(by_id.values(), key=lambda e: e["snapshot_id"])
 
 
@@ -128,14 +131,24 @@ def commit_snapshot(
 ) -> dict:
     """Write ``df`` as snapshot ``snapshot_id`` and append the commit to
     the manifest. Replaying a day is idempotent like the reference's
-    re-commit of the same date: the data dir is overwritten and the
-    existing manifest entry is updated in place, never duplicated.
+    re-commit of the same date: the read-path fold shows only the
+    LATEST commit per snapshot_id, never a duplicate entry.
+
+    Commits are VERSION-ADDRESSED and immutable: each commit writes a
+    fresh data dir (never overwriting a prior commit's files) and
+    records it in the log entry, so ``read_snapshot_version`` is real
+    time travel — a replayed day's OLD rows remain readable at their
+    own version, exactly Dolt's model. Storage therefore grows per
+    commit like any versioned store; production deployments bind this
+    seam to a table format whose snapshots share unchanged files.
 
     The manifest entry records the row count (one distributed count —
     the reference's commit message carried only the date; the count is
     the recon anchor a restore can verify against)."""
     os.makedirs(snap_dir, exist_ok=True)
-    data_dir = os.path.join(snap_dir, f"snapshot_id={snapshot_id}")
+    # unique immutable data dir; underscore prefix keeps it invisible
+    # to any parquet discovery over snap_dir itself
+    data_dir = tempfile.mkdtemp(dir=snap_dir, prefix="_v-")
     # checkpoint first in case df reads a previous version of this path
     staged = df.localCheckpoint(eager=True)
     n = staged.count()
@@ -144,6 +157,7 @@ def commit_snapshot(
         "snapshot_id": snapshot_id,
         "message": message,
         "rows": n,
+        "data_dir": os.path.basename(data_dir),
         "committed_at": committed_at
         or dt.datetime.now(dt.timezone.utc).isoformat(timespec="seconds"),
     }
@@ -176,4 +190,57 @@ def read_snapshot(
         snapshot_id = ids[-1]
     if snapshot_id not in ids:
         raise FileNotFoundError(f"snapshot {snapshot_id!r} not in manifest {ids}")
-    return spark.read.parquet(os.path.join(snap_dir, f"snapshot_id={snapshot_id}"))
+    entry = entries[ids.index(snapshot_id)]
+    return spark.read.parquet(_entry_data_path(snap_dir, entry))
+
+
+def _entry_data_path(snap_dir: str, entry: dict) -> str:
+    """Version-addressed commits carry their data dir in the entry;
+    legacy (pre-log / pre-round-7) commits live at snapshot_id=<id>."""
+    return os.path.join(
+        snap_dir, entry.get("data_dir", f"snapshot_id={entry['snapshot_id']}")
+    )
+
+
+def read_snapshot_version(
+    spark: SparkSession, snap_dir: str, version: int
+) -> DataFrame:
+    """Time travel by COMMIT VERSION (the ``AS OF VERSION v`` face of
+    the log): read EXACTLY the rows version ``v`` committed — commits
+    are immutable version-addressed dirs, so this sees a replayed day's
+    OLD content, not the replay. Version numbers are the OCC log's file
+    names — total-ordered, gap-free, exactly what ``_append_log`` hands
+    out (reference analog: ``dolt checkout <commit>``). Legacy entries
+    that predate version-addressed data (no ``data_dir``) fall back to
+    the id dir, which for them holds the latest content — documented
+    historical limitation of pre-round-7 commits."""
+    path = os.path.join(_log_dir(snap_dir), f"{version:020d}.json")
+    try:
+        with open(path) as f:
+            entry = json.load(f)
+    except OSError as exc:
+        raise FileNotFoundError(
+            f"no commit version {version} under {snap_dir}"
+        ) from exc
+    return spark.read.parquet(_entry_data_path(snap_dir, entry))
+
+
+def revert_snapshot(
+    spark: SparkSession,
+    snap_dir: str,
+    snapshot_id: str,
+    message: str | None = None,
+) -> dict:
+    """Roll a snapshot back by COMMITTING ITS OLD CONTENT AS NEW — the
+    append-only revert (``dolt revert`` analog): history is never
+    rewritten, the log gains a fresh version whose data is the old
+    snapshot's rows re-staged, and the fold-by-id read path sees the
+    reverted content as current. Concurrency-safe for free: the commit
+    goes through the same OCC log append as any writer."""
+    old = read_snapshot(spark, snap_dir, snapshot_id)
+    return commit_snapshot(
+        old,
+        snap_dir,
+        snapshot_id,
+        message=message or f"revert to {snapshot_id}",
+    )

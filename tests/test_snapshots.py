@@ -288,3 +288,47 @@ def test_partition_lock_lease_steal(tmp_path):
     with pytest.raises(TimeoutError):
         with _partition_locks(tdir, ["2024-01-02"], lease_sec=600, wait_sec=0.3):
             pass
+
+
+def test_version_addressed_read_and_revert(spark, tmp_path):
+    """Time travel by commit version + append-only revert: after a
+    replayed (changed) day, version-addressed reads still see each
+    commit's own content... and revert_snapshot restores the old rows
+    as a NEW commit without rewriting history."""
+    from oic_options_chains_spark.sources.snapshots import (
+        read_snapshot_version,
+        revert_snapshot,
+    )
+
+    snap = str(tmp_path / "tt")
+    v1 = spark.createDataFrame([("a", 1)], "k string, v int")
+    v2 = spark.createDataFrame([("a", 2), ("b", 3)], "k string, v int")
+    e0 = commit_snapshot(v1, snap, "2024-01-02", message="first")
+    assert e0["rows"] == 1
+    commit_snapshot(v2, snap, "2024-01-02", message="replayed")
+
+    # current read = the replay
+    assert read_snapshot(spark, snap).count() == 2
+    assert list_snapshots(snap)[0]["rows"] == 2
+    # commits are immutable version dirs: the replayed day's OLD rows
+    # are still readable at their own version — real time travel
+    assert read_snapshot_version(spark, snap, 0).count() == 1
+    assert read_snapshot_version(spark, snap, 1).count() == 2
+    with pytest.raises(FileNotFoundError):
+        read_snapshot_version(spark, snap, 99)
+
+    # commit a second day, then revert it: history grows, content rolls back
+    commit_snapshot(
+        spark.createDataFrame([("x", 9)], "k string, v int"), snap, "2024-01-03"
+    )
+    revert_snapshot(spark, snap, "2024-01-02")
+    ids = [e["snapshot_id"] for e in list_snapshots(snap)]
+    assert ids == ["2024-01-02", "2024-01-03"]  # fold-by-id, both live
+    # the revert appended a new log version rather than rewriting any
+    from oic_options_chains_spark.sources.snapshots import _log_versions
+
+    assert len(_log_versions(snap)) == 4  # 2 commits + day2 + revert
+    # every historical version remains independently readable
+    assert [
+        read_snapshot_version(spark, snap, v).count() for v in range(4)
+    ] == [1, 2, 1, 2]
