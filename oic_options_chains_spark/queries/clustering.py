@@ -845,6 +845,7 @@ def q_semdedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-reducer sort) and broadcasts one eps row back; the oracle
     replays the identical (d, hi, lo) total order."""
     e = _spread(load_table(spark, sf_dir, "embeddings"))
-    return semantic_dedup_auto_eps(
-        e, pct_bp=_AUTO_EPS_BP, k=_K, iters=_ITERS, sub_bits=0
-    )
+    # sub_bits left at the AUTO default (scale-safe split past the cell
+    # target, exact — and oracle-matching — at gate-scale corpora),
+    # same coupling contract as q_semdedup
+    return semantic_dedup_auto_eps(e, pct_bp=_AUTO_EPS_BP, k=_K, iters=_ITERS)
