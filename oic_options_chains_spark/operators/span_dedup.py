@@ -18,12 +18,13 @@ Plan shape at 100 TB — all relational, no UDF:
   fingerprint window that ranks occurrences (hash-partitioned on the
   fingerprint; a Zipf-hot fingerprint serializes one partition's linear
   scan, but rank>1 filtering streams — nothing materializes per group),
-  (2) the per-document island window and rebuild (both partition by
-  doc_id and can share one exchange), and (3) the anti-join of tokens
-  against removed positions, co-partitioned on (doc, pos).
-- Removed-position explode is bounded by the corpus token count; the
-  rebuild's collect_list holds one document's tokens — the same scale as
-  the input row itself.
+  and (2) one doc-keyed join of the base against the per-document
+  merged-span arrays.
+- The island-merge windows and the span collect_list run over FLAGGED
+  occurrences only (duplicates), not the corpus; the rebuild splices
+  the token array between spans with aggregate()+slice() entirely
+  array-side — no per-token explode, no (doc, pos) anti-join, no
+  collect_list re-sort of the whole corpus.
 
 Reference scope: extends K1/K2's row-identity dedup
 (transform-load.2025-08-19.rkt ON CONFLICT DO NOTHING) to sub-row
@@ -117,35 +118,47 @@ def dedup_spans(
         F.min("start").alias("s"), F.max("end").alias("e")
     )
 
-    # Token-level removal: explode spans to positions, anti-join.
-    removed = spans.select(
-        F.col(id_col), F.explode(F.sequence(F.col("s"), F.col("e") - 1)).alias("pos")
-    )
-    tokens = base.select(F.col(id_col), F.posexplode("__t").alias("pos", "token"))
-    kept = tokens.join(removed, on=[id_col, "pos"], how="left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "token"))),
-                lambda x: x["token"],
-            ),
-            " ",
-        ).alias("clean_text"),
-        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+    # Array-side rebuild: collect each document's merged spans into one
+    # sorted array (rows exist ONLY for documents that lose a span) and
+    # splice the token array between consecutive spans. Replaces the
+    # per-token explode + (doc, pos) anti-join + collect_list re-sort —
+    # three corpus-TOKEN-sized exchanges — with one doc-keyed join whose
+    # build side is just the affected documents.
+    doc_spans = spans.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct(F.col("s"), F.col("e")))).alias(
+            "__spans"
+        )
     )
 
-    totals = base.select(
-        F.col(id_col), F.size("__t").cast("bigint").alias("n_tokens")
-    )
-    return (
-        totals.join(rebuilt, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-            F.col("n_tokens"),
-            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
-            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
-            .cast("bigint")
-            .alias("n_removed"),
+    def _slice(start0, length):
+        # slice() is 1-based and rejects length 0; guard the empty cut.
+        return F.when(length > 0, F.slice(F.col("__t"), start0 + 1, length)).otherwise(
+            F.array().cast("array<string>")
         )
+
+    kept_arr = F.when(F.col("__spans").isNull(), F.col("__t")).otherwise(
+        F.aggregate(
+            "__spans",
+            F.struct(
+                F.array().cast("array<string>").alias("acc"),
+                F.lit(0).alias("prev"),
+            ),
+            lambda a, sp: F.struct(
+                F.concat(a["acc"], _slice(a["prev"], sp["s"] - a["prev"])).alias(
+                    "acc"
+                ),
+                sp["e"].alias("prev"),
+            ),
+            lambda a: F.concat(
+                a["acc"], _slice(a["prev"], F.size("__t") - a["prev"])
+            ),
+        )
+    )
+
+    return base.join(doc_spans, id_col, "left").select(
+        F.col(id_col),
+        F.array_join(kept_arr, " ").alias("clean_text"),
+        F.size("__t").cast("bigint").alias("n_tokens"),
+        F.size(kept_arr).cast("bigint").alias("n_kept"),
+        (F.size("__t") - F.size(kept_arr)).cast("bigint").alias("n_removed"),
     )
