@@ -197,3 +197,70 @@ def pagerank_int(
     return pr.join(deg, pr["node"] == deg["src"]).select(
         "node", "pr", F.col("deg").cast("bigint").alias("degree")
     )
+
+
+def exact_star_edges(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_a, doc_b) edges linking every exact duplicate (whitespace-
+    normalized md5 of the lowered text) to its group's MINIMUM id — star
+    edges, so a d-sized duplicate group contributes d-1 edges instead of
+    d*(d-1)/2 while producing identical connected components. One
+    fingerprint-keyed window, no self-join."""
+    norm = F.md5(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    f = docs.select(F.col(id_col), norm.alias("__fp"))
+    w = Window.partitionBy("__fp")
+    return (
+        f.withColumn("__min", F.min(id_col).over(w))
+        .filter(F.col(id_col) > F.col("__min"))
+        .select(F.col("__min").alias("doc_a"), F.col(id_col).alias("doc_b"))
+    )
+
+
+def ensemble_dedup(
+    docs: DataFrame,
+    edge_sources: dict[int, DataFrame],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multi-signal dedup verdict: union several duplicate-evidence edge
+    sources — each tagged with a power-of-two provenance bit — into one
+    graph, run connected components once, and report per document which
+    SIGNALS implicated it. This is the production composition (exact
+    hash + MinHash-fuzzy + embedding-semantic, a la Dolma/FineWeb): each
+    signal alone misses a duplicate class; the union's transitive
+    closure catches chains no single signal sees (A=B exactly, B~C
+    semantically => A,B,C one cluster).
+
+    ``edge_sources``: provenance bit -> DataFrame with (doc_a, doc_b).
+    Returns (doc_id, cluster_id, is_keeper, signals) for EVERY document;
+    ``signals`` is the bit-OR over the document's incident edges (0 for
+    singletons).
+
+    Scale shape: edge tagging/normalizing is row-local; the union
+    aggregates once on the (a, b) pair key (bit_or partial-aggregates
+    map-side); components run on the combined edge list — one graph
+    pass total instead of one per signal."""
+    tagged = None
+    for bit, edges in sorted(edge_sources.items()):
+        t = edges.select(
+            F.least(F.col("doc_a"), F.col("doc_b")).alias("doc_a"),
+            F.greatest(F.col("doc_a"), F.col("doc_b")).alias("doc_b"),
+            F.lit(bit).cast("int").alias("sig"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    edges = tagged.groupBy("doc_a", "doc_b").agg(
+        F.bit_or("sig").alias("signals")
+    )
+    verdict = dedup_clusters(docs, edges, id_col)
+    incident = (
+        edges.select(F.col("doc_a").alias(id_col), "signals")
+        .unionByName(edges.select(F.col("doc_b").alias(id_col), "signals"))
+        .groupBy(id_col)
+        .agg(F.bit_or("signals").alias("signals"))
+    )
+    return verdict.join(incident, id_col, "left").select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        F.col("is_keeper"),
+        F.coalesce(F.col("signals"), F.lit(0)).cast("int").alias("signals"),
+    )

@@ -1629,3 +1629,99 @@ def q_neardup_owners(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.min("own").cast("bigint").alias("dup_of"))
     )
+
+
+@register(
+    "q_dedup_ensemble",
+    oracle="WITH RECURSIVE "
+    + _SIG_SQL.removeprefix("WITH ")
+    + r""",
+    bands AS (
+      SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+             string_agg(minhash, ',' ORDER BY seed) AS band_key
+      FROM sig GROUP BY doc_id, seed // 4),
+    mh AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id),
+    fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS f
+      FROM documents),
+    ex AS (
+      SELECT k.m AS doc_a, fp.doc_id AS doc_b
+      FROM fp JOIN (SELECT f, MIN(doc_id) AS m FROM fp GROUP BY f) k
+      USING (f) WHERE fp.doc_id > k.m),
+    eb AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] > 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[2] > 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[3] > 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[4] > 0 THEN '1' ELSE '0' END) AS bucket
+      FROM embeddings),
+    ep AS (
+      SELECT a.vec_id AS doc_a, c.vec_id AS doc_b
+      FROM eb a JOIN eb c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+      WHERE list_reduce(list_transform(list_zip(a.embedding, c.embedding),
+                                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                        (acc, x) -> acc + x)
+            / (sqrt(list_reduce(list_transform(a.embedding,
+                                               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                                (acc, x) -> acc + x))
+               * sqrt(list_reduce(list_transform(c.embedding,
+                                                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                                  (acc, x) -> acc + x))) >= 0.35),
+    tagged AS (
+      SELECT doc_a, doc_b, 1 AS sig FROM ex
+      UNION ALL SELECT doc_a, doc_b, 2 FROM mh
+      UNION ALL SELECT doc_a, doc_b, 4 FROM ep),
+    edg AS (SELECT doc_a, doc_b, bit_or(sig) AS signals
+            FROM tagged GROUP BY doc_a, doc_b),
+    und AS (SELECT doc_a AS a, doc_b AS b FROM edg
+            UNION SELECT doc_b, doc_a FROM edg),
+    reach(src, dst) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM und)
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN und e ON r.dst = e.a),
+    cc AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+           FROM reach GROUP BY src),
+    inc AS (SELECT doc_a AS doc_id, signals FROM edg
+            UNION ALL SELECT doc_b, signals FROM edg),
+    sg AS (SELECT doc_id, bit_or(signals) AS signals FROM inc GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+           CAST(CASE WHEN d.doc_id = COALESCE(cc.cluster_id, d.doc_id)
+                     THEN 1 ELSE 0 END AS INT) AS is_keeper,
+           CAST(COALESCE(sg.signals, 0) AS INT) AS signals
+    FROM documents d
+    LEFT JOIN cc ON d.doc_id = cc.doc_id
+    LEFT JOIN sg ON d.doc_id = sg.doc_id
+    """,
+)
+def q_dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal ensemble dedup (operators/clusters.ensemble_dedup):
+    exact-hash star edges (bit 1) + MinHash LSH band collisions (bit 2)
+    + embedding-cosine near-dups (bit 4) union into ONE graph; connected
+    components run once over the combined edges, and each document
+    reports the provenance bitmask of the signals that implicated it.
+    The transitive closure across signals is the point: A=B exactly and
+    B~C semantically puts A, B, C in one cluster — no single signal
+    sees that."""
+    from oic_options_chains_spark.operators.clusters import (
+        ensemble_dedup,
+        exact_star_edges,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    bands = minhash_band_keys(
+        doc_shingles(d, "doc_id", "text", distinct=False), "doc_id"
+    )
+    lsh = lsh_candidate_pairs(bands, "doc_id")
+    emb = near_dup_pairs(
+        e, threshold=0.35, bits=4, broadcast_candidates=True
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    return ensemble_dedup(
+        d, {1: exact_star_edges(d), 2: lsh, 4: emb}
+    )

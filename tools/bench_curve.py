@@ -131,8 +131,12 @@ def main() -> None:
     args = ap.parse_args()
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # all three points come from gen_scale.py's 32-part-file layout so
+    # scan parallelism is CONSTANT across the curve — the driver's
+    # single-row-group sf0.1 files are unsplittable (1 scan task), which
+    # would fold a parallelism discontinuity into the slope
     points = [
-        ("0.1", "/root/testdata/sf0.1"),
+        ("0.1", os.path.join(repo, ".scale", "sf0.1")),
         ("0.5", os.path.join(repo, ".scale", "sf0.5")),
         ("1", os.path.join(repo, ".scale", "sf1")),
     ]

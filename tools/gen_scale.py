@@ -23,7 +23,17 @@ Schemas are preserved byte-for-byte via pyarrow (the us-timestamp
 columns must not be rewritten to a different physical type, or Spark's
 reader would see a different schema than the driver tables).
 
-Usage: python tools/gen_scale.py [--out .scale] [--factors 5 10]
+Layout: each table is written as a DIRECTORY ``<table>.parquet/`` of 32
+equal part-files (Spark reads it transparently). The driver's tables are
+single-file single-row-group parquet, which Spark cannot split — every
+scan runs on ONE task, so a curve over those files measures serial CPU
+growth, not plan behavior. A 100 TB deployment always has many files;
+fixing the part count at 32 across every curve point keeps scan
+parallelism constant, so the fitted slope isolates how the PLAN's cost
+grows with data. sf0.1 is re-materialized here too (factor 1) so all
+three curve points share the layout.
+
+Usage: python tools/gen_scale.py [--out .scale] [--factors 1 5 10]
 Idempotent: skips a table whose output already exists unless --force.
 """
 
@@ -127,10 +137,29 @@ def _replicate(table: str, factor: int, spans: dict[str, int]) -> pa.Table:
     return pa.concat_tables(parts).combine_chunks()
 
 
+def _write_parts(t: pa.Table, dst: str, n_files: int = 32) -> None:
+    """Write as a directory of ~equal part-files (Spark-splittable)."""
+    import shutil
+
+    if os.path.isdir(dst):
+        shutil.rmtree(dst)
+    elif os.path.exists(dst):
+        os.remove(dst)
+    n = t.num_rows
+    k = max(1, min(n_files, n))
+    os.makedirs(dst, exist_ok=True)
+    step = -(-n // k)
+    for i in range(k):
+        chunk = t.slice(i * step, step)
+        if chunk.num_rows == 0:
+            break
+        pq.write_table(chunk, f"{dst}/part-{i:04d}.parquet")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "..", ".scale"))
-    ap.add_argument("--factors", nargs="+", type=int, default=[5, 10])
+    ap.add_argument("--factors", nargs="+", type=int, default=[1, 5, 10])
     ap.add_argument("--force", action="store_true")
     args = ap.parse_args()
     spans = _domain_spans()
@@ -141,14 +170,14 @@ def main() -> None:
         os.makedirs(out_dir, exist_ok=True)
         for table in (*COPY_AS_IS, *KEY_DOMAINS):
             dst = f"{out_dir}/{table}.parquet"
-            if os.path.exists(dst) and not args.force:
+            if os.path.isdir(dst) and not args.force:
                 print(f"skip {label}/{table} (exists)")
                 continue
             if table in COPY_AS_IS:
                 t = pq.read_table(f"{SRC}/{table}.parquet")
             else:
                 t = _replicate(table, factor, spans)
-            pq.write_table(t, dst)
+            _write_parts(t, dst)
             print(f"wrote {label}/{table}: {t.num_rows} rows")
 
 
