@@ -114,6 +114,8 @@ HEADLINE = (
     "q_bpe_train",
     "q_bpe_encode",
     "q_ks_drift",
+    "q_dedup_ensemble",
+    "q_maxmatch_segment",
     # OPH next to the k-permutation path it accelerates
     "q_oph_lsh_pairs",
 )

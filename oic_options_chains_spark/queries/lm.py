@@ -386,3 +386,106 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return bpe_encode_stats(d, rounds=_BPE_ROUNDS)
+
+
+_SEG_MAXPOS = 16
+_SEG_MINFREQ = 50
+
+
+def _seg_cte(max_pos: int = _SEG_MAXPOS, min_freq: int = _SEG_MINFREQ) -> str:
+    """Unrolled per-position Viterbi DP for dictionary max-match
+    segmentation (operators/segment.maxmatch_segment): b{i} holds each
+    word's best (score, length-sequence) reaching character position i,
+    extended from b{i-L} by an L-char piece (L=1 always legal; L in
+    2..4 gated on vocab membership), argmax by (score DESC, lens DESC).
+    Same integer objective as the Spark side, so winners replay
+    bit-identically."""
+    parts = [
+        f"""
+    WITH w AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+            FROM documents)
+      WHERE len(word) BETWEEN 1 AND {max_pos} GROUP BY word),
+    pc AS (
+      SELECT substr(word, CAST(i AS INT) + 1, CAST(L AS INT)) AS piece,
+             SUM(n) AS piece_n
+      FROM (SELECT word, n, unnest(range(0, len(word) - 1)) AS i FROM w
+            WHERE len(word) >= 2),
+           (SELECT unnest(range(2, 5)) AS L)
+      WHERE i + L <= len(word)
+      GROUP BY 1),
+    vocab AS MATERIALIZED (SELECT piece FROM pc WHERE piece_n >= {min_freq}),
+    b0 AS (SELECT word, n, CAST(0 AS BIGINT) AS score,
+                  CAST([] AS INT[]) AS lens FROM w)"""
+    ]
+    for i in range(1, max_pos + 1):
+        branches = [
+            f"""
+        SELECT word, n, score + 1 AS score,
+               list_concat(lens, [CAST(1 AS INT)]) AS lens
+        FROM b{i - 1} WHERE len(word) >= {i}"""
+        ]
+        for L in range(2, 5):
+            if i - L < 0:
+                break
+            branches.append(
+                f"""
+        SELECT word, n, score + {L * L} AS score,
+               list_concat(lens, [CAST({L} AS INT)]) AS lens
+        FROM b{i - L} WHERE len(word) >= {i}
+          AND substr(word, {i - L + 1}, {L}) IN (SELECT piece FROM vocab)"""
+            )
+        union = "\n        UNION ALL".join(branches)
+        parts.append(
+            f""",
+    b{i} AS MATERIALIZED (
+      SELECT word, n, score, lens FROM (
+        SELECT word, n, score, lens,
+               row_number() OVER (PARTITION BY word
+                                  ORDER BY score DESC, lens DESC) AS rn
+        FROM ({union})) WHERE rn = 1)"""
+        )
+    done = "\n        UNION ALL ".join(
+        f"SELECT word, n, score, lens FROM b{i} WHERE len(word) = {i}"
+        for i in range(1, max_pos + 1)
+    )
+    parts.append(f""",
+    done AS ({done})""")
+    return "".join(parts)
+
+
+@register(
+    "q_maxmatch_segment",
+    oracle=_seg_cte()
+    + """
+    SELECT word, n,
+           array_to_string(
+             list_transform(range(1, len(lens) + 1),
+               k -> substr(word,
+                           CAST(COALESCE(list_sum(lens[1:CAST(k AS INT) - 1]),
+                                         0) AS INT) + 1,
+                           lens[CAST(k AS INT)])),
+             ' ') AS pieces,
+           CAST(len(lens) AS BIGINT) AS n_pieces,
+           score
+    FROM done
+    """,
+)
+def q_maxmatch_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-tokenizer inference (operators/segment.maxmatch_segment):
+    every corpus word (<=16 chars) segmented into corpus-derived
+    substring-vocabulary pieces by an exact-integer Viterbi DP — max
+    sum(len^2), ties to the longest first piece. The vocab is the
+    substring frequency table thresholded at 50; single characters are
+    the always-available fallback, so there is no UNK."""
+    from oic_options_chains_spark.operators.segment import (
+        maxmatch_segment,
+        substring_vocab,
+        word_freqs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    w = word_freqs(d)
+    v = substring_vocab(w, min_len=2, max_len=4, min_freq=_SEG_MINFREQ)
+    return maxmatch_segment(w, v)
