@@ -116,6 +116,7 @@ HEADLINE = (
     "q_ks_drift",
     "q_dedup_ensemble",
     "q_maxmatch_segment",
+    "q_anf",
     # OPH next to the k-permutation path it accelerates
     "q_oph_lsh_pairs",
 )

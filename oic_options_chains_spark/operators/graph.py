@@ -263,3 +263,101 @@ def label_propagation(
     return labels.select(
         "node", "label", F.col("round").cast("int").alias("round")
     )
+
+
+def anf_ball_sizes(
+    nodes: DataFrame,
+    edges: DataFrame,
+    rounds: int = 2,
+    b: int = 4,
+    id_col: str = "node",
+) -> DataFrame:
+    """Approximate Neighborhood Function via HyperBall [Boldi & Vigna
+    2013]: per node, the estimated number of DISTINCT nodes within r
+    hops, for r = 1..rounds — the reach/centrality diagnostic that
+    tells a curation pipeline whether a near-duplicate neighborhood is
+    a bounded clump or a percolating template farm, without ever
+    materializing the ball sets.
+
+    Each node starts with the HLL register of its own id (the same
+    engine-portable md5 register math as operators/sketches.py, m=2^b
+    registers); one round is a register-wise MAX over {self} union
+    in-neighbors — the HLL union, exact under the sketch. A ball of any
+    size is always m bounded register rows, so a round costs one
+    edges-sized join plus one (node, reg)-keyed aggregation no matter
+    how fast balls grow — the property that makes radius-r reach
+    computable at 100 TB where exact BFS frontiers explode
+    combinatorially.
+
+    Estimates use the scaled-integer harmonic sum and the precomputed
+    small-range table (hll_numerator / hll_linear_table literals), so
+    no double exists anywhere and any engine replays the same integers.
+
+    Returns (node, r, n_zero_regs, estimate) for every input node and
+    radius; an isolated node estimates its singleton ball at every r.
+    """
+    from oic_options_chains_spark.operators.sketches import (
+        hll_linear_table,
+        hll_numerator,
+    )
+
+    assert b % 4 == 0 and 4 <= b <= 8, "b must be 4 or 8"
+    hx = b // 4
+    m = 1 << b
+    num = hll_numerator(m)
+    table = ", ".join(str(x) for x in hll_linear_table(m))
+
+    base = nodes.select(F.col(id_col).alias("node")).distinct()
+    regs = base.selectExpr(
+        "node",
+        f"CAST(conv(substring(md5(CAST(node AS STRING)), 1, {hx}), 16, 10)"
+        " AS INT) AS reg",
+        f"CAST(conv(substring(md5(CAST(node AS STRING)), {hx + 1}, 13),"
+        " 16, 10) AS BIGINT) AS __v",
+    ).selectExpr(
+        "node",
+        "reg",
+        "CAST(IF(__v = 0, 53, 53 - length(bin(__v))) AS INT) AS rho",
+    )
+    fwd = edges.select("src", "dst")
+    und = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+    def estimates(cur: DataFrame, r: int) -> DataFrame:
+        s = cur.groupBy("node").agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.expr(
+                "SUM(shiftleft(CAST(1 AS BIGINT), 53 - rho))"
+            ).alias("__t"),
+        )
+        return s.selectExpr(
+            "node",
+            f"CAST({r} AS INT) AS r",
+            f"CAST({m} - __n AS BIGINT) AS n_zero_regs",
+            f"CAST({num} AS DECIMAL(38,0)) DIV "
+            f"CAST(__t + shiftleft(CAST(1 AS BIGINT), 53) * ({m} - __n)"
+            " AS DECIMAL(38,0)) AS raw_est",
+        ).selectExpr(
+            "node",
+            "r",
+            "n_zero_regs",
+            f"CAST(IF(raw_est <= {(5 * m) // 2} AND n_zero_regs > 0, "
+            f"element_at(array({table}), CAST(n_zero_regs AS INT)), "
+            "raw_est) AS BIGINT) AS estimate",
+        )
+
+    out = None
+    cur = regs
+    for r in range(1, rounds + 1):
+        nbr = und.join(cur, und["dst"] == cur["node"]).select(
+            und["src"].alias("node"), "reg", "rho"
+        )
+        cur = (
+            nbr.unionByName(cur.select("node", "reg", "rho"))
+            .groupBy("node", "reg")
+            .agg(F.max("rho").alias("rho"))
+        )
+        est = estimates(cur, r)
+        out = est if out is None else out.unionByName(est)
+    return out

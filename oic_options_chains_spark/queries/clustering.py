@@ -849,3 +849,116 @@ def q_semdedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     # target, exact — and oracle-matching — at gate-scale corpora),
     # same coupling contract as q_semdedup
     return semantic_dedup_auto_eps(e, pct_bp=_AUTO_EPS_BP, k=_K, iters=_ITERS)
+
+
+from oic_options_chains_spark.operators.sketches import (  # noqa: E402
+    hll_linear_table,
+    hll_numerator,
+)
+
+_HLL_NUM_16 = hll_numerator(16)
+_HLL_TABLE_16 = ", ".join(str(x) for x in hll_linear_table(16))
+
+
+@register(
+    "q_anf",
+    # the kNN-edge CTEs replay q_knn_triangles' construction (auto
+    # sign-bucket width, quantized-integer L2, mutual filter); the
+    # HyperBall rounds and the per-node estimate replay the integer HLL
+    # math of operators/sketches.py with m=16 literals. MATERIALIZED on
+    # every multiply-referenced CTE: inlining would re-expand the whole
+    # kNN build once per reference.
+    oracle=f"""
+    WITH nb AS (
+      SELECT CASE WHEN COUNT(*) <= 1024 THEN 1
+             ELSE LEAST(16, GREATEST(1, CAST(CEIL(LOG2(COUNT(*) / 1024.0))
+                                             AS INT))) END AS b
+      FROM embeddings),
+    q AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(FLOOR(CAST(x AS DOUBLE) * 4096)
+                                      AS BIGINT)) AS qa,
+             list_transform(list_slice(embedding, 1, (SELECT b FROM nb)),
+                            x -> CASE WHEN x > 0 THEN 1 ELSE 0 END) AS bucket
+      FROM embeddings),
+    d AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             list_reduce(list_transform(list_zip(a.qa, b.qa),
+                                        p -> (p[1] - p[2]) * (p[1] - p[2])),
+                         (acc, x) -> acc + x) AS dist
+      FROM q a JOIN q b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+    r AS (SELECT src, dst,
+                 row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rk
+          FROM d),
+    kn AS MATERIALIZED (SELECT src, dst FROM r WHERE rk <= 6),
+    mu AS MATERIALIZED (
+      SELECT a.src AS a, a.dst AS b
+      FROM kn a JOIN kn b ON a.src = b.dst AND a.dst = b.src
+      WHERE a.src < a.dst),
+    und AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM mu UNION ALL SELECT b, a FROM mu),
+    h AS (SELECT vec_id AS node, md5(CAST(vec_id AS VARCHAR)) AS h
+          FROM embeddings),
+    g0 AS MATERIALIZED (
+      SELECT node,
+             CAST(concat('0x', substring(h, 1, 1)) AS INT) AS reg,
+             CAST(IF(v = 0, 53, 53 - length(bin(v))) AS INT) AS rho
+      FROM (SELECT node, h,
+                   CAST(concat('0x', substring(h, 2, 13)) AS BIGINT) AS v
+            FROM h)),
+    g1 AS MATERIALIZED (
+      SELECT node, reg, MAX(rho) AS rho FROM (
+        SELECT u.src AS node, g.reg, g.rho
+        FROM und u JOIN g0 g ON u.dst = g.node
+        UNION ALL SELECT node, reg, rho FROM g0)
+      GROUP BY node, reg),
+    g2 AS MATERIALIZED (
+      SELECT node, reg, MAX(rho) AS rho FROM (
+        SELECT u.src AS node, g.reg, g.rho
+        FROM und u JOIN g1 g ON u.dst = g.node
+        UNION ALL SELECT node, reg, rho FROM g1)
+      GROUP BY node, reg),
+    e1 AS (
+      SELECT node, CAST(1 AS INT) AS r,
+             CAST(16 - COUNT(*) AS BIGINT) AS n_zero_regs,
+             CAST(CAST('{_HLL_NUM_16}' AS HUGEINT)
+                  // CAST(SUM((CAST(1 AS BIGINT) << (53 - rho)))
+                          + (CAST(1 AS BIGINT) << 53) * (16 - COUNT(*))
+                          AS HUGEINT) AS BIGINT) AS raw_est
+      FROM g1 GROUP BY node),
+    e2 AS (
+      SELECT node, CAST(2 AS INT) AS r,
+             CAST(16 - COUNT(*) AS BIGINT) AS n_zero_regs,
+             CAST(CAST('{_HLL_NUM_16}' AS HUGEINT)
+                  // CAST(SUM((CAST(1 AS BIGINT) << (53 - rho)))
+                          + (CAST(1 AS BIGINT) << 53) * (16 - COUNT(*))
+                          AS HUGEINT) AS BIGINT) AS raw_est
+      FROM g2 GROUP BY node)
+    SELECT node AS vec_id, r, n_zero_regs,
+           CAST(IF(raw_est <= 40 AND n_zero_regs > 0,
+                   ([{_HLL_TABLE_16}])[CAST(n_zero_regs AS INT)],
+                   raw_est) AS BIGINT) AS estimate
+    FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2)
+    """,
+)
+def q_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate neighborhood function (operators/graph.anf_ball_sizes,
+    HyperBall): per embedding, the HLL-estimated count of distinct nodes
+    within 1 and 2 hops of the mutual-6-NN graph — reach diagnostics
+    that separate bounded semantic clumps from percolating template
+    farms. Register-wise MAX is the whole per-round update, so a round
+    costs one edges join + one bounded aggregation at any ball size."""
+    from oic_options_chains_spark.operators.graph import (
+        anf_ball_sizes,
+        bucketed_knn_edges,
+        mutual_edges,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = mutual_edges(
+        bucketed_knn_edges(emb, k=6, broadcast_candidates=True)
+    ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    return anf_ball_sizes(
+        emb.select(F.col("vec_id").alias("node")), edges, rounds=2, b=4
+    ).select(F.col("node").alias("vec_id"), "r", "n_zero_regs", "estimate")
