@@ -90,15 +90,16 @@ def _rotated(mapping: dict, here: str | None = None) -> dict:
     # can never turn green), then by staleness: OLDEST-attested first (a
     # key last hash-checked in round 2 is staler than one checked last
     # round, regardless of how many total rows it has). Never-attested
-    # keys enter AS IF last attested two rounds ago (max(maxr-2, 0)):
-    # they already pass the three local parity gates against current
-    # code, so a green driver row that has aged three-plus rounds of
-    # code churn outranks them for a window slot — but they still
-    # precede anything attested recently (and win their staleness tie
-    # on recorded-row count 0). Final ties: least-recorded, keys the
-    # most recent round did NOT cover, registration order.
+    # keys enter AS IF last attested three rounds ago (max(maxr-3, 0)):
+    # a key with NO external check ever is the bigger evidence gap than
+    # a green driver row aging a few rounds of code churn (both pass the
+    # three local parity gates against current code), so never-attested
+    # keys tie with the oldest realistic cohort and win the tie on
+    # recorded-row count 0 — without starving truly ancient rows, which
+    # still rank ahead. Final ties: least-recorded, keys the most recent
+    # round did NOT cover, registration order.
     maxr = max(last_round.values(), default=0)
-    never_rank = max(maxr - 2, 0)
+    never_rank = max(maxr - 3, 0)
     key = lambda k: (  # noqa: E731
         k not in latest_red,
         last_round.get(k, never_rank),

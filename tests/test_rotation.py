@@ -8,10 +8,10 @@ out unfixably). These tests pin the ordering contract:
 1. latest-red keys come first — a red row always re-enters the next
    window, because a red that never re-records can never turn green;
 2. then by staleness, OLDEST-attested first; never-attested keys rank
-   as if attested at maxr-2 (they pass the three local parity gates
-   against current code, so a green driver row aging three-plus rounds
-   of churn refreshes FIRST, while new keys still precede anything
-   recently attested and win staleness ties on row count);
+   as if attested at maxr-3 (a key with NO external check ever is the
+   bigger evidence gap than a green row aging a few rounds, so new keys
+   tie with the oldest realistic cohort and win the tie on row count 0,
+   while truly ancient rows still refresh first);
 3. then least-recorded (coverage grows monotonically);
 4. among equals, keys absent from the most recent round precede keys it
    covered (consecutive rounds alternate the tail);
@@ -98,7 +98,7 @@ def test_repo_window_admits_reds_and_ranks_never_attested():
     """Against the REAL repo history: every latest-red key must land
     inside the next 50-entry window, and a never-attested key may only
     wait outside if every window slot is held by a red or a STALER key
-    (virtual round < the never-attested rank maxr-2) — i.e. new
+    (virtual round < the never-attested rank maxr-3) — i.e. new
     registrations queue behind genuinely aging driver rows, never
     behind fresh ones."""
     from oic_options_chains_spark.queries import QUERIES
@@ -109,7 +109,7 @@ def test_repo_window_admits_reds_and_ranks_never_attested():
     for key in latest_red:
         assert key in window, f"latest-red {key} outside the window"
     maxr = max(last_round.values(), default=0)
-    never_rank = max(maxr - 2, 0)
+    never_rank = max(maxr - 3, 0)
     never_outside = [
         k for k in QUERIES if k not in seen and k not in window
     ]
@@ -136,7 +136,7 @@ def test_oldest_attested_precedes_recently_attested(tmp_path):
 def test_repo_window_refreshes_stalest_cohort():
     """Against the REAL repo history: the next window must be filled with
     the 50 stalest keys by VIRTUAL round (never-attested rank as
-    maxr-2): no key may hold a slot while a staler one waits outside."""
+    maxr-3): no key may hold a slot while a staler one waits outside."""
     from oic_options_chains_spark.queries import QUERIES
 
     _seen, last_round, _latest, latest_red = entry_mod._recorded_rounds()
@@ -145,7 +145,7 @@ def test_repo_window_refreshes_stalest_cohort():
     if not outside:
         return
     maxr = max(last_round.values(), default=0)
-    vr = lambda k: last_round.get(k, max(maxr - 2, 0))  # noqa: E731
+    vr = lambda k: last_round.get(k, max(maxr - 3, 0))  # noqa: E731
     oldest_outside = min(vr(k) for k in outside)
     for key in window:
         if key in latest_red:
