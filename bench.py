@@ -117,6 +117,7 @@ HEADLINE = (
     "q_dedup_ensemble",
     "q_maxmatch_segment",
     "q_anf",
+    "q_pack_masks",
     # OPH next to the k-permutation path it accelerates
     "q_oph_lsh_pairs",
 )

@@ -751,3 +751,52 @@ def q_vl_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         context=256,
         n_shards=8,
     )
+
+
+@register(
+    "q_pack_masks",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+                        AS n_tokens,
+                      CAST(concat('0x',
+                           substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                           AS INT) % 8 AS shard,
+                      md5(CAST(doc_id AS VARCHAR)) AS hh
+               FROM documents),
+    c AS (SELECT doc_id, shard, n_tokens,
+                 CAST(SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY hh, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS BIGINT) AS st
+          FROM t),
+    x AS (SELECT doc_id, shard, n_tokens, st,
+                 unnest(range(st // 256, (st + n_tokens - 1) // 256 + 1))
+                   AS q
+          FROM c WHERE n_tokens > 0)
+    SELECT CAST(shard AS INT) AS shard,
+           CAST(q AS BIGINT) AS seq_index,
+           doc_id,
+           CAST(greatest(st, q * 256) - q * 256 AS BIGINT) AS begin_in_seq,
+           CAST(least(st + n_tokens, (q + 1) * 256) - q * 256 AS BIGINT)
+             AS end_in_seq
+    FROM x
+    """,
+)
+def q_pack_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document attention/loss-mask manifest
+    (operators/chunking.pack_loss_masks): for every 256-token training
+    sequence of the packed stream, which documents occupy which token
+    ranges. Row-local explode over the packer's offsets — no exchange
+    beyond the pack cumsum itself."""
+    from oic_options_chains_spark.operators.chunking import (
+        pack_loss_masks,
+        pack_stream_offsets,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", token_count_ws(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_stream_offsets(sized, key="doc_id", context=256, n_shards=8)
+    return pack_loss_masks(packed, context=256)

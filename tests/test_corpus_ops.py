@@ -303,3 +303,34 @@ def test_chunk_dedup_keeper_survives_100k_token_documents(spark, tmp_path):
     keeper = full[0].keeper
     # keeper must decode to the smallest (doc_id, start) pair: doc 1, start 0
     assert (keeper // 4294967296, keeper % 4294967296) == (1, 0)
+
+
+def test_pack_loss_masks_cover_exactly_and_clip(spark):
+    from oic_options_chains_spark.operators.chunking import (
+        pack_loss_masks,
+        pack_stream_offsets,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 100) for i in range(1, 9)], "doc_id bigint, n_tokens bigint"
+    )
+    packed = pack_stream_offsets(df, key="doc_id", context=64, n_shards=2)
+    masks = pack_loss_masks(packed, context=64).collect()
+    # spans clip to the sequence and cover each document's tokens exactly
+    per_doc = {}
+    for r in masks:
+        assert 0 <= r["begin_in_seq"] < r["end_in_seq"] <= 64
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + (
+            r["end_in_seq"] - r["begin_in_seq"]
+        )
+    assert per_doc == {i: 100 for i in range(1, 9)}
+    # within a (shard, seq), spans tile without overlap
+    by_seq = {}
+    for r in masks:
+        by_seq.setdefault((r["shard"], r["seq_index"]), []).append(
+            (r["begin_in_seq"], r["end_in_seq"])
+        )
+    for spans in by_seq.values():
+        spans.sort()
+        for (b1, e1), (b2, e2) in zip(spans, spans[1:]):
+            assert e1 == b2, spans
