@@ -70,6 +70,8 @@ def _read_log(snap_dir: str) -> list[dict]:
         }
         if "data_dir" in entry:  # version-addressed commits (round 7+)
             folded["data_dir"] = entry["data_dir"]
+        if "tables" in entry:  # atomic multi-table commits
+            folded["tables"] = entry["tables"]
         by_id[entry["snapshot_id"]] = folded
     return sorted(by_id.values(), key=lambda e: e["snapshot_id"])
 
@@ -243,4 +245,103 @@ def revert_snapshot(
         snap_dir,
         snapshot_id,
         message=message or f"revert to {snapshot_id}",
+    )
+
+
+def commit_tables(
+    dfs: dict[str, DataFrame],
+    snap_dir: str,
+    snapshot_id: str,
+    message: str = "",
+    committed_at: str | None = None,
+) -> dict:
+    """ONE commit covering several tables — the reference's dump-dolt
+    shape (every exported table lands in a single ``dolt commit``,
+    dump-dolt.rkt:92-93,145-146): either ALL tables of the snapshot
+    become visible or none does. Every table's immutable data dir is
+    staged FIRST (fully distributed parquet writes); the single OCC log
+    append afterwards is the only commit point, so a crash or failure
+    mid-stage leaves invisible orphan files and no log entry — readers
+    can never observe a half-exported day. Replaying a snapshot_id
+    supersedes the whole table SET at once (fold-by-id), never mixing
+    tables from two runs of the same day."""
+    os.makedirs(snap_dir, exist_ok=True)
+    tables: dict[str, dict] = {}
+    for name in sorted(dfs):
+        staged = dfs[name].localCheckpoint(eager=True)
+        n = staged.count()
+        data_dir = tempfile.mkdtemp(dir=snap_dir, prefix=f"_v-{name}-")
+        staged.write.mode("overwrite").parquet(data_dir)
+        tables[name] = {"data_dir": os.path.basename(data_dir), "rows": n}
+    entry = {
+        "snapshot_id": snapshot_id,
+        "message": message,
+        "rows": sum(t["rows"] for t in tables.values()),
+        "tables": tables,
+        "committed_at": committed_at
+        or dt.datetime.now(dt.timezone.utc).isoformat(timespec="seconds"),
+    }
+    if not _log_versions(snap_dir):
+        for legacy in list_snapshots(snap_dir):
+            _append_log(snap_dir, legacy)
+    version = _append_log(snap_dir, entry)
+    _write_manifest(snap_dir, _read_log(snap_dir))
+    return {**entry, "version": version}
+
+
+def _tables_entry(entries: list[dict], snapshot_id: str | None) -> dict:
+    multi = [e for e in entries if "tables" in e]
+    if not multi:
+        raise FileNotFoundError("no multi-table snapshots committed")
+    ids = [e["snapshot_id"] for e in multi]
+    if snapshot_id is None:
+        snapshot_id = ids[-1]
+    if snapshot_id not in ids:
+        raise FileNotFoundError(
+            f"multi-table snapshot {snapshot_id!r} not in {ids}"
+        )
+    return multi[ids.index(snapshot_id)]
+
+
+def read_table_snapshot(
+    spark: SparkSession,
+    snap_dir: str,
+    table: str,
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """Read ONE table of a multi-table snapshot (default: latest id).
+    The manifest, not the filesystem, is the source of truth; a table
+    absent from the commit is an error, not an empty frame."""
+    entry = _tables_entry(list_snapshots(snap_dir), snapshot_id)
+    if table not in entry["tables"]:
+        raise FileNotFoundError(
+            f"table {table!r} not in snapshot {entry['snapshot_id']!r} "
+            f"(has {sorted(entry['tables'])})"
+        )
+    return spark.read.parquet(
+        os.path.join(snap_dir, entry["tables"][table]["data_dir"])
+    )
+
+
+def read_table_version(
+    spark: SparkSession, snap_dir: str, table: str, version: int
+) -> DataFrame:
+    """Time travel for one table of a multi-table commit: every table
+    read AS OF version v comes from the SAME atomic commit, so
+    cross-table consistency (the FK story of a per-day export) holds at
+    any historical version, exactly like ``dolt checkout <commit>``."""
+    path = os.path.join(_log_dir(snap_dir), f"{version:020d}.json")
+    try:
+        with open(path) as f:
+            entry = json.load(f)
+    except OSError as exc:
+        raise FileNotFoundError(
+            f"no commit version {version} under {snap_dir}"
+        ) from exc
+    if "tables" not in entry or table not in entry["tables"]:
+        raise FileNotFoundError(
+            f"table {table!r} not in commit version {version}"
+        )
+    return spark.read.parquet(
+        os.path.join(snap_dir, entry["tables"][table]["data_dir"])
     )

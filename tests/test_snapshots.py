@@ -332,3 +332,91 @@ def test_version_addressed_read_and_revert(spark, tmp_path):
     assert [
         read_snapshot_version(spark, snap, v).count() for v in range(4)
     ] == [1, 2, 1, 2]
+
+
+class TestMultiTableCommits:
+    """Atomic multi-table commits: the dump-dolt shape — every table of
+    a day's export becomes visible in ONE commit or not at all."""
+
+    def test_commit_and_read_back(self, spark, tmp_path):
+        from oic_options_chains_spark.sources.snapshots import (
+            commit_tables,
+            read_table_snapshot,
+        )
+
+        d = str(tmp_path / "snaps")
+        a = spark.createDataFrame([(1, "x"), (2, "y")], "id bigint, v string")
+        b = spark.createDataFrame([(9,)], "k bigint")
+        entry = commit_tables({"chain": a, "weekly": b}, d, "2024-01-02")
+        assert entry["rows"] == 3
+        assert set(entry["tables"]) == {"chain", "weekly"}
+        got = read_table_snapshot(spark, d, "chain")
+        assert sorted(r["id"] for r in got.collect()) == [1, 2]
+        assert read_table_snapshot(spark, d, "weekly").count() == 1
+
+    def test_failed_staging_leaves_nothing_visible(self, spark, tmp_path):
+        from oic_options_chains_spark.sources.snapshots import (
+            commit_tables,
+            list_snapshots,
+            read_table_snapshot,
+        )
+
+        d = str(tmp_path / "snaps")
+        good = spark.createDataFrame([(1,)], "id bigint")
+
+        class Boom:
+            def localCheckpoint(self, eager=True):
+                raise RuntimeError("staging failed")
+
+        # sorted order stages 'a_good' first, then fails on 'b_boom':
+        # the log must gain NO entry and reads must see NO snapshot
+        try:
+            commit_tables({"a_good": good, "b_boom": Boom()}, d, "2024-01-03")
+        except RuntimeError:
+            pass
+        assert list_snapshots(d) == []
+        try:
+            read_table_snapshot(spark, d, "a_good")
+            raise AssertionError("half-committed table became visible")
+        except FileNotFoundError:
+            pass
+
+    def test_replay_supersedes_whole_table_set(self, spark, tmp_path):
+        from oic_options_chains_spark.sources.snapshots import (
+            commit_tables,
+            read_table_snapshot,
+            read_table_version,
+        )
+
+        d = str(tmp_path / "snaps")
+        v0 = commit_tables(
+            {"chain": spark.range(2), "weekly": spark.range(5)},
+            d,
+            "2024-01-02",
+        )
+        v1 = commit_tables(
+            {"chain": spark.range(3), "weekly": spark.range(7)},
+            d,
+            "2024-01-02",
+        )
+        # latest-by-id fold: BOTH tables come from the replay
+        assert read_table_snapshot(spark, d, "chain").count() == 3
+        assert read_table_snapshot(spark, d, "weekly").count() == 7
+        # time travel: both tables AS OF v0 come from the SAME commit
+        assert read_table_version(spark, d, "chain", v0["version"]).count() == 2
+        assert read_table_version(spark, d, "weekly", v0["version"]).count() == 5
+        assert v1["version"] == v0["version"] + 1
+
+    def test_missing_table_is_an_error(self, spark, tmp_path):
+        from oic_options_chains_spark.sources.snapshots import (
+            commit_tables,
+            read_table_snapshot,
+        )
+
+        d = str(tmp_path / "snaps")
+        commit_tables({"chain": spark.range(1)}, d, "2024-01-02")
+        try:
+            read_table_snapshot(spark, d, "nope")
+            raise AssertionError("unknown table must not read as empty")
+        except FileNotFoundError:
+            pass

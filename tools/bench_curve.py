@@ -41,6 +41,9 @@ DEFAULT_QUERIES = [
     "q_chain_build",
     "q_pack_sequences",
     "q_interval_join",
+    "q_dedup_ensemble",
+    "q_maxmatch_segment",
+    "q_anf",
     "q_pit_join",
 ]
 
