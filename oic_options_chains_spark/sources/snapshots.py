@@ -345,3 +345,62 @@ def read_table_version(
     return spark.read.parquet(
         os.path.join(snap_dir, entry["tables"][table]["data_dir"])
     )
+
+
+def vacuum_snapshots(snap_dir: str, keep_versions: int | None = None) -> list[str]:
+    """Delete orphaned data dirs — the VACUUM analog. A crashed or
+    failed commit stages ``_v-*`` dirs that no log entry references
+    (by design: invisibility is the atomicity guarantee); vacuum
+    reclaims them. With ``keep_versions`` set, data dirs referenced
+    ONLY by log versions older than the newest N are reclaimed too
+    (their versions stop time-traveling, like Delta's retention window)
+    — entries whose data is current (latest per snapshot_id) are always
+    kept regardless of age.
+
+    Returns the deleted directory names. Driver-side O(dirs) metadata
+    work only; safe against concurrent committers because a NEW commit
+    stages into a fresh tempdir name that cannot collide with the
+    listing snapshot taken here, and is only referenced once its log
+    entry exists — vacuum never deletes a dir a completed commit
+    references, and an IN-FLIGHT stage is protected by the grace check
+    (only dirs older than 10 minutes are eligible)."""
+    import shutil
+    import time
+
+    if not os.path.isdir(snap_dir):
+        return []
+    referenced: set[str] = set()
+    versions = _log_versions(snap_dir)
+    keep = (
+        set(versions)
+        if keep_versions is None
+        else set(versions[-keep_versions:])
+    )
+    current = {
+        e.get("data_dir") for e in _read_log(snap_dir)
+    } | {
+        t["data_dir"]
+        for e in _read_log(snap_dir)
+        for t in e.get("tables", {}).values()
+    }
+    for v in versions:
+        with open(os.path.join(_log_dir(snap_dir), f"{v:020d}.json")) as f:
+            entry = json.load(f)
+        dirs = [entry["data_dir"]] if "data_dir" in entry else []
+        dirs += [t["data_dir"] for t in entry.get("tables", {}).values()]
+        if v in keep:
+            referenced.update(dirs)
+    referenced |= {d for d in current if d}
+    deleted = []
+    now = time.time()
+    for name in sorted(os.listdir(snap_dir)):
+        path = os.path.join(snap_dir, name)
+        if not (name.startswith("_v-") and os.path.isdir(path)):
+            continue
+        if name in referenced:
+            continue
+        if now - os.path.getmtime(path) < 600:
+            continue  # grace window for an in-flight stage
+        shutil.rmtree(path)
+        deleted.append(name)
+    return deleted

@@ -420,3 +420,65 @@ class TestMultiTableCommits:
             raise AssertionError("unknown table must not read as empty")
         except FileNotFoundError:
             pass
+
+
+class TestVacuum:
+    def _age(self, snap_dir):
+        import os, time
+        for name in os.listdir(snap_dir):
+            if name.startswith("_v-"):
+                old = time.time() - 3600
+                os.utime(os.path.join(snap_dir, name), (old, old))
+
+    def test_vacuum_reclaims_orphans_keeps_referenced(self, spark, tmp_path):
+        import os
+        from oic_options_chains_spark.sources.snapshots import (
+            commit_tables,
+            read_table_snapshot,
+            vacuum_snapshots,
+        )
+
+        d = str(tmp_path / "snaps")
+        commit_tables({"chain": spark.range(2)}, d, "2024-01-02")
+        # simulate a crashed stage: an unreferenced _v- dir
+        orphan = os.path.join(d, "_v-crashed-xyz")
+        os.makedirs(orphan)
+        self._age(d)
+        deleted = vacuum_snapshots(d)
+        assert deleted == ["_v-crashed-xyz"]
+        # the committed table still reads back
+        assert read_table_snapshot(spark, d, "chain").count() == 2
+
+    def test_vacuum_respects_grace_window(self, spark, tmp_path):
+        import os
+        from oic_options_chains_spark.sources.snapshots import vacuum_snapshots
+
+        d = str(tmp_path / "snaps")
+        os.makedirs(os.path.join(d, "_v-inflight"))  # fresh mtime
+        assert vacuum_snapshots(d) == []
+
+    def test_retention_drops_old_versions_keeps_current(self, spark, tmp_path):
+        from oic_options_chains_spark.sources.snapshots import (
+            commit_tables,
+            read_table_snapshot,
+            read_table_version,
+            vacuum_snapshots,
+        )
+
+        d = str(tmp_path / "snaps")
+        v0 = commit_tables({"chain": spark.range(2)}, d, "2024-01-02")
+        commit_tables({"chain": spark.range(3)}, d, "2024-01-02")  # replay
+        v2 = commit_tables({"chain": spark.range(4)}, d, "2024-01-03")
+        self._age(d)
+        deleted = vacuum_snapshots(d, keep_versions=2)
+        assert len(deleted) == 1  # v0's superseded data dir
+        # current content of both snapshot ids still reads
+        assert read_table_snapshot(spark, d, "chain", "2024-01-02").count() == 3
+        assert read_table_snapshot(spark, d, "chain", "2024-01-03").count() == 4
+        # v0 no longer time-travels
+        try:
+            read_table_version(spark, d, "chain", v0["version"]).count()
+            raise AssertionError("vacuumed version still readable")
+        except Exception:
+            pass
+        assert read_table_version(spark, d, "chain", v2["version"]).count() == 4
