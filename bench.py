@@ -118,6 +118,7 @@ HEADLINE = (
     "q_maxmatch_segment",
     "q_anf",
     "q_pack_masks",
+    "q_kcore",
     # OPH next to the k-permutation path it accelerates
     "q_oph_lsh_pairs",
 )

@@ -361,3 +361,64 @@ def anf_ball_sizes(
         est = estimates(cur, r)
         out = est if out is None else out.unionByName(est)
     return out
+
+
+def kcore_membership(
+    nodes: DataFrame,
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 8,
+    id_col: str = "node",
+) -> DataFrame:
+    """k-core membership by iterative peeling [Matula & Beck 1983]:
+    repeatedly remove nodes with fewer than ``k`` surviving neighbors;
+    what remains after convergence is the k-core — on a near-duplicate
+    or kNN graph, the dense template-farm/spam-cluster backbone that
+    degree or triangle counts alone understate.
+
+    Determinism contract: the output is defined as the survivor set
+    after exactly ``rounds`` peels (each peel is a pure function of the
+    edge set, so any engine replays it bit-identically); peeling
+    converges when a round removes nothing, and on bounded-degree
+    graphs (mutual-kNN has degree <= k_nn) that happens in a handful of
+    rounds — the paired oracle unrolls the same fixed count.
+
+    Scale shape per round: one degree aggregation + two semi-joins on
+    the surviving edge set, which only shrinks; labels are
+    localCheckpoint-ed so the loop's lineage stays flat. Returns
+    (node, in_core, core_degree) for EVERY input node — never-edged
+    nodes report (0, 0)."""
+    fwd = edges.select("src", "dst")
+    surv = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        keep = (
+            surv.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("__deg"))
+            .filter(F.col("__deg") >= k)
+            .select("src")
+        )
+        surv = (
+            surv.join(keep, "src", "left_semi")
+            .join(
+                keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
+            )
+            .localCheckpoint(eager=True)
+        )
+    final_deg = surv.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_degree")
+    )
+    base = nodes.select(F.col(id_col).alias("node")).distinct()
+    return base.join(
+        final_deg, base["node"] == final_deg["src"], "left"
+    ).select(
+        "node",
+        F.when(F.col("core_degree").isNotNull(), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("in_core"),
+        F.coalesce(F.col("core_degree"), F.lit(0))
+        .cast("bigint")
+        .alias("core_degree"),
+    )

@@ -962,3 +962,102 @@ def q_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anf_ball_sizes(
         emb.select(F.col("vec_id").alias("node")), edges, rounds=2, b=4
     ).select(F.col("node").alias("vec_id"), "r", "n_zero_regs", "estimate")
+
+
+# shared mutual-6-NN edge construction (same replay as q_knn_triangles /
+# q_anf: auto sign-bucket width, quantized-integer L2, mutual filter)
+_KNN_MU_SQL = """
+    nb AS (
+      SELECT CASE WHEN COUNT(*) <= 1024 THEN 1
+             ELSE LEAST(16, GREATEST(1, CAST(CEIL(LOG2(COUNT(*) / 1024.0))
+                                             AS INT))) END AS b
+      FROM embeddings),
+    q AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(FLOOR(CAST(x AS DOUBLE) * 4096)
+                                      AS BIGINT)) AS qa,
+             list_transform(list_slice(embedding, 1, (SELECT b FROM nb)),
+                            x -> CASE WHEN x > 0 THEN 1 ELSE 0 END) AS bucket
+      FROM embeddings),
+    d AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             list_reduce(list_transform(list_zip(a.qa, b.qa),
+                                        p -> (p[1] - p[2]) * (p[1] - p[2])),
+                         (acc, x) -> acc + x) AS dist
+      FROM q a JOIN q b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+    r AS (SELECT src, dst,
+                 row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rk
+          FROM d),
+    kn AS MATERIALIZED (SELECT src, dst FROM r WHERE rk <= 6),
+    mu AS MATERIALIZED (
+      SELECT a.src AS a, a.dst AS b
+      FROM kn a JOIN kn b ON a.src = b.dst AND a.dst = b.src
+      WHERE a.src < a.dst)"""
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 8
+
+
+def _kcore_cte(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    """Unrolled peeling: e{r} keeps only edges whose BOTH endpoints had
+    degree >= k in e{r-1} — the same fixed-round contract as
+    operators/graph.kcore_membership."""
+    parts = [
+        "WITH "
+        + _KNN_MU_SQL
+        + """,
+    e0 AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM mu UNION ALL SELECT b, a FROM mu)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+    s{i} AS MATERIALIZED (
+      SELECT src FROM (SELECT src, COUNT(*) AS deg FROM e{i - 1}
+                       GROUP BY src)
+      WHERE deg >= {k}),
+    e{i} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM e{i - 1} e
+      JOIN s{i} x ON e.src = x.src
+      JOIN s{i} y ON e.dst = y.src)"""
+        )
+    return "".join(parts)
+
+
+@register(
+    "q_kcore",
+    oracle=_kcore_cte()
+    + f"""
+    , fd AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+             FROM e{_KCORE_ROUNDS} GROUP BY src)
+    SELECT e.vec_id,
+           CAST(CASE WHEN fd.node IS NULL THEN 0 ELSE 1 END AS INT)
+             AS in_core,
+           COALESCE(fd.core_degree, CAST(0 AS BIGINT)) AS core_degree
+    FROM embeddings e LEFT JOIN fd ON e.vec_id = fd.node
+    """,
+)
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core membership over the mutual-6-NN embedding graph
+    (operators/graph.kcore_membership, k=3, 8 peeling rounds): the
+    dense-subgraph backbone that flags template farms and spam
+    clusters a degree or triangle count understates. Each peel is one
+    degree aggregation + two semi-joins on the (only-shrinking)
+    surviving edge set."""
+    from oic_options_chains_spark.operators.graph import (
+        bucketed_knn_edges,
+        kcore_membership,
+        mutual_edges,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = mutual_edges(
+        bucketed_knn_edges(emb, k=6, broadcast_candidates=True)
+    ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    return kcore_membership(
+        emb.select(F.col("vec_id").alias("node")),
+        edges,
+        k=_KCORE_K,
+        rounds=_KCORE_ROUNDS,
+    ).select(F.col("node").alias("vec_id"), "in_core", "core_degree")

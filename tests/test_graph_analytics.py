@@ -132,3 +132,33 @@ def test_label_propagation_isolated_nodes_stay_unlabeled(spark):
     seeds = spark.createDataFrame([(0, 7)], "node long, label int")
     got = label_propagation(edges, seeds, rounds=2).collect()
     assert {r.node for r in got} == {0, 1}  # node 2 never existed; 1 joins
+
+
+def test_kcore_peels_tails_keeps_clique(spark):
+    from oic_options_chains_spark.operators.graph import kcore_membership
+
+    # K4 clique (1-4) with a tail 4-5-6: the tail peels (degree < 3),
+    # the clique survives with core degree 3
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    ndf = spark.createDataFrame([(i,) for i in range(1, 8)], "node bigint")
+    edf = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        r["node"]: (r["in_core"], r["core_degree"])
+        for r in kcore_membership(ndf, edf, k=3, rounds=8).collect()
+    }
+    assert got == {
+        1: (1, 3), 2: (1, 3), 3: (1, 3), 4: (1, 3),
+        5: (0, 0), 6: (0, 0), 7: (0, 0),
+    }
+
+
+def test_kcore_cascading_peel_needs_multiple_rounds(spark):
+    from oic_options_chains_spark.operators.graph import kcore_membership
+
+    # chain 1-2-3-4-5 with k=2: endpoints peel first, the collapse
+    # cascades inward round by round until nothing survives
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    ndf = spark.createDataFrame([(i,) for i in range(1, 6)], "node bigint")
+    edf = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = kcore_membership(ndf, edf, k=2, rounds=8).collect()
+    assert all(r["in_core"] == 0 for r in got)
