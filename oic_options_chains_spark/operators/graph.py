@@ -392,6 +392,7 @@ def kcore_membership(
     surv = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
+    n_edges = surv.count()
     for _ in range(rounds):
         keep = (
             surv.groupBy("src")
@@ -406,6 +407,14 @@ def kcore_membership(
             )
             .localCheckpoint(eager=True)
         )
+        # early exit preserves the fixed-round contract: peeling is
+        # monotone, so a round that removes nothing makes every further
+        # round a no-op — same survivor set as running all N. The count
+        # is a bounded scalar over the just-checkpointed edge set.
+        n_next = surv.count()
+        if n_next == n_edges:
+            break
+        n_edges = n_next
     final_deg = surv.groupBy("src").agg(
         F.count(F.lit(1)).cast("bigint").alias("core_degree")
     )
