@@ -319,7 +319,10 @@ def anf_ball_sizes(
         "reg",
         "CAST(IF(__v = 0, 53, 53 - length(bin(__v))) AS INT) AS rho",
     )
-    fwd = edges.select("src", "dst")
+    # materialized once: the undirected union and every round's join
+    # reference the edge list repeatedly; without truncation each
+    # reference re-runs the upstream kNN build
+    fwd = edges.select("src", "dst").localCheckpoint(eager=True)
     und = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -388,7 +391,10 @@ def kcore_membership(
     localCheckpoint-ed so the loop's lineage stays flat. Returns
     (node, in_core, core_degree) for EVERY input node — never-edged
     nodes report (0, 0)."""
-    fwd = edges.select("src", "dst")
+    # materialize the (sparse, <= n*k) edge list once: the undirected
+    # union references it twice, which would re-run the whole upstream
+    # kNN build per branch
+    fwd = edges.select("src", "dst").localCheckpoint(eager=True)
     surv = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)

@@ -1653,12 +1653,17 @@ def q_neardup_owners(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT k.m AS doc_a, fp.doc_id AS doc_b
       FROM fp JOIN (SELECT f, MIN(doc_id) AS m FROM fp GROUP BY f) k
       USING (f) WHERE fp.doc_id > k.m),
+    nbv AS (
+      SELECT CASE WHEN COUNT(*) <= 256 THEN 1
+             ELSE LEAST(16, GREATEST(1, CAST(CEIL(LOG2(COUNT(*) / 256.0))
+                                             AS INT))) END AS b
+      FROM embeddings),
     eb AS (
       SELECT vec_id, embedding,
-             (CASE WHEN embedding[1] > 0 THEN '1' ELSE '0' END ||
-              CASE WHEN embedding[2] > 0 THEN '1' ELSE '0' END ||
-              CASE WHEN embedding[3] > 0 THEN '1' ELSE '0' END ||
-              CASE WHEN embedding[4] > 0 THEN '1' ELSE '0' END) AS bucket
+             array_to_string(
+               list_transform(list_slice(embedding, 1, (SELECT b FROM nbv)),
+                              x -> CASE WHEN x > 0 THEN '1' ELSE '0' END),
+               '') AS bucket
       FROM embeddings),
     ep AS (
       SELECT a.vec_id AS doc_a, c.vec_id AS doc_b
@@ -1719,8 +1724,18 @@ def q_dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_shingles(d, "doc_id", "text", distinct=False), "doc_id"
     )
     lsh = lsh_candidate_pairs(bands, "doc_id")
+    # bits auto-scale with the corpus (bits_for, replayed by the nbv
+    # CTE) so the pair stage stays bucket-bounded at any sf; the bucket
+    # target is 256 rows — PAIRING is quadratic per bucket, so it wants
+    # a smaller bucket than ANN probing's 1024-row default. The
+    # pinned-4 form stays on q_dedup_embedding for the fixed-width check
+    from oic_options_chains_spark.operators.similarity import bits_for
+
     emb = near_dup_pairs(
-        e, threshold=0.35, bits=4, broadcast_candidates=True
+        e,
+        threshold=0.35,
+        bits=bits_for(e.count(), target_bucket_rows=256),
+        broadcast_candidates=True,
     ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
     return ensemble_dedup(
         d, {1: exact_star_edges(d), 2: lsh, 4: emb}

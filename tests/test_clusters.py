@@ -33,11 +33,28 @@ def test_path_graph_needs_propagation_rounds(spark):
 
 
 def test_unconverged_raises(spark):
+    # a 64-node path cannot star-contract to the fixpoint in one round
     pairs = spark.createDataFrame(
-        [(i, i + 1) for i in range(1, 9)], "doc_a bigint, doc_b bigint"
+        [(i, i + 1) for i in range(1, 64)], "doc_a bigint, doc_b bigint"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_rounds=2)
+        connected_components(pairs, max_rounds=1)
+
+
+def test_long_chain_converges_in_log_rounds(spark):
+    # the scale case that kills O(diameter) label propagation: a
+    # 401-node near-dup chain (moderately-similar docs linking A~B~C~...)
+    # must converge well under the round cap — star contraction is
+    # O(log), so 15 rounds is generous where propagation needs 400
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 401)], "doc_a bigint, doc_b bigint"
+    )
+    got = {
+        r.id: r.cluster_id
+        for r in connected_components(pairs, max_rounds=15).collect()
+    }
+    assert set(got.values()) == {1}
+    assert len(got) == 401
 
 
 def test_random_graphs_match_union_find(spark):
