@@ -119,6 +119,7 @@ HEADLINE = (
     "q_anf",
     "q_pack_masks",
     "q_kcore",
+    "q_isotonic",
     # OPH next to the k-permutation path it accelerates
     "q_oph_lsh_pairs",
 )

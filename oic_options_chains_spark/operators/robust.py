@@ -246,3 +246,127 @@ def ks_two_sample(
             "at_value"
         ),
     )
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    target_col: str,
+    n_bins: int = 5,
+) -> DataFrame:
+    """Per-group isotonic (monotone non-decreasing) calibration of a
+    binary target rate against a score: rank rows into ``n_bins``
+    equal-count score bins per group, then fit the isotonic regression
+    of the per-bin positive rate — the standard PAV calibration step a
+    curation pipeline runs before comparing heuristic quality scores
+    ACROSS sources (each source's raw rate curve may be noisy or
+    locally inverted; the isotonic fit is the best monotone summary).
+
+    Implementation is the minimax closed form rather than the
+    sequential pool-adjacent-violators stack — PAV's cascading merges
+    are driver-hostile, while iso(i) = max_{j<=i} min_{k>=i}
+    mean(target[j..k]) is three relational passes over a BIN-sized
+    relation (prefix sums -> all (j,k) interval means exploded to the
+    bins they cover -> argmin-per-(i,j) then argmax-per-i windows).
+    Everything after the one corpus-sized ranking shuffle is
+    groups*n_bins^3 rows. The reported rate is exact integer
+    (1e6*pos)//n of the chosen interval; interval-mean ordering uses
+    the IEEE double p/n, identical on any engine for identical
+    integers, and cannot misorder two distinct rationals whose
+    denominators are bin counts (gap >= 1/(n1*n2) >> double eps).
+
+    Returns (group, bin, n_docs, n_pos, rate_e6, iso_e6) with iso_e6
+    non-decreasing in bin within every group."""
+    g = F.col(group_col)
+    w_rank = Window.partitionBy(g).orderBy(*[F.col(c) for c in order_cols])
+    w_cnt = Window.partitionBy(g)
+    ranked = df.select(
+        g.alias("grp"),
+        F.col(target_col).cast("bigint").alias("__t"),
+        F.row_number().over(w_rank).alias("__r"),
+        F.count(F.lit(1)).over(w_cnt).alias("__n"),
+    )
+    bins = (
+        ranked.select(
+            "grp",
+            "__t",
+            F.expr(f"(__r - 1) * {n_bins} DIV __n").alias("__b0"),
+        )
+        .groupBy("grp", (F.col("__b0") + 1).cast("int").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__t").cast("bigint").alias("n_pos"),
+        )
+    )
+    w_pre = (
+        Window.partitionBy("grp")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pre = bins.select(
+        "grp",
+        "bin",
+        "n_docs",
+        "n_pos",
+        F.sum("n_docs").over(w_pre).alias("__cn"),
+        F.sum("n_pos").over(w_pre).alias("__cp"),
+    )
+    lo = pre.select(
+        "grp",
+        F.col("bin").alias("j"),
+        (F.col("__cn") - F.col("n_docs")).alias("cn_lo"),
+        (F.col("__cp") - F.col("n_pos")).alias("cp_lo"),
+    )
+    hi = pre.select(
+        "grp",
+        F.col("bin").alias("k"),
+        F.col("__cn").alias("cn_hi"),
+        F.col("__cp").alias("cp_hi"),
+    )
+    intervals = (
+        lo.join(hi, "grp")
+        .filter(F.col("k") >= F.col("j"))
+        .select(
+            "grp",
+            "j",
+            "k",
+            (F.col("cp_hi") - F.col("cp_lo")).alias("p"),
+            (F.col("cn_hi") - F.col("cn_lo")).alias("n"),
+            F.explode(F.sequence(F.col("j"), F.col("k"))).alias("i"),
+        )
+        .withColumn(
+            "__ratio", F.col("p").cast("double") / F.col("n").cast("double")
+        )
+    )
+    w_min = Window.partitionBy("grp", "i", "j").orderBy(
+        F.col("__ratio").asc(), F.col("k").asc()
+    )
+    inner = intervals.withColumn("__rn", F.row_number().over(w_min)).filter(
+        F.col("__rn") == 1
+    )
+    w_max = Window.partitionBy("grp", "i").orderBy(
+        F.col("__ratio").desc(), F.col("j").asc()
+    )
+    iso = (
+        inner.withColumn("__rx", F.row_number().over(w_max))
+        .filter(F.col("__rx") == 1)
+        .select(
+            "grp",
+            F.col("i").alias("bin"),
+            F.expr("CAST((1000000 * p) DIV n AS BIGINT)").alias("iso_e6"),
+        )
+    )
+    return (
+        bins.join(iso, ["grp", "bin"])
+        .select(
+            F.col("grp").alias(group_col),
+            "bin",
+            "n_docs",
+            "n_pos",
+            F.expr(
+                "CAST((1000000 * n_pos) DIV n_docs AS BIGINT)"
+            ).alias("rate_e6"),
+            "iso_e6",
+        )
+    )

@@ -1518,3 +1518,69 @@ def q_source_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["n_chars", "doc_id"],
         n_bins=10,
     )
+
+
+@register(
+    "q_isotonic",
+    oracle="""
+    WITH base AS (SELECT doc_id, source, n_chars,
+                         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS t
+                  FROM documents),
+    r AS (SELECT source, t,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars, doc_id) AS rr,
+                 COUNT(*) OVER (PARTITION BY source) AS n
+          FROM base),
+    bins AS (SELECT source, CAST((rr - 1) * 5 // n + 1 AS INT) AS bin,
+                    CAST(COUNT(*) AS BIGINT) AS n_docs,
+                    CAST(SUM(t) AS BIGINT) AS n_pos
+             FROM r GROUP BY 1, 2),
+    pre AS (SELECT source, bin, n_docs, n_pos,
+                   CAST(SUM(n_docs) OVER w AS BIGINT) AS cn,
+                   CAST(SUM(n_pos) OVER w AS BIGINT) AS cp
+            FROM bins
+            WINDOW w AS (PARTITION BY source ORDER BY bin
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    iv AS (SELECT l.source, l.bin AS j, h.bin AS k,
+                  h.cp - (l.cp - l.n_pos) AS p,
+                  h.cn - (l.cn - l.n_docs) AS n
+           FROM pre l JOIN pre h ON l.source = h.source AND h.bin >= l.bin),
+    ivx AS (SELECT source, j, k, p, n,
+                   CAST(unnest(range(j, k + 1)) AS INT) AS i,
+                   CAST(p AS DOUBLE) / CAST(n AS DOUBLE) AS ratio
+            FROM iv),
+    mn AS (SELECT source, i, j, p, n, ratio FROM (
+             SELECT *, row_number() OVER (PARTITION BY source, i, j
+                                          ORDER BY ratio ASC, k ASC) AS rn
+             FROM ivx) WHERE rn = 1),
+    mx AS (SELECT source, i AS bin,
+                  CAST((1000000 * p) // n AS BIGINT) AS iso_e6
+           FROM (SELECT *, row_number() OVER (PARTITION BY source, i
+                                              ORDER BY ratio DESC, j ASC) AS rx
+                 FROM mn) WHERE rx = 1)
+    SELECT b.source, b.bin, b.n_docs, b.n_pos,
+           CAST((1000000 * b.n_pos) // b.n_docs AS BIGINT) AS rate_e6,
+           m.iso_e6
+    FROM bins b JOIN mx m ON b.source = m.source AND b.bin = m.bin
+    """,
+)
+def q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source isotonic calibration (operators/robust.
+    isotonic_calibration): the monotone best fit of the English-rate
+    curve over each source's length-score quintiles — the PAV step that
+    makes heuristic scores comparable ACROSS sources before a shared
+    threshold. Computed via the minimax closed form (three relational
+    passes over the bin relation) instead of PAV's driver-hostile
+    sequential merge stack."""
+    from oic_options_chains_spark.operators.robust import isotonic_calibration
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.col("lang") == "en").cast("int").alias("is_en"),
+    )
+    return isotonic_calibration(
+        base, "source", ["n_chars", "doc_id"], "is_en", n_bins=5
+    )
