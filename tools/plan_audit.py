@@ -1,0 +1,87 @@
+"""Registry-wide physical-plan audit: one row per t2 query with the
+plan facts that matter at 100 TB — exchange count, scan count,
+broadcast vs sort-merge joins, Python-eval nodes, cartesian products,
+and whether the scan carries pushed filters.
+
+tests/test_plans.py ENFORCES the invariants (no Python in relational
+queries, no cartesians, per-query exchange budgets); this tool makes
+the same facts reviewable as an artifact: PLAN_AUDIT.json maps every
+query to its counts, plus a summary block. Run after registry changes:
+
+    python tools/plan_audit.py            # writes PLAN_AUDIT.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def main() -> None:
+    from oic_options_chains_spark.queries import QUERIES
+    from oic_options_chains_spark.session import get_spark
+
+    spark = get_spark(app_name="oic-plan-audit", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+
+    rows: dict[str, dict] = {}
+    for name in sorted(QUERIES):
+        try:
+            df = QUERIES[name](spark, SF_DIR)
+            plan = df._jdf.queryExecution().explainString(mode)
+        except Exception as exc:  # noqa: BLE001 - audit must cover all
+            rows[name] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+            continue
+        # formatted mode puts node names on "(n) Node" header lines and
+        # partitioning in Arguments lines
+        headers = re.findall(r"\(\d+\) (\w+)", plan)
+        rows[name] = {
+            "exchanges": headers.count("Exchange"),
+            "hash_partitionings": plan.count("hashpartitioning("),
+            "range_partitionings": plan.count("rangepartitioning("),
+            "scans": plan.count("Scan parquet"),
+            "broadcast_joins": plan.count("BroadcastHashJoin"),
+            "sort_merge_joins": plan.count("SortMergeJoin"),
+            "bnl_joins": plan.count("BroadcastNestedLoopJoin"),
+            "cartesian": plan.count("CartesianProduct"),
+            "python_eval": plan.count("EvalPython"),
+            "pandas_kernels": plan.count("MapInPandas")
+            + plan.count("FlatMapGroupsInPandas"),
+            "pushed_filters": "PushedFilters: [" in plan
+            and "PushedFilters: []" not in plan,
+        }
+        print(json.dumps({"query": name, **rows[name]}), flush=True)
+
+    audited = [r for r in rows.values() if "error" not in r]
+    summary = {
+        "n_queries": len(rows),
+        "n_audited": len(audited),
+        "n_errors": len(rows) - len(audited),
+        "python_eval_total": sum(r["python_eval"] for r in audited),
+        "cartesian_total": sum(r["cartesian"] for r in audited),
+        "sort_merge_join_total": sum(r["sort_merge_joins"] for r in audited),
+        "broadcast_join_total": sum(r["broadcast_joins"] for r in audited),
+        "max_exchanges": max((r["exchanges"] for r in audited), default=0),
+        "sf_dir": SF_DIR,
+    }
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "PLAN_AUDIT.json",
+    )
+    with open(out, "w") as fh:
+        json.dump({"summary": summary, "queries": rows}, fh, indent=1, sort_keys=True)
+    print(f"# wrote {out}", file=sys.stderr)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
