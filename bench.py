@@ -120,6 +120,7 @@ HEADLINE = (
     "q_pack_masks",
     "q_kcore",
     "q_isotonic",
+    "q_span_corruption",
     # OPH next to the k-permutation path it accelerates
     "q_oph_lsh_pairs",
 )

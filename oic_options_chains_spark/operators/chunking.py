@@ -290,3 +290,94 @@ def pack_loss_masks(packed: DataFrame, context: int = 256) -> DataFrame:
         .cast("bigint")
         .alias("end_in_seq"),
     )
+
+
+def span_corruption_manifest(
+    df: DataFrame,
+    rate_denom: int = 20,
+    max_span: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic T5/UL2-style span-corruption manifest: for each
+    document, the token spans a denoising objective would mask — chosen
+    by content hash, not a seeded RNG, so the same document gets the
+    same spans on any engine, any partitioning, any rerun (the
+    reproducibility property a training pipeline actually needs from
+    its preprocessing).
+
+    A token position i STARTS a span iff md5(doc_id:i) % rate_denom ==
+    0 (expected start rate 1/rate_denom); the span's length is
+    1 + md5(doc_id:i:L) % max_span. Overlapping/adjacent spans merge
+    (the span_dedup gaps-and-islands pass), and every span clips to the
+    document. Output: (doc_id, span_idx, start, length, n_tokens) —
+    span_idx in start order, 0-based.
+
+    Scale shape: start selection and length draws are array-side over
+    the token count (no per-token explode of text), the merge windows
+    partition by document. One doc-keyed exchange total."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    n = F.size(toks)
+    did = F.col(id_col).cast("string")
+
+    def h(i, salt):
+        key = F.concat_ws(":", did, i.cast("string"), F.lit(salt))
+        return F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("bigint")
+
+    starts = F.filter(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: h(i, "s") % rate_denom == 0,
+    )
+    spans = df.select(
+        F.col(id_col),
+        n.alias("__n"),
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    i.cast("int").alias("start"),
+                    F.least(
+                        i + 1 + (h(i, "L") % max_span).cast("int"), n
+                    )
+                    .cast("int")
+                    .alias("end"),
+                ),
+            )
+        ).alias("sp"),
+    ).select(F.col(id_col), "__n", "sp.start", "sp.end")
+
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("start", "end")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("start", "end")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = spans.withColumn(
+        "__prev_max", F.max("end").over(w_prev)
+    ).withColumn(
+        "__island",
+        F.sum(
+            F.when(
+                F.col("__prev_max").isNull()
+                | (F.col("start") > F.col("__prev_max")),
+                1,
+            ).otherwise(0)
+        ).over(w_run),
+    )
+    merged = islands.groupBy(id_col, "__island").agg(
+        F.min("start").alias("start"),
+        (F.max("end") - F.min("start")).alias("length"),
+        F.first("__n").alias("__n"),
+    )
+    w_idx = Window.partitionBy(id_col).orderBy("start")
+    return merged.select(
+        F.col(id_col),
+        (F.row_number().over(w_idx) - 1).cast("int").alias("span_idx"),
+        F.col("start").cast("bigint").alias("start"),
+        F.col("length").cast("bigint").alias("length"),
+        F.col("__n").cast("bigint").alias("n_tokens"),
+    )

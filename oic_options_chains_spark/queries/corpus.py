@@ -800,3 +800,61 @@ def q_pack_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     packed = pack_stream_offsets(sized, key="doc_id", context=256, n_shards=8)
     return pack_loss_masks(packed, context=256)
+
+
+@register(
+    "q_span_corruption",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n
+               FROM documents),
+    st AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM t),
+    sp AS (
+      SELECT doc_id, n, CAST(i AS INT) AS start,
+             CAST(least(i + 1 +
+                   CAST(concat('0x',
+                        substring(md5(doc_id || ':' || i || ':L'), 1, 13))
+                        AS BIGINT) % 5, n) AS INT) AS e
+      FROM st
+      WHERE CAST(concat('0x',
+                 substring(md5(doc_id || ':' || i || ':s'), 1, 13))
+                 AS BIGINT) % 20 = 0),
+    wprev AS (
+      SELECT doc_id, n, start, e,
+             MAX(e) OVER (PARTITION BY doc_id ORDER BY start, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM sp),
+    isl AS (
+      SELECT doc_id, n, start, e,
+             SUM(CASE WHEN prev_max IS NULL OR start > prev_max
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY start, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM wprev),
+    mg AS (SELECT doc_id, island, MIN(start) AS start,
+                  MAX(e) - MIN(start) AS length, ANY_VALUE(n) AS n
+           FROM isl GROUP BY doc_id, island)
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1
+                AS INT) AS span_idx,
+           CAST(start AS BIGINT) AS start,
+           CAST(length AS BIGINT) AS length,
+           CAST(n AS BIGINT) AS n_tokens
+    FROM mg
+    """,
+)
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic span-corruption manifest
+    (operators/chunking.span_corruption_manifest): the token spans a
+    T5/UL2 denoising objective masks per document, drawn by content
+    hash (md5 of doc:position) so any engine, partitioning, or rerun
+    reproduces them — overlapping draws merge gaps-and-islands style.
+    Array-side start/length draws, one doc-keyed exchange."""
+    from oic_options_chains_spark.operators.chunking import (
+        span_corruption_manifest,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return span_corruption_manifest(d, rate_denom=20, max_span=5)

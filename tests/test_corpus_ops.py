@@ -334,3 +334,28 @@ def test_pack_loss_masks_cover_exactly_and_clip(spark):
         spans.sort()
         for (b1, e1), (b2, e2) in zip(spans, spans[1:]):
             assert e1 == b2, spans
+
+
+def test_span_corruption_is_deterministic_merged_and_clipped(spark):
+    from oic_options_chains_spark.operators.chunking import (
+        span_corruption_manifest,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(120))) for i in range(1, 6)],
+        "doc_id bigint, text string",
+    )
+    a = sorted(map(tuple, span_corruption_manifest(docs).collect()))
+    b = sorted(map(tuple, span_corruption_manifest(docs).collect()))
+    assert a == b and len(a) > 0  # content-hash draws replay exactly
+    for doc_id, span_idx, start, length, n_tokens in a:
+        assert 0 <= start and start + length <= n_tokens and length >= 1
+    # spans within a doc are disjoint, non-adjacent-mergeable, ordered
+    by_doc = {}
+    for r in a:
+        by_doc.setdefault(r[0], []).append(r)
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r[1])
+        for (_, i1, s1, l1, _), (_, i2, s2, _, _) in zip(rows, rows[1:]):
+            assert i2 == i1 + 1
+            assert s2 > s1 + l1  # merged spans never touch
