@@ -43,6 +43,7 @@ def pack_stream_offsets(
     n_tokens_col: str = "n_tokens",
     context: int = 256,
     n_shards: int = 8,
+    sub_buckets: int = 1,
 ) -> DataFrame:
     """Concat-then-split sequence packing: documents are laid out in a
     deterministic pseudo-random stream (md5 order) and the stream is cut
@@ -52,31 +53,99 @@ def pack_stream_offsets(
     fixed-length rows without re-tokenizing.
 
     Scale: a single global cumsum would serialize on one task, so the
-    stream is sharded first (content-hash, like sampling.global_shuffle)
-    and each shard packs independently — one exchange, then per-shard
-    window cumsum. Sequences never cross shards, which is exactly how a
-    distributed packer writes shard files anyway.
+    stream is sharded first (content-hash) and each shard packs
+    independently — one exchange, then per-shard window cumsum. At
+    scale ``n_shards`` IS the parallelism knob: a 100 TB packer writes
+    tens of thousands of shard files, so per-shard windows stay
+    task-sized. When the deployment instead wants FEW giant streams,
+    ``sub_buckets > 1`` switches the cumsum to an order-preserving
+    DISTRIBUTED prefix sum (``_distributed_pack_cumsum``): md5-prefix
+    sub-buckets cumsum locally and a tiny per-bucket offsets relation
+    broadcasts back — OUTPUT-IDENTICAL to the serial form (the knob
+    changes the plan, never a value), parallelism n_shards*sub_buckets.
     """
     from oic_options_chains_spark.operators.sampling import hash_bucket
 
     k = F.col(key)
-    w = (
-        Window.partitionBy("shard")
-        .orderBy(F.md5(k.cast("string")).asc(), k.asc())
+    toks = F.col(n_tokens_col).cast("bigint")
+    base = df.withColumn("shard", hash_bucket(k, n_shards).cast("int")).withColumn(
+        "__ok", F.md5(k.cast("string"))
+    )
+    packed = _pack_cumsum(
+        base, order_cols=[F.col("__ok").asc(), k.asc()], toks=toks,
+        sub_buckets=sub_buckets,
+    )
+    return packed.select(
+        key,
+        "shard",
+        toks.alias("n_tokens"),
+        (F.col("__cum") - toks).alias("stream_start"),
+        F.floor((F.col("__cum") - toks) / context).cast("bigint").alias("seq_index"),
+        ((F.col("__cum") - toks) % context).cast("bigint").alias("seq_offset"),
+    )
+
+
+def _pack_cumsum(base, order_cols, toks, sub_buckets: int = 1):
+    """Running total in global shard order: per-shard window when
+    sub_buckets == 1, order-preserving distributed prefix sum when > 1."""
+    if sub_buckets <= 1:
+        w = (
+            Window.partitionBy("shard")
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return base.withColumn("__cum", F.sum(toks).over(w))
+    return _distributed_pack_cumsum(
+        base, order_cols=order_cols, toks=toks, sub_buckets=sub_buckets
+    )
+
+
+def _distributed_pack_cumsum(base, order_cols, toks, sub_buckets: int = 256):
+    """Order-preserving distributed prefix sum over (shard, __ok-ordered
+    rows): within-(shard, sub-bucket) window cumsum + per-bucket offsets
+    broadcast back. ``base`` must carry ``shard`` and ``__ok`` (the md5
+    order key whose leading hex chars define the sub-buckets); returns
+    ``base`` plus ``__cum`` (inclusive running total in global shard
+    order). The hex prefix is order-consistent with the full md5 string
+    ('0'-'9' < 'a'-'f' in ASCII), so bucket-major order IS stream order.
+
+    Cost shape: the corpus exchanges ONCE on (shard, sub-bucket); the
+    offsets relation is built by a pruned re-pass whose exchange is
+    post-partial-aggregate (bucket-count-sized), then broadcasts back.
+    Worth it when shards are giant streams; at bench scale the extra
+    stages are pure overhead, hence the sub_buckets=1 default upstream."""
+    # order-preserving bucket id: SCALE the 0..255 prefix down (integer
+    # division keeps monotonicity; a modulo would interleave key ranges
+    # across buckets and break the global stream order)
+    sub = F.floor(
+        F.conv(F.substring(F.col("__ok"), 1, 2), 16, 10).cast("int")
+        * sub_buckets
+        / 256
+    ).cast("int")
+    b = base.withColumn("__sub", sub)
+    w_local = (
+        Window.partitionBy("shard", "__sub")
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    toks = F.col(n_tokens_col).cast("bigint")
+    local = b.withColumn("__lcum", F.sum(toks).over(w_local))
+    totals = local.groupBy("shard", "__sub").agg(
+        F.sum(toks).alias("__btot")
+    )
+    w_off = (
+        Window.partitionBy("shard")
+        .orderBy("__sub")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "shard",
+        "__sub",
+        F.coalesce(F.sum("__btot").over(w_off), F.lit(0)).alias("__off"),
+    )
     return (
-        df.withColumn("shard", hash_bucket(k, n_shards).cast("int"))
-        .withColumn("__cum", F.sum(toks).over(w))
-        .select(
-            key,
-            "shard",
-            toks.alias("n_tokens"),
-            (F.col("__cum") - toks).alias("stream_start"),
-            F.floor((F.col("__cum") - toks) / context).cast("bigint").alias("seq_index"),
-            ((F.col("__cum") - toks) % context).cast("bigint").alias("seq_offset"),
-        )
+        local.join(F.broadcast(offsets), ["shard", "__sub"])
+        .withColumn("__cum", F.col("__lcum") + F.col("__off"))
+        .drop("__lcum", "__off", "__sub")
     )
 
 
@@ -225,25 +294,31 @@ def pack_grouped_stream_offsets(
     n_tokens_col: str = "n_tokens",
     context: int = 256,
     n_shards: int = 8,
+    sub_buckets: int = 1,
 ) -> DataFrame:
     """pack_stream_offsets for SEGMENTED records: the stream is laid out
     in md5 order of the GROUP (document) with each group's segments kept
     contiguous and in ``seq_col`` order — the invariant a multimodal
     record needs (a media placeholder must land next to its text
-    segment, never shuffled away from it). Same sharded one-exchange
-    cumsum shape as the flat packer."""
+    segment, never shuffled away from it). Same cumsum shape and
+    ``sub_buckets`` knob as the flat packer (md5-prefix sub-buckets key
+    on the GROUP, so a group's segments stay in one bucket and
+    contiguity survives the split)."""
     from oic_options_chains_spark.operators.sampling import hash_bucket
 
     g = F.col(group_col)
-    w = (
-        Window.partitionBy("shard")
-        .orderBy(F.md5(g.cast("string")).asc(), g.asc(), F.col(seq_col).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     toks = F.col(n_tokens_col).cast("bigint")
+    base = df.withColumn(
+        "shard", hash_bucket(g, n_shards).cast("int")
+    ).withColumn("__ok", F.md5(g.cast("string")))
+    packed = _pack_cumsum(
+        base,
+        order_cols=[F.col("__ok").asc(), g.asc(), F.col(seq_col).asc()],
+        toks=toks,
+        sub_buckets=sub_buckets,
+    )
     return (
-        df.withColumn("shard", hash_bucket(g, n_shards).cast("int"))
-        .withColumn("__cum", F.sum(toks).over(w))
+        packed.drop("__ok")
         .withColumn("stream_start", F.col("__cum") - toks)
         .drop("__cum")
         .withColumn(
@@ -251,6 +326,11 @@ def pack_grouped_stream_offsets(
             F.floor(F.col("stream_start") / context).cast("bigint"),
         )
         .withColumn("seq_offset", (F.col("stream_start") % context).cast("bigint"))
+        # canonical column order regardless of cumsum path (the
+        # distributed join moves its keys to the front)
+        .select(
+            *df.columns, "shard", "stream_start", "seq_index", "seq_offset"
+        )
     )
 
 

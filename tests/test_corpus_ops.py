@@ -359,3 +359,35 @@ def test_span_corruption_is_deterministic_merged_and_clipped(spark):
         for (_, i1, s1, l1, _), (_, i2, s2, _, _) in zip(rows, rows[1:]):
             assert i2 == i1 + 1
             assert s2 > s1 + l1  # merged spans never touch
+
+
+def test_pack_sub_buckets_knob_is_output_identical(spark):
+    from oic_options_chains_spark.operators.chunking import (
+        pack_grouped_stream_offsets,
+        pack_stream_offsets,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 17 + (i * 13) % 90) for i in range(1, 300)],
+        "doc_id bigint, n_tokens bigint",
+    )
+    serial = sorted(map(tuple, pack_stream_offsets(df, sub_buckets=1).collect()))
+    dist = sorted(
+        map(tuple, pack_stream_offsets(df, sub_buckets=256).collect())
+    )
+    coarse = sorted(
+        map(tuple, pack_stream_offsets(df, sub_buckets=16).collect())
+    )
+    assert serial == dist == coarse
+
+    segs = spark.createDataFrame(
+        [(i, j, 10 + (i + j) % 7) for i in range(1, 80) for j in range(3)],
+        "doc_id bigint, seg_idx int, n_tokens bigint",
+    )
+    g_serial = sorted(
+        map(tuple, pack_grouped_stream_offsets(segs, sub_buckets=1).collect())
+    )
+    g_dist = sorted(
+        map(tuple, pack_grouped_stream_offsets(segs, sub_buckets=64).collect())
+    )
+    assert g_serial == g_dist

@@ -104,11 +104,36 @@ def test_decontamination_benchmark_broadcasts(spark, sf_dir):
 
 
 def test_pack_sequences_single_corpus_exchange(spark, sf_dir):
-    # sharded packing: ONE shard-keyed exchange feeds the window cumsum;
-    # a second corpus-wide exchange means the shard column stopped
-    # pre-partitioning the window
+    # sharded packing default: ONE shard-keyed exchange feeds the window
+    # cumsum; a second corpus-wide exchange means the shard column
+    # stopped pre-partitioning the window
     plan = _plan(QUERIES["q_pack_sequences"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_pack_distributed_cumsum_variant_shape(spark, sf_dir):
+    # the few-giant-streams knob (sub_buckets > 1): the corpus exchanges
+    # ONCE on (shard, sub-bucket); the per-bucket offsets relation comes
+    # back as a BROADCAST join (its own exchanges are post-partial-
+    # aggregate, bucket-count-sized); a sort-merge join back would mean
+    # the corpus started shuffling for the offsets
+    from pyspark.sql import functions as F
+
+    from oic_options_chains_spark.operators.chunking import (
+        pack_stream_offsets,
+    )
+    from oic_options_chains_spark.operators.text import token_count_ws
+    from oic_options_chains_spark.sources.registry import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count_ws(F.col("text")).alias("n_tokens")
+    )
+    plan = _plan(
+        pack_stream_offsets(d, key="doc_id", context=256, sub_buckets=256)
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
 
 
 def test_mixture_quota_table_broadcasts(spark, sf_dir):
