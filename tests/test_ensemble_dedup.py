@@ -66,3 +66,51 @@ def test_exact_star_edges_match_group_min(spark):
     )
     edges = {(r["doc_a"], r["doc_b"]) for r in exact_star_edges(df).collect()}
     assert edges == {(1, 3), (1, 5)}
+
+
+def test_random_multisignal_graphs_match_union_find(spark):
+    import random
+
+    rnd = random.Random(77)
+    for trial in range(3):
+        n = 40
+        sigs = {}
+        for bit in (1, 2, 4):
+            edges = [
+                (rnd.randrange(n), rnd.randrange(n))
+                for _ in range(rnd.randrange(5, 25))
+            ]
+            sigs[bit] = [(a, b) for a, b in edges if a != b]
+
+        # reference union-find over the union of all signals
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for edges in sigs.values():
+            for a, b in edges:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        want_cluster = {v: find(v) for v in range(n)}
+        want_signals = {v: 0 for v in range(n)}
+        for bit, edges in sigs.items():
+            for a, b in edges:
+                want_signals[a] |= bit
+                want_signals[b] |= bit
+
+        docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
+        sources = {
+            bit: spark.createDataFrame(e, "doc_a bigint, doc_b bigint")
+            for bit, e in sigs.items()
+            if e
+        }
+        got = {r["doc_id"]: r for r in ensemble_dedup(docs, sources).collect()}
+        for v in range(n):
+            assert got[v]["cluster_id"] == want_cluster[v], (trial, v)
+            assert got[v]["signals"] == want_signals[v], (trial, v)
+            assert got[v]["is_keeper"] == int(v == want_cluster[v])
