@@ -271,7 +271,12 @@ def exact_star_edges(
     d*(d-1)/2 while producing identical connected components. One
     fingerprint-keyed window, no self-join."""
     norm = F.md5(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
-    f = docs.select(F.col(id_col), norm.alias("__fp"))
+    # NULL text is not comparable content: a window would lump every
+    # NULL-fingerprint doc into one "duplicate" group (and diverge from
+    # SQL equi-join semantics, where NULL joins nothing)
+    f = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), norm.alias("__fp")
+    )
     w = Window.partitionBy("__fp")
     return (
         f.withColumn("__min", F.min(id_col).over(w))

@@ -114,3 +114,10 @@ def test_random_multisignal_graphs_match_union_find(spark):
             assert got[v]["cluster_id"] == want_cluster[v], (trial, v)
             assert got[v]["signals"] == want_signals[v], (trial, v)
             assert got[v]["is_keeper"] == int(v == want_cluster[v])
+
+
+def test_null_text_never_links(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x")], "doc_id bigint, text string"
+    )
+    assert exact_star_edges(df).count() == 0
