@@ -121,6 +121,7 @@ HEADLINE = (
     "q_kcore",
     "q_isotonic",
     "q_span_corruption",
+    "q_lsh_design",
     # OPH next to the k-permutation path it accelerates
     "q_oph_lsh_pairs",
 )

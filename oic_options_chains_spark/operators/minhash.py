@@ -871,3 +871,72 @@ def oph_bands_expr(
         ]
     )
     return F.when(n_sh > 0, bands)
+
+
+LSH_CONFIGS = ((1, 8), (2, 4), (4, 2), (8, 1), (1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
+
+
+def lsh_p_expr(r: int, b: int, div_op: str, bucket_col: str = "s_tenths") -> str:
+    """Exact-integer banding S-curve at similarity s = bucket/10:
+    P(collide) = 1 - (1 - s^r)^b, scaled e6 and floored. With s = i/10
+    the whole expression is bigint: 1e6 - ceil((10^r - i^r)^b / D) with
+    D = 10^(r*b - 6), the ceiling written as (X + D - 1) DIV D so the
+    complement is a true FLOOR of the probability — powers unroll to
+    literal multiplication chains (r*b <= 16 keeps every intermediate
+    under 10^16), and the only division is exact integer division, so
+    ANY engine reproduces the same integers. ``div_op`` is the engine's
+    integer-division token ('DIV' for Spark SQL, '//' for DuckDB)."""
+    assert r * b in (8, 16), "hash budget must keep 10^(r*b) in bigint"
+    i = f"CAST({bucket_col} AS BIGINT)"
+    i_pow_r = " * ".join([i] * r)
+    one_minus = f"({10 ** r} - {i_pow_r})"
+    x = " * ".join([one_minus] * b)
+    d = 10 ** (r * b - 6)
+    return f"(1000000 - (({x}) + {d - 1}) {div_op} {d})"
+
+
+def lsh_recall_audit(
+    pairs: DataFrame, jaccard_bp_col: str = "jaccard_bp"
+) -> DataFrame:
+    """LSH banding design audit: for every (rows_per_band, bands) config
+    in the 8- and 16-hash budgets, the exact collision probability at
+    each observed similarity decile of THIS corpus's near-dup pairs,
+    plus the config's expected recall over that distribution — the
+    table you read before choosing banding parameters, computed from
+    the data rather than an assumed similarity mix.
+
+    Output: (rows_per_band, bands, s_tenths, n_pairs, p_e6,
+    config_recall_e6); recall_e6 = floor(sum(n*P)/sum(n)) per config.
+    The pair histogram is a tiny aggregate of the (already bounded)
+    verified-pair relation; the config cross is 9 literal rows."""
+    hist = (
+        pairs.selectExpr(
+            f"LEAST(CAST({jaccard_bp_col} AS BIGINT) DIV 1000, 10) AS s_tenths"
+        )
+        .groupBy("s_tenths")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+    parts = []
+    for r, b in LSH_CONFIGS:
+        p = lsh_p_expr(r, b, "DIV")
+        parts.append(
+            hist.selectExpr(
+                f"CAST({r} AS INT) AS rows_per_band",
+                f"CAST({b} AS INT) AS bands",
+                "CAST(s_tenths AS INT) AS s_tenths",
+                "n_pairs",
+                f"CAST({p} AS BIGINT) AS p_e6",
+            )
+        )
+    detail = parts[0]
+    for x in parts[1:]:
+        detail = detail.unionByName(x)
+    w = Window.partitionBy("rows_per_band", "bands")
+    return detail.withColumn(
+        "config_recall_e6",
+        F.expr(
+            "CAST(SUM(n_pairs * p_e6) OVER "
+            "(PARTITION BY rows_per_band, bands) DIV "
+            "SUM(n_pairs) OVER (PARTITION BY rows_per_band, bands) AS BIGINT)"
+        ),
+    )

@@ -1740,3 +1740,76 @@ def q_dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ensemble_dedup(
         d, {1: exact_star_edges(d), 2: lsh, 4: emb}
     )
+
+
+def _lsh_design_oracle() -> str:
+    from oic_options_chains_spark.operators.minhash import (
+        LSH_CONFIGS,
+        lsh_p_expr,
+    )
+
+    pair_sql = (
+        "WITH "
+        + _SHINGLE_SQL
+        + """,
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50),
+    capped AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    jac AS (
+      SELECT CAST(FLOOR((CAST(10000 AS DOUBLE) * i.shared)
+                        / (sa.sz + sb.sz - i.shared)) AS BIGINT) AS bp
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE FLOOR((CAST(10000 AS DOUBLE) * i.shared)
+                  / (sa.sz + sb.sz - i.shared)) >= 500),
+    hist AS (SELECT LEAST(bp // 1000, 10) AS s_tenths,
+                    CAST(COUNT(*) AS BIGINT) AS n_pairs
+             FROM jac GROUP BY 1),
+    detail AS ("""
+    )
+    selects = [
+        f"""
+      SELECT CAST({r} AS INT) AS rows_per_band, CAST({b} AS INT) AS bands,
+             CAST(s_tenths AS INT) AS s_tenths, n_pairs,
+             CAST({lsh_p_expr(r, b, "//")} AS BIGINT) AS p_e6
+      FROM hist"""
+        for r, b in LSH_CONFIGS
+    ]
+    return (
+        pair_sql
+        + "\n      UNION ALL".join(selects)
+        + """)
+    SELECT rows_per_band, bands, s_tenths, n_pairs, p_e6,
+           CAST(SUM(n_pairs * p_e6) OVER w // SUM(n_pairs) OVER w AS BIGINT)
+             AS config_recall_e6
+    FROM detail
+    WINDOW w AS (PARTITION BY rows_per_band, bands)
+    """
+    )
+
+
+@register("q_lsh_design", oracle=_lsh_design_oracle())
+def q_lsh_design(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding design audit (operators/minhash.lsh_recall_audit):
+    the exact integer S-curve P(collide) = 1 - (1 - s^r)^b for every
+    (rows_per_band, bands) config in the 8- and 16-hash budgets,
+    evaluated at THIS corpus's observed near-dup similarity deciles,
+    with each config's expected recall over that distribution — the
+    parameter-choice table computed from data, not an assumed mix.
+    Powers unroll to literal multiplication chains so every value is
+    bigint-exact on any engine."""
+    from oic_options_chains_spark.operators.minhash import (
+        lsh_recall_audit,
+        ngram_jaccard_pairs_capped,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs_capped(
+        doc_shingles(d, "doc_id", "text"), "doc_id", df_cap=50
+    )
+    return lsh_recall_audit(pairs)
