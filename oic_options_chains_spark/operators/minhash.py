@@ -931,7 +931,6 @@ def lsh_recall_audit(
     detail = parts[0]
     for x in parts[1:]:
         detail = detail.unionByName(x)
-    w = Window.partitionBy("rows_per_band", "bands")
     return detail.withColumn(
         "config_recall_e6",
         F.expr(
