@@ -122,6 +122,7 @@ HEADLINE = (
     "q_isotonic",
     "q_span_corruption",
     "q_lsh_design",
+    "q_linearize_orders",
     # OPH next to the k-permutation path it accelerates
     "q_oph_lsh_pairs",
 )

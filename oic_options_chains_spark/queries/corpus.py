@@ -858,3 +858,49 @@ def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return span_corruption_manifest(d, rate_denom=20, max_span=5)
+
+
+@register(
+    "q_linearize_orders",
+    oracle="""
+    WITH items AS (
+      SELECT l_orderkey,
+             string_agg('item ' || l_linenumber || ' part ' || l_partkey
+                        || ' qty ' || CAST(l_quantity AS BIGINT),
+                        '; ' ORDER BY l_linenumber, l_partkey,
+                                       CAST(l_quantity AS BIGINT)) AS items_text,
+             CAST(COUNT(*) AS BIGINT) AS n_items
+      FROM lineitem GROUP BY l_orderkey),
+    t AS (
+      SELECT o.o_orderkey AS doc_key,
+             'order ' || o.o_orderkey || ' by ' || c.c_name
+             || ' segment ' || c.c_mktsegment
+             || ' on ' || CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR)
+             || ' status ' || o.o_orderstatus
+             || ' priority ' || o.o_orderpriority
+             || ' total ' || CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+             || ' items ' || COALESCE(i.n_items, 0)
+             || ': ' || COALESCE(i.items_text, 'none') AS text,
+             COALESCE(i.n_items, 0) AS n_items
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      LEFT JOIN items i ON o.o_orderkey = i.l_orderkey)
+    SELECT doc_key, text, CAST(n_items AS BIGINT) AS n_items,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM t
+    """,
+)
+def q_linearize_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational-to-corpus bridge (operators/linearize.linearize_orders):
+    every order rendered as deterministic training text — customer,
+    header fields, and line items in line-number order — with token
+    counts ready for the packing tier. All numbers enter the string as
+    BIGINTs or via the decimal(18,2)->varchar idiom, so the rendered
+    document hashes identically on any engine."""
+    from oic_options_chains_spark.operators.linearize import linearize_orders
+
+    return linearize_orders(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
