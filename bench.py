@@ -123,6 +123,7 @@ HEADLINE = (
     "q_span_corruption",
     "q_lsh_design",
     "q_linearize_orders",
+    "q_episode_build",
     # OPH next to the k-permutation path it accelerates
     "q_oph_lsh_pairs",
 )

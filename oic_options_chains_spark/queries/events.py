@@ -771,3 +771,114 @@ def q_backfill_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return backfill_manifest(
         jittered, "arr_us", "ts", watermark_s=60, tie_col="event_id"
     )
+
+
+@register(
+    "q_episode_build",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0
+             END AS new_session
+      FROM ordered),
+    numbered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS INT)
+               AS session_idx
+      FROM flagged),
+    ep AS (
+      SELECT user_id || ':' || session_idx AS episode_key,
+             string_agg(event_type, ' ' ORDER BY ts, event_id) AS text,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM numbered GROUP BY user_id, session_idx),
+    sh AS (
+      SELECT episode_key, text, n_tokens,
+             CAST(concat('0x', substr(md5(episode_key), 1, 4)) AS INT) % 8
+               AS shard,
+             md5(episode_key) AS hh
+      FROM ep),
+    c AS (
+      SELECT episode_key, text, n_tokens, shard,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY hh, episode_key
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS BIGINT) AS stream_start
+      FROM sh)
+    SELECT episode_key, text, n_tokens, CAST(shard AS INT) AS shard,
+           stream_start,
+           CAST(stream_start // 64 AS BIGINT) AS seq_index,
+           CAST(stream_start % 64 AS BIGINT) AS seq_offset
+    FROM c
+    """,
+)
+def q_episode_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-corpus flagship: sessionize the event stream (30-min
+    gap), linearize each session into an event-type token sequence in
+    (ts, event_id) order, and pack the episodes into 64-token training
+    sequences — the log-to-LM pipeline (sessionization -> serialization
+    -> packing) in one plan. The user-keyed exchange serves the lag
+    window, the session numbering, AND the episode rollup; packing adds
+    its one shard-keyed exchange."""
+    from oic_options_chains_spark.operators.chunking import pack_stream_offsets
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    numbered = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(
+            F.when(
+                F.lag("ts").over(w).isNull()
+                | (gap_us > 30 * 60 * 1_000_000),
+                1,
+            ).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("int")
+        .alias("session_idx"),
+    )
+    episodes = numbered.groupBy("user_id", "session_idx").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts", "event_id", F.col("event_type").alias("et"))
+                    )
+                ),
+                lambda x: x["et"],
+            ),
+            " ",
+        ).alias("text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+    ).select(
+        F.concat_ws(":", F.col("user_id"), F.col("session_idx")).alias(
+            "episode_key"
+        ),
+        "text",
+        "n_tokens",
+    )
+    packed = pack_stream_offsets(
+        episodes.select("episode_key", "n_tokens"),
+        key="episode_key",
+        context=64,
+        n_shards=8,
+    )
+    return packed.join(episodes.select("episode_key", "text"), "episode_key").select(
+        "episode_key",
+        "text",
+        F.col("n_tokens"),
+        "shard",
+        "stream_start",
+        "seq_index",
+        "seq_offset",
+    )
