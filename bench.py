@@ -150,6 +150,9 @@ SCALE_QUERIES = (
     "q_pit_join",
     "q_chain_build",
     "q_pack_sequences",
+    # round-7 composites whose scale shape is the round's centerpiece
+    "q_dedup_ensemble",
+    "q_episode_build",
 )
 SCALE_RUNS_PER_QUERY = 2
 
