@@ -162,3 +162,48 @@ def test_kcore_cascading_peel_needs_multiple_rounds(spark):
     edf = spark.createDataFrame(edges, "src bigint, dst bigint")
     got = kcore_membership(ndf, edf, k=2, rounds=8).collect()
     assert all(r["in_core"] == 0 for r in got)
+
+
+def test_kcore_random_graphs_match_reference(spark):
+    import random
+
+    def py_kcore(nodes, edges, k):
+        adj = {n: set() for n in nodes}
+        for a, b in edges:
+            if a != b:
+                adj[a].add(b)
+                adj[b].add(a)
+        alive = set(nodes)
+        changed = True
+        while changed:
+            changed = False
+            for n in list(alive):
+                if len(adj[n] & alive) < k:
+                    alive.discard(n)
+                    changed = True
+        return {
+            n: (int(n in alive), len(adj[n] & alive) if n in alive else 0)
+            for n in nodes
+        }
+
+    from oic_options_chains_spark.operators.graph import kcore_membership
+
+    rnd = random.Random(13)
+    for trial in range(3):
+        n = 30
+        nodes = list(range(n))
+        edges = list(
+            {
+                tuple(sorted((rnd.randrange(n), rnd.randrange(n))))
+                for _ in range(rnd.randrange(20, 70))
+            }
+        )
+        edges = [(a, b) for a, b in edges if a != b]
+        want = py_kcore(nodes, edges, k=3)
+        ndf = spark.createDataFrame([(x,) for x in nodes], "node bigint")
+        edf = spark.createDataFrame(edges, "src bigint, dst bigint")
+        got = {
+            r["node"]: (r["in_core"], r["core_degree"])
+            for r in kcore_membership(ndf, edf, k=3, rounds=30).collect()
+        }
+        assert got == want, trial
