@@ -916,21 +916,41 @@ def lsh_recall_audit(
         .groupBy("s_tenths")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
     )
-    parts = []
-    for r, b in LSH_CONFIGS:
-        p = lsh_p_expr(r, b, "DIV")
-        parts.append(
-            hist.selectExpr(
-                f"CAST({r} AS INT) AS rows_per_band",
-                f"CAST({b} AS INT) AS bands",
-                "CAST(s_tenths AS INT) AS s_tenths",
-                "n_pairs",
-                f"CAST({p} AS BIGINT) AS p_e6",
-            )
+    # one config-EXPLODE + CASE, not a 9-way union: a union would plan
+    # the pair-generation subtree once per branch (the shingle self-join
+    # nine times over); the explode keeps ONE subtree and the 9
+    # probability expressions dispatch per row
+    cfgs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).cast("int").alias("rows_per_band"),
+                    F.lit(b).cast("int").alias("bands"),
+                )
+                for r, b in LSH_CONFIGS
+            ]
         )
-    detail = parts[0]
-    for x in parts[1:]:
-        detail = detail.unionByName(x)
+    )
+    p_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN rows_per_band = {r} AND bands = {b} "
+            f"THEN CAST({lsh_p_expr(r, b, 'DIV')} AS BIGINT)"
+            for r, b in LSH_CONFIGS
+        )
+        + " END"
+    )
+    detail = (
+        hist.select("s_tenths", "n_pairs", cfgs.alias("__c"))
+        .select("s_tenths", "n_pairs", "__c.rows_per_band", "__c.bands")
+        .selectExpr(
+            "rows_per_band",
+            "bands",
+            "CAST(s_tenths AS INT) AS s_tenths",
+            "n_pairs",
+            f"{p_case} AS p_e6",
+        )
+    )
     return detail.withColumn(
         "config_recall_e6",
         F.expr(

@@ -1767,7 +1767,7 @@ def _lsh_design_oracle() -> str:
       JOIN sizes sb ON sb.doc_id = i.doc_b
       WHERE FLOOR((CAST(10000 AS DOUBLE) * i.shared)
                   / (sa.sz + sb.sz - i.shared)) >= 500),
-    hist AS (SELECT LEAST(bp // 1000, 10) AS s_tenths,
+    hist AS MATERIALIZED (SELECT LEAST(bp // 1000, 10) AS s_tenths,
                     CAST(COUNT(*) AS BIGINT) AS n_pairs
              FROM jac GROUP BY 1),
     detail AS ("""
