@@ -124,6 +124,7 @@ HEADLINE = (
     "q_lsh_design",
     "q_linearize_orders",
     "q_episode_build",
+    "q_pack_compose",
     # OPH next to the k-permutation path it accelerates
     "q_oph_lsh_pairs",
 )
@@ -153,6 +154,7 @@ SCALE_QUERIES = (
     # round-7 composites whose scale shape is the round's centerpiece
     "q_dedup_ensemble",
     "q_episode_build",
+    "q_pack_compose",
 )
 SCALE_RUNS_PER_QUERY = 2
 

@@ -461,3 +461,72 @@ def span_corruption_manifest(
         F.col("length").cast("bigint").alias("length"),
         F.col("__n").cast("bigint").alias("n_tokens"),
     )
+
+
+def compose_packed_sequences(
+    docs: DataFrame,
+    context: int = 256,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Emit the ACTUAL fixed-length training rows: pack the corpus
+    stream, cut it into ``context``-token sequences, and assemble each
+    sequence's text from the document fragments the mask manifest says
+    it contains — the end-to-end proof that stream offsets, sequence
+    cuts, and span clipping all agree (every interior sequence composes
+    to exactly ``context`` tokens; only each shard's tail runs short).
+
+    Output: (shard, seq_index, n_docs, n_tokens, seq_text), seq_text
+    being the space-joined tokens in stream order.
+
+    Scale shape: one pack cumsum, the row-local mask explode, a
+    doc-keyed join back to the text (fragment slicing is array-side on
+    the token array), and ONE (shard, seq)-keyed aggregation whose
+    groups are context-bounded — no group ever exceeds ``context``
+    tokens, so assembly can never create a hot key."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    sized = docs.select(
+        F.col(id_col), F.size(toks).cast("bigint").alias("n_tokens")
+    )
+    packed = pack_stream_offsets(
+        sized, key=id_col, context=context, n_shards=n_shards
+    )
+    masks = pack_loss_masks(packed, context=context)
+    # doc-local token range of each fragment: global position of the
+    # fragment start minus the document's stream offset
+    j = masks.join(
+        packed.select(F.col(id_col), "stream_start"), id_col
+    ).join(docs.select(F.col(id_col), F.col(text_col)), id_col)
+    local_start = (
+        F.col("seq_index") * context + F.col("begin_in_seq")
+        - F.col("stream_start")
+    )
+    frag_len = F.col("end_in_seq") - F.col("begin_in_seq")
+    frags = j.select(
+        "shard",
+        "seq_index",
+        "begin_in_seq",
+        F.array_join(
+            F.slice(
+                F.split(F.lower(F.col(text_col)), " "),
+                (local_start + 1).cast("int"),
+                frag_len.cast("int"),
+            ),
+            " ",
+        ).alias("frag"),
+        frag_len.alias("__n"),
+    )
+    return frags.groupBy("shard", "seq_index").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__n").cast("bigint").alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("begin_in_seq", F.col("frag").alias("f")))
+                ),
+                lambda x: x["f"],
+            ),
+            " ",
+        ).alias("seq_text"),
+    )

@@ -904,3 +904,57 @@ def q_linearize_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "customer"),
         load_table(spark, sf_dir, "lineitem"),
     )
+
+
+@register(
+    "q_pack_compose",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                  AS INT) % 8 AS shard,
+             md5(CAST(doc_id AS VARCHAR)) AS hh
+      FROM documents),
+    c AS (
+      SELECT doc_id, tk, n, shard,
+             CAST(SUM(n) OVER (PARTITION BY shard ORDER BY hh, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+                AS BIGINT) AS st
+      FROM t),
+    x AS (
+      SELECT tk, n, shard, st,
+             unnest(range(st // 256, (st + n - 1) // 256 + 1)) AS q
+      FROM c WHERE n > 0),
+    f AS (
+      SELECT shard, CAST(q AS BIGINT) AS seq_index,
+             greatest(st, q * 256) - q * 256 AS b,
+             CAST(greatest(st, q * 256) - st AS BIGINT) AS ls,
+             CAST(least(st + n, (q + 1) * 256) - greatest(st, q * 256)
+                  AS BIGINT) AS ln,
+             tk
+      FROM x)
+    SELECT CAST(shard AS INT) AS shard, seq_index,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ln) AS BIGINT) AS n_tokens,
+           string_agg(
+             array_to_string(tk[CAST(ls AS INT) + 1 : CAST(ls + ln AS INT)],
+                             ' '),
+             ' ' ORDER BY b) AS seq_text
+    FROM f GROUP BY shard, seq_index
+    """,
+)
+def q_pack_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized training rows (operators/chunking.
+    compose_packed_sequences): every 256-token sequence of the packed
+    stream assembled from its documents' token fragments — the
+    end-to-end proof that stream offsets, sequence cuts, and span
+    clipping agree (interior sequences compose to exactly 256 tokens).
+    Fragment slicing is array-side; the final assembly groups are
+    context-bounded, so no hot keys."""
+    from oic_options_chains_spark.operators.chunking import (
+        compose_packed_sequences,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return compose_packed_sequences(d, context=256, n_shards=8)

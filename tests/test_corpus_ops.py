@@ -391,3 +391,29 @@ def test_pack_sub_buckets_knob_is_output_identical(spark):
         map(tuple, pack_grouped_stream_offsets(segs, sub_buckets=64).collect())
     )
     assert g_serial == g_dist
+
+
+def test_composed_sequences_are_exactly_context_except_tails(spark):
+    from oic_options_chains_spark.operators.chunking import (
+        compose_packed_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{j}" for j in range(37))) for i in range(1, 40)],
+        "doc_id bigint, text string",
+    )
+    rows = compose_packed_sequences(docs, context=64, n_shards=4).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+        assert len(r["seq_text"].split(" ")) == r["n_tokens"]
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["seq_index"])
+        # every sequence but the shard tail is exactly `context` tokens
+        for r in shard_rows[:-1]:
+            assert r["n_tokens"] == 64, r
+        assert 1 <= shard_rows[-1]["n_tokens"] <= 64
+        # sequence indices are contiguous from 0
+        assert [r["seq_index"] for r in shard_rows] == list(
+            range(len(shard_rows))
+        )
