@@ -81,16 +81,25 @@ def _pair_counts(state: DataFrame) -> DataFrame:
     )
 
 
-def bpe_train(
-    docs: DataFrame,
-    rounds: int,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """The learned merge table: (round, left_tok, right_tok, pair_n) — one row
-    per merge round, in training order. Stops early if no pair remains
-    (every word fully merged)."""
-    spark = docs.sparkSession
+def _apply_merge(state: DataFrame, left: str, right: str) -> DataFrame:
+    return state.withColumn(
+        "s",
+        F.expr(
+            "replace(s, concat(' ', {l}, '  ', {r}, ' '), "
+            "concat(' ', {l}, {r}, ' '))".format(l=_sql_str(left), r=_sql_str(right))
+        ),
+    )
+
+
+def _bpe_train_state(
+    docs: DataFrame, rounds: int, id_col: str, text_col: str
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Run the training loop ONCE and return both products: the merge
+    list and the final (already localCheckpointed) word-symbol state.
+    bpe_vocab / bpe_encode_stats consume the state directly instead of
+    re-running training and re-applying every merge as an
+    un-checkpointed withColumn chain (which regrew per-round lineage —
+    quadratic plan size in merge count)."""
     state = _word_state(docs, id_col, text_col).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
     for r in range(1, rounds + 1):
@@ -104,16 +113,21 @@ def bpe_train(
             break
         left, right, pair_n = top[0]["left"], top[0]["right"], top[0]["pair_n"]
         merges.append((r, left, right, pair_n))
-        state = state.withColumn(
-            "s",
-            F.expr(
-                "replace(s, concat(' ', {l}, '  ', {r}, ' '), "
-                "concat(' ', {l}, {r}, ' '))".format(
-                    l=_sql_str(left), r=_sql_str(right)
-                )
-            ),
-        ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
+        state = _apply_merge(state, left, right).localCheckpoint(eager=True)
+    return merges, state
+
+
+def bpe_train(
+    docs: DataFrame,
+    rounds: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The learned merge table: (round, left_tok, right_tok, pair_n) — one row
+    per merge round, in training order. Stops early if no pair remains
+    (every word fully merged)."""
+    merges, _ = _bpe_train_state(docs, rounds, id_col, text_col)
+    return docs.sparkSession.createDataFrame(
         merges, "round int, left_tok string, right_tok string, pair_n bigint"
     )
 
@@ -127,18 +141,9 @@ def bpe_vocab(
 ) -> DataFrame:
     """The token vocabulary AFTER ``rounds`` merges: (token, total_n) —
     every symbol of every word's final state, weighted by word
-    frequency. What the tokenizer ships."""
-    state = _word_state(docs, id_col, text_col).localCheckpoint(eager=True)
-    for r, left, right, _ in bpe_train(docs, rounds, id_col, text_col).collect():
-        state = state.withColumn(
-            "s",
-            F.expr(
-                "replace(s, concat(' ', {l}, '  ', {r}, ' '), "
-                "concat(' ', {l}, {r}, ' '))".format(
-                    l=_sql_str(left), r=_sql_str(right)
-                )
-            ),
-        )
+    frequency. What the tokenizer ships. Reuses the training loop's own
+    checkpointed end state — no merge replay."""
+    _, state = _bpe_train_state(docs, rounds, id_col, text_col)
     return (
         state.select(
             F.explode(F.split(F.trim(F.col("s")), "  ")).alias("token"), "n"
@@ -167,21 +172,12 @@ def bpe_encode_stats(
 
     The 100 TB shape: training already reduced the corpus to the
     word-frequency table, and the word -> final-symbol-count mapping IS
-    that table's end state — a vocabulary-sized dimension. Encoding the
+    that table's end state — a vocabulary-sized dimension (reused from
+    the training loop's checkpoint, not re-derived). Encoding the
     corpus is therefore one explode (row-local) plus one broadcast join
     against that dimension and a per-doc sum: the corpus is never
     string-rewritten, only its words are looked up."""
-    state = _word_state(docs, id_col, text_col)
-    for _, left, right, _ in bpe_train(docs, rounds, id_col, text_col).collect():
-        state = state.withColumn(
-            "s",
-            F.expr(
-                "replace(s, concat(' ', {l}, '  ', {r}, ' '), "
-                "concat(' ', {l}, {r}, ' '))".format(
-                    l=_sql_str(left), r=_sql_str(right)
-                )
-            ),
-        )
+    _, state = _bpe_train_state(docs, rounds, id_col, text_col)
     word_tokens = state.select(
         "word", F.size(F.split(F.trim(F.col("s")), "  ")).alias("w_tokens")
     )

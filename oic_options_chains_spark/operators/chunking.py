@@ -334,25 +334,29 @@ def pack_grouped_stream_offsets(
     )
 
 
-def pack_loss_masks(packed: DataFrame, context: int = 256) -> DataFrame:
+def pack_loss_masks(
+    packed: DataFrame, context: int = 256, id_col: str = "doc_id"
+) -> DataFrame:
     """Per-sequence document-span manifest over a packed stream: for
     every training sequence a document overlaps, the token range it
-    occupies — (shard, seq_index, doc_id, begin_in_seq, end_in_seq).
+    occupies — (shard, seq_index, <id_col>, begin_in_seq, end_in_seq).
     This is what the trainer consumes to build cross-document attention
     / loss masks for concat-then-split packing: sequence boundaries cut
     documents, and the mask has to know where each fragment lives.
 
-    Input is ``pack_stream_offsets`` output (or the grouped packer's);
-    the explode is row-local over the (usually 1-2) sequences a
-    document touches — ceil(n_tokens / context) + 1 rows max — so the
-    manifest adds NO exchange beyond the packer's own cumsum."""
+    Input is ``pack_stream_offsets`` output (or the grouped packer's —
+    pass its key, e.g. ``id_col="episode_key"``, when the pack is keyed
+    on something other than doc_id); the explode is row-local over the
+    (usually 1-2) sequences a document touches — ceil(n_tokens /
+    context) + 1 rows max — so the manifest adds NO exchange beyond the
+    packer's own cumsum."""
     st = F.col("stream_start").cast("bigint")
     n = F.col("n_tokens").cast("bigint")
     ctx = F.lit(context).cast("bigint")
     first = F.floor(st / ctx).cast("bigint")
     last = F.floor((st + n - 1) / ctx).cast("bigint")
     rows = packed.filter(n > 0).select(
-        "doc_id",
+        id_col,
         F.col("shard"),
         st.alias("__st"),
         n.alias("__n"),
@@ -362,7 +366,7 @@ def pack_loss_masks(packed: DataFrame, context: int = 256) -> DataFrame:
     return rows.select(
         F.col("shard"),
         q.cast("bigint").alias("seq_index"),
-        "doc_id",
+        id_col,
         (F.greatest(F.col("__st"), q * ctx) - q * ctx)
         .cast("bigint")
         .alias("begin_in_seq"),

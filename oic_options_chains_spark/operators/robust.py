@@ -271,10 +271,14 @@ def isotonic_calibration(
     bins they cover -> argmin-per-(i,j) then argmax-per-i windows).
     Everything after the one corpus-sized ranking shuffle is
     groups*n_bins^3 rows. The reported rate is exact integer
-    (1e6*pos)//n of the chosen interval; interval-mean ordering uses
-    the IEEE double p/n, identical on any engine for identical
-    integers, and cannot misorder two distinct rationals whose
-    denominators are bin counts (gap >= 1/(n1*n2) >> double eps).
+    (1e6*pos)//n of the chosen interval; interval-mean ordering is
+    EXACT cross-multiplication (p1*n2 vs p2*n1 as DECIMAL(38,0) —
+    a double p/n key can equate two distinct rationals once per-bin
+    counts pass ~1e8, making the k/j tie-break plan-dependent), so the
+    chosen interval and iso_e6 replay identically on any engine at any
+    count. The min-over-k / max-over-j selections are dominance
+    anti-joins on the bins-sized relation rather than value-ordered
+    windows, since a rational compare is a predicate, not a sort key.
 
     Returns (group, bin, n_docs, n_pos, rate_e6, iso_e6) with iso_e6
     non-decreasing in bin within every group."""
@@ -324,33 +328,47 @@ def isotonic_calibration(
         F.col("__cn").alias("cn_hi"),
         F.col("__cp").alias("cp_hi"),
     )
-    intervals = (
-        lo.join(hi, "grp")
-        .filter(F.col("k") >= F.col("j"))
-        .select(
-            "grp",
-            "j",
-            "k",
-            (F.col("cp_hi") - F.col("cp_lo")).alias("p"),
-            (F.col("cn_hi") - F.col("cn_lo")).alias("n"),
-            F.explode(F.sequence(F.col("j"), F.col("k"))).alias("i"),
+    intervals = lo.join(hi, "grp").filter(F.col("k") >= F.col("j")).select(
+        "grp",
+        "j",
+        "k",
+        (F.col("cp_hi") - F.col("cp_lo")).cast("decimal(38,0)").alias("p"),
+        (F.col("cn_hi") - F.col("cn_lo")).cast("decimal(38,0)").alias("n"),
+        F.explode(F.sequence(F.col("j"), F.col("k"))).alias("i"),
+    )
+
+    def _beats(sign: int, inner_tie: str) -> F.Column:
+        # b's mean strictly better than a's (sign=+1: smaller wins,
+        # sign=-1: larger wins), compared exactly by cross-multiply;
+        # equal means lose to the smaller inner index.
+        cross_b = F.col("b.p") * F.col("a.n")
+        cross_a = F.col("a.p") * F.col("b.n")
+        strictly = cross_b < cross_a if sign > 0 else cross_b > cross_a
+        return strictly | (
+            (cross_b == cross_a)
+            & (F.col(f"b.{inner_tie}") < F.col(f"a.{inner_tie}"))
         )
-        .withColumn(
-            "__ratio", F.col("p").cast("double") / F.col("n").cast("double")
-        )
+
+    a = intervals.alias("a")
+    rival = intervals.select("grp", "j", "k", "i", "p", "n").alias("b")
+    inner = a.join(
+        rival,
+        (F.col("a.grp") == F.col("b.grp"))
+        & (F.col("a.i") == F.col("b.i"))
+        & (F.col("a.j") == F.col("b.j"))
+        & _beats(+1, "k"),
+        "left_anti",
     )
-    w_min = Window.partitionBy("grp", "i", "j").orderBy(
-        F.col("__ratio").asc(), F.col("k").asc()
-    )
-    inner = intervals.withColumn("__rn", F.row_number().over(w_min)).filter(
-        F.col("__rn") == 1
-    )
-    w_max = Window.partitionBy("grp", "i").orderBy(
-        F.col("__ratio").desc(), F.col("j").asc()
-    )
+    a2 = inner.alias("a")
+    rival2 = inner.select("grp", "i", "j", "p", "n").alias("b")
     iso = (
-        inner.withColumn("__rx", F.row_number().over(w_max))
-        .filter(F.col("__rx") == 1)
+        a2.join(
+            rival2,
+            (F.col("a.grp") == F.col("b.grp"))
+            & (F.col("a.i") == F.col("b.i"))
+            & _beats(-1, "j"),
+            "left_anti",
+        )
         .select(
             "grp",
             F.col("i").alias("bin"),

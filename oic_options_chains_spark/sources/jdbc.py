@@ -22,6 +22,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 DEFAULT_FETCHSIZE = 10_000
 
@@ -147,18 +148,33 @@ def jdbc_conflict_ignore_append(
     index lives — never collected, never row-by-row over the wire.
 
     In-batch duplicates are collapsed Spark-side first (the DB
-    statement guards against target conflicts, not intra-stage ones)."""
+    statement guards against target conflicts, not intra-stage ones).
+
+    The default staging name carries a per-call unique suffix so two
+    concurrent loads into the same target cannot overwrite each other's
+    stage (each batch lands in its own table and is dropped after its
+    insert-select); pass ``staging_table`` only when you want a fixed,
+    caller-serialized stage."""
+    import uuid
+
     from oic_options_chains_spark.operators.dedup import dedup_by_key
 
-    staging = staging_table or f"{table}_stage"
+    staging = staging_table or f"{table}_stage_{uuid.uuid4().hex[:12]}"
     batch = dedup_by_key(df, pk)
     # Spark's default JDBC mapping writes StringType as CLOB on Derby,
     # which cannot be compared against the target's VARCHAR PK columns;
-    # pin stage strings to VARCHAR so the set-based statement stays legal
+    # pin stage strings to VARCHAR sized from the batch's own max length
+    # (a fixed 4000 pin errors out longer rows) so the set-based
+    # statement stays legal
+    str_fields = [f.name for f in batch.schema if f.dataType.simpleString() == "string"]
+    widths: dict[str, int] = {}
+    if str_fields:
+        wrow = batch.agg(
+            *[F.max(F.length(F.col(c))).alias(c) for c in str_fields]
+        ).collect()[0]
+        widths = {c: max(int(wrow[c] or 1), 1) for c in str_fields}
     string_cols = ", ".join(
-        f"{f.name} VARCHAR(4000)"
-        for f in batch.schema
-        if f.dataType.simpleString() == "string"
+        f"{c} VARCHAR({max(widths[c], 4000)})" for c in str_fields
     )
     writer = batch.write.format("jdbc").options(
         **jdbc_options(url, staging, user=user, password=password)

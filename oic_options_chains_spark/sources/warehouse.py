@@ -20,7 +20,9 @@ from __future__ import annotations
 
 import contextlib
 import os
+import threading
 import time
+import uuid
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -78,12 +80,31 @@ def _partition_locks(
     schema.sql:23 ON CONFLICT DO NOTHING).
 
     Dates are acquired in sorted order (no deadlock between writers
-    locking overlapping date sets); a lock file older than
-    ``lease_sec`` is presumed abandoned by a crashed writer and stolen
-    (unlink + re-race — O_EXCL serializes concurrent stealers)."""
+    locking overlapping date sets). A HEARTBEAT thread refreshes the
+    mtime of every held lock at ``lease_sec / 4``, so a live holder —
+    however long its append runs — never looks stale. A lock file whose
+    mtime is older than ``lease_sec`` is therefore a crashed writer's;
+    it is stolen by an atomic RENAME to a per-stealer unique name
+    (rename succeeds for exactly one stealer — unlike unlink, a second
+    stealer cannot also remove a lock the first stealer has already
+    replaced), and the stolen inode is re-checked: if it is not the
+    stale inode the stealer statted (the path was released and
+    re-acquired by a live writer in between), the live lock is restored
+    via ``os.link`` (put-if-absent) and the steal retried."""
     d = os.path.join(table_dir, LOCK_DIR)
     os.makedirs(d, exist_ok=True)
     held: list[str] = []
+    stop = threading.Event()
+
+    def _heartbeat() -> None:
+        while not stop.wait(lease_sec / 4):
+            for p in list(held):
+                with contextlib.suppress(OSError):
+                    os.utime(p)
+
+    beat = threading.Thread(target=_heartbeat, daemon=True)
+    beat.start()
+    token = uuid.uuid4().hex
     try:
         for date in sorted(set(dates)):
             path = os.path.join(d, f"{date}.lock")
@@ -96,13 +117,32 @@ def _partition_locks(
                     break
                 except FileExistsError:
                     try:
-                        age = time.time() - os.path.getmtime(path)
+                        st = os.stat(path)
                     except OSError:
                         continue  # holder just released; re-race
-                    if age > lease_sec:
+                    if time.time() - st.st_mtime > lease_sec:
+                        grave = f"{path}.steal-{token}"
+                        try:
+                            os.rename(path, grave)
+                        except OSError:
+                            continue  # lost the steal race; re-race
+                        try:
+                            stolen_live = (
+                                os.stat(grave).st_ino != st.st_ino
+                                and time.time() - os.path.getmtime(grave)
+                                <= lease_sec
+                            )
+                        except OSError:
+                            stolen_live = False
+                        if stolen_live:
+                            # grabbed a freshly re-acquired lock, not the
+                            # stale one: put it back (fails harmlessly if
+                            # yet another writer claimed the path first)
+                            with contextlib.suppress(OSError):
+                                os.link(grave, path)
                         with contextlib.suppress(OSError):
-                            os.unlink(path)  # steal; O_EXCL re-races
-                        continue
+                            os.unlink(grave)
+                        continue  # re-race via O_EXCL
                     if time.monotonic() > deadline:
                         raise TimeoutError(
                             f"partition lock {path} held past {wait_sec}s"
@@ -110,6 +150,7 @@ def _partition_locks(
                     time.sleep(0.05)
         yield
     finally:
+        stop.set()
         for path in held:
             with contextlib.suppress(OSError):
                 os.unlink(path)

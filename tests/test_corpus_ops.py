@@ -336,6 +336,29 @@ def test_pack_loss_masks_cover_exactly_and_clip(spark):
             assert e1 == b2, spans
 
 
+def test_pack_loss_masks_on_non_default_key(spark):
+    """ADVICE r7 (chunking.py): masks over a pack keyed on something
+    other than doc_id (e.g. the episode pack) must work via id_col."""
+    from oic_options_chains_spark.operators.chunking import (
+        pack_loss_masks,
+        pack_stream_offsets,
+    )
+
+    df = spark.createDataFrame(
+        [(f"ep{i}", 100) for i in range(1, 5)],
+        "episode_key string, n_tokens bigint",
+    )
+    packed = pack_stream_offsets(df, key="episode_key", context=64, n_shards=2)
+    masks = pack_loss_masks(packed, context=64, id_col="episode_key").collect()
+    per_ep = {}
+    for r in masks:
+        assert 0 <= r["begin_in_seq"] < r["end_in_seq"] <= 64
+        per_ep[r["episode_key"]] = per_ep.get(r["episode_key"], 0) + (
+            r["end_in_seq"] - r["begin_in_seq"]
+        )
+    assert per_ep == {f"ep{i}": 100 for i in range(1, 5)}
+
+
 def test_span_corruption_is_deterministic_merged_and_clipped(spark):
     from oic_options_chains_spark.operators.chunking import (
         span_corruption_manifest,

@@ -290,6 +290,86 @@ def test_partition_lock_lease_steal(tmp_path):
             pass
 
 
+def test_partition_lock_heartbeat_prevents_steal_of_live_holder(tmp_path):
+    """ADVICE r7 (warehouse.py): an append that outlives the lease must
+    NOT lose its lock — the holder's heartbeat refreshes mtime, so a
+    contender sees a live lock and times out instead of stealing."""
+    import threading
+    import time as _t
+
+    from oic_options_chains_spark.sources.warehouse import _partition_locks
+
+    tdir = str(tmp_path / "beat")
+    entered = threading.Event()
+    release = threading.Event()
+
+    def holder():
+        with _partition_locks(tdir, ["2024-01-02"], lease_sec=0.4, wait_sec=5):
+            entered.set()
+            release.wait(timeout=30)
+
+    t = threading.Thread(target=holder)
+    t.start()
+    assert entered.wait(timeout=30)
+    _t.sleep(1.2)  # three lease periods: without the heartbeat this is stale
+    with pytest.raises(TimeoutError):
+        with _partition_locks(tdir, ["2024-01-02"], lease_sec=0.4, wait_sec=0.5):
+            pass
+    release.set()
+    t.join()
+    # and after release the lock is acquirable again
+    with _partition_locks(tdir, ["2024-01-02"], lease_sec=0.4, wait_sec=5):
+        pass
+
+
+def test_partition_lock_concurrent_stealers_exactly_one_wins(tmp_path):
+    """ADVICE r7 (warehouse.py): rename-based stealing serializes
+    concurrent stealers — with N threads racing a STALE lock, the
+    critical sections never overlap (the old unlink-based steal let a
+    second stealer unlink the first stealer's freshly created live
+    lock and acquire it too)."""
+    import threading
+    import time as _t
+
+    from oic_options_chains_spark.sources.warehouse import _partition_locks
+
+    tdir = str(tmp_path / "stealers")
+    lock_path = os.path.join(tdir, "_locks", "2024-01-02.lock")
+    os.makedirs(os.path.dirname(lock_path))
+    open(lock_path, "w").close()
+    stale = _t.time() - 10_000
+    os.utime(lock_path, (stale, stale))
+
+    inside = []
+    overlaps = []
+    guard = threading.Lock()
+    barrier = threading.Barrier(8)
+    errors = []
+
+    def stealer(i):
+        try:
+            barrier.wait(timeout=30)
+            with _partition_locks(tdir, ["2024-01-02"], lease_sec=600, wait_sec=30):
+                with guard:
+                    if inside:
+                        overlaps.append((i, list(inside)))
+                    inside.append(i)
+                _t.sleep(0.05)
+                with guard:
+                    inside.remove(i)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    ts = [threading.Thread(target=stealer, args=(i,)) for i in range(8)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors, errors
+    assert overlaps == [], f"critical sections overlapped: {overlaps}"
+    assert not os.path.exists(lock_path)
+
+
 def test_version_addressed_read_and_revert(spark, tmp_path):
     """Time travel by commit version + append-only revert: after a
     replayed (changed) day, version-addressed reads still see each
