@@ -1,0 +1,291 @@
+"""Perceptual average-hash (aHash) near-duplicate detection for images.
+
+The LAION-style media dedup step: hash each image down to 64 bits that
+survive re-encoding, resizing and mild noise, then find near-duplicates
+by Hamming distance — exactly the SimHash pipeline shape
+(operators/minhash.py SimHash tier), but with bits that come from PIXEL
+BLOCK MEANS instead of token hashes: bit b is 1 iff the mean of 8x8
+block b (of an 8x8 block grid over a 64x64 grayscale raster) is >= the
+global mean. Banded exact search: 64 bits split into 4 x 16-bit bands;
+a pair at Hamming distance <= 3 shares at least one full band
+(pigeonhole), so candidates come from an equi-join on (band_idx,
+band_value) — never an all-pairs scan.
+
+Two tiers, mirroring the repo's multimodal contract:
+
+- :func:`ahash_bands` — pure JVM column expressions over a 64x64
+  raster whose pixels are the document text's code points (the
+  established "text bytes stand in for a media blob" convention,
+  q_binary_meta) — fully oracle-replayable in SQL, and the banding /
+  verify math is the production one.
+- :func:`ahash64` / :func:`image_ahash_kernel` — the same hash over
+  REAL decoded pixels (numpy, from operators/codecs decode_png etc.),
+  for the mapInPandas kernel tier where actual media lives; undecodable
+  blobs quarantine like the codec queries do.
+
+Integer arithmetic only (sums, DIV, arithmetic bit extraction — no
+engine bit intrinsics), so Spark and the SQL oracle agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SIDE = 64  # raster is SIDE x SIDE pixels
+GRID = 8  # GRID x GRID blocks, each (SIDE/GRID)^2 pixels
+N_BLOCKS = GRID * GRID
+N_BANDS = 4
+BITS_PER_BAND = N_BLOCKS // N_BANDS
+
+
+def raster_pixels(text: Column) -> Column:
+    """The deterministic stand-in raster as array<bigint>: the text's
+    code points TILED (text + ' ', repeated) to exactly SIDE*SIDE chars
+    — row-major 8-bit-ish pixels. Tiling is the resize step of real
+    aHash: it fills the grid with signal at every document length
+    (space-PADDING instead leaves short docs 95% blank, every block
+    mean collapses to the pad value, and all documents collide — 124k
+    of 124k possible pairs matched in that form). The text is split
+    into a char array in ONE O(n) pass (``split(s, '')`` == DuckDB
+    ``string_split(s, '')``) so every later pixel access is an O(1)
+    element_at — a char-indexed substr per pixel would re-scan the
+    UTF-8 string per call (16M byte-ops per row at 64x64)."""
+    s = F.concat(text, F.lit(" "))
+    reps = (F.floor(F.lit(SIDE * SIDE) / F.length(s)) + 1).cast("int")
+    tiled = F.substring(F.repeat(s, reps), 1, SIDE * SIDE)
+    return F.transform(F.split(tiled, ""), lambda c: F.ascii(c).cast("bigint"))
+
+
+def _block_sums(px: Column) -> Column:
+    """array<bigint> of N_BLOCKS block pixel sums over the pixel array.
+    Row-local; each pixel is read exactly once, every read O(1)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(N_BLOCKS - 1)),
+        lambda b: F.aggregate(
+            F.sequence(F.lit(0), F.lit(SIDE - 1)),
+            F.lit(0).cast("bigint"),
+            lambda acc, j: acc
+            + F.element_at(
+                px,
+                # block row (b DIV 8) spans pixel rows 8R..8R+7;
+                # pixel index = row*SIDE + col, 1-based element_at
+                (
+                    (b - (b % GRID)) / GRID * (GRID * SIDE)
+                    + (j - (j % GRID)) / GRID * SIDE
+                    + (b % GRID) * GRID
+                    + (j % GRID)
+                    + 1
+                ).cast("int"),
+            ),
+        ),
+    )
+
+
+def _bands_from_sums(sums: Column) -> Column:
+    """N_BANDS 16-bit band values from the block-sum array. bit b = 1
+    iff N_BLOCKS * block_sum_b >= total_sum (exact integer form of
+    block_mean >= global_mean — every block has the same pixel count,
+    so the comparison needs no division)."""
+    total = F.aggregate(sums, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+        lambda t: F.aggregate(
+            F.sequence(F.lit(0), F.lit(BITS_PER_BAND - 1)),
+            F.lit(0).cast("bigint"),
+            lambda acc, u: acc
+            + F.when(
+                F.lit(N_BLOCKS)
+                * F.element_at(sums, (t * BITS_PER_BAND + u + 1).cast("int"))
+                >= total,
+                F.pow(F.lit(2), u).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint")),
+        ),
+    )
+
+
+def _pin(dep: Column, value: Column) -> Column:
+    """Make ``value`` reference ``dep`` a SECOND (free) time so
+    CollapseProject's duplicate-expensive-expression guard
+    (SPARK-36718: never inline a non-cheap producer referenced more
+    than once) keeps the producing projection as its own stage. Without
+    the pin, a producer referenced once — even when that one reference
+    sits inside a higher-order function's lambda — is inlined INTO the
+    lambda body and re-evaluated on every lambda iteration: the O(4096)
+    raster under a 64x64 aggregate became 16M+ ops per row, a measured
+    10-minute stall at 500 rows. The ``otherwise`` branch is
+    unreachable (size >= 0 always holds for a non-null array)."""
+    return F.when(F.size(dep) >= 0, value).otherwise(F.lit(None))
+
+
+def ahash_band_table(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(__id, __bands) per document. The raster, the block sums and the
+    band values are STAGED as separate projections — Catalyst has no
+    common-subexpression elimination inside an expression tree, so each
+    stage's input must be a per-row ATTRIBUTE (evaluated once), never an
+    inlined expression; :func:`_pin` holds the stage boundary where the
+    consumer's syntactic reference count alone would let CollapseProject
+    merge. Per-row cost is O(pixels): one split pass, 4096 O(1)
+    element_at reads, 64 threshold tests."""
+    px = docs.select(
+        F.col(id_col).alias("__id"),
+        raster_pixels(F.col(text_col)).alias("__px"),
+    )
+    sums = px.select(
+        "__id", _pin(F.col("__px"), _block_sums(F.col("__px"))).alias("__bs")
+    )
+    # _bands_from_sums references __bs twice on its own (element_at +
+    # the total aggregate), so the guard already applies to this stage
+    return sums.select("__id", _bands_from_sums(F.col("__bs")).alias("__bands"))
+
+
+def hamming_from_bands(a: Column, b: Column) -> Column:
+    """Exact Hamming distance from two band arrays, by arithmetic bit
+    extraction ((v DIV 2^u) % 2) — no engine-specific bit intrinsics."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.struct(x.alias("x"), y.alias("y"))),
+        F.lit(0).cast("bigint"),
+        lambda acc, e: acc
+        + F.aggregate(
+            F.sequence(F.lit(0), F.lit(BITS_PER_BAND - 1)),
+            F.lit(0).cast("bigint"),
+            lambda inner, u: inner
+            + F.when(
+                (
+                    F.floor(e["x"] / F.pow(F.lit(2), u)).cast("bigint") % 2
+                )
+                != (F.floor(e["y"] / F.pow(F.lit(2), u)).cast("bigint") % 2),
+                F.lit(1).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint")),
+        ),
+    )
+
+
+def ahash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) for every pair within ``max_hamming``
+    that shares at least one band (complete for max_hamming <
+    N_BANDS by pigeonhole). One band-keyed exchange for the candidate
+    join; verification touches only candidates."""
+    # The checkpoint is load-bearing, not an optimization knob: the
+    # band-keyed self-join makes the optimizer infer isnotnull /
+    # size()>0 predicates over the join keys and SUBSTITUTE them down
+    # through the projections into per-scan-row filters — each carrying
+    # the whole inlined px->sums->bands pipeline with the multiplied
+    # lambda evaluation _pin exists to prevent (measured: >10 min for
+    # 1000 docs; with the barrier: seconds). The materialized relation
+    # is (id, 4 ints) per image — tiny next to the media it indexes.
+    hashed = ahash_band_table(docs, id_col=id_col, text_col=text_col)
+    hashed = hashed.localCheckpoint(eager=True)
+    banded = hashed.select(
+        "__id",
+        "__bands",
+        F.posexplode("__bands").alias("band_idx", "band_val"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("doc_a"),
+            F.col("b.__id").alias("doc_b"),
+            F.col("a.__bands").alias("__ba"),
+            F.col("b.__bands").alias("__bb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        hamming_from_bands(F.col("__ba"), F.col("__bb")).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# Real-pixel tier (numpy kernel over decoded media)
+# ---------------------------------------------------------------------------
+
+
+def ahash64(pixels) -> int:
+    """The same hash over a real decoded image: grayscale, resample to
+    SIDE x SIDE by block-mean pooling (integer), then the block-mean
+    threshold. Accepts HxW or HxWxC uint8 arrays."""
+    import numpy as np
+
+    a = np.asarray(pixels)
+    if a.ndim == 3:
+        a = a.astype(np.uint32).sum(axis=2) // a.shape[2]
+    a = a.astype(np.int64)
+    h, w = a.shape
+    if h < GRID or w < GRID:
+        raise ValueError(f"image too small for aHash: {h}x{w}")
+    # crop to a multiple of GRID, then block-mean straight to GRIDxGRID
+    h8, w8 = h - h % GRID, w - w % GRID
+    a = a[:h8, :w8]
+    blocks = a.reshape(GRID, h8 // GRID, GRID, w8 // GRID).sum(axis=(1, 3))
+    bits = (blocks * N_BLOCKS >= blocks.sum()).ravel()
+    # Python-int accumulation: an int64 shift would overflow at bit 63
+    return sum(1 << i for i, b in enumerate(bits) if b)
+
+
+def bands_of(hash64: int) -> list[int]:
+    """Split a 64-bit aHash into N_BANDS 16-bit band values (LSB-first,
+    matching :func:`ahash_bands`)."""
+    return [
+        (hash64 >> (t * BITS_PER_BAND)) & ((1 << BITS_PER_BAND) - 1)
+        for t in range(N_BANDS)
+    ]
+
+
+def image_ahash_kernel(
+    df: DataFrame, blob_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """mapInPandas kernel: decode PNG blobs (operators/codecs — the
+    in-tree, dependency-free decoder) and emit (id, band_idx, band_val,
+    ok, err). Undecodable blobs quarantine as ok=0 rows with the error
+    class, the same contract as the codec queries — one bad blob never
+    kills a 100 TB pass."""
+    import pandas as pd
+
+    from oic_options_chains_spark.operators.codecs import decode_png
+
+    schema = (
+        f"{id_col} bigint, band_idx int, band_val bigint, ok int, err string"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                id_col: [], "band_idx": [], "band_val": [], "ok": [], "err": []
+            }
+            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
+                try:
+                    bands = bands_of(ahash64(decode_png(bytes(blob))))
+                    for t, v in enumerate(bands):
+                        out[id_col].append(rid)
+                        out["band_idx"].append(t)
+                        out["band_val"].append(v)
+                        out["ok"].append(1)
+                        out["err"].append(None)
+                except Exception as e:  # noqa: BLE001 — quarantine, never kill
+                    out[id_col].append(rid)
+                    out["band_idx"].append(-1)
+                    out["band_val"].append(-1)
+                    out["ok"].append(0)
+                    out["err"].append(type(e).__name__)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema)

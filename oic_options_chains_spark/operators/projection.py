@@ -1,0 +1,80 @@
+"""Random projection (Johnson-Lindenstrauss) for embedding columns.
+
+At 100 TB the dominant ANN cost is the bytes the scan moves per vector;
+before IVF/PQ ever runs, a sign random projection (Achlioptas 2003 —
+±1 entries preserve pairwise distances within (1±ε) like Gaussian
+matrices do) cuts the per-vector width d -> d' with one row-local pass.
+This module is the deterministic, oracle-replayable form:
+
+- vectors are quantized to integers (floor(x * 4096), the same
+  convention as the kNN-graph L2, operators/graph._l2_int) so every
+  engine computes identical sums;
+- the projection matrix is never materialized: entry sign(i, k) is
+  md5("i:k") parity — any engine regenerates the same matrix from the
+  formula, a 100 TB-friendly property (nothing to broadcast, nothing to
+  version);
+- the whole projection is a per-row transform/aggregate (no shuffle,
+  no UDF): out[k] = Σ_i q[i] * s(i, k).
+
+The norm-preservation audit (Σ_k out_k² vs d' · Σ_i q_i², in basis
+points) is the quality gate: E[ratio] = 10000 under JL, and a column of
+per-vector ratios far from 10000 means the quantization or dimension
+budget is wrong for this corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _sign(i: Column, k: Column) -> Column:
+    """±1 from the md5 parity of "i:k" — the regenerable JL matrix."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", i.cast("string"), k.cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return F.when(h % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).cast("bigint")
+
+
+def quantized(vec: Column) -> Column:
+    """floor(x * 4096) per component, as bigint."""
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * 4096).cast("bigint")
+    )
+
+
+def jl_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+) -> DataFrame:
+    """All input columns plus ``proj`` (array<bigint>, length
+    ``out_dim``) and ``norm_ratio_bp`` (bigint). Row-local: zero
+    exchanges added to the input plan."""
+    qa = quantized(F.col(vec_col))
+    proj = F.transform(
+        F.sequence(F.lit(0), F.lit(out_dim - 1)),
+        lambda k: F.aggregate(
+            F.zip_with(
+                qa,
+                F.sequence(F.lit(0), F.size(qa) - 1),
+                lambda x, i: F.struct(x.alias("x"), i.alias("i")),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, e: acc + e["x"] * _sign(e["i"], k),
+        ),
+    )
+    return df.withColumn("proj", proj).withColumn(
+        "norm_ratio_bp",
+        F.expr(
+            f"CAST((10000 * aggregate(proj, CAST(0 AS BIGINT),"
+            f" (acc, x) -> acc + x * x))"
+            f" DIV ({out_dim} * aggregate(transform({vec_col},"
+            f" x -> CAST(FLOOR(CAST(x AS DOUBLE) * 4096) AS BIGINT)),"
+            f" CAST(0 AS BIGINT), (acc, x) -> acc + x * x)) AS BIGINT)"
+        ),
+    )

@@ -239,6 +239,46 @@ def near_dup_pairs(
     )
 
 
+def cross_near_pairs(
+    probe: DataFrame,
+    reference: DataFrame,
+    threshold: float = 0.35,
+    bits: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bipartite near-pairs: every (probe, reference) pair above the
+    cosine threshold, sign-bucket-pruned — the semantic-decontamination
+    shape (train vs eval/benchmark embeddings). Unlike
+    :func:`near_dup_pairs` this NEVER self-pairs the probe side: the
+    probe corpus (the 100 TB side) is only ever bucket-joined against
+    the reference (the small side), so the candidate count is bounded by
+    the reference's bucket occupancy, exactly like the incremental
+    delta-vs-base LSH (operators/minhash.incremental). ``bits`` defaults
+    from the PROBE count — the side that drives bucket sizing. Returns
+    (id_a = probe id, id_b = reference id, score_e6)."""
+    bits = _resolve_bits(probe, bits)
+    a = _pair_prep(probe, id_col, vec_col, bits).alias("a")
+    c = _pair_prep(reference, id_col, vec_col, bits).alias("c")
+    cos = dot_pre(F.col("a.__v"), F.col("c.__v")) / (
+        F.col("a.__n") * F.col("c.__n")
+    )
+    return (
+        a.join(c, F.col("a.__b") == F.col("c.__b"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"c.{id_col}").alias("id_b"),
+            cos.alias("__cos"),
+        )
+        .filter(F.col("__cos") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(F.lit(1e6) * F.col("__cos")).cast("bigint").alias("score_e6"),
+        )
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query: DataFrame,

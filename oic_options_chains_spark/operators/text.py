@@ -118,6 +118,48 @@ def lang_id(text: Column) -> Column:
     )
 
 
+# CP1252-decoded-as-UTF8 mojibake shapes ('â€™', 'Ã©', 'Â ', …): the
+# classic double-encoding fingerprint a web-crawl corpus carries.
+MOJIBAKE_RE = "(â€.|Ã.|Â )"
+CONTROL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+
+
+def encoding_metrics(text: Column) -> dict[str, Column]:
+    """Byte/char-level encoding health signals: UTF-8 byte overhead
+    (non-ASCII mass), control characters, U+FFFD replacement chars (a
+    decoder already gave up upstream), CP1252-mojibake pattern hits, and
+    whitespace share — the route/quarantine/fix-encoding decision a
+    crawl-scale ingest makes per document BEFORE any language or quality
+    model sees it. All integer-valued column expressions over one scan;
+    counts via single-char regex classes so Spark and SQL engines agree
+    exactly."""
+    n_chars = F.length(text).cast("bigint")
+    n_bytes = F.octet_length(F.encode(text, "UTF-8")).cast("bigint")
+    n_ctrl = F.regexp_count(text, F.lit(CONTROL_RE)).cast("bigint")
+    n_repl = F.regexp_count(text, F.lit("�")).cast("bigint")
+    n_moji = F.regexp_count(text, F.lit(MOJIBAKE_RE)).cast("bigint")
+    n_ws = (n_chars - F.length(F.regexp_replace(text, "[ \\t\\n\\r]", ""))).cast(
+        "bigint"
+    )
+    ws_bp = (
+        F.when(
+            n_chars > 0,
+            F.floor(F.lit(10000.0) * n_ws.cast("double") / n_chars.cast("double")),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+    )
+    return {
+        "n_chars": n_chars,
+        "n_bytes": n_bytes,
+        "non_ascii_bytes": (n_bytes - n_chars).cast("bigint"),
+        "n_control": n_ctrl,
+        "n_replacement": n_repl,
+        "n_mojibake": n_moji,
+        "ws_bp": ws_bp,
+    }
+
+
 def redact_terms(text: Column, pattern: str, replacement: str = "<TERM>") -> dict[str, Column]:
     """Denylist scrubbing / PII-style redaction: replace every match of
     ``pattern`` and count what was removed (the audit trail a compliance

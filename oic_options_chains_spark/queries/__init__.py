@@ -19,6 +19,7 @@ from oic_options_chains_spark.queries import extensions as _extensions  # noqa: 
 from oic_options_chains_spark.queries import layout as _layout  # noqa: E402,F401
 from oic_options_chains_spark.queries import lm as _lm  # noqa: E402,F401
 from oic_options_chains_spark.queries import maintenance as _maintenance  # noqa: E402,F401
+from oic_options_chains_spark.queries import profiling as _profiling  # noqa: E402,F401
 from oic_options_chains_spark.queries import scale as _scale  # noqa: E402,F401
 from oic_options_chains_spark.queries import selection as _selection  # noqa: E402,F401
 

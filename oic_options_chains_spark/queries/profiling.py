@@ -1,0 +1,410 @@
+"""Round-8 t2 queries: data profiling, entity resolution, encoding
+audit, JL projection, semantic decontamination and perceptual-hash
+image dedup — the metadata/media-side operators a 100 TB training-data
+warehouse runs beside the document/embedding pipelines.
+
+Same cross-engine determinism rules as queries/core.py: integer or
+fixed-point outputs, md5-only hashing, fixed tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from oic_options_chains_spark.queries.registry import register
+from oic_options_chains_spark.sources.registry import load_table
+
+_FD_CANDIDATES = [
+    ("o_orderkey", "o_custkey"),
+    ("o_custkey", "o_orderpriority"),
+    ("o_orderdate", "o_orderstatus"),
+    ("o_orderpriority", "o_orderstatus"),
+]
+
+
+def _fd_oracle() -> str:
+    from oic_options_chains_spark.operators.profiling import fd_profile_oracle_sql
+
+    return fd_profile_oracle_sql("orders", _FD_CANDIDATES)
+
+
+@register("q_fd_profile", oracle=_fd_oracle())
+def q_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profiling (operators/profiling.fd_profile):
+    exact g3 violation counts for a curated candidate list over orders —
+    the key/dependency discovery a lakehouse runs because no engine
+    enforces its PKs (the reference's schema.sql:23 did). All candidates
+    verified in ONE pass: row-local explode, then three cascading
+    map-side-combined aggregations; shuffled volume is the candidates'
+    distinct domains, never the row count."""
+    from oic_options_chains_spark.operators.profiling import fd_profile
+
+    return fd_profile(load_table(spark, sf_dir, "orders"), _FD_CANDIDATES)
+
+
+# --- entity resolution -----------------------------------------------------
+
+# two feeds from part: feed b truncates the name's last char for every
+# third key and loses brand for every fifth — the classic dirty-merge
+_ER_RECORDS_SQL = """
+    recs AS MATERIALIZED (
+      SELECT p_partkey * 2 AS rec_id, p_name AS name, p_brand AS brand,
+             p_size AS size
+      FROM part
+      UNION ALL
+      SELECT p_partkey * 2 + 1,
+             CASE WHEN p_partkey % 3 = 0
+                  THEN substring(p_name, 1, length(p_name) - 1)
+                  ELSE p_name END,
+             CASE WHEN p_partkey % 5 = 0 THEN NULL ELSE p_brand END,
+             p_size
+      FROM part)"""
+
+@register(
+    "q_entity_resolution",
+    oracle="WITH RECURSIVE "
+    + _ER_RECORDS_SQL
+    + """,
+    banded AS MATERIALIZED (
+      SELECT rec_id, name, substring(name, 1, 4) AS pfx,
+             unnest([length(name), length(name) + 1]) AS band
+      FROM recs),
+    pairs AS MATERIALIZED (
+      SELECT DISTINCT a.rec_id AS rec_a, b.rec_id AS rec_b
+      FROM banded a
+      JOIN banded b ON a.pfx = b.pfx AND a.band = b.band
+                   AND a.rec_id < b.rec_id
+      WHERE levenshtein(a.name, b.name) <= 1),
+    edges AS MATERIALIZED (
+      SELECT rec_a AS a, rec_b AS b FROM pairs
+      UNION SELECT rec_b, rec_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+    cc AS MATERIALIZED (
+      SELECT src AS rec_id, MIN(dst) AS entity_id FROM reach GROUP BY src),
+    assign AS MATERIALIZED (
+      SELECT r.rec_id, COALESCE(cc.entity_id, r.rec_id) AS entity_id
+      FROM recs r LEFT JOIN cc ON r.rec_id = cc.rec_id),
+    joined AS MATERIALIZED (
+      SELECT a.entity_id, r.name, r.brand, r.size
+      FROM recs r JOIN assign a ON r.rec_id = a.rec_id),
+    name_pick AS (
+      SELECT entity_id, name FROM (
+        SELECT entity_id, name,
+               row_number() OVER (PARTITION BY entity_id
+                                  ORDER BY length(name), name) AS rk
+        FROM joined)
+      WHERE rk = 1),
+    base AS (
+      SELECT j.entity_id, ANY_VALUE(np.name) AS name,
+             MAX(j.size) AS size,
+             CAST(COUNT(*) AS BIGINT) AS n_records
+      FROM joined j JOIN name_pick np ON j.entity_id = np.entity_id
+      GROUP BY j.entity_id),
+    votes AS (
+      SELECT entity_id, brand, COUNT(*) AS n FROM joined
+      WHERE brand IS NOT NULL GROUP BY entity_id, brand),
+    winner AS (
+      SELECT entity_id, brand FROM (
+        SELECT entity_id, brand,
+               row_number() OVER (PARTITION BY entity_id
+                                  ORDER BY n DESC, brand ASC) AS rk
+        FROM votes)
+      WHERE rk = 1)
+    SELECT b.entity_id, b.name, w.brand, b.size, b.n_records
+    FROM base b LEFT JOIN winner w ON b.entity_id = w.entity_id
+    """,
+)
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution (operators/linkage.py): two dirty
+    feeds of the part catalog (char-truncated names, dropped brands) ->
+    (prefix, length-band) blocked Levenshtein matching -> large-star/
+    small-star components -> one golden record per entity with
+    deterministic survivorship (shortest name, majority non-null brand
+    with lexicographic tie, max size). The blocking encodes the length
+    filter INTO the equi-join key, so the match join never materializes
+    cross-length candidates."""
+    from oic_options_chains_spark.operators.linkage import (
+        blocked_match_pairs,
+        golden_records,
+        resolve_entities,
+    )
+
+    p = load_table(spark, sf_dir, "part")
+    feed_a = p.select(
+        (F.col("p_partkey") * 2).alias("rec_id"),
+        F.col("p_name").alias("name"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("size"),
+    )
+    feed_b = p.select(
+        (F.col("p_partkey") * 2 + 1).alias("rec_id"),
+        F.when(
+            F.col("p_partkey") % 3 == 0,
+            F.substring(F.col("p_name"), 1, F.length("p_name") - 1),
+        )
+        .otherwise(F.col("p_name"))
+        .alias("name"),
+        F.when(F.col("p_partkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("p_brand"))
+        .alias("brand"),
+        F.col("p_size").alias("size"),
+    )
+    records = feed_a.unionByName(feed_b).localCheckpoint(eager=True)
+    pairs = blocked_match_pairs(records, max_edit=1)
+    assign = resolve_entities(records, pairs)
+    return golden_records(records, assign)
+
+
+@register(
+    "q_encoding_audit",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) - length(text) AS BIGINT)
+             AS non_ascii_bytes,
+           CAST(length(text) - length(regexp_replace(text,
+                '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g')) AS BIGINT)
+             AS n_control,
+           CAST(length(text) - length(replace(text, '�', ''))
+             AS BIGINT) AS n_replacement,
+           CAST(length(regexp_extract_all(text, '(â€.|Ã.|Â )')) AS BIGINT)
+             AS n_mojibake,
+           CAST(CASE WHEN length(text) > 0 THEN
+                FLOOR(10000.0 * (length(text) - length(regexp_replace(text,
+                      '[ \t\n\r]', '', 'g'))) / length(text))
+                ELSE 0 END AS BIGINT) AS ws_bp
+    FROM documents
+    """,
+)
+def q_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document encoding health (operators/text.encoding_metrics):
+    UTF-8 byte overhead, control chars, U+FFFD replacement chars,
+    CP1252-mojibake fingerprints, whitespace share — the
+    route/quarantine decision a crawl ingest makes before any model
+    sees a document. Row-local column expressions; zero exchanges."""
+    from oic_options_chains_spark.operators.text import encoding_metrics
+
+    d = load_table(spark, sf_dir, "documents")
+    m = encoding_metrics(F.col("text"))
+    return d.select(
+        "doc_id",
+        m["n_chars"].alias("n_chars"),
+        m["n_bytes"].alias("n_bytes"),
+        m["non_ascii_bytes"].alias("non_ascii_bytes"),
+        m["n_control"].alias("n_control"),
+        m["n_replacement"].alias("n_replacement"),
+        m["n_mojibake"].alias("n_mojibake"),
+        m["ws_bp"].alias("ws_bp"),
+    )
+
+
+_JL_DIM = 16
+
+_JL_SQL = f"""
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(FLOOR(CAST(x AS DOUBLE) * 4096)
+                                      AS BIGINT)) AS qa
+      FROM embeddings),
+    proj AS (
+      SELECT vec_id, qa, k,
+             list_reduce(
+               list_transform(
+                 list_zip(qa, range(1, len(qa) + 1)),
+                 p -> p[1] * (CASE WHEN CAST('0x' ||
+                        substring(md5(CAST(p[2] - 1 AS VARCHAR) || ':' ||
+                                      CAST(k AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END)),
+               (acc, x) -> acc + x) AS pv
+      FROM q CROSS JOIN (SELECT unnest(range(0, {_JL_DIM})) AS k)),
+    agg AS (
+      SELECT vec_id,
+             CAST((10000 * CAST(SUM(pv * pv) AS BIGINT)) //
+                  ({_JL_DIM} * ANY_VALUE(list_reduce(
+                     list_transform(qa, x -> x * x),
+                     (acc, x) -> acc + x))) AS BIGINT) AS norm_ratio_bp
+      FROM proj GROUP BY vec_id)
+"""
+
+
+@register(
+    "q_random_projection",
+    oracle="WITH "
+    + _JL_SQL
+    + """
+    SELECT p.vec_id, CAST(p.k AS INT) AS k, CAST(p.pv AS BIGINT) AS proj,
+           a.norm_ratio_bp
+    FROM proj p JOIN agg a ON p.vec_id = a.vec_id
+    """,
+)
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign projection
+    (operators/projection.jl_project): 64 -> 16 dims, the matrix
+    regenerated from md5 parity (nothing broadcast, nothing versioned),
+    with the per-vector norm-preservation ratio as the quality gate.
+    Entirely row-local — the projected corpus never shuffles."""
+    from oic_options_chains_spark.operators.projection import jl_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = jl_project(emb, out_dim=_JL_DIM)
+    return out.select(
+        "vec_id",
+        F.posexplode("proj").alias("k", "proj"),
+        "norm_ratio_bp",
+    ).select("vec_id", F.col("k").cast("int").alias("k"), "proj", "norm_ratio_bp")
+
+
+@register(
+    "q_semantic_decontam",
+    oracle="""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] > 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[2] > 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[3] > 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[4] > 0 THEN '1' ELSE '0' END) AS bucket
+      FROM embeddings),
+    ev AS (SELECT * FROM b WHERE vec_id % 10 = 0),
+    tr AS (SELECT * FROM b WHERE vec_id % 10 <> 0),
+    p AS (
+      SELECT a.vec_id AS train_id, c.vec_id AS eval_id,
+        list_reduce(list_transform(list_zip(a.embedding, c.embedding),
+                                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                    (acc, x) -> acc + x)
+        / (sqrt(list_reduce(list_transform(a.embedding,
+                                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                            (acc, x) -> acc + x))
+           * sqrt(list_reduce(list_transform(c.embedding,
+                                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                              (acc, x) -> acc + x))) AS cos
+      FROM tr a JOIN ev c ON a.bucket = c.bucket),
+    hits AS (SELECT train_id, eval_id,
+                    CAST(FLOOR(1e6 * cos) AS BIGINT) AS score_e6
+             FROM p WHERE cos >= 0.35)
+    SELECT train_id AS vec_id, eval_id AS contaminant_id, score_e6
+    FROM (SELECT *, row_number() OVER (PARTITION BY train_id
+                 ORDER BY score_e6 DESC, eval_id ASC) AS rk FROM hits)
+    WHERE rk = 1
+    """,
+)
+def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination (operators/similarity.cross_near_pairs):
+    flag training vectors whose cosine against ANY held-out/benchmark
+    vector clears the near-dup threshold — the embedding-space
+    complement of the n-gram q_decontaminate. Bipartite bucket join:
+    the 100 TB train side never self-pairs; candidates are bounded by
+    the (small) eval side's bucket occupancy. Output: each contaminated
+    train vector with its strongest eval match."""
+    from oic_options_chains_spark.operators.similarity import cross_near_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % 10 == 0)
+    tr = emb.filter(F.col("vec_id") % 10 != 0)
+    hits = cross_near_pairs(tr, ev, threshold=0.35, bits=4)
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("score_e6").desc(), F.col("id_b").asc()
+    )
+    return (
+        hits.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("id_a").alias("vec_id"),
+            F.col("id_b").alias("contaminant_id"),
+            "score_e6",
+        )
+    )
+
+
+_AHASH_SQL = """
+    feeds AS (
+      SELECT doc_id * 2 AS doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id * 2 + 1, upper(text) FROM documents),
+    px AS MATERIALIZED (
+      SELECT doc_id,
+             list_transform(
+               string_split(substring(repeat(text || ' ',
+                 CAST(4096 // (length(text) + 1) + 1 AS INT)), 1, 4096), ''),
+               c -> CAST(ord(c) AS BIGINT)) AS p
+      FROM feeds),
+    blocks AS MATERIALIZED (
+      SELECT doc_id,
+             list_transform(range(0, 64), b ->
+               list_reduce(
+                 list_transform(range(0, 64), j ->
+                   p[CAST((b // 8) * 512 + (j // 8) * 64
+                          + (b % 8) * 8 + (j % 8) + 1 AS INT)]),
+                 (acc, x) -> acc + x)) AS bs
+      FROM px),
+    bands AS MATERIALIZED (
+      SELECT doc_id,
+             list_transform(range(0, 4), t ->
+               list_reduce(
+                 list_transform(range(0, 16), u ->
+                   CASE WHEN 64 * bs[CAST(t * 16 + u + 1 AS INT)] >=
+                        list_reduce(bs, (acc, x) -> acc + x)
+                        THEN CAST(2 ** u AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END),
+                 (acc, x) -> acc + x)) AS bv
+      FROM blocks),
+    flat AS MATERIALIZED (
+      SELECT doc_id, CAST(t AS INT) - 1 AS band_idx,
+             CAST(bv[CAST(t AS INT)] AS BIGINT) AS band_val, bv
+      FROM bands CROSS JOIN (SELECT unnest(range(1, 5)) AS t)),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.bv AS ba, b.bv AS bb
+      FROM flat a
+      JOIN flat b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                 AND a.doc_id < b.doc_id),
+    ham AS (
+      SELECT doc_a, doc_b,
+             CAST(list_reduce(list_transform(range(0, 64), u ->
+               CASE WHEN (ba[CAST(u // 16 + 1 AS INT)]
+                          // CAST(2 ** (u % 16) AS BIGINT)) % 2 <>
+                         (bb[CAST(u // 16 + 1 AS INT)]
+                          // CAST(2 ** (u % 16) AS BIGINT)) % 2
+                    THEN 1 ELSE 0 END),
+               (acc, x) -> acc + x) AS BIGINT) AS hamming
+      FROM cand)
+"""
+
+
+@register(
+    "q_ahash_dedup",
+    oracle="WITH "
+    + _AHASH_SQL
+    + """
+    SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
+    """,
+)
+def q_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash near-dup image pairs
+    (operators/phash.ahash_pairs): 64-bit block-mean hash over a 64x64
+    code-point raster (document text stands in for decoded grayscale,
+    the q_binary_meta convention; the REAL decoded-pixel path is
+    operators/phash.ahash64 + image_ahash_kernel over the in-tree PNG
+    codec, golden-tested). The corpus is two feeds — each document and
+    its case-folded variant, a uniform "brightness shift" that moves
+    most pixels by the same amount — and the hash finds the sibling
+    pairs BECAUSE block-mean-vs-global-mean bits are shift-invariant,
+    the property that makes aHash survive re-encodes. Banded exact
+    search: Hamming <= 3 pairs must share one of 4 16-bit bands
+    (pigeonhole), so candidates come from one band-keyed equi-join —
+    the SimHash plan shape with pixel-mean bits."""
+    from oic_options_chains_spark.operators.phash import ahash_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    feeds = d.select(
+        (F.col("doc_id") * 2).alias("doc_id"), F.col("text")
+    ).unionByName(
+        d.select((F.col("doc_id") * 2 + 1).alias("doc_id"), F.upper("text").alias("text"))
+    )
+    return ahash_pairs(feeds, max_hamming=3)

@@ -1,0 +1,184 @@
+"""Round-8 operators: FD profiling, encoding audit, entity resolution,
+JL projection, perceptual aHash (expression tier vs numpy kernel tier)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_fd_profile_known_answers(spark):
+    from oic_options_chains_spark.operators.profiling import fd_profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (3, "b")], "k int, v string"
+    )
+    out = {r["fd"]: r.asDict() for r in fd_profile(df, [("k", "v"), ("v", "k")]).collect()}
+    # k -> v holds: every k maps to one v
+    assert out["k->v"]["violations"] == 0 and out["k->v"]["holds"] == 1
+    assert out["k->v"]["n_rows"] == 4 and out["k->v"]["n_lhs"] == 3
+    assert out["k->v"]["n_pairs"] == 3
+    # v -> k violated: v='a' maps to k in {1, 2} -> delete 1 row to fix
+    assert out["v->k"]["violations"] == 1 and out["v->k"]["holds"] == 0
+    assert out["v->k"]["n_lhs"] == 2 and out["v->k"]["n_pairs"] == 3
+
+
+def test_encoding_metrics_flags_each_defect(spark):
+    from oic_options_chains_spark.operators.text import encoding_metrics
+
+    rows = [
+        (1, "plain ascii"),
+        (2, "héllo"),  # one 2-byte char
+        (3, "a\x01b\x02"),  # two control chars
+        (4, "x�y"),  # replacement char
+        (5, "donâ€™t"),  # 'donâ€™t' mojibake
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    m = encoding_metrics(F.col("text"))
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in df.select(
+            "doc_id",
+            m["non_ascii_bytes"].alias("na"),
+            m["n_control"].alias("ctrl"),
+            m["n_replacement"].alias("repl"),
+            m["n_mojibake"].alias("moji"),
+            m["ws_bp"].alias("ws"),
+        ).collect()
+    }
+    assert got[1]["na"] == 0 and got[1]["ctrl"] == 0 and got[1]["ws"] > 0
+    assert got[2]["na"] == 1
+    assert got[3]["ctrl"] == 2
+    assert got[4]["repl"] == 1
+    assert got[5]["moji"] >= 1
+    assert got[6]["ws"] == 0  # empty doc: defined, not NULL
+
+
+def test_entity_resolution_end_to_end(spark):
+    from oic_options_chains_spark.operators.linkage import (
+        blocked_match_pairs,
+        golden_records,
+        resolve_entities,
+    )
+
+    records = spark.createDataFrame(
+        [
+            (1, "blue bolt", "B1", 5),
+            (2, "blue bol", "B2", 7),  # truncated variant of 1/3
+            (3, "blue bolt", None, 6),  # exact dup name, null brand
+            (4, "red gear", "R1", 1),  # singleton
+        ],
+        "rec_id int, name string, brand string, size int",
+    )
+    pairs = blocked_match_pairs(records, max_edit=1)
+    got_pairs = {(r.rec_a, r.rec_b) for r in pairs.collect()}
+    assert got_pairs == {(1, 2), (1, 3), (2, 3)}
+    assign = resolve_entities(records, pairs)
+    ent = {r.rec_id: r.entity_id for r in assign.collect()}
+    assert ent == {1: 1, 2: 1, 3: 1, 4: 4}
+    golden = {r.entity_id: r.asDict() for r in golden_records(records, assign).collect()}
+    g1 = golden[1]
+    # survivorship: shortest name, majority non-null brand (tie -> lex
+    # min), max size
+    assert g1["name"] == "blue bol"
+    assert g1["brand"] == "B1"
+    assert g1["size"] == 7 and g1["n_records"] == 3
+    assert golden[4]["name"] == "red gear" and golden[4]["brand"] == "R1"
+
+
+def test_jl_projection_preserves_norm_and_replays(spark):
+    from oic_options_chains_spark.operators.projection import jl_project
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(64) * 0.3]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    out = jl_project(df, out_dim=16).select("vec_id", "proj", "norm_ratio_bp")
+    a = {r.vec_id: (tuple(r.proj), r.norm_ratio_bp) for r in out.collect()}
+    b = {r.vec_id: (tuple(r.proj), r.norm_ratio_bp) for r in out.collect()}
+    assert a == b  # md5-matrix projection replays exactly
+    ratios = [v[1] for v in a.values()]
+    assert all(len(v[0]) == 16 for v in a.values())
+    # JL: E[ratio] = 10000; individual vectors fluctuate but stay sane
+    assert 1000 < min(ratios) and max(ratios) < 60000
+    med = sorted(ratios)[len(ratios) // 2]
+    assert 5000 < med < 20000
+
+
+def _tiled_pixels(text: str) -> np.ndarray:
+    s = text + " "
+    reps = 4096 // len(s) + 1
+    tiled = (s * reps)[:4096]
+    return np.array([ord(c) for c in tiled], dtype=np.int64).reshape(64, 64)
+
+
+def test_ahash_expression_tier_matches_numpy_kernel(spark):
+    """The SQL-expressible raster hash and the real-pixel kernel hash
+    are the SAME function: Spark ahash_bands over the text raster must
+    equal bands_of(ahash64(pixels)) over the identically tiled array."""
+    from oic_options_chains_spark.operators.phash import (
+        ahash64,
+        ahash_band_table,
+        bands_of,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog " * 3,
+        "spark shuffle partition broadcast join",
+        "zzzz aaaa " * 40,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {
+        r["__id"]: list(r["__bands"]) for r in ahash_band_table(df).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == bands_of(ahash64(_tiled_pixels(t))), f"text {i}"
+
+
+def test_ahash64_brightness_invariance_and_discrimination():
+    from oic_options_chains_spark.operators.phash import ahash64, bands_of
+
+    rng = np.random.RandomState(3)
+    base = rng.randint(30, 180, size=(64, 64)).astype(np.uint8)
+    shifted = (base.astype(np.int64) + 40).astype(np.uint8)  # no clipping
+    other = rng.randint(30, 180, size=(64, 64)).astype(np.uint8)
+
+    def hamming(x: int, y: int) -> int:
+        return bin(x ^ y).count("1")
+
+    assert hamming(ahash64(base), ahash64(shifted)) == 0
+    assert hamming(ahash64(base), ahash64(other)) > 10
+    # band split reassembles
+    h = ahash64(base)
+    bands = bands_of(h)
+    assert sum(v << (16 * t) for t, v in enumerate(bands)) == h
+    # non-64x64 inputs pool down to the same grid
+    big = np.kron(base, np.ones((2, 2), dtype=np.uint8))  # 128x128 upscale
+    assert hamming(ahash64(big), h) == 0
+
+
+def test_image_ahash_kernel_decodes_and_quarantines(spark):
+    from oic_options_chains_spark.operators.codecs import encode_png
+    from oic_options_chains_spark.operators.phash import (
+        ahash64,
+        bands_of,
+        image_ahash_kernel,
+    )
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 255, size=(32, 32)).astype(np.uint8)
+    rows = [
+        (1, bytearray(encode_png(img))),
+        (2, bytearray(b"not a png at all")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = image_ahash_kernel(df).collect()
+    ok = sorted(
+        [(r.band_idx, r.band_val) for r in out if r.doc_id == 1 and r.ok == 1]
+    )
+    assert ok == list(enumerate(bands_of(ahash64(img[:, :, None]))))
+    bad = [r for r in out if r.doc_id == 2]
+    assert len(bad) == 1 and bad[0].ok == 0 and bad[0].err == "ValueError"
