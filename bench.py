@@ -127,6 +127,14 @@ HEADLINE = (
     "q_pack_compose",
     # OPH next to the k-permutation path it accelerates
     "q_oph_lsh_pairs",
+    # round-8 additions
+    "q_fd_profile",
+    "q_entity_resolution",
+    "q_encoding_audit",
+    "q_random_projection",
+    "q_semantic_decontam",
+    "q_ahash_dedup",
+    "q_ahash_incremental",
 )
 
 # single-JVM local bench has ~±20-30% run-to-run noise (ambient load

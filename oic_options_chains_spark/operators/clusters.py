@@ -316,8 +316,16 @@ def ensemble_dedup(
             F.lit(bit).cast("int").alias("sig"),
         )
         tagged = t if tagged is None else tagged.unionByName(t)
-    edges = tagged.groupBy("doc_a", "doc_b").agg(
-        F.bit_or("sig").alias("signals")
+    # the merged edge relation feeds TWO independent consumers — the
+    # component fold (which immediately materializes its own copy) and
+    # the incident-signal aggregate in the final plan. Checkpointing it
+    # once here means the expensive signal subtrees (LSH pair join,
+    # embedding bucket join) run ONCE, not once per consumer; the
+    # relation itself is pair-sized (already deduped on the pair key).
+    edges = (
+        tagged.groupBy("doc_a", "doc_b")
+        .agg(F.bit_or("sig").alias("signals"))
+        .localCheckpoint(eager=True)
     )
     verdict = dedup_clusters(docs, edges, id_col)
     incident = (

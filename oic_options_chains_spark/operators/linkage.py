@@ -10,18 +10,26 @@ of this (symbol remaps + conflict-ignore PKs, SURVEY.md F9/K1); this
 module is the multi-source generalization a training-data warehouse
 needs for its metadata tables.
 
-Scale shape:
+Scale shape — the load-bearing decision is WHAT the fuzzy join runs on:
 
-- **Blocking** bounds the candidate space: records only meet inside a
-  (name-prefix, length-band) block, an equi-join key. The length band
-  encodes the |len(a) - len(b)| <= 1 filter INTO the key (each record
-  lands in bands L and L+1), so the join never sees cross-length pairs
-  it would discard — the classic AllPairs length-filter, pushed from
+- **Match on DISTINCT NAMES, never on records.** Real catalogs are
+  heavy-tailed: one popular name can cover millions of records, and a
+  record-level blocked self-join turns that name into a million-squared
+  clique (measured: OOM at the 10x scale point in the record-level
+  form). Two records with equal names are trivially the same match
+  class, so the pairwise Levenshtein work only ever needs the
+  vocabulary: distinct names are matched, components are computed on
+  the NAME graph, and records join back by name — record count scales
+  the cheap map-side steps only.
+- **Blocking** bounds the name-pair space: names only meet inside a
+  (prefix, length-band) block, an equi-join key. The length band
+  encodes |len(a) - len(b)| <= 1 INTO the key (each name lands in
+  bands L and L+1), so the join never materializes cross-length
+  candidates it would discard — the AllPairs length filter pushed from
   the predicate into the shuffle key.
-- **Matching** runs Levenshtein only inside blocks (candidate-sized,
-  not corpus-sized); the verify threshold makes the edge set sparse.
 - **Clustering** reuses the large-star/small-star connected components
-  (operators/clusters.py) — O(log n) rounds regardless of chain length.
+  (operators/clusters.py) — O(log n) rounds regardless of chain length
+  — over the name graph (vocabulary-sized nodes).
 - **Survivorship** is two hash aggregations per entity (majority vote
   with fixed tie-breaks), never a per-entity collect.
 """
@@ -35,66 +43,67 @@ from pyspark.sql.window import Window
 from oic_options_chains_spark.operators.clusters import connected_components
 
 
-def blocked_match_pairs(
+def name_match_edges(
+    records: DataFrame,
+    name_col: str = "name",
+    prefix_len: int = 4,
+    max_edit: int = 1,
+) -> DataFrame:
+    """Matched DISTINCT-NAME pairs (name_a < name_b, edit_dist <=
+    max_edit) via (prefix, length-band) blocking. The relation this
+    self-joins is the name vocabulary — record-count independent."""
+    names = records.select(F.col(name_col).alias("__nm")).distinct()
+    banded = names.select(
+        "__nm",
+        F.substring(F.col("__nm"), 1, prefix_len).alias("__pfx"),
+        F.explode(
+            F.array(F.length("__nm"), F.length("__nm") + 1)
+        ).alias("__band"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__pfx") == F.col("b.__pfx"))
+            & (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__nm") < F.col("b.__nm")),
+        )
+        .select(
+            F.col("a.__nm").alias("name_a"), F.col("b.__nm").alias("name_b")
+        )
+        .distinct()
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return cand.select(
+        "name_a", "name_b", dist.cast("bigint").alias("edit_dist")
+    ).filter(F.col("edit_dist") <= max_edit)
+
+
+def resolve_entities(
     records: DataFrame,
     id_col: str = "rec_id",
     name_col: str = "name",
     prefix_len: int = 4,
     max_edit: int = 1,
 ) -> DataFrame:
-    """Matched record pairs (rec_a < rec_b, edit_dist <= max_edit) via
-    (prefix, length-band) blocking. Records whose names differ in their
-    first ``prefix_len`` characters or by more than one length unit
-    never form a candidate. Returns (rec_a, rec_b, edit_dist)."""
-    base = records.select(
-        F.col(id_col).alias("__id"),
-        F.col(name_col).alias("__nm"),
-        F.substring(F.col(name_col), 1, prefix_len).alias("__pfx"),
-        F.length(F.col(name_col)).alias("__len"),
+    """(rec_id, entity_id) for EVERY record: name-graph components
+    expanded back to records, each entity labeled by its minimum
+    rec_id; names with no fuzzy neighbor form per-name entities."""
+    edges = name_match_edges(records, name_col, prefix_len, max_edit)
+    ncc = connected_components(edges, id_a="name_a", id_b="name_b")
+    rec_names = records.select(
+        F.col(id_col).alias("rec_id"), F.col(name_col).alias("__nm")
     )
-    # length bands: a record of length L lands in bands L and L+1, so
-    # any pair with |len diff| <= 1 shares exactly one band (and equal
-    # lengths share two — dropped by the distinct on verified pairs)
-    banded = base.select(
-        "__id", "__nm", "__pfx", "__len", F.explode(
-            F.array(F.col("__len"), F.col("__len") + 1)
-        ).alias("__band")
-    )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.__pfx") == F.col("b.__pfx"))
-        & (F.col("a.__band") == F.col("b.__band"))
-        & (F.col("a.__id") < F.col("b.__id")),
+    labeled = rec_names.join(
+        ncc.select(F.col("id").alias("__nm"), F.col("cluster_id").alias("__nc")),
+        "__nm",
+        "left",
     ).select(
-        F.col("a.__id").alias("rec_a"),
-        F.col("b.__id").alias("rec_b"),
-        F.col("a.__nm").alias("__nm_a"),
-        F.col("b.__nm").alias("__nm_b"),
-    ).distinct()
-    dist = F.levenshtein(F.col("__nm_a"), F.col("__nm_b"))
-    return cand.select(
-        "rec_a", "rec_b", dist.cast("bigint").alias("edit_dist")
-    ).filter(F.col("edit_dist") <= max_edit)
-
-
-def resolve_entities(
-    records: DataFrame,
-    pairs: DataFrame,
-    id_col: str = "rec_id",
-) -> DataFrame:
-    """(rec_id, entity_id) for EVERY record: matched components labeled
-    by their minimum rec_id, singletons by themselves."""
-    cc = connected_components(pairs, id_a="rec_a", id_b="rec_b")
-    return (
-        records.select(F.col(id_col).alias("rec_id"))
-        .join(cc.withColumnRenamed("id", "rec_id"), "rec_id", "left")
-        .select(
-            "rec_id",
-            F.coalesce(F.col("cluster_id"), F.col("rec_id")).alias("entity_id"),
-        )
+        "rec_id", F.coalesce(F.col("__nc"), F.col("__nm")).alias("__nc")
     )
+    entity = labeled.groupBy("__nc").agg(F.min("rec_id").alias("entity_id"))
+    return labeled.join(entity, "__nc").select("rec_id", "entity_id")
 
 
 def golden_records(

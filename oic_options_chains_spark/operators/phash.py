@@ -5,7 +5,7 @@ survive re-encoding, resizing and mild noise, then find near-duplicates
 by Hamming distance — exactly the SimHash pipeline shape
 (operators/minhash.py SimHash tier), but with bits that come from PIXEL
 BLOCK MEANS instead of token hashes: bit b is 1 iff the mean of 8x8
-block b (of an 8x8 block grid over a 64x64 grayscale raster) is >= the
+block b (of an 8x8 block grid over a SIDE x SIDE grayscale raster) is >= the
 global mean. Banded exact search: 64 bits split into 4 x 16-bit bands;
 a pair at Hamming distance <= 3 shares at least one full band
 (pigeonhole), so candidates come from an equi-join on (band_idx,
@@ -13,7 +13,7 @@ band_value) — never an all-pairs scan.
 
 Two tiers, mirroring the repo's multimodal contract:
 
-- :func:`ahash_bands` — pure JVM column expressions over a 64x64
+- :func:`ahash_band_table` — pure JVM column expressions over a
   raster whose pixels are the document text's code points (the
   established "text bytes stand in for a media blob" convention,
   q_binary_meta) — fully oracle-replayable in SQL, and the banding /
@@ -34,8 +34,9 @@ from collections.abc import Iterator
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-SIDE = 64  # raster is SIDE x SIDE pixels
+SIDE = 32  # raster is SIDE x SIDE pixels
 GRID = 8  # GRID x GRID blocks, each (SIDE/GRID)^2 pixels
+BH = SIDE // GRID  # block height/width in pixels
 N_BLOCKS = GRID * GRID
 N_BANDS = 4
 BITS_PER_BAND = N_BLOCKS // N_BANDS
@@ -48,11 +49,15 @@ def raster_pixels(text: Column) -> Column:
     aHash: it fills the grid with signal at every document length
     (space-PADDING instead leaves short docs 95% blank, every block
     mean collapses to the pad value, and all documents collide — 124k
-    of 124k possible pairs matched in that form). The text is split
-    into a char array in ONE O(n) pass (``split(s, '')`` == DuckDB
-    ``string_split(s, '')``) so every later pixel access is an O(1)
-    element_at — a char-indexed substr per pixel would re-scan the
-    UTF-8 string per call (16M byte-ops per row at 64x64)."""
+    of 124k possible pairs matched in that form). SIDE=32 (16-pixel
+    blocks) beats 64 on this corpus on BOTH axes: more per-block
+    variance makes the bits more discriminative (373/500 case-folded
+    siblings matched with zero false pairs, vs 212 with false pairs at
+    64), at 4x less per-row work. The text is split into a char array
+    in ONE O(n) pass (``split(s, '')`` == DuckDB ``string_split(s,
+    '')``) so every later pixel access is an O(1) element_at — a
+    char-indexed substr per pixel would re-scan the UTF-8 string per
+    call."""
     s = F.concat(text, F.lit(" "))
     reps = (F.floor(F.lit(SIDE * SIDE) / F.length(s)) + 1).cast("int")
     tiled = F.substring(F.repeat(s, reps), 1, SIDE * SIDE)
@@ -65,18 +70,19 @@ def _block_sums(px: Column) -> Column:
     return F.transform(
         F.sequence(F.lit(0), F.lit(N_BLOCKS - 1)),
         lambda b: F.aggregate(
-            F.sequence(F.lit(0), F.lit(SIDE - 1)),
+            F.sequence(F.lit(0), F.lit(BH * BH - 1)),
             F.lit(0).cast("bigint"),
             lambda acc, j: acc
             + F.element_at(
                 px,
-                # block row (b DIV 8) spans pixel rows 8R..8R+7;
-                # pixel index = row*SIDE + col, 1-based element_at
+                # block (R=b DIV GRID, C=b%GRID) spans pixel rows
+                # BH*R..BH*R+BH-1, cols BH*C..; j walks the block
+                # row-major; pixel index = row*SIDE + col, 1-based
                 (
-                    (b - (b % GRID)) / GRID * (GRID * SIDE)
-                    + (j - (j % GRID)) / GRID * SIDE
-                    + (b % GRID) * GRID
-                    + (j % GRID)
+                    (b - (b % GRID)) / GRID * (BH * SIDE)
+                    + (j - (j % BH)) / BH * SIDE
+                    + (b % GRID) * BH
+                    + (j % BH)
                     + 1
                 ).cast("int"),
             ),
@@ -113,8 +119,8 @@ def _pin(dep: Column, value: Column) -> Column:
     than once) keeps the producing projection as its own stage. Without
     the pin, a producer referenced once — even when that one reference
     sits inside a higher-order function's lambda — is inlined INTO the
-    lambda body and re-evaluated on every lambda iteration: the O(4096)
-    raster under a 64x64 aggregate became 16M+ ops per row, a measured
+    lambda body and re-evaluated on every lambda iteration: the O(pixels)
+    raster under the per-block aggregate became 16M+ ops per row, a measured
     10-minute stall at 500 rows. The ``otherwise`` branch is
     unreachable (size >= 0 always holds for a non-null array)."""
     return F.when(F.size(dep) >= 0, value).otherwise(F.lit(None))
@@ -129,7 +135,7 @@ def ahash_band_table(
     stage's input must be a per-row ATTRIBUTE (evaluated once), never an
     inlined expression; :func:`_pin` holds the stage boundary where the
     consumer's syntactic reference count alone would let CollapseProject
-    merge. Per-row cost is O(pixels): one split pass, 4096 O(1)
+    merge. Per-row cost is O(pixels): one split pass, SIDE*SIDE O(1)
     element_at reads, 64 threshold tests."""
     px = docs.select(
         F.col(id_col).alias("__id"),
@@ -174,7 +180,12 @@ def ahash_pairs(
     """(doc_a, doc_b, hamming) for every pair within ``max_hamming``
     that shares at least one band (complete for max_hamming <
     N_BANDS by pigeonhole). One band-keyed exchange for the candidate
-    join; verification touches only candidates."""
+    join; verification touches only candidates. Pairs matching in
+    several bands are emitted ONCE, from their FIRST matching band —
+    each side carries all four band values, so "an earlier band also
+    matches" is a post-join column predicate, replacing a
+    candidate-wide distinct() exchange (the largest intermediate in
+    the query at corpus scale; same trick as simhash_near_pairs)."""
     # The checkpoint is load-bearing, not an optimization knob: the
     # band-keyed self-join makes the optimizer infer isnotnull /
     # size()>0 predicates over the join keys and SUBSTITUTE them down
@@ -192,6 +203,13 @@ def ahash_pairs(
     )
     a = banded.alias("a")
     b = banded.alias("b")
+    earlier = None
+    for j in range(N_BANDS - 1):
+        c = (F.col("a.band_idx") > j) & (
+            F.element_at(F.col("a.__bands"), j + 1)
+            == F.element_at(F.col("b.__bands"), j + 1)
+        )
+        earlier = c if earlier is None else earlier | c
     cand = (
         a.join(
             b,
@@ -199,19 +217,96 @@ def ahash_pairs(
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.__id") < F.col("b.__id")),
         )
+        .filter(~earlier)
         .select(
             F.col("a.__id").alias("doc_a"),
             F.col("b.__id").alias("doc_b"),
             F.col("a.__bands").alias("__ba"),
             F.col("b.__bands").alias("__bb"),
         )
-        .distinct()
     )
     return cand.select(
         "doc_a",
         "doc_b",
         hamming_from_bands(F.col("__ba"), F.col("__bb")).alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def ahash_incremental(
+    base: DataFrame,
+    delta: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Incremental media dedup: screen a DELTA batch of images against an
+    already-deduped BASE corpus without re-pairing the base against
+    itself — the aHash twin of minhash.incremental_lsh_dedup, and the
+    shape a 100 TB media corpus actually runs in: the base's (id,
+    band_idx, band_val) index is computed once per epoch (materialized
+    at scale; recomputed here because the testdata is file-backed), and
+    each incoming batch only hashes ITSELF and bucket-joins the index.
+
+    Returns one row per delta image: (id, kept, dup_of, hamming) with
+    kept=0 when some base image verifies at <= ``max_hamming`` (dup_of
+    = the best match, hamming ascending / id ascending), else kept=1
+    with NULL dup_of."""
+    base_h = ahash_band_table(base, id_col=id_col, text_col=text_col)
+    delta_h = ahash_band_table(delta, id_col=id_col, text_col=text_col)
+    # same inferred-filter barrier as ahash_pairs (tiny relations)
+    base_h = base_h.localCheckpoint(eager=True)
+    delta_h = delta_h.localCheckpoint(eager=True)
+
+    def banded(h: DataFrame, prefix: str) -> DataFrame:
+        return h.select(
+            F.col("__id").alias(f"{prefix}_id"),
+            F.col("__bands").alias(f"__b_{prefix}"),
+            F.posexplode("__bands").alias("band_idx", "band_val"),
+        )
+
+    # first-matching-band emission instead of a candidate-wide distinct
+    # (same as ahash_pairs): both sides carry all band values
+    earlier = None
+    for j in range(N_BANDS - 1):
+        c = (F.col("band_idx") > j) & (
+            F.element_at(F.col("__b_delta"), j + 1)
+            == F.element_at(F.col("__b_base"), j + 1)
+        )
+        earlier = c if earlier is None else earlier | c
+    cand = (
+        banded(delta_h, "delta")
+        .join(banded(base_h, "base"), ["band_idx", "band_val"])
+        .filter(~earlier)
+        .select("delta_id", "base_id", "__b_delta", "__b_base")
+    )
+    from pyspark.sql.window import Window
+
+    scored = cand.select(
+        "delta_id",
+        "base_id",
+        hamming_from_bands(F.col("__b_delta"), F.col("__b_base")).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+    w = Window.partitionBy("delta_id").orderBy(
+        F.col("hamming").asc(), F.col("base_id").asc()
+    )
+    best = (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("delta_id", "base_id", "hamming")
+    )
+    return (
+        delta.select(F.col(id_col).alias("delta_id"))
+        .join(best, "delta_id", "left")
+        .select(
+            F.col("delta_id").alias(id_col),
+            F.when(F.col("base_id").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("kept"),
+            F.col("base_id").cast("bigint").alias("dup_of"),
+            F.col("hamming").cast("bigint").alias("hamming"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

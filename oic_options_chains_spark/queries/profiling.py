@@ -67,28 +67,35 @@ _ER_RECORDS_SQL = """
     oracle="WITH RECURSIVE "
     + _ER_RECORDS_SQL
     + """,
+    names AS MATERIALIZED (SELECT DISTINCT name FROM recs),
     banded AS MATERIALIZED (
-      SELECT rec_id, name, substring(name, 1, 4) AS pfx,
+      SELECT name, substring(name, 1, 4) AS pfx,
              unnest([length(name), length(name) + 1]) AS band
-      FROM recs),
+      FROM names),
     pairs AS MATERIALIZED (
-      SELECT DISTINCT a.rec_id AS rec_a, b.rec_id AS rec_b
+      SELECT DISTINCT a.name AS name_a, b.name AS name_b
       FROM banded a
       JOIN banded b ON a.pfx = b.pfx AND a.band = b.band
-                   AND a.rec_id < b.rec_id
+                   AND a.name < b.name
       WHERE levenshtein(a.name, b.name) <= 1),
     edges AS MATERIALIZED (
-      SELECT rec_a AS a, rec_b AS b FROM pairs
-      UNION SELECT rec_b, rec_a FROM pairs),
+      SELECT name_a AS a, name_b AS b FROM pairs
+      UNION SELECT name_b, name_a FROM pairs),
     reach(src, dst) AS (
       SELECT a, a FROM (SELECT DISTINCT a FROM edges)
       UNION
       SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
-    cc AS MATERIALIZED (
-      SELECT src AS rec_id, MIN(dst) AS entity_id FROM reach GROUP BY src),
+    ncc AS MATERIALIZED (
+      SELECT src AS name, MIN(dst) AS name_cluster FROM reach GROUP BY src),
+    labeled AS MATERIALIZED (
+      SELECT r.rec_id, COALESCE(ncc.name_cluster, r.name) AS name_cluster
+      FROM recs r LEFT JOIN ncc ON r.name = ncc.name),
+    entity AS MATERIALIZED (
+      SELECT name_cluster, MIN(rec_id) AS entity_id
+      FROM labeled GROUP BY name_cluster),
     assign AS MATERIALIZED (
-      SELECT r.rec_id, COALESCE(cc.entity_id, r.rec_id) AS entity_id
-      FROM recs r LEFT JOIN cc ON r.rec_id = cc.rec_id),
+      SELECT l.rec_id, e.entity_id
+      FROM labeled l JOIN entity e ON l.name_cluster = e.name_cluster),
     joined AS MATERIALIZED (
       SELECT a.entity_id, r.name, r.brand, r.size
       FROM recs r JOIN assign a ON r.rec_id = a.rec_id),
@@ -122,14 +129,16 @@ _ER_RECORDS_SQL = """
 def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end entity resolution (operators/linkage.py): two dirty
     feeds of the part catalog (char-truncated names, dropped brands) ->
-    (prefix, length-band) blocked Levenshtein matching -> large-star/
-    small-star components -> one golden record per entity with
-    deterministic survivorship (shortest name, majority non-null brand
-    with lexicographic tie, max size). The blocking encodes the length
+    (prefix, length-band) blocked Levenshtein matching over DISTINCT
+    NAMES (vocabulary-sized — a record-level blocked self-join turns
+    one popular name into a clique and OOMs at the 10x scale point) ->
+    large-star/small-star components on the name graph, expanded back
+    to records -> one golden record per entity with deterministic
+    survivorship (shortest name, majority non-null brand with
+    lexicographic tie, max size). The blocking encodes the length
     filter INTO the equi-join key, so the match join never materializes
     cross-length candidates."""
     from oic_options_chains_spark.operators.linkage import (
-        blocked_match_pairs,
         golden_records,
         resolve_entities,
     )
@@ -155,8 +164,7 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_size").alias("size"),
     )
     records = feed_a.unionByName(feed_b).localCheckpoint(eager=True)
-    pairs = blocked_match_pairs(records, max_edit=1)
-    assign = resolve_entities(records, pairs)
+    assign = resolve_entities(records, max_edit=1)
     return golden_records(records, assign)
 
 
@@ -322,25 +330,23 @@ def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_AHASH_SQL = """
-    feeds AS (
-      SELECT doc_id * 2 AS doc_id, text FROM documents
-      UNION ALL
-      SELECT doc_id * 2 + 1, upper(text) FROM documents),
+# shared aHash CTE core (px -> block sums -> 4x16-bit bands -> flat band
+# keys) over a `feeds(doc_id, text)` CTE the caller prepends
+_AHASH_CORE = """
     px AS MATERIALIZED (
       SELECT doc_id,
              list_transform(
                string_split(substring(repeat(text || ' ',
-                 CAST(4096 // (length(text) + 1) + 1 AS INT)), 1, 4096), ''),
+                 CAST(1024 // (length(text) + 1) + 1 AS INT)), 1, 1024), ''),
                c -> CAST(ord(c) AS BIGINT)) AS p
       FROM feeds),
     blocks AS MATERIALIZED (
       SELECT doc_id,
              list_transform(range(0, 64), b ->
                list_reduce(
-                 list_transform(range(0, 64), j ->
-                   p[CAST((b // 8) * 512 + (j // 8) * 64
-                          + (b % 8) * 8 + (j % 8) + 1 AS INT)]),
+                 list_transform(range(0, 16), j ->
+                   p[CAST((b // 8) * 128 + (j // 4) * 32
+                          + (b % 8) * 4 + (j % 4) + 1 AS INT)]),
                  (acc, x) -> acc + x)) AS bs
       FROM px),
     bands AS MATERIALIZED (
@@ -357,37 +363,46 @@ _AHASH_SQL = """
     flat AS MATERIALIZED (
       SELECT doc_id, CAST(t AS INT) - 1 AS band_idx,
              CAST(bv[CAST(t AS INT)] AS BIGINT) AS band_val, bv
-      FROM bands CROSS JOIN (SELECT unnest(range(1, 5)) AS t)),
-    cand AS MATERIALIZED (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.bv AS ba, b.bv AS bb
-      FROM flat a
-      JOIN flat b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-                 AND a.doc_id < b.doc_id),
-    ham AS (
-      SELECT doc_a, doc_b,
+      FROM bands CROSS JOIN (SELECT unnest(range(1, 5)) AS t))
+"""
+
+# exact Hamming from two 4x16-bit band arrays (arithmetic bit extract)
+_HAMMING_SQL = """
              CAST(list_reduce(list_transform(range(0, 64), u ->
                CASE WHEN (ba[CAST(u // 16 + 1 AS INT)]
                           // CAST(2 ** (u % 16) AS BIGINT)) % 2 <>
                          (bb[CAST(u // 16 + 1 AS INT)]
                           // CAST(2 ** (u % 16) AS BIGINT)) % 2
                     THEN 1 ELSE 0 END),
-               (acc, x) -> acc + x) AS BIGINT) AS hamming
-      FROM cand)
-"""
+               (acc, x) -> acc + x) AS BIGINT)"""
 
 
 @register(
     "q_ahash_dedup",
-    oracle="WITH "
-    + _AHASH_SQL
+    oracle="""WITH
+    feeds AS (
+      SELECT doc_id * 2 AS doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id * 2 + 1, upper(text) FROM documents),"""
+    + _AHASH_CORE
     + """
+    , cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.bv AS ba, b.bv AS bb
+      FROM flat a
+      JOIN flat b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                 AND a.doc_id < b.doc_id),
+    ham AS (
+      SELECT doc_a, doc_b,"""
+    + _HAMMING_SQL
+    + """ AS hamming
+      FROM cand)
     SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
     """,
 )
 def q_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual average-hash near-dup image pairs
-    (operators/phash.ahash_pairs): 64-bit block-mean hash over a 64x64
+    (operators/phash.ahash_pairs): 64-bit block-mean hash over a 32x32
     code-point raster (document text stands in for decoded grayscale,
     the q_binary_meta convention; the REAL decoded-pixel path is
     operators/phash.ahash64 + image_ahash_kernel over the in-tree PNG
@@ -408,3 +423,60 @@ def q_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select((F.col("doc_id") * 2 + 1).alias("doc_id"), F.upper("text").alias("text"))
     )
     return ahash_pairs(feeds, max_hamming=3)
+
+
+@register(
+    "q_ahash_incremental",
+    oracle="""WITH
+    feeds AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, upper(text) FROM documents
+      WHERE doc_id % 5 = 0),"""
+    + _AHASH_CORE
+    + """
+    , base_f AS (SELECT * FROM flat WHERE doc_id < 1000000),
+    delta_f AS (SELECT * FROM flat WHERE doc_id >= 1000000),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT d.doc_id AS delta_id, b.doc_id AS base_id,
+             d.bv AS ba, b.bv AS bb
+      FROM delta_f d
+      JOIN base_f b ON d.band_idx = b.band_idx AND d.band_val = b.band_val),
+    scored AS (
+      SELECT delta_id, base_id,"""
+    + _HAMMING_SQL
+    + """ AS hamming
+      FROM cand),
+    best AS (
+      SELECT delta_id, base_id, hamming FROM (
+        SELECT *, row_number() OVER (PARTITION BY delta_id
+                  ORDER BY hamming ASC, base_id ASC) AS rk
+        FROM scored WHERE hamming <= 3)
+      WHERE rk = 1)
+    SELECT dd.doc_id,
+           CAST(CASE WHEN best.base_id IS NULL THEN 1 ELSE 0 END AS INT)
+             AS kept,
+           CAST(best.base_id AS BIGINT) AS dup_of,
+           CAST(best.hamming AS BIGINT) AS hamming
+    FROM (SELECT doc_id + 1000000 AS doc_id FROM documents
+          WHERE doc_id % 5 = 0) dd
+    LEFT JOIN best ON dd.doc_id = best.delta_id
+    """,
+)
+def q_ahash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental media dedup (operators/phash.ahash_incremental): a
+    delta batch of "re-uploaded" images (every fifth document,
+    case-folded — the brightness-shifted re-encode) screened against
+    the base corpus's aHash band index. The base NEVER self-pairs: per
+    batch, work is the delta's own hashing plus a bucket join against
+    the materialized epoch index — the only dedup shape that holds up
+    when the base is 100 TB and the delta is a day's crawl. One row per
+    delta image: kept / dup_of / hamming."""
+    from oic_options_chains_spark.operators.phash import ahash_incremental
+
+    d = load_table(spark, sf_dir, "documents")
+    delta = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.upper("text").alias("text"),
+    )
+    return ahash_incremental(d.select("doc_id", "text"), delta, max_hamming=3)

@@ -423,3 +423,43 @@ def test_range_join_plans_stay_equi_keyed(spark, sf_dir):
         assert n_ex <= max_exchanges, f"{name}: {n_ex} exchanges > {max_exchanges}"
         # the join itself must be hash- or sort-merge-keyed
         assert ("SortMergeJoin" in plan) or ("HashJoin" in plan), name
+
+
+def test_round8_joins_stay_equi_keyed(spark, sf_dir):
+    """Round-8 locks: the aHash band join, the incremental
+    delta-vs-base band join, the entity-resolution blocking join and
+    the semantic-decontam bucket join are all candidate-bounded EQUI
+    joins — a regression to nested-loop/cartesian is the difference
+    between bucket-sized work and |corpus|^2 at 100 TB."""
+    for name in (
+        "q_ahash_dedup",
+        "q_ahash_incremental",
+        "q_entity_resolution",
+        "q_semantic_decontam",
+    ):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert ("SortMergeJoin" in plan) or ("HashJoin" in plan), name
+
+
+def test_ahash_band_table_stays_staged(spark, sf_dir):
+    """The aHash raster/sums/bands staging must survive optimization:
+    if CollapseProject ever inlines the pixel array into the block-sum
+    lambda (or the checkpoint stops shielding the join from inferred
+    per-scan filters), the O(pixels) hash silently becomes O(pixels x
+    blocks x block_size) per row — a measured >10-minute stall at 1000
+    docs. Lock: the optimized single-table plan keeps three separate
+    Project nodes and the pair plan scans a checkpointed relation."""
+    from pyspark.sql import functions as F
+
+    from oic_options_chains_spark.operators.phash import ahash_band_table
+    from oic_options_chains_spark.sources.registry import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    opt = _optimized(ahash_band_table(d))
+    assert opt.count("Project [") == 3, opt[:500]
+    # element_at must read the staged attribute, not an inlined raster
+    assert "element_at(__px#" in opt or "element_at(__bs#" in opt
+    pair_plan = _plan(QUERIES["q_ahash_dedup"](spark, sf_dir))
+    assert "ExistingRDD" in pair_plan or "Scan ExistingRDD" in pair_plan

@@ -58,8 +58,8 @@ def test_encoding_metrics_flags_each_defect(spark):
 
 def test_entity_resolution_end_to_end(spark):
     from oic_options_chains_spark.operators.linkage import (
-        blocked_match_pairs,
         golden_records,
+        name_match_edges,
         resolve_entities,
     )
 
@@ -72,10 +72,11 @@ def test_entity_resolution_end_to_end(spark):
         ],
         "rec_id int, name string, brand string, size int",
     )
-    pairs = blocked_match_pairs(records, max_edit=1)
-    got_pairs = {(r.rec_a, r.rec_b) for r in pairs.collect()}
-    assert got_pairs == {(1, 2), (1, 3), (2, 3)}
-    assign = resolve_entities(records, pairs)
+    edges = name_match_edges(records, max_edit=1)
+    got_edges = {(r.name_a, r.name_b) for r in edges.collect()}
+    # fuzzy matching runs on the NAME vocabulary, not on records
+    assert got_edges == {("blue bol", "blue bolt")}
+    assign = resolve_entities(records)
     ent = {r.rec_id: r.entity_id for r in assign.collect()}
     assert ent == {1: 1, 2: 1, 3: 1, 4: 4}
     golden = {r.entity_id: r.asDict() for r in golden_records(records, assign).collect()}
@@ -107,10 +108,12 @@ def test_jl_projection_preserves_norm_and_replays(spark):
 
 
 def _tiled_pixels(text: str) -> np.ndarray:
+    from oic_options_chains_spark.operators.phash import SIDE
+
     s = text + " "
-    reps = 4096 // len(s) + 1
-    tiled = (s * reps)[:4096]
-    return np.array([ord(c) for c in tiled], dtype=np.int64).reshape(64, 64)
+    reps = SIDE * SIDE // len(s) + 1
+    tiled = (s * reps)[: SIDE * SIDE]
+    return np.array([ord(c) for c in tiled], dtype=np.int64).reshape(SIDE, SIDE)
 
 
 def test_ahash_expression_tier_matches_numpy_kernel(spark):
