@@ -163,6 +163,10 @@ SCALE_QUERIES = (
     "q_dedup_ensemble",
     "q_episode_build",
     "q_pack_compose",
+    # round-8: the delta-vs-base media dedup (the corpus-growth path)
+    # and the name-vocabulary entity resolution
+    "q_ahash_incremental",
+    "q_entity_resolution",
 )
 SCALE_RUNS_PER_QUERY = 2
 

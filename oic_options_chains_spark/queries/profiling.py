@@ -261,7 +261,7 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oic_options_chains_spark.operators.projection import jl_project
 
     emb = load_table(spark, sf_dir, "embeddings")
-    out = jl_project(emb, out_dim=_JL_DIM)
+    out = jl_project(emb, out_dim=_JL_DIM, in_dim=64)
     return out.select(
         "vec_id",
         F.posexplode("proj").alias("k", "proj"),

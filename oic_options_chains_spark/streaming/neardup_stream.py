@@ -127,3 +127,34 @@ def streaming_near_dup(
         )
     )
     return bucket_owner_pairs(bands, "doc_id", ttl_minutes=ttl_minutes)
+
+
+def streaming_image_near_dup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ttl_minutes: int | None = None,
+) -> DataFrame:
+    """Streaming PERCEPTUAL near-dup candidates: the aHash twin of
+    :func:`streaming_near_dup`, reusing the same keyed-state bucket
+    ownership. The hash tier (operators/phash.ahash_band_table) is a
+    chain of stateless staged projections, so it composes with a
+    streaming source unchanged (no checkpoint barrier is needed here —
+    the barrier in the BATCH pair path exists to shield a self-join
+    this operator doesn't have; ownership lives in keyed state
+    instead). Cross-batch semantics match q_ahash_incremental's
+    delta-vs-base contract: a batch-7 image is checked against every
+    band bucket owned by batches 1-6. Output (band, band_key, doc_id,
+    dup_of); band_key is the 16-bit band value rendered as a string to
+    share the state kernel's schema."""
+    from oic_options_chains_spark.operators.phash import ahash_band_table
+
+    bands = ahash_band_table(docs, id_col=id_col, text_col=text_col).select(
+        F.col("__id").cast("long").alias("doc_id"),
+        F.posexplode("__bands").alias("band", "__bv"),
+    ).select(
+        "doc_id",
+        F.col("band").cast("int").alias("band"),
+        F.col("__bv").cast("string").alias("band_key"),
+    )
+    return bucket_owner_pairs(bands, "doc_id", ttl_minutes=ttl_minutes)

@@ -96,3 +96,51 @@ def test_within_batch_min_owner(spark, tmp_path):
     pairs = {(r.doc_id, r.dup_of) for r in got.select("doc_id", "dup_of").collect()}
     assert (2, 0) in pairs and (5, 0) in pairs and (4, 1) in pairs
     assert not any(d in (1, 3) for d, _ in pairs)
+
+
+def _run_image_stream(spark, tmp_path, chunks):
+    from oic_options_chains_spark.streaming.neardup_stream import (
+        streaming_image_near_dup,
+    )
+
+    src = tmp_path / "isrc"
+    src.mkdir()
+    out = str(tmp_path / "iout")
+    ckpt = str(tmp_path / "ickpt")
+    for i, chunk in enumerate(chunks):
+        (src / f"f{i}.json").write_text(
+            "\n".join(json.dumps({"doc_id": d, "text": t}) for d, t in chunk)
+        )
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    q = (
+        streaming_image_near_dup(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out)
+
+
+def test_streaming_image_near_dup_cross_batch(spark, tmp_path):
+    """The aHash twin: identical rasters streamed in LATER micro-batches
+    point at the first-arrival owner (all four bands collide), and the
+    case-folded variant (uniform brightness shift) still shares at
+    least one band with its original — the cross-batch form of
+    q_ahash_incremental's delta-vs-base screen."""
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog today " * 3),
+        (1, "an entirely different text about spark streaming state " * 3),
+        (2, "the quick brown fox jumps over the lazy dog today " * 3),  # exact
+        (3, ("the quick brown fox jumps over the lazy dog today " * 3).upper()),
+    ]
+    got = _run_image_stream(spark, tmp_path, [docs[0:2], docs[2:3], docs[3:4]])
+    pairs = {(r.doc_id, r.dup_of) for r in got.select("doc_id", "dup_of").collect()}
+    assert (2, 0) in pairs  # exact raster: every band bucket owned by 0
+    assert (3, 0) in pairs  # shift-invariant bits: >=1 shared band
+    assert not any(d == 1 for d, _ in pairs)  # unrelated text never flagged
