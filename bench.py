@@ -135,6 +135,7 @@ HEADLINE = (
     "q_semantic_decontam",
     "q_ahash_dedup",
     "q_ahash_incremental",
+    "q_reshard_plan",
 )
 
 # single-JVM local bench has ~±20-30% run-to-run noise (ambient load

@@ -165,3 +165,63 @@ def key_skew_profile(df: DataFrame, key_col: str, k: int = 20) -> DataFrame:
         .alias("share_bp"),
         "rank",
     )
+
+
+def rendezvous_shard(key: Column, n_shards: int) -> Column:
+    """Highest-random-weight (rendezvous) shard assignment: the shard s
+    in [0, n_shards) maximizing md5(key ':' s) — ties (md5 collisions)
+    to the lowest s via first-occurrence array_position. Unlike mod
+    hashing, growing the shard count moves ONLY the keys whose new
+    maximum lands on a new shard (expected (M-N)/M of them), because
+    every surviving shard keeps its exact weight function — the
+    minimal-movement property that makes resharding a 100 TB layout an
+    incremental copy instead of a full rewrite."""
+    weights = F.array(
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", key.cast("string"), F.lit(str(s)))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            for s in range(n_shards)
+        ]
+    )
+    return (F.array_position(weights, F.array_max(weights)) - 1).cast("int")
+
+
+def reshard_plan(
+    df: DataFrame,
+    key_col: str,
+    n_old: int,
+    n_new: int,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """The data-movement manifest for an N -> M rendezvous reshard:
+    (old_shard, new_shard, n_keys, sum_weight, moved) — one row per
+    observed (old, new) cell, weights summed so the copy planner knows
+    the bytes, not just the key counts. Row-local assignment (both
+    shard functions are per-key expressions over the SAME hash family,
+    which is what guarantees old == new whenever the argmax survives)
+    plus one grid-sized aggregation."""
+    key = F.col(key_col)
+    w = (
+        F.col(weight_col).cast("bigint")
+        if weight_col is not None
+        else F.lit(1).cast("bigint")
+    )
+    assigned = df.select(
+        rendezvous_shard(key, n_old).alias("old_shard"),
+        rendezvous_shard(key, n_new).alias("new_shard"),
+        w.alias("__w"),
+    )
+    return assigned.groupBy("old_shard", "new_shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("__w").cast("bigint").alias("sum_weight"),
+        F.max((F.col("old_shard") != F.col("new_shard")).cast("int")).alias(
+            "moved"
+        ),
+    )

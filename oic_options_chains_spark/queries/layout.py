@@ -142,3 +142,48 @@ def q_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_buckets_true",
     )
+
+
+def _rdv_sql(key: str, n: int, alias: str) -> str:
+    """Rendezvous shard as SQL: argmax over md5 weights, ties to the
+    lowest shard (list_position returns the first occurrence)."""
+    weights = ", ".join(
+        f"CAST('0x' || substring(md5(CAST({key} AS VARCHAR) || ':' || '{s}'),"
+        f" 1, 15) AS BIGINT)"
+        for s in range(n)
+    )
+    return (
+        f"CAST(list_position([{weights}],"
+        f" list_aggregate([{weights}], 'max')) - 1 AS INT) AS {alias}"
+    )
+
+
+@register(
+    "q_reshard_plan",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT {_rdv_sql("doc_id", 8, "old_shard")},
+             {_rdv_sql("doc_id", 12, "new_shard")},
+             CAST(n_chars AS BIGINT) AS w
+      FROM documents)
+    SELECT old_shard, new_shard,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(w) AS BIGINT) AS sum_weight,
+           CAST(MAX(CASE WHEN old_shard <> new_shard THEN 1 ELSE 0 END)
+                AS INT) AS moved
+    FROM assigned GROUP BY old_shard, new_shard
+    """,
+)
+def q_reshard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash reshard manifest (operators/layout.reshard_plan):
+    growing the corpus layout 8 -> 12 shards, which (old, new) cells
+    move and how many bytes (n_chars as the weight). Highest-random-
+    weight assignment gives MINIMAL movement — a key relocates only
+    when one of the four NEW shards wins its argmax (expected 4/12 of
+    keys), never between surviving shards, because every old shard
+    keeps its exact weight function; mod hashing would move ~11/12 of
+    the corpus. Row-local assignment + one grid-sized aggregation."""
+    from oic_options_chains_spark.operators.layout import reshard_plan
+
+    d = load_table(spark, sf_dir, "documents")
+    return reshard_plan(d, "doc_id", n_old=8, n_new=12, weight_col="n_chars")

@@ -185,3 +185,26 @@ def test_image_ahash_kernel_decodes_and_quarantines(spark):
     assert ok == list(enumerate(bands_of(ahash64(img[:, :, None]))))
     bad = [r for r in out if r.doc_id == 2]
     assert len(bad) == 1 and bad[0].ok == 0 and bad[0].err == "ValueError"
+
+
+def test_rendezvous_reshard_moves_only_to_new_shards(spark):
+    """Minimal-movement property: under rendezvous hashing an 8 -> 12
+    reshard relocates a key ONLY when a brand-new shard wins its argmax
+    — never between surviving shards — and the moved share is near the
+    theoretical (M-N)/M = 1/3."""
+    from pyspark.sql import functions as F
+
+    from oic_options_chains_spark.operators.layout import rendezvous_shard
+
+    df = spark.range(3000).select(F.col("id").alias("k"))
+    assigned = df.select(
+        rendezvous_shard(F.col("k"), 8).alias("old"),
+        rendezvous_shard(F.col("k"), 12).alias("new"),
+    )
+    rows = assigned.collect()
+    assert all(0 <= r.old < 8 and 0 <= r.new < 12 for r in rows)
+    movers = [r for r in rows if r.old != r.new]
+    # a mover's destination is ALWAYS one of the four new shards
+    assert all(r.new >= 8 for r in movers), "moved between surviving shards"
+    frac = len(movers) / len(rows)
+    assert 0.25 < frac < 0.42, frac  # E = 1/3
