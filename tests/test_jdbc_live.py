@@ -145,3 +145,62 @@ def test_conflict_ignore_sql_dialects():
     )
     dby = conflict_ignore_sql("t", "t_stage", ["a", "b", "v"], ["a", "b"], "derby")
     assert "NOT EXISTS" in dby and 't.a = s."a" AND t.b = s."b"' in dby
+
+
+def test_concurrent_loads_use_disjoint_stages(spark, derby_url):
+    """ADVICE r7 (jdbc.py): two concurrent loads into the SAME target
+    must not overwrite each other's staging table — the default stage
+    name carries a per-call unique suffix, so both batches' rows land
+    (minus PK conflicts) and no stage table leaks afterwards."""
+    import threading
+
+    from oic_options_chains_spark.sources.jdbc import jdbc_conflict_ignore_append
+
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(derby_url)
+    st = conn.createStatement()
+    st.execute(
+        "CREATE TABLE conc_pk (sym VARCHAR(10) NOT NULL, d VARCHAR(10) NOT NULL,"
+        " px DOUBLE, PRIMARY KEY (sym, d))"
+    )
+    conn.close()
+
+    batches = {
+        "w1": spark.createDataFrame(
+            [("AAA", "2024-01-02", 1.0), ("CCC", "2024-01-02", 3.0)],
+            "sym string, d string, px double",
+        ),
+        "w2": spark.createDataFrame(
+            [("BBB", "2024-01-02", 2.0), ("CCC", "2024-01-02", 9.0)],
+            "sym string, d string, px double",
+        ),
+    }
+    barrier = threading.Barrier(2)
+    errors = []
+
+    def load(name):
+        try:
+            barrier.wait(timeout=60)
+            jdbc_conflict_ignore_append(
+                batches[name], derby_url, "conc_pk", ["sym", "d"]
+            )
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    ts = [threading.Thread(target=load, args=(n,)) for n in batches]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors, errors
+    rows = read_jdbc(spark, derby_url, "conc_pk").collect()
+    syms = sorted(r[0] for r in rows)
+    assert syms == ["AAA", "BBB", "CCC"], syms  # no batch lost its rows
+    # no staging table survives either load
+    conn = jvm.java.sql.DriverManager.getConnection(derby_url)
+    rs = conn.getMetaData().getTables(None, None, "CONC_PK_STAGE%", None)
+    leaked = []
+    while rs.next():
+        leaked.append(rs.getString("TABLE_NAME"))
+    conn.close()
+    assert leaked == [], leaked
