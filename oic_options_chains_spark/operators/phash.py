@@ -4,8 +4,8 @@ The LAION-style media dedup step: hash each image down to 64 bits that
 survive re-encoding, resizing and mild noise, then find near-duplicates
 by Hamming distance — exactly the SimHash pipeline shape
 (operators/minhash.py SimHash tier), but with bits that come from PIXEL
-BLOCK MEANS instead of token hashes: bit b is 1 iff the mean of 8x8
-block b (of an 8x8 block grid over a SIDE x SIDE grayscale raster) is >= the
+BLOCK MEANS instead of token hashes: bit b is 1 iff the mean of block b
+(of an 8x8 block grid over a SIDE x SIDE grayscale raster) is >= the
 global mean. Banded exact search: 64 bits split into 4 x 16-bit bands;
 a pair at Hamming distance <= 3 shares at least one full band
 (pigeonhole), so candidates come from an equi-join on (band_idx,
@@ -64,38 +64,55 @@ def raster_pixels(text: Column) -> Column:
     return F.transform(F.split(tiled, ""), lambda c: F.ascii(c).cast("bigint"))
 
 
+# block (R=b DIV GRID, C=b%GRID) spans pixel rows BH*R..BH*R+BH-1, cols
+# BH*C..; the pixel index map is FIXED given (SIDE, GRID), so it is a
+# 64x(BH*BH) literal the optimizer constant-folds — the hot per-pixel
+# lambda then costs one element_at + one add instead of eight index-
+# arithmetic nodes per iteration (higher-order functions evaluate
+# interpreted, so node count IS the cost model)
+_BLOCK_PIXEL_IDX = [
+    [
+        (b // GRID) * (BH * SIDE)
+        + (j // BH) * SIDE
+        + (b % GRID) * BH
+        + (j % BH)
+        + 1
+        for j in range(BH * BH)
+    ]
+    for b in range(N_BLOCKS)
+]
+
+
 def _block_sums(px: Column) -> Column:
     """array<bigint> of N_BLOCKS block pixel sums over the pixel array.
     Row-local; each pixel is read exactly once, every read O(1)."""
+    idx = F.array(
+        *[
+            F.array(*[F.lit(i).cast("int") for i in row])
+            for row in _BLOCK_PIXEL_IDX
+        ]
+    )
     return F.transform(
-        F.sequence(F.lit(0), F.lit(N_BLOCKS - 1)),
-        lambda b: F.aggregate(
-            F.sequence(F.lit(0), F.lit(BH * BH - 1)),
+        idx,
+        lambda idxs: F.aggregate(
+            idxs,
             F.lit(0).cast("bigint"),
-            lambda acc, j: acc
-            + F.element_at(
-                px,
-                # block (R=b DIV GRID, C=b%GRID) spans pixel rows
-                # BH*R..BH*R+BH-1, cols BH*C..; j walks the block
-                # row-major; pixel index = row*SIDE + col, 1-based
-                (
-                    (b - (b % GRID)) / GRID * (BH * SIDE)
-                    + (j - (j % BH)) / BH * SIDE
-                    + (b % GRID) * BH
-                    + (j % BH)
-                    + 1
-                ).cast("int"),
-            ),
+            lambda acc, i: acc + F.element_at(px, i),
         ),
     )
 
 
-def _bands_from_sums(sums: Column) -> Column:
+def _bands_from_sums(sums: Column, total: Column | None = None) -> Column:
     """N_BANDS 16-bit band values from the block-sum array. bit b = 1
     iff N_BLOCKS * block_sum_b >= total_sum (exact integer form of
     block_mean >= global_mean — every block has the same pixel count,
-    so the comparison needs no division)."""
-    total = F.aggregate(sums, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    so the comparison needs no division). Pass ``total`` as a staged
+    attribute when calling per-row: referenced inside the bit lambda,
+    an inline aggregate would re-sum the 64 block sums once per BIT."""
+    if total is None:
+        total = F.aggregate(
+            sums, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        )
     return F.transform(
         F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
         lambda t: F.aggregate(
@@ -137,16 +154,48 @@ def ahash_band_table(
     consumer's syntactic reference count alone would let CollapseProject
     merge. Per-row cost is O(pixels): one split pass, SIDE*SIDE O(1)
     element_at reads, 64 threshold tests."""
-    px = docs.select(
+    # hashing is CPU-dense per row, so its parallelism must come from an
+    # explicit exchange when the SCAN can't provide it (one compact
+    # parquet file = one core otherwise — the near_dup_pairs lesson).
+    # Adaptive, not unconditional: at warehouse scale the scan is
+    # already split across thousands of tasks and a pre-hash
+    # repartition would be a pure full-data shuffle tax; streaming
+    # micro-batches take their parallelism from the source.
+    from oic_options_chains_spark.operators.similarity import _probe_partitions
+
+    src = docs
+    if not docs.isStreaming:
+        want = _probe_partitions(docs)
+        if docs.rdd.getNumPartitions() < want:
+            src = docs.repartition(want, F.col(id_col))
+    px = src.select(
         F.col(id_col).alias("__id"),
         raster_pixels(F.col(text_col)).alias("__px"),
     )
     sums = px.select(
         "__id", _pin(F.col("__px"), _block_sums(F.col("__px"))).alias("__bs")
     )
-    # _bands_from_sums references __bs twice on its own (element_at +
-    # the total aggregate), so the guard already applies to this stage
-    return sums.select("__id", _bands_from_sums(F.col("__bs")).alias("__bands"))
+    # total staged as its own attribute (and pinned): inlined, the
+    # 64-element sum would re-run once per bit inside the band lambda
+    tot = sums.select(
+        "__id",
+        "__bs",
+        _pin(
+            F.col("__bs"),
+            F.aggregate(
+                F.col("__bs"), F.lit(0).cast("bigint"), lambda a, x: a + x
+            ),
+        ).alias("__tot"),
+    )
+    # the outer when() re-references BOTH __bs and __tot so neither
+    # producer collapses into the band lambda (same guard as _pin)
+    return tot.select(
+        "__id",
+        F.when(
+            (F.size(F.col("__bs")) >= 0) & F.col("__tot").isNotNull(),
+            _bands_from_sums(F.col("__bs"), F.col("__tot")),
+        ).alias("__bands"),
+    )
 
 
 def hamming_from_bands(a: Column, b: Column) -> Column:
