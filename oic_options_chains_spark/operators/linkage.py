@@ -43,41 +43,179 @@ from pyspark.sql.window import Window
 from oic_options_chains_spark.operators.clusters import connected_components
 
 
+def _segment_geometry(L, i: int, n_seg: int):
+    """(start, length) exprs of segment ``i`` when a length-``L`` string
+    is evenly split into ``n_seg`` contiguous pieces: the first
+    ``n_seg - L % n_seg`` pieces get ``L div n_seg`` chars, the rest one
+    more — the PassJoin convention, shared verbatim by the index and
+    probe emitters so their keys align."""
+    q = F.floor(L / n_seg).cast("int")
+    r = L % n_seg
+    extra = F.greatest(F.lit(0), F.lit(i) - (F.lit(n_seg) - r))
+    start = F.lit(i) * q + extra
+    seg_len = q + F.when(F.lit(i) >= (F.lit(n_seg) - r), 1).otherwise(0)
+    return start, seg_len
+
+
 def name_match_edges(
     records: DataFrame,
     name_col: str = "name",
     prefix_len: int = 4,
     max_edit: int = 1,
+    blocking: str = "segment",
 ) -> DataFrame:
     """Matched DISTINCT-NAME pairs (name_a < name_b, edit_dist <=
-    max_edit) via (prefix, length-band) blocking. The relation this
-    self-joins is the name vocabulary — record-count independent."""
+    max_edit). The relation this self-joins is the name vocabulary —
+    record-count independent.
+
+    ``blocking="segment"`` (default) is EXACT for any ``max_edit``: the
+    pigeonhole segment scheme of PassJoin (Li/Deng/Feng, ICDE 2011,
+    public algorithm). Every name is indexed by its ``max_edit + 1``
+    contiguous segments; with at most ``max_edit`` edits between a and
+    b, at least one segment of a survives untouched in b, displaced by
+    at most ``max_edit`` positions — so b probes, for each candidate
+    index length L in ``[len(b)-k, len(b)+k]`` and each segment slot,
+    the substrings at starts within ±k of that slot. Index emits k+1
+    keys per name, probe O((2k+1)^2 (k+1)) — tiny constants for the
+    k<=3 regime — and every candidate is verified with a real
+    ``levenshtein``, so recall is exact and precision is exact. Names
+    shorter than k+1 chars can't be segmented; they meet in a dedicated
+    short block (bounded: the sub-(k+1)-char vocabulary).
+
+    ``blocking="prefix"`` is the cheaper legacy key, (prefix,
+    length-band) with bands exploded over ``range(len, len+max_edit+1)``
+    so cross-length candidates up to ``max_edit`` meet — but it MISSES
+    pairs whose edits fall inside the first ``prefix_len`` chars (a
+    known recall tradeoff; use it only when name prefixes are trusted,
+    e.g. truncation-only dirt)."""
     names = records.select(F.col(name_col).alias("__nm")).distinct()
-    banded = names.select(
-        "__nm",
-        F.substring(F.col("__nm"), 1, prefix_len).alias("__pfx"),
-        F.explode(
-            F.array(F.length("__nm"), F.length("__nm") + 1)
-        ).alias("__band"),
-    )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.__pfx") == F.col("b.__pfx"))
-            & (F.col("a.__band") == F.col("b.__band"))
-            & (F.col("a.__nm") < F.col("b.__nm")),
+    if blocking == "prefix":
+        banded = names.select(
+            "__nm",
+            F.substring(F.col("__nm"), 1, prefix_len).alias("__pfx"),
+            F.explode(
+                F.array(
+                    *[F.length("__nm") + j for j in range(max_edit + 1)]
+                )
+            ).alias("__band"),
         )
-        .select(
-            F.col("a.__nm").alias("name_a"), F.col("b.__nm").alias("name_b")
+        a = banded.alias("a")
+        b = banded.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.__pfx") == F.col("b.__pfx"))
+                & (F.col("a.__band") == F.col("b.__band"))
+                & (F.col("a.__nm") < F.col("b.__nm")),
+            )
+            .select(
+                F.col("a.__nm").alias("name_a"),
+                F.col("b.__nm").alias("name_b"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
+    elif blocking == "segment":
+        cand = _segment_candidates(names, max_edit)
+    else:
+        raise ValueError(f"unknown blocking {blocking!r}")
     dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
     return cand.select(
         "name_a", "name_b", dist.cast("bigint").alias("edit_dist")
     ).filter(F.col("edit_dist") <= max_edit)
+
+
+def _segment_candidates(names: DataFrame, k: int) -> DataFrame:
+    """Candidate pairs (name_a < name_b) under exact pigeonhole segment
+    blocking: equi-join of the index emission (each name's k+1 segments,
+    keyed by (own length, slot, segment text)) against the probe
+    emission (each name's substrings at the slot geometries of every
+    candidate length within ±k, starts within ±k). Both emissions are
+    linear in the vocabulary with small constants; the join key carries
+    the length band implicitly (probe only enumerates lengths within
+    ±k), so no cross-length candidates materialize."""
+    n_seg = k + 1
+    base = names.select("__nm", F.length("__nm").alias("__l"))
+
+    # ---- index: one row per (name, slot); short names -> slot -1
+    idx_parts = []
+    long_side = base.filter(F.col("__l") >= n_seg)
+    for i in range(n_seg):
+        start, seg_len = _segment_geometry(F.col("__l"), i, n_seg)
+        idx_parts.append(
+            long_side.select(
+                F.col("__nm").alias("__inm"),
+                F.col("__l").alias("kL"),
+                F.lit(i).alias("kslot"),
+                F.col("__nm").substr(start + 1, seg_len).alias("kseg"),
+            )
+        )
+    idx_parts.append(
+        base.filter(F.col("__l") < n_seg).select(
+            F.col("__nm").alias("__inm"),
+            F.col("__l").alias("kL"),
+            F.lit(-1).alias("kslot"),
+            F.lit("").alias("kseg"),
+        )
+    )
+    index = idx_parts[0]
+    for part in idx_parts[1:]:
+        index = index.unionByName(part)
+
+    # ---- probe: candidate index-lengths L in [len-k, len+k]
+    with_L = base.withColumn(
+        "kL",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("__l") - k, F.lit(0)), F.col("__l") + k
+            )
+        ),
+    )
+    probe_parts = []
+    seg_L = with_L.filter(F.col("kL") >= n_seg)
+    for i in range(n_seg):
+        p_start, seg_len = _segment_geometry(F.col("kL"), i, n_seg)
+        lo = F.greatest(F.lit(0), p_start - k)
+        hi = F.least(F.col("__l") - seg_len, p_start + k)
+        probe_parts.append(
+            seg_L.withColumn(
+                "__st",
+                F.explode(
+                    F.when(hi >= lo, F.sequence(lo, hi)).otherwise(
+                        F.array().cast("array<int>")
+                    )
+                ),
+            ).select(
+                F.col("__nm").alias("__pnm"),
+                "kL",
+                F.lit(i).alias("kslot"),
+                F.col("__nm").substr(F.col("__st") + 1, seg_len).alias("kseg"),
+            )
+        )
+    probe_parts.append(
+        with_L.filter(F.col("kL") < n_seg).select(
+            F.col("__nm").alias("__pnm"),
+            "kL",
+            F.lit(-1).alias("kslot"),
+            F.lit("").alias("kseg"),
+        )
+    )
+    probe = probe_parts[0]
+    for part in probe_parts[1:]:
+        probe = probe.unionByName(part)
+
+    return (
+        index.join(
+            probe,
+            (index["kL"] == probe["kL"])
+            & (index["kslot"] == probe["kslot"])
+            & (index["kseg"] == probe["kseg"])
+            & (index["__inm"] < probe["__pnm"]),
+        )
+        .select(
+            F.col("__inm").alias("name_a"), F.col("__pnm").alias("name_b")
+        )
+        .distinct()
+    )
 
 
 def resolve_entities(
@@ -86,11 +224,12 @@ def resolve_entities(
     name_col: str = "name",
     prefix_len: int = 4,
     max_edit: int = 1,
+    blocking: str = "segment",
 ) -> DataFrame:
     """(rec_id, entity_id) for EVERY record: name-graph components
     expanded back to records, each entity labeled by its minimum
     rec_id; names with no fuzzy neighbor form per-name entities."""
-    edges = name_match_edges(records, name_col, prefix_len, max_edit)
+    edges = name_match_edges(records, name_col, prefix_len, max_edit, blocking)
     ncc = connected_components(edges, id_a="name_a", id_b="name_b")
     rec_names = records.select(
         F.col(id_col).alias("rec_id"), F.col(name_col).alias("__nm")

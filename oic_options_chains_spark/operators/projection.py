@@ -70,9 +70,26 @@ def jl_project(
     matrix is a few KB, and recomputing md5 per (i, k) per ROW costs
     ~3 ms/row at d=64, d'=16 (measured), three orders of magnitude
     more than the multiply-adds it gates. ``in_dim=None`` falls back
-    to the in-expression md5 for unknown-width inputs."""
+    to the in-expression md5 for unknown-width inputs.
+
+    The literal-matrix branch RAISES on a width mismatch: ``zip_with``
+    null-pads the shorter side, so a wrong ``in_dim`` would otherwise
+    yield all-NULL ``proj``/``norm_ratio_bp`` — an empty-looking
+    projection instead of an error (the failure mode the explicit
+    ``size() == in_dim`` gate turns into a loud one)."""
     qa = quantized(F.col(vec_col))
     if in_dim is not None:
+        qa = F.when(F.size(F.col(vec_col)) == in_dim, qa).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"jl_project: {vec_col} width "
+                    ),
+                    F.size(F.col(vec_col)).cast("string"),
+                    F.lit(f" != in_dim {in_dim}"),
+                )
+            )
+        )
         proj = F.array(
             *[
                 F.aggregate(

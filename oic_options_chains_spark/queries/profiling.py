@@ -68,15 +68,11 @@ _ER_RECORDS_SQL = """
     + _ER_RECORDS_SQL
     + """,
     names AS MATERIALIZED (SELECT DISTINCT name FROM recs),
-    banded AS MATERIALIZED (
-      SELECT name, substring(name, 1, 4) AS pfx,
-             unnest([length(name), length(name) + 1]) AS band
-      FROM names),
     pairs AS MATERIALIZED (
-      SELECT DISTINCT a.name AS name_a, b.name AS name_b
-      FROM banded a
-      JOIN banded b ON a.pfx = b.pfx AND a.band = b.band
-                   AND a.name < b.name
+      SELECT a.name AS name_a, b.name AS name_b
+      FROM names a
+      JOIN names b ON a.name < b.name
+                  AND abs(length(a.name) - length(b.name)) <= 1
       WHERE levenshtein(a.name, b.name) <= 1),
     edges AS MATERIALIZED (
       SELECT name_a AS a, name_b AS b FROM pairs
@@ -129,15 +125,17 @@ _ER_RECORDS_SQL = """
 def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end entity resolution (operators/linkage.py): two dirty
     feeds of the part catalog (char-truncated names, dropped brands) ->
-    (prefix, length-band) blocked Levenshtein matching over DISTINCT
-    NAMES (vocabulary-sized — a record-level blocked self-join turns
-    one popular name into a clique and OOMs at the 10x scale point) ->
-    large-star/small-star components on the name graph, expanded back
-    to records -> one golden record per entity with deterministic
-    survivorship (shortest name, majority non-null brand with
-    lexicographic tie, max size). The blocking encodes the length
-    filter INTO the equi-join key, so the match join never materializes
-    cross-length candidates."""
+    pigeonhole-segment blocked Levenshtein matching (EXACT recall for
+    edit<=1 — the oracle is brute-force banded levenshtein) over
+    DISTINCT NAMES (vocabulary-sized — a record-level blocked self-join
+    turns one popular name into a clique and OOMs at the 10x scale
+    point) -> large-star/small-star components on the name graph,
+    expanded back to records -> one golden record per entity with
+    deterministic survivorship (shortest name, majority non-null brand
+    with lexicographic tie, max size). The blocking carries the length
+    band inside the equi-join key (probe only enumerates lengths within
+    +-max_edit), so the match join never materializes cross-length
+    candidates."""
     from oic_options_chains_spark.operators.linkage import (
         golden_records,
         resolve_entities,

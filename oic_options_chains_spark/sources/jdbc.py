@@ -26,6 +26,12 @@ from pyspark.sql import functions as F
 
 DEFAULT_FETCHSIZE = 10_000
 
+# Per-dialect VARCHAR width ceilings: emitting VARCHAR(n) above these is a
+# DDL error (Derby hard-caps at 32672; Postgres at 10485760), so stage
+# columns wider than the cap fall back to Spark's default StringType
+# mapping — the dialect's LOB — by being left off the pin list.
+VARCHAR_MAX = {"derby": 32_672, "postgresql": 10_485_760}
+
 
 def jdbc_options(
     url: str,
@@ -165,16 +171,35 @@ def jdbc_conflict_ignore_append(
     # which cannot be compared against the target's VARCHAR PK columns;
     # pin stage strings to VARCHAR sized from the batch's own max length
     # (a fixed 4000 pin errors out longer rows) so the set-based
-    # statement stays legal
+    # statement stays legal. The dedup is checkpointed once so the width
+    # probe and the JDBC write share its computation instead of running
+    # the shuffle twice, and widths are clamped to the dialect's VARCHAR
+    # ceiling — a row past the cap lands the column as a LOB (legal DDL)
+    # rather than emitting an illegal VARCHAR(n).
     str_fields = [f.name for f in batch.schema if f.dataType.simpleString() == "string"]
     widths: dict[str, int] = {}
     if str_fields:
+        batch = batch.localCheckpoint(eager=True)
         wrow = batch.agg(
             *[F.max(F.length(F.col(c))).alias(c) for c in str_fields]
         ).collect()[0]
         widths = {c: max(int(wrow[c] or 1), 1) for c in str_fields}
+    vmax = VARCHAR_MAX.get(dialect, 32_672)
+    over = [c for c in str_fields if c in set(pk) and max(widths[c], 4000) > vmax]
+    if over:
+        raise ValueError(
+            f"PK string column(s) {over} exceed the {dialect} VARCHAR cap "
+            f"({vmax}); a LOB cannot serve as a comparable stage key"
+        )
+    # over-cap non-PK columns are simply left OFF the pin list: Spark's
+    # default JDBC mapping for StringType is already the dialect's LOB
+    # (CLOB on Derby, TEXT on Postgres), which has no width to overflow —
+    # and non-key columns never appear in the conflict comparison, so the
+    # LOB's non-comparability doesn't matter
     string_cols = ", ".join(
-        f"{c} VARCHAR({max(widths[c], 4000)})" for c in str_fields
+        f"{c} VARCHAR({max(widths[c], 4000)})"
+        for c in str_fields
+        if max(widths[c], 4000) <= vmax
     )
     writer = batch.write.format("jdbc").options(
         **jdbc_options(url, staging, user=user, password=password)

@@ -63,13 +63,51 @@ LOCK_WAIT_SEC = 120.0
 MAX_LOCKED_DATES = 1000
 
 
+class LockLostError(RuntimeError):
+    """A held partition lock was dispossessed (the holder's lock inode no
+    longer lives at the lock path — a stealer decided this holder was
+    dead). The safe response is to abort before the write and retry."""
+
+
+class _LockGuard:
+    """Inode-identity view of the locks a holder believes it owns.
+
+    Each acquired lock keeps its O_EXCL-created file OPEN: the heartbeat
+    refreshes mtime THROUGH THE FD (``os.utime(fd)``), so a lock mid-way
+    through a stealer's rename/restore window still looks live (its inode
+    mtime keeps moving even while the name is parked at the stealer's
+    grave path), and ``verify()`` compares ``fstat(fd).st_ino`` against
+    ``stat(path).st_ino`` — the only authoritative "do I still hold it"
+    check. A transient mismatch (the restore window) is ridden out with
+    brief retries; a persistent one raises ``LockLostError``.
+    """
+
+    def __init__(self) -> None:
+        self.held: list[tuple[str, int]] = []  # (path, fd)
+
+    def verify(self, retries: int = 20, pause: float = 0.05) -> None:
+        for path, fd in self.held:
+            my_ino = os.fstat(fd).st_ino
+            for attempt in range(retries):
+                try:
+                    if os.stat(path).st_ino == my_ino:
+                        break
+                except OSError:
+                    pass
+                if attempt == retries - 1:
+                    raise LockLostError(
+                        f"partition lock {path} was stolen from this holder"
+                    )
+                time.sleep(pause)
+
+
 @contextlib.contextmanager
 def _partition_locks(
     table_dir: str,
     dates: Sequence[str],
     lease_sec: float = LOCK_LEASE_SEC,
     wait_sec: float = LOCK_WAIT_SEC,
-) -> Iterator[None]:
+) -> Iterator[_LockGuard]:
     """Per-date-partition mutex via put-if-absent lock files (O_EXCL,
     the same atomic primitive as the snapshot OCC log): the loser of a
     race WAITS and retries, then re-reads the partition — so its
@@ -90,17 +128,25 @@ def _partition_locks(
     replaced), and the stolen inode is re-checked: if it is not the
     stale inode the stealer statted (the path was released and
     re-acquired by a live writer in between), the live lock is restored
-    via ``os.link`` (put-if-absent) and the steal retried."""
+    via ``os.link`` (put-if-absent) and the steal retried. If that
+    restore loses a THIRD race (another waiter O_EXCL-created the path
+    inside the rename window), the grave is still unlinked — but the
+    dispossessed holder is not silently betrayed: holders heartbeat
+    through their OPEN FD and re-verify their inode before committing
+    (``_LockGuard.verify`` in ``append_day``), so a holder whose name
+    was taken aborts with ``LockLostError`` instead of writing under a
+    lock someone else now owns, and its release never unlinks the new
+    owner's file (inode-guarded)."""
     d = os.path.join(table_dir, LOCK_DIR)
     os.makedirs(d, exist_ok=True)
-    held: list[str] = []
+    guard = _LockGuard()
     stop = threading.Event()
 
     def _heartbeat() -> None:
         while not stop.wait(lease_sec / 4):
-            for p in list(held):
+            for _p, fd in list(guard.held):
                 with contextlib.suppress(OSError):
-                    os.utime(p)
+                    os.utime(fd)
 
     beat = threading.Thread(target=_heartbeat, daemon=True)
     beat.start()
@@ -112,8 +158,7 @@ def _partition_locks(
             while True:
                 try:
                     fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                    os.close(fd)
-                    held.append(path)
+                    guard.held.append((path, fd))
                     break
                 except FileExistsError:
                     try:
@@ -136,8 +181,12 @@ def _partition_locks(
                             stolen_live = False
                         if stolen_live:
                             # grabbed a freshly re-acquired lock, not the
-                            # stale one: put it back (fails harmlessly if
-                            # yet another writer claimed the path first)
+                            # stale one: put it back. If ANOTHER waiter
+                            # claimed the path inside the window the link
+                            # fails and the grave is dropped anyway — the
+                            # dispossessed holder detects the inode swap
+                            # at verify() and aborts, so two writers never
+                            # both commit under this name.
                             with contextlib.suppress(OSError):
                                 os.link(grave, path)
                         with contextlib.suppress(OSError):
@@ -148,12 +197,17 @@ def _partition_locks(
                             f"partition lock {path} held past {wait_sec}s"
                         ) from None
                     time.sleep(0.05)
-        yield
+        yield guard
     finally:
         stop.set()
-        for path in held:
+        for path, fd in guard.held:
             with contextlib.suppress(OSError):
-                os.unlink(path)
+                # inode-guarded release: only remove the name if it still
+                # refers to OUR lock file — never a successor holder's
+                if os.stat(path).st_ino == os.fstat(fd).st_ino:
+                    os.unlink(path)
+            with contextlib.suppress(OSError):
+                os.close(fd)
 
 
 def append_day(
@@ -198,7 +252,7 @@ def append_day(
             f"append_day batch spans >{MAX_LOCKED_DATES} dates — split the backfill"
         )
     date_vals = [r[0] for r in date_rows]
-    with _partition_locks(table_dir, [str(v) for v in date_vals]):
+    with _partition_locks(table_dir, [str(v) for v in date_vals]) as guard:
         if table_exists(table_dir):
             existing = read_table(spark, table_dir).filter(
                 F.col(date_col).isin(date_vals)
@@ -213,8 +267,13 @@ def append_day(
             # count and the write share one computation of the anti-join
             batch = batch.localCheckpoint(eager=True)
             n = batch.count()
+            # last-moment dispossession check: if a stealer decided this
+            # holder was dead (heartbeat froze past the lease) the write
+            # must not race the new owner's anti-join
+            guard.verify()
             batch.write.mode("append").partitionBy(date_col).parquet(table_dir)
             return n
+        guard.verify()
         batch.write.mode("append").partitionBy(date_col).parquet(table_dir)
         return None
 
