@@ -1728,13 +1728,17 @@ def q_dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CTE) so the pair stage stays bucket-bounded at any sf; the bucket
     # target is 256 rows — PAIRING is quadratic per bucket, so it wants
     # a smaller bucket than ANN probing's 1024-row default. The
-    # pinned-4 form stays on q_dedup_embedding for the fixed-width check
+    # pinned-4 form stays on q_dedup_embedding for the fixed-width check.
+    # Row count comes from the parquet FOOTERS (driver metadata read),
+    # never a count() job — query construction stays lazy like the other
+    # registered builders, and at 100 TB sizing costs zero corpus passes.
     from oic_options_chains_spark.operators.similarity import bits_for
+    from oic_options_chains_spark.sources.registry import table_row_count
 
     emb = near_dup_pairs(
         e,
         threshold=0.35,
-        bits=bits_for(e.count(), target_bucket_rows=256),
+        bits=bits_for(table_row_count(sf_dir, "embeddings"), target_bucket_rows=256),
         broadcast_candidates=True,
     ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
     return ensemble_dedup(

@@ -46,6 +46,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Row count straight from the parquet FOOTERS — a driver-side
+    metadata read (pyarrow), zero Spark jobs. This is what sizing
+    decisions (LSH bit widths, bucket targets) should consume at query
+    CONSTRUCTION time: a ``df.count()`` there launches a full job before
+    the query even runs and makes the builder eagerly non-lazy, which at
+    100 TB is an extra pass over the corpus per invocation. Footer stats
+    are exact for parquet (every row group records num_rows)."""
+    assert name in TABLES, f"unknown table {name}"
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        return total
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

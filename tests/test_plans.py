@@ -466,3 +466,37 @@ def test_ahash_band_table_stays_staged(spark, sf_dir):
     assert "element_at(__px#" in opt and "element_at(__bs#" in opt
     pair_plan = _plan(QUERIES["q_ahash_dedup"](spark, sf_dir))
     assert "ExistingRDD" in pair_plan or "Scan ExistingRDD" in pair_plan
+
+
+def test_dedup_ensemble_sizing_never_counts_the_corpus(spark, sf_dir, monkeypatch):
+    """VERDICT r8: q_dedup_ensemble used to run an eager embeddings
+    count() at query-CONSTRUCTION time purely to size its LSH bits — an
+    extra full corpus pass per invocation at 100 TB. Sizing now reads
+    parquet footer metadata on the driver. The connected-components
+    fixpoint legitimately counts its CHECKPOINTED round relations
+    (LogicalRDD lineage), so the lock is precise: no count() during
+    construction may scan parquet."""
+    from pyspark.sql import DataFrame
+
+    counted_plans: list[str] = []
+    orig = DataFrame.count
+
+    def spy(self):
+        counted_plans.append(self._jdf.queryExecution().optimizedPlan().toString())
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "count", spy)
+    df = QUERIES["q_dedup_ensemble"](spark, sf_dir)
+    offenders = [p.splitlines()[0] for p in counted_plans if "parquet" in p]
+    assert not offenders, f"construction counted parquet scans: {offenders}"
+    assert df.columns  # the plan itself is intact
+
+
+def test_table_row_count_matches_footer_metadata(spark, sf_dir):
+    from oic_options_chains_spark.sources.registry import (
+        load_table,
+        table_row_count,
+    )
+
+    for t in ("documents", "embeddings"):
+        assert table_row_count(sf_dir, t) == load_table(spark, sf_dir, t).count()
