@@ -29,23 +29,29 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
+def _large_star(edges: DataFrame, dedup: bool = True) -> DataFrame:
     """One large-star round [Kiveris et al. 2014]: every node attaches
     its strictly-larger neighbors to the minimum of its closed
-    neighborhood. Output rows are (child, parent) with child > parent."""
+    neighborhood. Output rows are (child, parent) with child > parent.
+
+    ``dedup=False`` skips the trailing distinct — correct whenever the
+    consumer re-canonicalizes (``_small_star`` opens with its own
+    distinct), and worth one exchange per fixpoint round: on the small
+    contracted edge sets of late rounds the per-round SHUFFLE COUNT, not
+    data volume, is the cost."""
     und = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     mins = und.groupBy("u").agg(
         F.least(F.min("v"), F.first("u")).alias("m")
     )
-    return (
+    out = (
         und.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
+    return out.distinct() if dedup else out
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
@@ -116,7 +122,9 @@ def connected_components(
     )
     n_cur = cur.count()
     for _ in range(max_rounds):
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        nxt = _small_star(_large_star(cur, dedup=False)).localCheckpoint(
+            eager=True
+        )
         # both sides are DISTINCT sets, so equal counts + empty one-way
         # difference ⟺ equality; the count is ~free on the checkpoint
         # and gates the exceptAll shuffle to the near-converged rounds

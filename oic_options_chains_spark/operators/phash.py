@@ -245,6 +245,17 @@ def ahash_pairs(
     # is (id, 4 ints) per image — tiny next to the media it indexes.
     hashed = ahash_band_table(docs, id_col=id_col, text_col=text_col)
     hashed = hashed.localCheckpoint(eager=True)
+    return pairs_from_band_table(hashed, max_hamming=max_hamming)
+
+
+def pairs_from_band_table(
+    hashed: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) within ``max_hamming`` from a prepared
+    (__id, __bands) table — the banded candidate join + verify shared by
+    the expression tier (:func:`ahash_pairs`) and the real-pixel kernel
+    tier (:func:`media_near_dup`). ``hashed`` should be checkpointed/
+    materialized by the caller (it is tiny: id + 4 ints per image)."""
     banded = hashed.select(
         "__id",
         "__bands",
@@ -433,3 +444,149 @@ def image_ahash_kernel(
             yield pd.DataFrame(out)
 
     return df.select(id_col, blob_col).mapInPandas(run, schema)
+
+
+def _tiled_codepoints(text: str):
+    """numpy int64 codepoints of the text tiled to SIDE*SIDE chars —
+    the EXACT tiling of :func:`raster_pixels` (s = text + ' ';
+    repeat(s, 1024 // len(s) + 1)[:1024]), shared by the PNG corpus
+    kernel so its decoded-pixel hashes replay in the SQL oracle."""
+    import numpy as np
+
+    s = text + " "
+    reps = (SIDE * SIDE) // len(s) + 1
+    tiled = (s * reps)[: SIDE * SIDE]
+    return np.array(list(map(ord, tiled)), dtype=np.int64)
+
+
+# brightness-shift applied to the sibling feed: uniform, clip-free
+# (pixel range stays 30..229), so block-mean-vs-global-mean bits are
+# bit-identical — the invariance that makes aHash survive re-encodes
+MEDIA_SHIFT = 20
+# deterministic corruption: every 97th image ships a truncated blob so
+# the quarantine path is exercised by REAL decode failures, not mocks
+MEDIA_CORRUPT_EVERY = 97
+
+
+def media_corpus_bands(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(__id, __bands, err): REAL-pixel aHash bands for a synthetic PNG
+    corpus, in ONE mapInPandas stage.
+
+    Per document two grayscale 32x32 PNGs are built (img_id = doc_id*2
+    and doc_id*2+1): pixel = 30 + (codepoint % 180) over the tiled
+    text, the sibling brightened by ``MEDIA_SHIFT``. Each raster is
+    ENCODED to real PNG bytes and DECODED back through the in-tree
+    codec (operators/codecs — CRC-verified chunks, bounded inflate)
+    before hashing with :func:`ahash64` — the bytes->pixels->hash path
+    a production media table runs; only the synthesis step stands in
+    for reading a blob column. Every ``MEDIA_CORRUPT_EVERY``-th image
+    is truncated to its first 8 bytes and must QUARANTINE (err set,
+    NULL bands) through the codec's own validation, never kill the
+    pass.
+
+    Spark-side shape: the kernel emits (id, 4-int band array) — the
+    heavy media bytes never leave the Python worker, and the returned
+    relation is index-sized, so the downstream band join shuffles
+    KBs/image-corpus, not the corpus itself. At 100 TB this is the
+    whole design: decode locality in the kernel tier, JVM equi-joins on
+    the index."""
+    import pandas as pd
+
+    from oic_options_chains_spark.operators.codecs import decode_png, encode_png
+
+    schema = "__id bigint, __bands array<bigint>, err string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids: list[int] = []
+            bands: list[list[int] | None] = []
+            errs: list[str | None] = []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                cp = _tiled_codepoints(text if text is not None else "")
+                base = (30 + cp % 180).astype(np.uint8).reshape(SIDE, SIDE)
+                for feed in (0, 1):
+                    img_id = int(rid) * 2 + feed
+                    raster = base + np.uint8(MEDIA_SHIFT * feed)
+                    blob = encode_png(raster)
+                    if img_id % MEDIA_CORRUPT_EVERY == 0:
+                        blob = blob[:8]
+                    ids.append(img_id)
+                    try:
+                        bands.append(bands_of(ahash64(decode_png(blob))))
+                        errs.append(None)
+                    except Exception as e:  # noqa: BLE001 — quarantine
+                        bands.append(None)
+                        errs.append(type(e).__name__)
+            yield pd.DataFrame({"__id": ids, "__bands": bands, "err": errs})
+
+    # decode+hash is CPU-dense per row: take parallelism from an explicit
+    # exchange when the scan is under-split (same adaptive rule as
+    # ahash_band_table — skip it when the source is already parallel)
+    from oic_options_chains_spark.operators.similarity import _probe_partitions
+
+    src = docs
+    if not docs.isStreaming:
+        want = _probe_partitions(docs)
+        if docs.rdd.getNumPartitions() < want:
+            src = docs.repartition(want, F.col(id_col))
+    return src.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def media_near_dup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """The end-to-end media dedup pipeline over REAL PNG bytes: one
+    mapInPandas stage (decode + hash, :func:`media_corpus_bands`), then
+    pure JVM relational work — banded candidate equi-join, Hamming
+    verify, keeper verdicts, quarantine accounting.
+
+    Returns one row per image: (img_id, ok, kept, dup_of, hamming,
+    err). ok=0 rows are quarantined blobs (kept=0, err set). kept=1
+    iff no DECODABLE image with a smaller id verifies within
+    ``max_hamming``; dup_of is the best such earlier image (hamming
+    asc, id asc) — first-arrival-wins, the same verdict rule as the
+    incremental screens."""
+    from pyspark.sql.window import Window
+
+    hashed = media_corpus_bands(docs, id_col=id_col, text_col=text_col)
+    # the kernel output is (id, 4 ints, err) — checkpoint it once: the
+    # pair join, the verdict join and the quarantine rows all consume
+    # it, and the barrier keeps inferred join-key filters from pushing
+    # a re-decode into per-scan-row predicates (the ahash_pairs lesson)
+    hashed = hashed.localCheckpoint(eager=True)
+    ok = hashed.filter(F.col("__bands").isNotNull()).select("__id", "__bands")
+    pairs = pairs_from_band_table(ok, max_hamming=max_hamming)
+    w = Window.partitionBy("doc_b").orderBy(
+        F.col("hamming").asc(), F.col("doc_a").asc()
+    )
+    best = (
+        pairs.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            F.col("doc_b").alias("__id"),
+            F.col("doc_a").alias("dup_of"),
+            "hamming",
+        )
+    )
+    return hashed.join(best, "__id", "left").select(
+        F.col("__id").alias("img_id"),
+        F.when(F.col("err").isNull(), F.lit(1)).otherwise(F.lit(0))
+        .cast("int")
+        .alias("ok"),
+        F.when(
+            F.col("err").isNull() & F.col("dup_of").isNull(), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("kept"),
+        F.col("dup_of").cast("bigint").alias("dup_of"),
+        F.col("hamming").cast("bigint").alias("hamming"),
+        "err",
+    )

@@ -478,3 +478,102 @@ def q_ahash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("text").alias("text"),
     )
     return ahash_incremental(d.select("doc_id", "text"), delta, max_hamming=3)
+
+
+# real-pixel media pipeline: the pixel lambda regenerates the kernel's
+# raster (30 + codepoint%180, sibling +20) — encode_png/decode_png is
+# lossless, so the SQL replay of the raster math equals the hash of the
+# DECODED bytes; any codec or kernel corruption breaks the value hash
+_MEDIA_CORE = """
+    okf AS MATERIALIZED (SELECT * FROM feeds WHERE img_id % 97 <> 0),
+    px AS MATERIALIZED (
+      SELECT img_id,
+             list_transform(
+               string_split(substring(repeat(text || ' ',
+                 CAST(1024 // (length(text) + 1) + 1 AS INT)), 1, 1024), ''),
+               c -> CAST(30 + (ord(c) % 180) + shift AS BIGINT)) AS p
+      FROM okf),
+    blocks AS MATERIALIZED (
+      SELECT img_id,
+             list_transform(range(0, 64), b ->
+               list_reduce(
+                 list_transform(range(0, 16), j ->
+                   p[CAST((b // 8) * 128 + (j // 4) * 32
+                          + (b % 8) * 4 + (j % 4) + 1 AS INT)]),
+                 (acc, x) -> acc + x)) AS bs
+      FROM px),
+    bands AS MATERIALIZED (
+      SELECT img_id,
+             list_transform(range(0, 4), t ->
+               list_reduce(
+                 list_transform(range(0, 16), u ->
+                   CASE WHEN 64 * bs[CAST(t * 16 + u + 1 AS INT)] >=
+                        list_reduce(bs, (acc, x) -> acc + x)
+                        THEN CAST(2 ** u AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END),
+                 (acc, x) -> acc + x)) AS bv
+      FROM blocks),
+    flat AS MATERIALIZED (
+      SELECT img_id, CAST(t AS INT) - 1 AS band_idx,
+             CAST(bv[CAST(t AS INT)] AS BIGINT) AS band_val, bv
+      FROM bands CROSS JOIN (SELECT unnest(range(1, 5)) AS t))
+"""
+
+
+@register(
+    "q_media_pipeline",
+    oracle="""WITH
+    feeds AS (
+      SELECT doc_id * 2 AS img_id, text, 0 AS shift FROM documents
+      UNION ALL
+      SELECT doc_id * 2 + 1, text, 20 FROM documents),"""
+    + _MEDIA_CORE
+    + """
+    , cand AS MATERIALIZED (
+      SELECT DISTINCT a.img_id AS doc_a, b.img_id AS doc_b,
+             a.bv AS ba, b.bv AS bb
+      FROM flat a
+      JOIN flat b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                 AND a.img_id < b.img_id),
+    pairs AS (
+      SELECT doc_a, doc_b, hamming FROM (
+        SELECT doc_a, doc_b,"""
+    + _HAMMING_SQL
+    + """ AS hamming
+        FROM cand)
+      WHERE hamming <= 3),
+    best AS (
+      SELECT doc_b AS img_id, doc_a AS dup_of, hamming FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_b
+                  ORDER BY hamming ASC, doc_a ASC) AS rk
+        FROM pairs)
+      WHERE rk = 1)
+    SELECT f.img_id,
+           CAST(CASE WHEN f.img_id % 97 = 0 THEN 0 ELSE 1 END AS INT) AS ok,
+           CAST(CASE WHEN f.img_id % 97 <> 0 AND best.dup_of IS NULL
+                THEN 1 ELSE 0 END AS INT) AS kept,
+           CAST(best.dup_of AS BIGINT) AS dup_of,
+           CAST(best.hamming AS BIGINT) AS hamming,
+           CASE WHEN f.img_id % 97 = 0 THEN 'ValueError' ELSE NULL END AS err
+    FROM feeds f LEFT JOIN best ON f.img_id = best.img_id
+    """,
+)
+def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-media end-to-end flagship (operators/phash.media_near_dup):
+    per document two genuine 32x32 grayscale PNGs (the sibling
+    brightness-shifted by +20 — the clip-free re-encode aHash is built
+    to survive) are encoded, pushed through the in-tree CRC-verifying
+    PNG decoder, and aHashed — all inside ONE mapInPandas stage whose
+    output is the index-sized (id, 4-band) relation, so the media bytes
+    never cross an exchange. Every 97th blob ships truncated and must
+    QUARANTINE through the codec's own validation (ok=0, err set).
+    Downstream is pure JVM: banded candidate equi-join (pigeonhole
+    Hamming<=3), arithmetic Hamming verify, first-arrival keeper
+    verdicts. The oracle replays the raster math in SQL — legal exactly
+    because encode->decode is lossless and the kernel's pooling is the
+    band table's integer math, so a single corrupted pixel anywhere in
+    the codec/kernel path breaks the value hash."""
+    from oic_options_chains_spark.operators.phash import media_near_dup
+
+    d = load_table(spark, sf_dir, "documents")
+    return media_near_dup(d, id_col="doc_id", text_col="text", max_hamming=3)

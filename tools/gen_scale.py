@@ -156,12 +156,108 @@ def _write_parts(t: pa.Table, dst: str, n_files: int = 32) -> None:
         pq.write_table(chunk, f"{dst}/part-{i:04d}.parquet")
 
 
+def _zipf_ranks(rng, n_draws: int, n_ranks: int, s: float = 1.2):
+    """Deterministic Zipf(s) rank draws in [0, n_ranks) via inverse-CDF
+    over the exact finite distribution (numpy.random.zipf is unbounded
+    and non-reproducible across versions for our purposes)."""
+    import numpy as np
+
+    w = 1.0 / np.power(np.arange(1, n_ranks + 1, dtype=np.float64), s)
+    cdf = np.cumsum(w / w.sum())
+    return np.searchsorted(cdf, rng.random_sample(n_draws), side="left")
+
+
+def zipf_variant(
+    out_dir: str, base_dir: str, s: float = 1.2, seed: int = 42
+) -> None:
+    """Heavy-tail stress twin of a scale dir: same schemas and row
+    counts, but the skewable key/content distributions redrawn Zipf(s).
+
+    - ``events.event_type`` redrawn Zipf over the existing type set (the
+      hottest type carries ~half the rows — the hot-reducer-key shape
+      ``q_salted_agg`` exists for) and ``user_id`` Zipf over the user
+      domain (hot-entity windows/joins).
+    - ``documents.text`` gets a Zipf-chosen shared TEMPLATE sentence
+      prepended from a 20-template pool — head templates appear in a
+      large fraction of documents, making the shingle frequency
+      distribution heavy-tailed (the LSH band-key stress).
+    - ``part.p_name`` redrawn Zipf from the base name vocabulary —
+      popular names cover many records (the entity-resolution clique
+      stress operators/linkage.py's distinct-name matching kills).
+
+    Only the three stressed tables are written; skew tests load nothing
+    else. Deterministic: fixed seed, exact finite inverse-CDF."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    os.makedirs(out_dir, exist_ok=True)
+
+    ev = pq.read_table(f"{base_dir}/events.parquet")
+    types = sorted(set(ev["event_type"].to_pylist()))
+    n = ev.num_rows
+    t_ranks = _zipf_ranks(rng, n, len(types), s)
+    new_types = pa.array([types[r] for r in t_ranks], pa.string())
+    n_users = int(pc.max(ev["user_id"]).as_py()) + 1
+    u_field = ev.schema.field(ev.schema.get_field_index("user_id"))
+    new_users = pc.cast(
+        pa.array(_zipf_ranks(rng, n, n_users, s)), u_field.type
+    )
+    ev = ev.set_column(
+        ev.schema.get_field_index("event_type"),
+        ev.schema.field(ev.schema.get_field_index("event_type")),
+        new_types,
+    )
+    ev = ev.set_column(ev.schema.get_field_index("user_id"), u_field, new_users)
+    _write_parts(ev, f"{out_dir}/events.parquet")
+
+    docs = pq.read_table(f"{base_dir}/documents.parquet")
+    templates = [
+        " ".join(f"tmpl{t}w{j}" for j in range(12)) for t in range(20)
+    ]
+    d_ranks = _zipf_ranks(rng, docs.num_rows, len(templates), s)
+    texts = docs["text"].to_pylist()
+    new_texts = [
+        None if x is None else f"{templates[r]} {x}"
+        for r, x in zip(d_ranks, texts)
+    ]
+    ti = docs.schema.get_field_index("text")
+    docs = docs.set_column(
+        ti, docs.schema.field(ti), pa.array(new_texts, pa.string())
+    )
+    _write_parts(docs, f"{out_dir}/documents.parquet")
+
+    part = pq.read_table(f"{base_dir}/part.parquet")
+    vocab = sorted(set(part["p_name"].to_pylist()))
+    p_ranks = _zipf_ranks(rng, part.num_rows, len(vocab), s)
+    ni = part.schema.get_field_index("p_name")
+    part = part.set_column(
+        ni,
+        part.schema.field(ni),
+        pa.array([vocab[r] for r in p_ranks], pa.string()),
+    )
+    _write_parts(part, f"{out_dir}/part.parquet")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "..", ".scale"))
     ap.add_argument("--factors", nargs="+", type=int, default=[1, 5, 10])
     ap.add_argument("--force", action="store_true")
+    ap.add_argument(
+        "--zipf",
+        action="store_true",
+        help="also write the Zipf(1.2) skew-stress twin of sf0.5",
+    )
     args = ap.parse_args()
+    if args.zipf:
+        zdir = os.path.abspath(os.path.join(args.out, "zipf0.5"))
+        if args.force or not os.path.isdir(f"{zdir}/events.parquet"):
+            zipf_variant(zdir, os.path.abspath(os.path.join(args.out, "sf0.5")))
+            print(f"wrote {zdir}")
+        else:
+            print(f"skip {zdir} (exists)")
+        if len(args.factors) == 0:
+            return
     spans = _domain_spans()
     for factor in args.factors:
         sf = factor * 0.1
