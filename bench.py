@@ -136,6 +136,9 @@ HEADLINE = (
     "q_ahash_dedup",
     "q_ahash_incremental",
     "q_reshard_plan",
+    # round-9: real-pixel media flagship (PNG encode->decode->hash in
+    # one mapInPandas kernel, then JVM banded dedup + verdicts)
+    "q_media_pipeline",
 )
 
 # single-JVM local bench has ~±20-30% run-to-run noise (ambient load

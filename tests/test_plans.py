@@ -500,3 +500,21 @@ def test_table_row_count_matches_footer_metadata(spark, sf_dir):
 
     for t in ("documents", "embeddings"):
         assert table_row_count(sf_dir, t) == load_table(spark, sf_dir, t).count()
+
+
+def test_media_pipeline_has_exactly_one_kernel_stage(spark, sf_dir):
+    """VERDICT r8 item 7: the real-media flagship must confine Python to
+    ONE mapInPandas stage (decode + hash emitting the index-sized band
+    relation); everything after the checkpoint is JVM relational work."""
+    from oic_options_chains_spark.operators.phash import media_corpus_bands
+    from oic_options_chains_spark.sources.registry import load_table
+
+    kernel_plan = _plan(
+        media_corpus_bands(load_table(spark, sf_dir, "documents"))
+    )
+    assert kernel_plan.count("MapInPandas") == 1, kernel_plan[:800]
+    final = _plan(QUERIES["q_media_pipeline"](spark, sf_dir))
+    # downstream consumes the checkpointed band table: no Python at all
+    assert "MapInPandas" not in final and "BatchEvalPython" not in final
+    assert "CartesianProduct" not in final
+    assert "ExistingRDD" in final
