@@ -149,10 +149,19 @@ def streaming_image_near_dup(
     share the state kernel's schema."""
     from oic_options_chains_spark.operators.phash import ahash_band_table
 
+    # posexplode_OUTER, not posexplode: a non-outer Generate lets the
+    # optimizer infer `size(__bands) > 0` and push it through every
+    # staged projection to the SCAN as one fused expression — the whole
+    # raster->sums->bands pipeline re-evaluated per row with the raster
+    # inlined into the block lambda (measured ~23 s/ROW interpreted;
+    # the batch tier dodges it with a localCheckpoint barrier, which a
+    # streaming plan cannot use). Outer generates imply no constraint;
+    # the null-guard below filters the GENERATED attribute, which can
+    # never push beneath the Generate.
     bands = ahash_band_table(docs, id_col=id_col, text_col=text_col).select(
         F.col("__id").cast("long").alias("doc_id"),
-        F.posexplode("__bands").alias("band", "__bv"),
-    ).select(
+        F.posexplode_outer("__bands").alias("band", "__bv"),
+    ).filter(F.col("__bv").isNotNull()).select(
         "doc_id",
         F.col("band").cast("int").alias("band"),
         F.col("__bv").cast("string").alias("band_key"),

@@ -144,3 +144,97 @@ def test_streaming_image_near_dup_cross_batch(spark, tmp_path):
     assert (2, 0) in pairs  # exact raster: every band bucket owned by 0
     assert (3, 0) in pairs  # shift-invariant bits: >=1 shared band
     assert not any(d == 1 for d, _ in pairs)  # unrelated text never flagged
+
+
+def test_image_stream_state_bounded_by_band_space_not_corpus(spark, tmp_path):
+    """VERDICT r8 item 8: keyed state must be bounded by the BAND-KEY
+    space, not rows ingested. Stream a corpus in chunks, then stream the
+    SAME texts under fresh ids (2x the input rows): the state row count
+    must equal the distinct (band, band_key) count of the corpus and
+    must NOT grow during the second pass — re-offered content hits
+    owned buckets and adds zero state."""
+    import sys as _sys
+    from pathlib import Path
+
+    _sys.path.insert(
+        0, str(Path(__file__).resolve().parent.parent / "tools")
+    )
+    from stream_bench import drain_with_progress, stage_chunked_source
+
+    from oic_options_chains_spark.operators.phash import ahash_band_table
+    from oic_options_chains_spark.streaming.neardup_stream import (
+        streaming_image_near_dup,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    src = str(tmp_path / "src")
+    n = stage_chunked_source(spark, sf_dir, src, chunks=3)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/chunk_*")
+    )
+    batches = drain_with_progress(
+        streaming_image_near_dup(stream),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    assert sum(b["input_rows"] for b in batches) == n  # both passes ran
+
+    from pyspark.sql import functions as F
+
+    from oic_options_chains_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # checkpoint barrier (the ahash_pairs shield) so the posexplode's
+    # inferred size() filter can't fuse the hash pipeline into the scan
+    hashed = ahash_band_table(docs).localCheckpoint(eager=True)
+    n_buckets = (
+        hashed.select(F.posexplode("__bands").alias("band", "bv"))
+        .distinct()
+        .count()
+    )
+    final_state = batches[-1]["state_rows"]
+    assert final_state == n_buckets, (final_state, n_buckets)
+    # the second pass (re-idded identical texts) grew input, not state
+    half = len(batches) // 2
+    assert batches[half - 1]["state_rows"] == final_state
+    assert max(b["state_rows"] for b in batches) == final_state
+
+
+def test_corpus_admission_state_bounded_by_fingerprint_space(spark, tmp_path):
+    """The corpus twin of the band-space bound: first-seen fingerprint
+    state equals the distinct fingerprints of the GATED corpus and is
+    flat across a full re-offer under fresh ids."""
+    import sys as _sys
+    from pathlib import Path
+
+    _sys.path.insert(
+        0, str(Path(__file__).resolve().parent.parent / "tools")
+    )
+    from stream_bench import drain_with_progress, stage_chunked_source
+
+    from oic_options_chains_spark.streaming.corpus_pipeline import (
+        corpus_build_admission,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    src = str(tmp_path / "src")
+    stage_chunked_source(spark, sf_dir, src, chunks=3)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/chunk_*")
+    )
+    batches = drain_with_progress(
+        corpus_build_admission(stream),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    admitted = spark.read.parquet(str(tmp_path / "out"))
+    n_fp = admitted.select("fingerprint").distinct().count()
+    final_state = batches[-1]["state_rows"]
+    assert final_state == n_fp, (final_state, n_fp)
+    half = len(batches) // 2
+    assert batches[half - 1]["state_rows"] == final_state
+    assert max(b["state_rows"] for b in batches) == final_state

@@ -113,6 +113,191 @@ SCALED_VARIANTS = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Quality-at-scale probes (VERDICT r8 item 5): runtime curves alone can
+# hide an approximate operator whose AUTO-SCALED parameters quietly trade
+# recall for speed as the corpus grows. Each probe returns recall in
+# basis points at one scale point, measured against the in-tree exact
+# oracle for that operator family.
+# ---------------------------------------------------------------------------
+
+
+def _recall_ann(spark, sf_dir) -> int:
+    """Mean recall@5 of the sign-bucket IVF batch retrieval (bits
+    auto-scaled by bits_for(n) — the knob under test) against exact
+    brute-force cosine (similarity.ann_recall), over a 64-query sample."""
+    from pyspark.sql import functions as F
+
+    from oic_options_chains_spark.operators.similarity import (
+        ann_recall,
+        batch_topk,
+        batch_topk_ivf,
+    )
+    from oic_options_chains_spark.sources.registry import (
+        load_table,
+        table_row_count,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = table_row_count(sf_dir, "embeddings")
+    step = max(1, n // 64)
+    queries = e.filter((F.col("vec_id") % step == 0)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    queries = queries.localCheckpoint(eager=True)  # one sample, two consumers
+    exact = batch_topk(e, queries, k=5)
+    approx = batch_topk_ivf(e, queries, k=5)
+    row = (
+        ann_recall(exact, approx)
+        .agg(F.avg("recall_bp").cast("bigint").alias("r"))
+        .collect()[0]
+    )
+    return int(row["r"])
+
+
+def _recall_ann_pq(spark, sf_dir) -> int:
+    """Mean recall@5 of the full IVF-ADC path (q_ann_ivf_pq's operator:
+    2-of-8 coarse probe + product-quantized scoring) against the exact
+    integer-L2 top-5 over the same spread table, averaged over three
+    query ids (each ivf_pq_topk call re-fits, so the sample is small by
+    design). Absolute recall is LOW at the oracle-pinned bench
+    parameters (8 sub-quantizers x 16 codewords over 2k-50k vectors is
+    deliberately coarse so the oracle replay stays cheap) — the curve's
+    job is detecting DECAY as the corpus grows, not grading the pinned
+    codebook size."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from oic_options_chains_spark.operators.pq import ivf_pq_topk
+    from oic_options_chains_spark.queries.clustering import (
+        _ITERS,
+        _K,
+        _K_SUB,
+        _N_SUB,
+        _spread,
+    )
+    from oic_options_chains_spark.sources.registry import load_table
+
+    e = _spread(load_table(spark, sf_dir, "embeddings"))
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("qv"),
+            lambda x, y: (
+                F.floor(x * 4096).cast("bigint")
+                - F.floor(y * 4096).cast("bigint")
+            )
+            * (
+                F.floor(x * 4096).cast("bigint")
+                - F.floor(y * 4096).cast("bigint")
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    total_hits = 0
+    query_ids = (0, 17, 101)
+    for qid in query_ids:
+        approx = ivf_pq_topk(
+            e, query_id=qid, coarse_k=_K, n_probe=2, n_sub=_N_SUB,
+            k_sub=_K_SUB, iters=_ITERS, topk=5,
+        ).select("vec_id")
+        q = e.filter(F.col("vec_id") == qid).select(
+            F.col("embedding").alias("qv")
+        )
+        w = Window.orderBy(F.col("d").asc(), F.col("vec_id").asc())
+        exact = (
+            e.filter(F.col("vec_id") != qid)
+            .crossJoin(F.broadcast(q))
+            .select("vec_id", dist.alias("d"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+            .select("vec_id")
+        )
+        total_hits += exact.join(approx, "vec_id").count()
+    return 10_000 * total_hits // (5 * len(query_ids))
+
+
+def _recall_lsh(spark, sf_dir) -> int:
+    """PLANTED-pair recall of the production MinHash banding (8 hashes,
+    4 rows x 2 bands, the q_minhash_lsh_pairs path end-to-end): every
+    document gets a sibling with every 50th word dropped (a ~0.9-jaccard
+    near-dup), the doubled corpus goes through the production
+    shingle->signature->band->bucket-join, and recall = recovered
+    sibling pairs / documents.
+
+    Planted pairs — not the corpus's own similarity histogram — because
+    the replicated scale fixtures rotate words per document, which
+    destroys their natural high-similarity pairs: an expected-recall-
+    over-histogram metric collapses to 0 at sf1 for DATA reasons
+    (measured: s>=0.5 pair mass goes 8791bp-equivalent -> empty) and
+    would misread as operator decay. The planted probe holds the pair
+    difficulty CONSTANT across scale points, so any decay left is the
+    operator's."""
+    from pyspark.sql import functions as F
+
+    from oic_options_chains_spark.operators.minhash import (
+        doc_shingles,
+        lsh_candidate_pairs,
+        minhash_band_keys,
+    )
+    from oic_options_chains_spark.sources.registry import (
+        load_table,
+        table_row_count,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sibling = d.select(
+        (F.col("doc_id") * 2 + 1).alias("doc_id"),
+        F.array_join(
+            F.filter(
+                F.split(F.col("text"), " "),
+                lambda w, i: (i + 1) % 50 != 0,
+            ),
+            " ",
+        ).alias("text"),
+    )
+    corpus = d.select(
+        (F.col("doc_id") * 2).alias("doc_id"), "text"
+    ).unionByName(sibling)
+    bands = minhash_band_keys(
+        doc_shingles(corpus, "doc_id", "text", distinct=False), "doc_id"
+    )
+    cand = lsh_candidate_pairs(bands, "doc_id")
+    hits = cand.filter(
+        (F.col("doc_b") == F.col("doc_a") + 1) & (F.col("doc_a") % 2 == 0)
+    ).count()
+    return 10_000 * hits // table_row_count(sf_dir, "documents")
+
+
+def _recall_ahash(spark, sf_dir) -> int:
+    """Sibling recall of the banded aHash dedup: the q_ahash_dedup
+    corpus pairs every document with its case-folded re-encode; the
+    exact ground truth IS that sibling relation, so recall_bp =
+    detected sibling pairs / documents. The banded search is pigeonhole-
+    exact for Hamming<=3 (property-tested), so decay here would mean the
+    HASH's invariance degrades on the corpus mix, not the index."""
+    from pyspark.sql import functions as F
+
+    from oic_options_chains_spark.queries import QUERIES
+    from oic_options_chains_spark.sources.registry import table_row_count
+
+    pairs = QUERIES["q_ahash_dedup"](spark, sf_dir)
+    n_docs = table_row_count(sf_dir, "documents")
+    siblings = pairs.filter(
+        (F.col("doc_b") == F.col("doc_a") + 1) & (F.col("doc_a") % 2 == 0)
+    ).count()
+    return 10_000 * siblings // n_docs
+
+
+RECALL_PROBES = {
+    "q_ann_ivf_pq": {"ivf_batch": _recall_ann, "ivf_pq_q0": _recall_ann_pq},
+    "q_minhash_lsh_pairs": {"production_banding": _recall_lsh},
+    "q_ahash_dedup": {"sibling_detection": _recall_ahash},
+}
+
+
 def _materialize(df) -> None:
     """Force FULL computation of every output column. df.count() lets
     Catalyst prune projected expressions (a row-local rebuild times as
@@ -171,6 +356,10 @@ def main() -> None:
         # log-log slope between the 10x-apart endpoints
         slope = math.log(row["1"] / row["0.1"]) / math.log(10.0)
         results[name] = {**row, "slope": round(slope, 2)}
+        # quality-at-scale: recall vs the exact oracle at every point
+        for probe_name, probe in RECALL_PROBES.get(name, {}).items():
+            series = {sf: probe(spark, sf_dir) for sf, sf_dir in points}
+            results[name][f"recall_bp:{probe_name}"] = series
         print(json.dumps({"query": name, **results[name]}), flush=True)
 
     # merge with an existing curve file so targeted --queries runs extend

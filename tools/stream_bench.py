@@ -1,0 +1,177 @@
+"""Streaming scale evidence (VERDICT r8 item 8): micro-batch throughput
+and state-store growth for the two streaming twins —
+``streaming_image_near_dup`` (aHash band-bucket ownership) and the
+corpus admission pipeline (fingerprint first-seen state).
+
+The 100 TB claim under test: keyed state is bounded by the BAND-KEY /
+FINGERPRINT space, not by rows ingested — re-offering the same content
+under fresh ids must add input rows but ZERO state rows. Each run
+streams the corpus once, then streams the SAME texts re-idded, and
+reports per-batch (input rows, trigger ms, state rows, state bytes).
+
+Usage: python tools/stream_bench.py [--sf-dirs DIR ...] [--chunks 5]
+Prints one JSON line per (pipeline, sf_dir) with the per-batch series.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def stage_chunked_source(spark, sf_dir: str, src_dir: str, chunks: int) -> int:
+    """Write documents as ``2 * chunks`` parquet files: the corpus in
+    id-ascending chunks, then the same texts re-idded (+10_000_000) —
+    the state-growth probe. Returns total rows staged."""
+    from pyspark.sql import functions as F
+
+    from oic_options_chains_spark.sources.registry import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .collect()
+    )
+    os.makedirs(src_dir, exist_ok=True)
+    step = -(-len(docs) // chunks)
+    total = 0
+    for offset, tag in ((0, "a"), (10_000_000, "b")):
+        for i in range(chunks):
+            part = docs[i * step : (i + 1) * step]
+            if not part:
+                continue
+            pdf = spark.createDataFrame(
+                [(r["doc_id"] + offset, r["text"]) for r in part],
+                "doc_id long, text string",
+            )
+            pdf.coalesce(1).write.mode("overwrite").parquet(
+                f"{src_dir}/chunk_{tag}{i:03d}"
+            )
+            total += len(part)
+    return total
+
+
+def drain_with_progress(stream_df, out_dir: str, ckpt_dir: str) -> list[dict]:
+    """AvailableNow drain of a streaming DataFrame into parquet,
+    returning the per-micro-batch progress rows: input rows, trigger
+    wall ms, and the state operator's total rows / memory bytes."""
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    batches = []
+    for p in q.recentProgress:
+        prog = json.loads(p.json) if hasattr(p, "json") else dict(p)
+        ops = prog.get("stateOperators") or []
+        st = ops[0] if ops else {}
+        batches.append(
+            {
+                "input_rows": prog.get("numInputRows", 0),
+                "trigger_ms": (prog.get("durationMs") or {}).get(
+                    "triggerExecution", 0
+                ),
+                "state_rows": st.get("numRowsTotal", 0),
+                "state_bytes": st.get("memoryUsedBytes", 0),
+            }
+        )
+    return [b for b in batches if b["input_rows"]]
+
+
+def run_image_near_dup(spark, sf_dir: str, work: str, chunks: int) -> dict:
+    from oic_options_chains_spark.streaming.neardup_stream import (
+        streaming_image_near_dup,
+    )
+
+    src = f"{work}/img_src"
+    n = stage_chunked_source(spark, sf_dir, src, chunks)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/chunk_*")
+    )
+    batches = drain_with_progress(
+        streaming_image_near_dup(stream), f"{work}/img_out", f"{work}/img_ckpt"
+    )
+    return {"pipeline": "streaming_image_near_dup", "sf_dir": sf_dir,
+            "rows_staged": n, "batches": batches}
+
+
+def run_corpus_admission(spark, sf_dir: str, work: str, chunks: int) -> dict:
+    from oic_options_chains_spark.streaming.corpus_pipeline import (
+        corpus_build_admission,
+    )
+
+    src = f"{work}/corp_src"
+    n = stage_chunked_source(spark, sf_dir, src, chunks)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/chunk_*")
+    )
+    batches = drain_with_progress(
+        corpus_build_admission(stream), f"{work}/corp_out", f"{work}/corp_ckpt"
+    )
+    return {"pipeline": "corpus_build_admission", "sf_dir": sf_dir,
+            "rows_staged": n, "batches": batches}
+
+
+def main() -> None:
+    import shutil
+    import tempfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--sf-dirs",
+        nargs="+",
+        default=[
+            os.path.join(repo, ".scale", "sf0.1"),
+            os.path.join(repo, ".scale", "sf0.5"),
+        ],
+    )
+    ap.add_argument("--chunks", type=int, default=5)
+    args = ap.parse_args()
+
+    from oic_options_chains_spark.session import get_spark
+
+    spark = get_spark(app_name="oic-stream-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    for sf_dir in args.sf_dirs:
+        for runner in (run_image_near_dup, run_corpus_admission):
+            work = tempfile.mkdtemp(prefix="stream_bench_")
+            try:
+                out = runner(spark, sf_dir, work, args.chunks)
+                bs = out["batches"]
+                out["summary"] = {
+                    "total_input_rows": sum(b["input_rows"] for b in bs),
+                    "total_sec": round(
+                        sum(b["trigger_ms"] for b in bs) / 1000, 2
+                    ),
+                    "rows_per_sec": round(
+                        1000.0
+                        * sum(b["input_rows"] for b in bs)
+                        / max(sum(b["trigger_ms"] for b in bs), 1)
+                    ),
+                    "final_state_rows": bs[-1]["state_rows"] if bs else 0,
+                    "max_state_rows": max(
+                        (b["state_rows"] for b in bs), default=0
+                    ),
+                }
+                print(json.dumps(out), flush=True)
+            finally:
+                shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
