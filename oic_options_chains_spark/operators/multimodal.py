@@ -442,17 +442,28 @@ def wav_chunk_manifest(
     n_samples = F.when(align > 0, wav_data_size(c).cast("bigint") / align).cast(
         "bigint"
     )
+    # No Filter on the projected parse expressions: the optimizer would
+    # substitute the whole header-parse pipeline into a per-scan-row
+    # predicate (a 41k-char fused Filter measured by tools/plan_audit.py,
+    # the streaming_image_near_dup blowup class). Instead non-WAV and
+    # zero-payload rows are dropped BY the explode: their chunk sequence
+    # is NULL (the when() guard), and a non-outer Generate discards
+    # null-array rows — same semantics, header parsed once per row.
     base = df.select(
         F.col(id_col),
         rate.alias("sample_rate"),
         n_samples.alias("n_samples"),
-    ).filter(F.col("sample_rate").isNotNull() & (F.col("n_samples") > 0))
+    )
     n_chunks = F.ceil(F.col("n_samples") / F.lit(samples_per_chunk)).cast("int")
+    chunks = F.when(
+        F.col("sample_rate").isNotNull() & (F.col("n_samples") > 0),
+        F.sequence(F.lit(0), n_chunks - 1),
+    )
     return base.select(
         F.col(id_col),
         "sample_rate",
         "n_samples",
-        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        F.explode(chunks).alias("chunk_idx"),
     ).select(
         F.col(id_col),
         "sample_rate",

@@ -260,11 +260,19 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     out = jl_project(emb, out_dim=_JL_DIM, in_dim=64)
+    # posexplode_OUTER: a non-outer Generate makes the optimizer infer
+    # size(proj) > 0 and push the entire 16x64 projection expression onto
+    # the scan as a per-row predicate (13k-char fused Filter caught by
+    # tools/plan_audit.py). proj is never null/empty (jl_project raises
+    # on width mismatch), so the outer form plus the generated-attribute
+    # guard is value-identical with the projection evaluated once.
     return out.select(
         "vec_id",
-        F.posexplode("proj").alias("k", "proj"),
+        F.posexplode_outer("proj").alias("k", "proj"),
         "norm_ratio_bp",
-    ).select("vec_id", F.col("k").cast("int").alias("k"), "proj", "norm_ratio_bp")
+    ).filter(F.col("proj").isNotNull()).select(
+        "vec_id", F.col("k").cast("int").alias("k"), "proj", "norm_ratio_bp"
+    )
 
 
 @register(

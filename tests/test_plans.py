@@ -518,3 +518,29 @@ def test_media_pipeline_has_exactly_one_kernel_stage(spark, sf_dir):
     assert "MapInPandas" not in final and "BatchEvalPython" not in final
     assert "CartesianProduct" not in final
     assert "ExistingRDD" in final
+
+
+def test_no_fused_pipeline_filters_anywhere(spark, sf_dir):
+    """Round-9 trap-class lock: no optimized plan may carry a Filter
+    whose expression exceeds 4k chars — that length means the optimizer
+    substituted a staged expression PIPELINE into a per-row predicate
+    (a non-outer Generate's inferred size()>0 constraint, or a filter
+    on projected parse expressions, pushed through every projection to
+    the scan). Measured blowups: streaming image hashing ~23 s/ROW,
+    wav manifest 41k-char scan predicate. tools/plan_audit.py records
+    the same fact registry-wide (fused_filter_total)."""
+    import re
+
+    for name in (
+        "q_random_projection",
+        "q_audio_chunks",
+        "q_ahash_dedup",
+        "q_media_pipeline",
+    ):
+        opt = _optimized(QUERIES[name](spark, sf_dir))
+        fused = [
+            len(line)
+            for line in opt.splitlines()
+            if re.match(r"\s*[+:]*-? *Filter ", line) and len(line) > 4000
+        ]
+        assert not fused, (name, fused)

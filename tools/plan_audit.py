@@ -38,9 +38,23 @@ def main() -> None:
         try:
             df = QUERIES[name](spark, SF_DIR)
             plan = df._jdf.queryExecution().explainString(mode)
+            opt = df._jdf.queryExecution().optimizedPlan().toString()
         except Exception as exc:  # noqa: BLE001 - audit must cover all
             rows[name] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
             continue
+        # fused-filter detector (round-9): a Filter whose expression is
+        # enormous means the optimizer substituted a staged expression
+        # PIPELINE into a per-row predicate (e.g. the size()>0 constraint
+        # a non-outer Generate infers, pushed through every projection
+        # onto the scan). That multiplies the pipeline's cost per input
+        # row — the streaming_image_near_dup blowup class (~23 s/row
+        # measured). Threshold: a legitimate predicate is < ~2k chars;
+        # the fused aHash filter was ~25k.
+        fused = [
+            len(line)
+            for line in opt.splitlines()
+            if re.match(r"\s*[+:]*-? *Filter ", line) and len(line) > 4000
+        ]
         # formatted mode puts node names on "(n) Node" header lines and
         # partitioning in Arguments lines
         headers = re.findall(r"\(\d+\) (\w+)", plan)
@@ -58,6 +72,8 @@ def main() -> None:
             + plan.count("FlatMapGroupsInPandas"),
             "pushed_filters": "PushedFilters: [" in plan
             and "PushedFilters: []" not in plan,
+            "fused_filters": len(fused),
+            "max_filter_expr_chars": max(fused, default=0),
         }
         print(json.dumps({"query": name, **rows[name]}), flush=True)
 
@@ -71,6 +87,7 @@ def main() -> None:
         "sort_merge_join_total": sum(r["sort_merge_joins"] for r in audited),
         "broadcast_join_total": sum(r["broadcast_joins"] for r in audited),
         "max_exchanges": max((r["exchanges"] for r in audited), default=0),
+        "fused_filter_total": sum(r.get("fused_filters", 0) for r in audited),
         "sf_dir": SF_DIR,
     }
     out = os.path.join(
