@@ -171,6 +171,9 @@ SCALE_QUERIES = (
     # and the name-vocabulary entity resolution
     "q_ahash_incremental",
     "q_entity_resolution",
+    # round-9: the real-pixel media flagship (kernel-bound; its curve
+    # lives in SCALE_CURVE.json at slope 0.69)
+    "q_media_pipeline",
 )
 SCALE_RUNS_PER_QUERY = 2
 

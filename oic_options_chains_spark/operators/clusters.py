@@ -122,6 +122,12 @@ def connected_components(
     )
     n_cur = cur.count()
     for _ in range(max_rounds):
+        # one alternating-star round per checkpoint barrier. (Batching
+        # TWO rounds per barrier was tried in round 9 and REGRESSED ~60%
+        # at bench scale: the coarser convergence check runs extra no-op
+        # star rounds and the deeper per-job DAG schedules worse than
+        # the barrier it saves — the barrier count is not the bottleneck,
+        # total star-round count is.)
         nxt = _small_star(_large_star(cur, dedup=False)).localCheckpoint(
             eager=True
         )
