@@ -216,9 +216,23 @@ def jdbc_conflict_ignore_append(
     )
     try:
         st = conn.createStatement()
-        st.execute(
-            conflict_ignore_sql(table, staging, [f.name for f in batch.schema], pk, dialect)
+        sql = conflict_ignore_sql(
+            table, staging, [f.name for f in batch.schema], pk, dialect
         )
+        # Non-upsert dialects: two concurrent insert-selects can BOTH
+        # pass the NOT EXISTS probe for the same key before either
+        # commits; the loser then hits the PK constraint (SQLSTATE
+        # 23505). The statement is idempotent by construction — a re-run
+        # sees the winner's committed rows and inserts only the rest —
+        # so the loser RETRIES instead of surfacing the race to the
+        # caller (the reference's ON CONFLICT DO NOTHING never errors).
+        for attempt in range(3):
+            try:
+                st.execute(sql)
+                break
+            except Exception as e:  # noqa: BLE001 — py4j wraps SQLException
+                if dialect == "postgresql" or "23505" not in str(e) or attempt == 2:
+                    raise
         st.execute(f"DROP TABLE {staging}")
     finally:
         conn.close()

@@ -204,3 +204,50 @@ def test_concurrent_loads_use_disjoint_stages(spark, derby_url):
         leaked.append(rs.getString("TABLE_NAME"))
     conn.close()
     assert leaked == [], leaked
+
+
+def test_concurrent_overlapping_pk_hammer(spark, derby_url):
+    """Round-9: the loser of a same-PK insert-select race must RETRY
+    inside the operator (SQLSTATE 23505 -> idempotent re-run), never
+    surface the race. Hammer: five rounds of two writers whose batches
+    overlap on a hot key — zero errors, every key exactly once, the hot
+    key's value from whichever writer won."""
+    import threading
+
+    from oic_options_chains_spark.sources.jdbc import jdbc_conflict_ignore_append
+
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(derby_url)
+    st = conn.createStatement()
+    st.execute(
+        "CREATE TABLE hammer_pk (k VARCHAR(20) NOT NULL, v INT,"
+        " PRIMARY KEY (k))"
+    )
+    conn.close()
+
+    errors: list[Exception] = []
+    for rnd in range(5):
+        frames = [
+            spark.createDataFrame(
+                [(f"hot{rnd}", w), (f"r{rnd}w{w}", w)], "k string, v int"
+            )
+            for w in (1, 2)
+        ]
+        barrier = threading.Barrier(2)
+
+        def load(df):
+            try:
+                barrier.wait(timeout=60)
+                jdbc_conflict_ignore_append(df, derby_url, "hammer_pk", ["k"])
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        ts = [threading.Thread(target=load, args=(f,)) for f in frames]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+    assert not errors, errors
+    rows = read_jdbc(spark, derby_url, "hammer_pk").collect()
+    ks = sorted(r["K"] for r in rows)
+    assert len(ks) == len(set(ks)) == 15  # 5 hot + 10 unique, no dups

@@ -238,3 +238,65 @@ def test_corpus_admission_state_bounded_by_fingerprint_space(spark, tmp_path):
     half = len(batches) // 2
     assert batches[half - 1]["state_rows"] == final_state
     assert max(b["state_rows"] for b in batches) == final_state
+
+
+def test_image_stream_state_survives_restart(spark, tmp_path):
+    """Keyed-state RECOVERY: drain the first half of the corpus, let the
+    query terminate, add the second half (re-idded identical texts) and
+    start a FRESH query on the same checkpoint. The restarted query must
+    restore bucket ownership from the state store — every second-pass
+    image points at its first-pass owner, no bucket is re-owned, and the
+    combined output equals a single uninterrupted run's."""
+    import json as _json
+
+    from oic_options_chains_spark.streaming.neardup_stream import (
+        streaming_image_near_dup,
+    )
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (1, "an entirely different document about spark streaming state"),
+        (2, "yet another unrelated piece of text with many unique words"),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = (
+            streaming_image_near_dup(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    (src / "pass1.json").write_text(
+        "\n".join(_json.dumps({"doc_id": d, "text": t}) for d, t in docs)
+    )
+    run_once()  # pass 1: three owners established, zero dup rows
+    assert spark.read.parquet(out).count() == 0
+
+    (src / "pass2.json").write_text(
+        "\n".join(
+            _json.dumps({"doc_id": d + 100, "text": t}) for d, t in docs
+        )
+    )
+    run_once()  # fresh query object, same checkpoint: state must restore
+    got = {
+        (r.doc_id, r.dup_of)
+        for r in spark.read.parquet(out)
+        .select("doc_id", "dup_of")
+        .distinct()
+        .collect()
+    }
+    # every re-offered image points at its ORIGINAL owner (4 bands each)
+    assert got == {(d + 100, d) for d, _ in docs}

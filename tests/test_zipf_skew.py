@@ -177,3 +177,26 @@ def test_entity_resolution_work_is_vocabulary_sized_under_hot_names(
         .collect()[0][0]
     )
     assert per_name == 1  # equal names never split across entities
+
+
+def test_hot_entity_window_completes_and_preserves_rows(spark, zipf_dir):
+    """Entity-keyed windows under Zipf: one user owns ~21% of 500k
+    events, so its window partition is a genuinely hot 100k-row sort.
+    That skew is SEMANTIC (the window is per-user by definition) — the
+    engine must absorb it: the rolling aggregate completes, emits
+    exactly one row per input row, and the hot user's rows are all
+    present."""
+    from oic_options_chains_spark.queries import QUERIES
+    from oic_options_chains_spark.sources.registry import load_table
+
+    e = load_table(spark, zipf_dir, "events")
+    n = e.count()
+    hot = (
+        e.groupBy("user_id").count().orderBy(F.col("count").desc()).first()
+    )
+    assert hot["count"] > 0.15 * n  # the fixture's hot entity
+    out = QUERIES["q_moving_avg"](spark, zipf_dir)
+    assert out.count() == n
+    assert (
+        out.join(e.select("event_id").distinct(), "event_id").count() == n
+    )
