@@ -208,3 +208,77 @@ def test_rendezvous_reshard_moves_only_to_new_shards(spark):
     assert all(r.new >= 8 for r in movers), "moved between surviving shards"
     frac = len(movers) / len(rows)
     assert 0.25 < frac < 0.42, frac  # E = 1/3
+
+
+def test_binary_column_media_path_equals_flagship(spark, tmp_path):
+    """The shape a user's media table actually has: PNG BLOBS in a
+    parquet binary column. Materialize the flagship's exact blobs
+    (same raster formula, same corruption), read them back, run the
+    decode kernel (image_ahash_kernel) + the shared banded pair join —
+    the verdicts must equal q_media_pipeline's, proving the in-kernel
+    synthesis stands in for a real blob column with zero semantic
+    drift."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from oic_options_chains_spark.operators.codecs import encode_png
+    from oic_options_chains_spark.operators.phash import (
+        MEDIA_CORRUPT_EVERY,
+        MEDIA_SHIFT,
+        SIDE,
+        _tiled_codepoints,
+        image_ahash_kernel,
+        pairs_from_band_table,
+    )
+    from oic_options_chains_spark.queries import QUERIES
+    from oic_options_chains_spark.sources.registry import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    rows = []
+    for r in docs:
+        cp = _tiled_codepoints(r["text"] or "")
+        base = (30 + cp % 180).astype(np.uint8).reshape(SIDE, SIDE)
+        for feed in (0, 1):
+            img_id = int(r["doc_id"]) * 2 + feed
+            blob = encode_png(base + np.uint8(MEDIA_SHIFT * feed))
+            if img_id % MEDIA_CORRUPT_EVERY == 0:
+                blob = blob[:8]
+            rows.append((img_id, bytearray(blob)))
+    blob_path = str(tmp_path / "media")
+    spark.createDataFrame(rows, "img_id long, content binary").write.parquet(blob_path)
+
+    media = spark.read.parquet(blob_path)
+    band_rows = image_ahash_kernel(media, blob_col="content", id_col="img_id")
+    hashed = (
+        band_rows.filter(F.col("ok") == 1)
+        .groupBy("img_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("band_idx", "band_val"))
+            ).alias("__s")
+        )
+        .select(
+            F.col("img_id").alias("__id"),
+            F.transform(F.col("__s"), lambda s: s["band_val"]).alias("__bands"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pairs = pairs_from_band_table(hashed, max_hamming=3)
+    got_pairs = {
+        (r.doc_a, r.doc_b, r.hamming) for r in pairs.collect()
+    }
+    flagship = QUERIES["q_media_pipeline"](spark, sf_dir)
+    want_pairs = {
+        (r.dup_of, r.img_id, r.hamming)
+        for r in flagship.filter(F.col("dup_of").isNotNull()).collect()
+    }
+    # the flagship reports best-match verdicts; every verdict pair must
+    # be found by the binary-column path with the same hamming
+    assert want_pairs <= got_pairs
+    # quarantine equality: same corrupted ids on both paths
+    got_bad = {r.img_id for r in band_rows.filter(F.col("ok") == 0).collect()}
+    want_bad = {
+        r.img_id for r in flagship.filter(F.col("ok") == 0).collect()
+    }
+    assert got_bad == want_bad and got_bad  # non-empty at sf0.001
