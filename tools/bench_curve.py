@@ -291,10 +291,51 @@ def _recall_ahash(spark, sf_dir) -> int:
     return 10_000 * siblings // n_docs
 
 
+def _recall_simhash(spark, sf_dir) -> int:
+    """Planted-sibling recall of the 64-bit SimHash path end-to-end:
+    every document gets a ~2%-word-dropout sibling; recall = sibling
+    pairs the production word-bucket candidates + Hamming<=3 verify
+    recover, per document. The banded search is pigeonhole-exact at
+    the threshold, so this series measures the HASH's sensitivity to
+    small edits on the corpus mix — decay would mean token-weight
+    drift, not an index failure."""
+    from pyspark.sql import functions as F
+
+    from oic_options_chains_spark.operators.minhash import (
+        doc_simhash,
+        simhash_near_pairs,
+    )
+    from oic_options_chains_spark.sources.registry import (
+        load_table,
+        table_row_count,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sibling = d.select(
+        (F.col("doc_id") * 2 + 1).alias("doc_id"),
+        F.array_join(
+            F.filter(
+                F.split(F.col("text"), " "),
+                lambda w, i: (i + 1) % 50 != 0,
+            ),
+            " ",
+        ).alias("text"),
+    )
+    corpus = d.select(
+        (F.col("doc_id") * 2).alias("doc_id"), "text"
+    ).unionByName(sibling)
+    pairs = simhash_near_pairs(doc_simhash(corpus, "doc_id", "text"), "doc_id")
+    hits = pairs.filter(
+        (F.col("id_b") == F.col("id_a") + 1) & (F.col("id_a") % 2 == 0)
+    ).count()
+    return 10_000 * hits // table_row_count(sf_dir, "documents")
+
+
 RECALL_PROBES = {
     "q_ann_ivf_pq": {"ivf_batch": _recall_ann, "ivf_pq_q0": _recall_ann_pq},
     "q_minhash_lsh_pairs": {"production_banding": _recall_lsh},
     "q_ahash_dedup": {"sibling_detection": _recall_ahash},
+    "q_simhash_pairs": {"planted_siblings": _recall_simhash},
 }
 
 
