@@ -251,3 +251,26 @@ def test_concurrent_overlapping_pk_hammer(spark, derby_url):
     rows = read_jdbc(spark, derby_url, "hammer_pk").collect()
     ks = sorted(r["K"] for r in rows)
     assert len(ks) == len(set(ks)) == 15  # 5 hot + 10 unique, no dups
+
+
+def test_derby_duplicate_key_error_carries_sqlstate(spark, tmp_path):
+    """Contract behind the in-operator retry: Derby's duplicate-key
+    violation must surface '23505' in the py4j-wrapped exception text
+    (it rides in the SQLState of the wrapped
+    SQLIntegrityConstraintViolationException). If a Derby/py4j upgrade
+    ever drops it, the retry predicate would silently stop firing —
+    this pins the contract with a direct forced violation."""
+    jvm = spark._jvm
+    url = f"jdbc:derby:{tmp_path / 'dupdb'};create=true"
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        st.execute("CREATE TABLE t (k INT NOT NULL PRIMARY KEY)")
+        st.execute("INSERT INTO t VALUES (1)")
+        try:
+            st.execute("INSERT INTO t VALUES (1)")
+            raise AssertionError("duplicate insert did not error")
+        except Exception as e:  # noqa: BLE001
+            assert "23505" in str(e)
+    finally:
+        conn.close()
