@@ -91,6 +91,19 @@ def _apply_merge(state: DataFrame, left: str, right: str) -> DataFrame:
     )
 
 
+# The trainer is one DRIVER ROUND-TRIP per merge: each round runs a
+# pair-count aggregation, a limit(1) collect, and a localCheckpoint.
+# That is the textbook sequential-BPE dependency structure (merge r+1's
+# counts depend on merge r having been applied), so wall time is
+# Theta(rounds) cluster round-trips no matter the cluster size — fine
+# for the tokenizer-prep scale this operator serves (hundreds of
+# merges), pathological if someone asks for a GPT-scale 50k-merge vocab.
+# The cap makes that misuse loud instead of silently hours-long; batched
+# top-k-merges-per-round is the documented approximation to reach for
+# beyond it (it changes the learned vocab, so it is not the default).
+MAX_TRAIN_ROUNDS = 4096
+
+
 def _bpe_train_state(
     docs: DataFrame, rounds: int, id_col: str, text_col: str
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
@@ -99,7 +112,17 @@ def _bpe_train_state(
     bpe_vocab / bpe_encode_stats consume the state directly instead of
     re-running training and re-applying every merge as an
     un-checkpointed withColumn chain (which regrew per-round lineage —
-    quadratic plan size in merge count)."""
+    quadratic plan size in merge count).
+
+    ``rounds`` is capped at :data:`MAX_TRAIN_ROUNDS` — see the cap's
+    comment for why the loop is inherently rounds-sequential."""
+    if rounds > MAX_TRAIN_ROUNDS:
+        raise ValueError(
+            f"bpe_train rounds={rounds} exceeds MAX_TRAIN_ROUNDS="
+            f"{MAX_TRAIN_ROUNDS}: each merge is a sequential driver "
+            "round-trip (count -> collect(1) -> checkpoint), so large "
+            "vocabs want batched top-k merges per round, not this loop"
+        )
     state = _word_state(docs, id_col, text_col).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
     for r in range(1, rounds + 1):

@@ -79,7 +79,14 @@ def jl_project(
     ``size() == in_dim`` gate turns into a loud one)."""
     qa = quantized(F.col(vec_col))
     if in_dim is not None:
-        qa = F.when(F.size(F.col(vec_col)) == in_dim, qa).otherwise(
+        # NULL vectors propagate as NULL proj (matching the in_dim=None
+        # branch) instead of falling into the raise: size(NULL) is -1
+        # (NULL under ANSI), so without the explicit isNull arm a single
+        # null embedding row would abort the query with a misleading
+        # "width -1 != in_dim" error.
+        qa = F.when(F.col(vec_col).isNull(), F.lit(None)).when(
+            F.size(F.col(vec_col)) == in_dim, qa
+        ).otherwise(
             F.raise_error(
                 F.concat(
                     F.lit(
@@ -122,6 +129,9 @@ def jl_project(
                 lambda acc, e: acc + e["x"] * _sign(e["i"], k),
             ),
         )
+    # NULL input -> NULL proj in BOTH branches (without this the array
+    # constructors yield a [NULL, NULL, ...] shell instead of NULL)
+    proj = F.when(F.col(vec_col).isNull(), F.lit(None)).otherwise(proj)
     return df.withColumn("proj", proj).withColumn(
         "norm_ratio_bp",
         F.expr(

@@ -1738,7 +1738,12 @@ def q_dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = near_dup_pairs(
         e,
         threshold=0.35,
-        bits=bits_for(table_row_count(sf_dir, "embeddings"), target_bucket_rows=256),
+        bits=bits_for(
+            # spark= enables the non-local-sf_dir fallback (a Spark-side
+            # count) when no pyarrow filesystem binding covers the scheme
+            table_row_count(sf_dir, "embeddings", spark=spark),
+            target_bucket_rows=256,
+        ),
         broadcast_candidates=True,
     ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
     return ensemble_dedup(

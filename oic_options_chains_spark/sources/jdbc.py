@@ -26,11 +26,68 @@ from pyspark.sql import functions as F
 
 DEFAULT_FETCHSIZE = 10_000
 
-# Per-dialect VARCHAR width ceilings: emitting VARCHAR(n) above these is a
-# DDL error (Derby hard-caps at 32672; Postgres at 10485760), so stage
-# columns wider than the cap fall back to Spark's default StringType
-# mapping — the dialect's LOB — by being left off the pin list.
-VARCHAR_MAX = {"derby": 32_672, "postgresql": 10_485_760}
+# --- dialect seam -----------------------------------------------------------
+#
+# The reference's live sink is Postgres (transform-load.2025-08-19.rkt:
+# 175-209: INSERT ... ON CONFLICT (pk...) DO NOTHING per options row);
+# the in-sandbox e2e tests run against Derby (the only JDBC engine whose
+# driver ships with the JVM here). Everything engine-specific the
+# conflict-ignore path needs is tabled below so adding a dialect is one
+# row, and the generated statements are golden-tested without a live
+# server (tests/test_jdbc_dialects.py).
+
+
+class JdbcDialect:
+    """One JDBC engine's quirks, as data.
+
+    - ``varchar_max``: emitting VARCHAR(n) above this is a DDL error
+      (Derby hard-caps at 32672; Postgres at 10485760); wider stage
+      columns fall back to Spark's default StringType mapping — the
+      dialect's LOB — by being left off the pin list.
+    - ``native_conflict_clause``: the engine has an atomic
+      ``INSERT ... ON CONFLICT DO NOTHING``; otherwise the generated
+      statement is the ANSI NOT EXISTS anti-join form, which is
+      race-retried instead.
+    - ``retryable_states``: SQLStates that mean "another writer won a
+      race this idempotent statement can re-run through". Derby: dup
+      key 23505 + serialization 40001 + lock timeout 40XL1. Postgres:
+      the conflict clause swallows dup keys, but concurrent batch
+      loads can still deadlock (40P01) or serialization-fail (40001).
+    """
+
+    __slots__ = ("name", "varchar_max", "native_conflict_clause", "retryable_states")
+
+    def __init__(
+        self,
+        name: str,
+        varchar_max: int,
+        native_conflict_clause: bool,
+        retryable_states: frozenset[str],
+    ) -> None:
+        self.name = name
+        self.varchar_max = varchar_max
+        self.native_conflict_clause = native_conflict_clause
+        self.retryable_states = retryable_states
+
+
+DIALECTS: dict[str, JdbcDialect] = {
+    "derby": JdbcDialect(
+        "derby", 32_672, False, frozenset({"23505", "40001", "40XL1"})
+    ),
+    "postgresql": JdbcDialect(
+        "postgresql", 10_485_760, True, frozenset({"40001", "40P01"})
+    ),
+}
+
+
+def get_dialect(name: str) -> JdbcDialect:
+    """Resolve a dialect name; unknown engines get the conservative ANSI
+    profile (Derby's caps, NOT EXISTS statement, dup-key retry only)."""
+    return DIALECTS.get(name, DIALECTS["derby"])
+
+
+# Back-compat alias (pre-r10 callers/tests index this dict directly).
+VARCHAR_MAX = {name: d.varchar_max for name, d in DIALECTS.items()}
 
 
 def jdbc_options(
@@ -96,6 +153,52 @@ def jdbc_or_registered(
     return registered
 
 
+# Union of every dialect's retryable states — used only by the message-
+# scan FALLBACK in _sql_states (when no java exception chain is
+# attached); the live retry predicate intersects with the specific
+# dialect's own set.
+RETRYABLE_SQL_STATES = frozenset().union(
+    *(d.retryable_states for d in DIALECTS.values())
+)
+
+
+def _sql_states(exc: Exception) -> set[str]:
+    """Every SQLState found in a py4j-wrapped SQLException chain.
+
+    Walks ``getSQLState()`` through both ``getNextException`` and
+    ``getCause`` links instead of substring-matching the stringified
+    error (which could false-positive on data echoed in the message).
+    Falls back to scanning the message for the known retryable states
+    only when no java exception is attached at all.
+    """
+    states: set[str] = set()
+    je = getattr(exc, "java_exception", None)
+    walked = False
+    for _ in range(16):  # bound against cyclic cause chains
+        if je is None:
+            break
+        walked = True
+        try:
+            state = je.getSQLState()
+            if state:
+                states.add(str(state).upper())
+        except Exception:  # noqa: BLE001 — not a SQLException
+            pass
+        nxt = None
+        for getter in ("getNextException", "getCause"):
+            try:
+                nxt = getattr(je, getter)()
+            except Exception:  # noqa: BLE001
+                nxt = None
+            if nxt is not None:
+                break
+        je = nxt
+    if not walked:
+        text = str(exc)
+        states = {s for s in RETRYABLE_SQL_STATES if s in text}
+    return states
+
+
 def conflict_ignore_sql(
     target: str, staging: str, columns: Sequence[str], pk: Sequence[str], dialect: str
 ) -> str:
@@ -118,7 +221,7 @@ def conflict_ignore_sql(
     """
     cols = ", ".join(columns)
     cols_s = ", ".join(f's."{c}"' for c in columns)
-    if dialect == "postgresql":
+    if get_dialect(dialect).native_conflict_clause:
         conflict = ", ".join(pk)
         return (
             f"INSERT INTO {target} ({cols}) SELECT {cols_s} FROM {staging} s "
@@ -129,6 +232,36 @@ def conflict_ignore_sql(
         f"INSERT INTO {target} ({cols}) "
         f"SELECT {cols_s} FROM {staging} s "
         f"WHERE NOT EXISTS (SELECT 1 FROM {target} t WHERE {on})"
+    )
+
+
+def stage_varchar_pins(
+    widths: dict[str, int], pk: Sequence[str], dialect: str
+) -> str:
+    """The ``createTableColumnTypes`` fragment that pins stage string
+    columns to comparable VARCHARs (Spark's default StringType mapping
+    is the dialect's LOB — CLOB on Derby, TEXT on Postgres — which
+    cannot be compared against the target's VARCHAR PK columns).
+
+    Widths are floored at 4000 (so a narrow probe batch doesn't create
+    a stage later batches overflow under a fixed ``staging_table``) and
+    clamped to the dialect's VARCHAR ceiling: an over-cap NON-PK column
+    is left off the pin list (it lands as the LOB — legal DDL, and
+    non-key columns never appear in the conflict comparison), while an
+    over-cap PK column raises early (a LOB cannot serve as a comparable
+    stage key). Pure string-in/string-out so the dialect matrix is
+    golden-testable without a live server."""
+    d = get_dialect(dialect)
+    over = [c for c in pk if c in widths and max(widths[c], 4000) > d.varchar_max]
+    if over:
+        raise ValueError(
+            f"PK string column(s) {over} exceed the {dialect} VARCHAR cap "
+            f"({d.varchar_max}); a LOB cannot serve as a comparable stage key"
+        )
+    return ", ".join(
+        f"{c} VARCHAR({max(w, 4000)})"
+        for c, w in widths.items()
+        if max(w, 4000) <= d.varchar_max
     )
 
 
@@ -184,23 +317,7 @@ def jdbc_conflict_ignore_append(
             *[F.max(F.length(F.col(c))).alias(c) for c in str_fields]
         ).collect()[0]
         widths = {c: max(int(wrow[c] or 1), 1) for c in str_fields}
-    vmax = VARCHAR_MAX.get(dialect, 32_672)
-    over = [c for c in str_fields if c in set(pk) and max(widths[c], 4000) > vmax]
-    if over:
-        raise ValueError(
-            f"PK string column(s) {over} exceed the {dialect} VARCHAR cap "
-            f"({vmax}); a LOB cannot serve as a comparable stage key"
-        )
-    # over-cap non-PK columns are simply left OFF the pin list: Spark's
-    # default JDBC mapping for StringType is already the dialect's LOB
-    # (CLOB on Derby, TEXT on Postgres), which has no width to overflow —
-    # and non-key columns never appear in the conflict comparison, so the
-    # LOB's non-comparability doesn't matter
-    string_cols = ", ".join(
-        f"{c} VARCHAR({max(widths[c], 4000)})"
-        for c in str_fields
-        if max(widths[c], 4000) <= vmax
-    )
+    string_cols = stage_varchar_pins(widths, pk, dialect)
     writer = batch.write.format("jdbc").options(
         **jdbc_options(url, staging, user=user, password=password)
     )
@@ -219,19 +336,27 @@ def jdbc_conflict_ignore_append(
         sql = conflict_ignore_sql(
             table, staging, [f.name for f in batch.schema], pk, dialect
         )
-        # Non-upsert dialects: two concurrent insert-selects can BOTH
-        # pass the NOT EXISTS probe for the same key before either
-        # commits; the loser then hits the PK constraint (SQLSTATE
-        # 23505). The statement is idempotent by construction — a re-run
-        # sees the winner's committed rows and inserts only the rest —
-        # so the loser RETRIES instead of surfacing the race to the
-        # caller (the reference's ON CONFLICT DO NOTHING never errors).
+        # Race handling is dialect-tabled: on non-upsert engines two
+        # concurrent insert-selects can BOTH pass the NOT EXISTS probe
+        # for the same key before either commits — the loser then hits
+        # the PK constraint (23505), or on Derby a lock timeout (40XL1)
+        # / deadlock victim (40001) while the winner holds its insert
+        # locks. Engines with a native conflict clause swallow dup keys
+        # atomically but can still deadlock/serialization-fail under
+        # concurrent batch loads (Postgres 40P01/40001). The statement
+        # is idempotent by construction — a re-run sees the winner's
+        # committed rows and inserts only the rest — so any state in
+        # the dialect's retryable set RETRIES instead of surfacing the
+        # race to the caller (the reference's ON CONFLICT DO NOTHING
+        # never errors). The predicate walks getSQLState() through the
+        # exception chain rather than substring-matching the message.
+        retry_states = get_dialect(dialect).retryable_states
         for attempt in range(3):
             try:
                 st.execute(sql)
                 break
             except Exception as e:  # noqa: BLE001 — py4j wraps SQLException
-                if dialect == "postgresql" or "23505" not in str(e) or attempt == 2:
+                if not (_sql_states(e) & retry_states) or attempt == 2:
                     raise
         st.execute(f"DROP TABLE {staging}")
     finally:

@@ -46,28 +46,57 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def table_row_count(sf_dir: str, name: str) -> int:
+def table_row_count(
+    sf_dir: str, name: str, spark: SparkSession | None = None
+) -> int:
     """Row count straight from the parquet FOOTERS — a driver-side
     metadata read (pyarrow), zero Spark jobs. This is what sizing
     decisions (LSH bit widths, bucket targets) should consume at query
     CONSTRUCTION time: a ``df.count()`` there launches a full job before
     the query even runs and makes the builder eagerly non-lazy, which at
     100 TB is an extra pass over the corpus per invocation. Footer stats
-    are exact for parquet (every row group records num_rows)."""
+    are exact for parquet (every row group records num_rows).
+
+    Non-local ``sf_dir`` (s3://, hdfs://, ...): footers are read through
+    ``pyarrow.fs.FileSystem.from_uri`` when a binding for the scheme is
+    installed; otherwise the count falls back to a Spark job over the
+    table (exact, but one extra pass — pass ``spark`` to enable it, or
+    the call raises rather than crashing mid-os.walk)."""
     assert name in TABLES, f"unknown table {name}"
     import os
+    import re
 
     import pyarrow.parquet as pq
 
     path = f"{sf_dir}/{name}.parquet"
-    if os.path.isdir(path):
-        total = 0
-        for root, _dirs, files in os.walk(path):
-            for f in files:
-                if f.endswith(".parquet"):
-                    total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
-        return total
-    return pq.ParquetFile(path).metadata.num_rows
+    scheme = re.match(r"^([a-z0-9+.-]+)://", sf_dir, re.IGNORECASE)
+    if scheme is None or scheme.group(1).lower() == "file":
+        lpath = path[len("file://") :] if path.startswith("file://") else path
+        if os.path.isdir(lpath):
+            total = 0
+            for root, _dirs, files in os.walk(lpath):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        total += pq.ParquetFile(
+                            os.path.join(root, f)
+                        ).metadata.num_rows
+            return total
+        return pq.ParquetFile(lpath).metadata.num_rows
+    try:
+        import pyarrow.dataset as pads
+        from pyarrow import fs as pafs
+
+        filesystem, fs_path = pafs.FileSystem.from_uri(path)
+        return pads.dataset(
+            fs_path, filesystem=filesystem, format="parquet"
+        ).count_rows()
+    except Exception as exc:  # noqa: BLE001 — no binding for the scheme
+        if spark is not None:
+            return load_table(spark, sf_dir, name).count()
+        raise ValueError(
+            f"table_row_count: no pyarrow filesystem binding for {sf_dir!r} "
+            f"({exc}); pass spark= to fall back to a Spark-side count"
+        ) from exc
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
