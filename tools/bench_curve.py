@@ -104,12 +104,40 @@ def _semdedup_sub_lsh(spark, sf_dir):
     )
 
 
+def _vl_build_scaled_shards(spark, sf_dir):
+    """The documented q_vl_build scale knob (VERDICT r9 item 4): the
+    per-shard window sort is the only super-constant stage, so n_shards
+    grows with the corpus — docs-per-shard held at the sf0.1 operating
+    point (5000/8 = 625) — instead of the oracle-pinned 8. At sf1 the
+    pinned form sorts 6250 docs' segments per shard; this form sorts a
+    constant ~625's, so the curve should flatten toward the row-local
+    interleave cost."""
+    from oic_options_chains_spark.operators.chunking import (
+        interleave_media_segments,
+        pack_grouped_stream_offsets,
+    )
+    from oic_options_chains_spark.sources.registry import (
+        load_table,
+        table_row_count,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    n_shards = max(8, table_row_count(sf_dir, "documents") // 625)
+    segs = interleave_media_segments(d, tokens_per_seg=50, media_mod=1000)
+    return pack_grouped_stream_offsets(
+        segs.select("doc_id", "seg_idx", "kind", "n_tokens"),
+        context=256,
+        n_shards=n_shards,
+    )
+
+
 # scale-path variants of the fixed-parameter (oracle-checkable) queries:
 # same operator, the at-scale knob turned the way its docstring says
 SCALED_VARIANTS = {
     "q_semdedup@scaled_k": _semdedup_scaled_k,
     "q_semdedup@sub_lsh": _semdedup_sub_lsh,
     "q_knn_triangles@scaled_bits": _knn_triangles_scaled_bits,
+    "q_vl_build@scaled_shards": _vl_build_scaled_shards,
 }
 
 
@@ -351,6 +379,22 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--queries", nargs="+", default=DEFAULT_QUERIES)
     ap.add_argument(
+        "--points",
+        nargs="+",
+        default=["0.1", "0.5", "1"],
+        help="sf labels; each L maps to .scale/sf{L} (gen_scale --factors)",
+    )
+    ap.add_argument(
+        "--zipf-point",
+        default=None,
+        metavar="L",
+        help="also time each query on the skew twin .scale/zipf{L} and "
+        "record skew_ratio vs the uniform sf{L} point (adversarial "
+        "end-to-end: Zipf(1.2) keys double the hottest band/bucket "
+        "populations; a plan that survives only on uniform data shows "
+        "up as a ratio far above 1)",
+    )
+    ap.add_argument(
         "--out",
         default=os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -365,11 +409,15 @@ def main() -> None:
     # single-row-group sf0.1 files are unsplittable (1 scan task), which
     # would fold a parallelism discontinuity into the slope
     points = [
-        ("0.1", os.path.join(repo, ".scale", "sf0.1")),
-        ("0.5", os.path.join(repo, ".scale", "sf0.5")),
-        ("1", os.path.join(repo, ".scale", "sf1")),
+        (label, os.path.join(repo, ".scale", f"sf{label}"))
+        for label in args.points
     ]
-    for _, d in points:
+    zipf = (
+        (f"zipf{args.zipf_point}", os.path.join(repo, ".scale", f"zipf{args.zipf_point}"))
+        if args.zipf_point
+        else None
+    )
+    for _, d in [*points, *([zipf] if zipf else [])]:
         if not os.path.isdir(d):
             raise SystemExit(f"missing {d}; run tools/gen_scale.py first")
 
@@ -387,16 +435,39 @@ def main() -> None:
     for name in names:
         fn = SCALED_VARIANTS.get(name) or QUERIES[name]
         row: dict[str, float] = {}
-        for sf, sf_dir in points:
+
+        def _best_of(sf_dir: str) -> float:
             best = float("inf")
             for _ in range(args.runs):
                 t0 = time.perf_counter()
                 _materialize(fn(spark, sf_dir))
                 best = min(best, time.perf_counter() - t0)
-            row[sf] = round(best, 3)
-        # log-log slope between the 10x-apart endpoints
-        slope = math.log(row["1"] / row["0.1"]) / math.log(10.0)
+            return round(best, 3)
+
+        for sf, sf_dir in points:
+            row[sf] = _best_of(sf_dir)
+        # log-log slope between the endpoints, plus the LAST segment's
+        # slope when the run has 3+ points (an added sf2 point must not
+        # bend upward vs the sf0.1->sf1 fit: slope_last <= slope + noise)
+        first, last = args.points[0], args.points[-1]
+        slope = math.log(row[last] / row[first]) / math.log(
+            float(last) / float(first)
+        )
         results[name] = {**row, "slope": round(slope, 2)}
+        if len(args.points) >= 3:
+            prev = args.points[-2]
+            results[name]["slope_last"] = round(
+                math.log(row[last] / row[prev])
+                / math.log(float(last) / float(prev)),
+                2,
+            )
+        if zipf is not None:
+            zlabel, zdir = zipf
+            zt = _best_of(zdir)
+            results[name][zlabel] = zt
+            base = row.get(args.zipf_point)
+            if base:
+                results[name][f"skew_ratio:{zlabel}"] = round(zt / base, 2)
         # quality-at-scale: recall vs the exact oracle at every point
         for probe_name, probe in RECALL_PROBES.get(name, {}).items():
             series = {sf: probe(spark, sf_dir) for sf, sf_dir in points}

@@ -185,8 +185,11 @@ def zipf_variant(
       popular names cover many records (the entity-resolution clique
       stress operators/linkage.py's distinct-name matching kills).
 
-    Only the three stressed tables are written; skew tests load nothing
-    else. Deterministic: fixed seed, exact finite inverse-CDF."""
+    Only the three stressed tables are rewritten; every other table is
+    SYMLINKED to the base dir's copy so the twin is a complete fixture
+    (bench_curve --zipf-point runs full registry queries against it,
+    e.g. q_dedup_ensemble also loads embeddings). Deterministic: fixed
+    seed, exact finite inverse-CDF."""
     import numpy as np
 
     rng = np.random.RandomState(seed)
@@ -237,6 +240,14 @@ def zipf_variant(
     )
     _write_parts(part, f"{out_dir}/part.parquet")
 
+    stressed = {"events", "documents", "part"}
+    for table in (*COPY_AS_IS, *KEY_DOMAINS):
+        if table in stressed:
+            continue
+        dst = f"{out_dir}/{table}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{base_dir}/{table}.parquet", dst)
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -248,16 +259,27 @@ def main() -> None:
         action="store_true",
         help="also write the Zipf(1.2) skew-stress twin of sf0.5",
     )
+    ap.add_argument(
+        "--zipf-of",
+        default=None,
+        metavar="LABEL",
+        help="write the Zipf(1.2) twin of .scale/sf{LABEL} to "
+        ".scale/zipf{LABEL} (the sf dir must already exist)",
+    )
     args = ap.parse_args()
-    if args.zipf:
-        zdir = os.path.abspath(os.path.join(args.out, "zipf0.5"))
+    zipf_labels = (["0.5"] if args.zipf else []) + (
+        [args.zipf_of] if args.zipf_of else []
+    )
+    for label in zipf_labels:
+        zdir = os.path.abspath(os.path.join(args.out, f"zipf{label}"))
+        src = os.path.abspath(os.path.join(args.out, f"sf{label}"))
         if args.force or not os.path.isdir(f"{zdir}/events.parquet"):
-            zipf_variant(zdir, os.path.abspath(os.path.join(args.out, "sf0.5")))
+            zipf_variant(zdir, src)
             print(f"wrote {zdir}")
         else:
             print(f"skip {zdir} (exists)")
-        if len(args.factors) == 0:
-            return
+    if zipf_labels and len(args.factors) == 0:
+        return
     spans = _domain_spans()
     for factor in args.factors:
         sf = factor * 0.1
