@@ -199,25 +199,23 @@ def ahash_band_table(
 
 
 def hamming_from_bands(a: Column, b: Column) -> Column:
-    """Exact Hamming distance from two band arrays, by arithmetic bit
-    extraction ((v DIV 2^u) % 2) — no engine-specific bit intrinsics."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: F.struct(x.alias("x"), y.alias("y"))),
-        F.lit(0).cast("bigint"),
-        lambda acc, e: acc
-        + F.aggregate(
-            F.sequence(F.lit(0), F.lit(BITS_PER_BAND - 1)),
-            F.lit(0).cast("bigint"),
-            lambda inner, u: inner
-            + F.when(
-                (
-                    F.floor(e["x"] / F.pow(F.lit(2), u)).cast("bigint") % 2
-                )
-                != (F.floor(e["y"] / F.pow(F.lit(2), u)).cast("bigint") % 2),
-                F.lit(1).cast("bigint"),
-            ).otherwise(F.lit(0).cast("bigint")),
-        ),
-    )
+    """Exact Hamming distance from two band arrays: per-band
+    ``bit_count(a XOR b)``, unrolled over the N_BANDS elements so the
+    whole expression stays inside whole-stage codegen (the previous
+    arithmetic bit-extraction form walked 64 HOF iterations per pair,
+    INTERPRETED — ~100x more work per candidate, which is what the
+    verify stage is made of). ``bit_count`` is a standard Spark/ANSI
+    builtin (DuckDB has it too; the oracles keep their portable
+    arithmetic form on purpose, so the two implementations cross-check
+    each other)."""
+    total: Column | None = None
+    for t in range(1, N_BANDS + 1):
+        x = F.bit_count(
+            F.element_at(a, t).bitwiseXOR(F.element_at(b, t))
+        ).cast("bigint")
+        total = x if total is None else total + x
+    assert total is not None
+    return total
 
 
 def ahash_pairs(
@@ -248,43 +246,178 @@ def ahash_pairs(
     return pairs_from_band_table(hashed, max_hamming=max_hamming)
 
 
+def _earlier_band_matches(a_bands: Column, b_bands: Column, band_idx: Column) -> Column:
+    """True when some band BEFORE ``band_idx`` also matches — the
+    emit-once predicate (a pair is produced from its FIRST matching
+    band only, replacing a candidate-wide distinct)."""
+    earlier = None
+    for j in range(N_BANDS - 1):
+        c = (band_idx > j) & (
+            F.element_at(a_bands, j + 1) == F.element_at(b_bands, j + 1)
+        )
+        earlier = c if earlier is None else earlier | c
+    assert earlier is not None
+    return earlier
+
+
+def _sub_band_width(max_hamming: int) -> int:
+    """Bit width of the in-bucket refinement sub-bands: the OTHER
+    (N_BANDS-1)*BITS_PER_BAND bits split into max_hamming+1 chunks
+    (ceil), so a pair with <= max_hamming total differing bits must
+    match at least one chunk exactly (pigeonhole, level 2)."""
+    other_bits = (N_BANDS - 1) * BITS_PER_BAND
+    return -(-other_bits // (max_hamming + 1))
+
+
+def _with_sub_bands(
+    banded: DataFrame, max_hamming: int, bands_col: str = "__bands"
+) -> DataFrame:
+    """Hot-tier refinement columns: ``__comp`` packs the N_BANDS-1
+    bands OTHER than the matched one into one integer (<= 48 bits,
+    exact in a bigint), and (sub_idx, sub_val) explodes its
+    max_hamming+1 pigeonhole chunks."""
+    width = _sub_band_width(max_hamming)
+    mask = (1 << width) - 1
+    others = F.filter(
+        F.col(bands_col), lambda _x, j: j != F.col("band_idx")
+    )
+    comp = None
+    for p in range(N_BANDS - 1):
+        term = F.element_at(others, p + 1) * F.lit(1 << (p * BITS_PER_BAND))
+        comp = term if comp is None else comp + term
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("sub_idx"),
+                F.shiftright(F.col("__comp"), k * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("sub_val"),
+            )
+            for k in range(max_hamming + 1)
+        ]
+    )
+    return (
+        banded.withColumn("__comp", comp.cast("bigint"))
+        .withColumn("__sub", F.explode(subs))
+        .select(
+            "*",
+            F.col("__sub.sub_idx").alias("sub_idx"),
+            F.col("__sub.sub_val").alias("sub_val"),
+        )
+        .drop("__sub")
+    )
+
+
+def _earlier_sub_matches(
+    comp_a: Column, comp_b: Column, sub_idx: Column, max_hamming: int
+) -> Column:
+    """Emit-once predicate for the hot tier's second pigeonhole level:
+    true when an earlier sub-band of the packed other-bits also
+    matches."""
+    width = _sub_band_width(max_hamming)
+    mask = (1 << width) - 1
+    earlier = None
+    for j in range(max_hamming):  # sub_idx ranges over max_hamming+1 chunks
+        c = (sub_idx > j) & (
+            F.shiftright(comp_a, j * width).bitwiseAND(F.lit(mask))
+            == F.shiftright(comp_b, j * width).bitwiseAND(F.lit(mask))
+        )
+        earlier = c if earlier is None else earlier | c
+    assert earlier is not None
+    return earlier
+
+
 def pairs_from_band_table(
-    hashed: DataFrame, max_hamming: int = 3
+    hashed: DataFrame, max_hamming: int = 3, hot_bucket_cap: int = 1024
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) within ``max_hamming`` from a prepared
     (__id, __bands) table — the banded candidate join + verify shared by
     the expression tier (:func:`ahash_pairs`) and the real-pixel kernel
     tier (:func:`media_near_dup`). ``hashed`` should be checkpointed/
-    materialized by the caller (it is tiny: id + 4 ints per image)."""
+    materialized by the caller (it is tiny: id + 4 ints per image).
+
+    Two-tier candidate generation (round-10 skew fix). A band value
+    shared by B images makes the plain band equi-join emit B^2/2
+    candidates; on a skewed corpus (the Zipf-template stress twin: one
+    shared text prefix biases the prefix-derived 16-bit band for ~40%
+    of the corpus) a single bucket held ~6k members and candidate count
+    went 3M (uniform) -> 156M (skewed) — a 40x wall-time blowup that no
+    amount of salting fixes, because the quadratic work itself is the
+    problem, and ~all of it FAILED the Hamming verify (false
+    candidates from one biased band).
+
+    - Tier 1 — buckets with <= ``hot_bucket_cap`` members: the plain
+      band-keyed equi-join, unchanged.
+    - Tier 2 — hot buckets: pigeonhole AGAIN inside the bucket. A pair
+      matching at band i with total Hamming <= H differs in <= H bits
+      across the OTHER (N_BANDS-1)*16 bits; splitting those into H+1
+      sub-bands guarantees an exact sub-band match, so the hot join
+      adds (sub_idx, sub_val) to the key and each hot bucket fragments
+      into up-to-2^12-way sub-buckets. Exact — no candidate a true
+      pair needs is lost at either level; each pair is emitted ONCE
+      (first matching band; within the hot tier, first matching
+      sub-band).
+
+    The hot-key relation is tiny by construction (count > cap) and is
+    broadcast; at 100 TB the bucket-count aggregate is map-side
+    combinable over the already-shuffled band table, so the split adds
+    no extra corpus-wide exchange."""
     banded = hashed.select(
         "__id",
         "__bands",
         F.posexplode("__bands").alias("band_idx", "band_val"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    earlier = None
-    for j in range(N_BANDS - 1):
-        c = (F.col("a.band_idx") > j) & (
-            F.element_at(F.col("a.__bands"), j + 1)
-            == F.element_at(F.col("b.__bands"), j + 1)
-        )
-        earlier = c if earlier is None else earlier | c
-    cand = (
+    hot = (
+        banded.groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") > hot_bucket_cap)
+        .select("band_idx", "band_val", F.lit(True).alias("__hot"))
+    )
+    tagged = banded.join(F.broadcast(hot), ["band_idx", "band_val"], "left")
+    normal = tagged.filter(F.col("__hot").isNull()).drop("__hot")
+    hot_rows = _with_sub_bands(
+        tagged.filter(F.col("__hot")).drop("__hot"), max_hamming
+    )
+
+    def _pair_cols(a, b):
+        return [
+            F.col("a.__id").alias("doc_a"),
+            F.col("b.__id").alias("doc_b"),
+            F.col("a.__bands").alias("__ba"),
+            F.col("b.__bands").alias("__bb"),
+        ]
+
+    a, b = normal.alias("a"), normal.alias("b")
+    first_band = ~_earlier_band_matches(
+        F.col("a.__bands"), F.col("b.__bands"), F.col("a.band_idx")
+    )
+    cand_normal = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.__id") < F.col("b.__id")),
         )
-        .filter(~earlier)
-        .select(
-            F.col("a.__id").alias("doc_a"),
-            F.col("b.__id").alias("doc_b"),
-            F.col("a.__bands").alias("__ba"),
-            F.col("b.__bands").alias("__bb"),
-        )
+        .filter(first_band)
+        .select(*_pair_cols(a, b))
     )
+    ha, hb = hot_rows.alias("a"), hot_rows.alias("b")
+    first_sub = ~_earlier_sub_matches(
+        F.col("a.__comp"), F.col("b.__comp"), F.col("a.sub_idx"), max_hamming
+    )
+    cand_hot = (
+        ha.join(
+            hb,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.sub_idx") == F.col("b.sub_idx"))
+            & (F.col("a.sub_val") == F.col("b.sub_val"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .filter(first_band & first_sub)
+        .select(*_pair_cols(ha, hb))
+    )
+    cand = cand_normal.unionByName(cand_hot)
     return cand.select(
         "doc_a",
         "doc_b",
@@ -298,6 +431,7 @@ def ahash_incremental(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    hot_bucket_cap: int = 1024,
 ) -> DataFrame:
     """Incremental media dedup: screen a DELTA batch of images against an
     already-deduped BASE corpus without re-pairing the base against
@@ -333,12 +467,54 @@ def ahash_incremental(
             == F.element_at(F.col("__b_base"), j + 1)
         )
         earlier = c if earlier is None else earlier | c
-    cand = (
-        banded(delta_h, "delta")
-        .join(banded(base_h, "base"), ["band_idx", "band_val"])
+
+    # same two-tier split as pairs_from_band_table: a hot BASE bucket
+    # (count > cap) would multiply every delta image that lands in it
+    # by the bucket's size; the hot tier adds the sub-band pigeonhole
+    # key on both sides instead. Hot keys come from the base index (the
+    # big, epoch-materialized side) and are broadcast.
+    cap = hot_bucket_cap
+    base_b = banded(base_h, "base")
+    delta_b = banded(delta_h, "delta")
+    hot = (
+        base_b.groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") > cap)
+        .select("band_idx", "band_val", F.lit(True).alias("__hot"))
+    )
+
+    def _split(side: DataFrame, bands_col: str):
+        tagged = side.join(F.broadcast(hot), ["band_idx", "band_val"], "left")
+        cold = tagged.filter(F.col("__hot").isNull()).drop("__hot")
+        hot_side = _with_sub_bands(
+            tagged.filter(F.col("__hot")).drop("__hot"),
+            max_hamming,
+            bands_col=bands_col,
+        )
+        return cold, hot_side
+
+    base_cold, base_hot = _split(base_b, "__b_base")
+    delta_cold, delta_hot = _split(delta_b, "__b_delta")
+    cand_cold = (
+        delta_cold.join(base_cold, ["band_idx", "band_val"])
         .filter(~earlier)
         .select("delta_id", "base_id", "__b_delta", "__b_base")
     )
+    cand_hot = (
+        delta_hot.withColumnRenamed("__comp", "__comp_d")
+        .join(
+            base_hot.withColumnRenamed("__comp", "__comp_b"),
+            ["band_idx", "band_val", "sub_idx", "sub_val"],
+        )
+        .filter(
+            ~earlier
+            & ~_earlier_sub_matches(
+                F.col("__comp_d"), F.col("__comp_b"), F.col("sub_idx"), max_hamming
+            )
+        )
+        .select("delta_id", "base_id", "__b_delta", "__b_base")
+    )
+    cand = cand_cold.unionByName(cand_hot)
     from pyspark.sql.window import Window
 
     scored = cand.select(

@@ -232,3 +232,111 @@ def test_bpe_rounds_cap_raises_loudly(spark):
         bpe_train(docs, rounds=MAX_TRAIN_ROUNDS + 1)
     # at-cap requests stay legal (early-stops when no pair remains)
     assert bpe_train(docs, rounds=2).count() >= 1
+
+
+# --- aHash hot-bucket refinement: exact at any cap ---------------------------
+#
+# Round-10 skew fix: the Zipf-template twin put ~6k images into single
+# 16-bit band buckets, making the plain band equi-join quadratic (156M
+# candidates, ~99% failing the Hamming verify; q_ahash_dedup 969 s ->
+# 18.5 s after the fix). The hot tier pigeonholes AGAIN inside a hot
+# bucket (the other 48 bits split into max_hamming+1 sub-bands), which
+# must not change the result set at ANY cap value.
+
+
+def _random_band_table(spark, seed=7, n=300):
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        # half the corpus shares band 0 (the planted hot bucket)
+        b0 = 0xBEEF if i % 2 == 0 else rng.randrange(1 << 16)
+        bands = [b0] + [rng.randrange(1 << 16) for _ in range(3)]
+        rows.append((i * 2, bands))
+        # a sibling within Hamming<=3: flip up to 3 random bits
+        sib = list(bands)
+        for _ in range(rng.randrange(4)):
+            bit = rng.randrange(64)
+            sib[bit // 16] ^= 1 << (bit % 16)
+        rows.append((i * 2 + 1, sib))
+    return spark.createDataFrame(
+        rows, "__id long, __bands array<bigint>"
+    ).localCheckpoint(eager=True)
+
+
+def test_hot_bucket_tier_is_exact_at_any_cap(spark):
+    from oic_options_chains_spark.operators.phash import pairs_from_band_table
+
+    hashed = _random_band_table(spark)
+
+    def pair_set(cap):
+        return {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in pairs_from_band_table(
+                hashed, max_hamming=3, hot_bucket_cap=cap
+            ).collect()
+        }
+
+    all_normal = pair_set(10**9)  # tier 1 only (the pre-fix behavior)
+    assert all_normal  # the planted siblings guarantee a non-empty set
+    assert pair_set(0) == all_normal  # everything through the hot tier
+    assert pair_set(64) == all_normal  # mixed: hot bucket split, rest normal
+
+
+def test_hamming_from_bands_bit_count_matches_reference(spark):
+    """The codegen'd bit_count(xor) verify equals a Python popcount over
+    the same 64-bit values."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from oic_options_chains_spark.operators.phash import hamming_from_bands
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(200):
+        a = [rng.randrange(1 << 16) for _ in range(4)]
+        b = [rng.randrange(1 << 16) for _ in range(4)]
+        want = sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+        rows.append((i, a, b, want))
+    df = spark.createDataFrame(
+        rows, "i long, a array<bigint>, b array<bigint>, want long"
+    )
+    bad = df.select(
+        hamming_from_bands(F.col("a"), F.col("b")).alias("got"), "want"
+    ).filter(F.col("got") != F.col("want"))
+    assert bad.count() == 0
+
+
+def test_incremental_hot_bucket_tier_is_exact(spark):
+    """ahash_incremental's delta-vs-base join uses the same two-tier
+    split keyed on BASE bucket sizes; results must match the plain join
+    regardless. Exercised via a corpus whose base has a dominant shared
+    band (every doc's text starts with the same long prefix)."""
+    from pyspark.sql import functions as F
+
+    from oic_options_chains_spark.operators.phash import ahash_incremental
+
+    prefix = "the same leading template sentence for every single doc "
+    base = spark.createDataFrame(
+        [(i, prefix + f"tail {i} " + "x" * (i % 7)) for i in range(60)],
+        ["doc_id", "text"],
+    )
+    delta = base.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), F.upper("text").alias("text")
+    )
+    def run(cap):
+        return {
+            (r.doc_id, r.kept, r.dup_of, r.hamming)
+            for r in ahash_incremental(
+                base, delta, max_hamming=3, hot_bucket_cap=cap
+            ).collect()
+        }
+
+    plain = run(10**9)  # tier-1 only (pre-fix behavior)
+    assert len(plain) == delta.count()
+    # the case-folded re-uploads must be caught as dups of their source
+    assert {r for r in plain if r[1] == 0}, "no dups for case-folded re-uploads"
+    assert run(0) == plain  # every bucket through the hot tier
+    assert run(8) == plain  # mixed split

@@ -435,6 +435,14 @@ def main() -> None:
     for name in names:
         fn = SCALED_VARIANTS.get(name) or QUERIES[name]
         row: dict[str, float] = {}
+        # one DISCARDED run at the smallest point before timing: the
+        # first measured query in a session otherwise pays whole-stage
+        # codegen + JIT warm-up at its first (smallest!) point, which
+        # shows up as an inverted/negative slope artifact
+        try:
+            _materialize(fn(spark, points[0][1]))
+        except Exception:  # noqa: BLE001 — let the timed run surface it
+            pass
 
         def _best_of(sf_dir: str) -> float:
             best = float("inf")
