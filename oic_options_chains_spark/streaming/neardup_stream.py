@@ -129,11 +129,94 @@ def streaming_near_dup(
     return bucket_owner_pairs(bands, "doc_id", ttl_minutes=ttl_minutes)
 
 
+def verified_bucket_owner_pairs(
+    bands: DataFrame,
+    doc_col: str = "doc_id",
+    max_hamming: int = 3,
+    ttl_minutes: int | None = None,
+) -> DataFrame:
+    """Owner-model keyed state WITH in-kernel Hamming verification — the
+    precision upgrade of :func:`bucket_owner_pairs` for hash families
+    whose full signature fits in a few longs (aHash: 4 x 16-bit bands).
+
+    ``bands`` must carry the document's full hash as four long columns
+    ``__hb1..__hb4`` alongside (band, band_key, doc_id). State per
+    bucket grows from one long to five (owner id + its hash) — still
+    O(distinct buckets), independent of corpus size and of skew. Later
+    documents hitting an owned bucket emit ONLY when their hash
+    verifies at <= ``max_hamming`` against the owner's, with the true
+    distance in the output.
+
+    Why it matters under skew: the unverified form emits one candidate
+    per (doc, owned-bucket) hit, so a corpus-wide biased band (the
+    Zipf-template shape that drove the batch tier's hot-bucket fix)
+    floods the candidate stream with bucket-size false positives that
+    some downstream join must clean up. Verification is per-candidate
+    O(1) popcount INSIDE the state kernel the candidate already visits,
+    so the skewed band costs linear work and emits ~nothing."""
+    out_schema = (
+        "band int, band_key string, doc_id long, dup_of long, hamming long"
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    hb_cols = ["__hb1", "__hb2", "__hb3", "__hb4"]
+
+    def owner(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows: dict[int, tuple[int, int, int, int]] = {}
+        for pdf in pdfs:
+            for vals in zip(pdf[doc_col], *(pdf[c] for c in hb_cols)):
+                rows[int(vals[0])] = tuple(int(v) for v in vals[1:])
+        if not rows:
+            return
+        ids = sorted(rows)
+        if state.exists:
+            st = state.get
+            own, own_h = int(st[0]), tuple(int(x) for x in st[1:5])
+            later = ids
+        else:
+            own, later = ids[0], ids[1:]
+            own_h = rows[own]
+            state.update((own, *own_h))
+        if ttl_minutes is not None:
+            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+        out = []
+        for d in later:
+            if d == own:
+                continue
+            ham = sum(bin(x ^ y).count("1") for x, y in zip(rows[d], own_h))
+            if ham <= max_hamming:
+                out.append((key[0], key[1], d, own, ham))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["band", "band_key", "doc_id", "dup_of", "hamming"]
+            )
+
+    return bands.groupBy("band", "band_key").applyInPandasWithState(
+        owner,
+        outputStructType=out_schema,
+        stateStructType=(
+            "owner long, b1 long, b2 long, b3 long, b4 long"
+        ),
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
 def streaming_image_near_dup(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     ttl_minutes: int | None = None,
+    verify: bool = False,
+    max_hamming: int = 3,
 ) -> DataFrame:
     """Streaming PERCEPTUAL near-dup candidates: the aHash twin of
     :func:`streaming_near_dup`, reusing the same keyed-state bucket
@@ -146,7 +229,14 @@ def streaming_image_near_dup(
     delta-vs-base contract: a batch-7 image is checked against every
     band bucket owned by batches 1-6. Output (band, band_key, doc_id,
     dup_of); band_key is the 16-bit band value rendered as a string to
-    share the state kernel's schema."""
+    share the state kernel's schema.
+
+    ``verify=True`` routes through :func:`verified_bucket_owner_pairs`:
+    the owner's full hash rides in state (5 longs/bucket) and every
+    later document is Hamming-checked against it in the kernel, so the output
+    is true perceptual dups (with distance) rather than band-collision
+    candidates — the precision knob for skewed streams where one biased
+    band would otherwise flood the candidate output."""
     from oic_options_chains_spark.operators.phash import ahash_band_table
 
     # posexplode_OUTER, not posexplode: a non-outer Generate lets the
@@ -158,12 +248,28 @@ def streaming_image_near_dup(
     # streaming plan cannot use). Outer generates imply no constraint;
     # the null-guard below filters the GENERATED attribute, which can
     # never push beneath the Generate.
-    bands = ahash_band_table(docs, id_col=id_col, text_col=text_col).select(
+    hashed = ahash_band_table(docs, id_col=id_col, text_col=text_col)
+    exploded = hashed.select(
         F.col("__id").cast("long").alias("doc_id"),
+        F.col("__bands"),
         F.posexplode_outer("__bands").alias("band", "__bv"),
-    ).filter(F.col("__bv").isNotNull()).select(
+    ).filter(F.col("__bv").isNotNull())
+    if not verify:
+        bands = exploded.select(
+            "doc_id",
+            F.col("band").cast("int").alias("band"),
+            F.col("__bv").cast("string").alias("band_key"),
+        )
+        return bucket_owner_pairs(bands, "doc_id", ttl_minutes=ttl_minutes)
+    bands = exploded.select(
         "doc_id",
         F.col("band").cast("int").alias("band"),
         F.col("__bv").cast("string").alias("band_key"),
+        *[
+            F.element_at("__bands", t + 1).cast("long").alias(f"__hb{t + 1}")
+            for t in range(4)
+        ],
     )
-    return bucket_owner_pairs(bands, "doc_id", ttl_minutes=ttl_minutes)
+    return verified_bucket_owner_pairs(
+        bands, "doc_id", max_hamming=max_hamming, ttl_minutes=ttl_minutes
+    )

@@ -300,3 +300,102 @@ def test_image_stream_state_survives_restart(spark, tmp_path):
     }
     # every re-offered image points at its ORIGINAL owner (4 bands each)
     assert got == {(d + 100, d) for d, _ in docs}
+
+
+def _run_image_stream_verified(spark, tmp_path, chunks, max_hamming=3):
+    from oic_options_chains_spark.streaming.neardup_stream import (
+        streaming_image_near_dup,
+    )
+
+    src = tmp_path / "vsrc"
+    src.mkdir()
+    out = str(tmp_path / "vout")
+    ckpt = str(tmp_path / "vckpt")
+    for i, chunk in enumerate(chunks):
+        (src / f"f{i}.json").write_text(
+            "\n".join(json.dumps({"doc_id": d, "text": t}) for d, t in chunk)
+        )
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    q = (
+        streaming_image_near_dup(stream, verify=True, max_hamming=max_hamming)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out)
+
+
+def test_verified_image_stream_emits_true_dups_with_distance(spark, tmp_path):
+    """verify=True: the case-folded sibling is emitted WITH its Hamming
+    distance (<= 3, the shift-invariance property), the exact raster at
+    distance 0, and the unrelated text never appears — matching the
+    batch tier's verified semantics instead of band-collision
+    candidates."""
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog today " * 3),
+        (1, "an entirely different text about spark streaming state " * 3),
+        (2, "the quick brown fox jumps over the lazy dog today " * 3),  # exact
+        (3, ("the quick brown fox jumps over the lazy dog today " * 3).upper()),
+    ]
+    got = _run_image_stream_verified(
+        spark, tmp_path, [docs[0:2], docs[2:3], docs[3:4]], max_hamming=4
+    )
+    rows = {(r.doc_id, r.dup_of): r.hamming for r in got.collect()}
+    assert rows.get((2, 0)) == 0  # identical raster
+    # this particular case-folded raster measures Hamming 4 (verified
+    # batch-side); the kernel must emit it at the matching threshold
+    # WITH the true distance — and would rightly drop it at 3
+    assert rows.get((3, 0)) == 4
+    assert not any(d == 1 or o == 1 for d, o in rows)
+
+
+def test_verified_kernel_suppresses_band_collision_false_positives(spark, tmp_path):
+    """A crafted hot bucket: three docs share band 0's key, but only one
+    is within Hamming<=3 of the owner. The unverified kernel emits both
+    later docs; the verified kernel emits only the true dup — the
+    precision property that matters when a skewed corpus biases one
+    band (the batch tier's hot-bucket scenario)."""
+    import json as _json
+
+    from oic_options_chains_spark.streaming.neardup_stream import (
+        verified_bucket_owner_pairs,
+    )
+
+    # owner 10: hash (7, 0, 0, 0); doc 11: flips one bit of band 2
+    # (hamming 1 -> true dup); doc 12: same band-0 key but the other
+    # bands differ massively (hamming 24 -> band-collision artifact)
+    rows = [
+        {"band": 0, "band_key": "7", "doc_id": 10, "__hb1": 7, "__hb2": 0, "__hb3": 0, "__hb4": 0},
+        {"band": 0, "band_key": "7", "doc_id": 11, "__hb1": 7, "__hb2": 2, "__hb3": 0, "__hb4": 0},
+        {"band": 0, "band_key": "7", "doc_id": 12, "__hb1": 7, "__hb2": 65535, "__hb3": 255, "__hb4": 0},
+    ]
+    src = tmp_path / "ksrc"
+    src.mkdir()
+    (src / "f0.json").write_text(_json.dumps(rows[0]))
+    (src / "f1.json").write_text("\n".join(_json.dumps(r) for r in rows[1:]))
+    schema = (
+        "band int, band_key string, doc_id long, "
+        "__hb1 long, __hb2 long, __hb3 long, __hb4 long"
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    out = str(tmp_path / "kout")
+    q = (
+        verified_bucket_owner_pairs(stream, max_hamming=3)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "kckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {(r.doc_id, r.dup_of, r.hamming) for r in spark.read.parquet(out).collect()}
+    assert got == {(11, 10, 1)}
