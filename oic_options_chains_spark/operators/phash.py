@@ -23,8 +23,11 @@ Two tiers, mirroring the repo's multimodal contract:
   for the mapInPandas kernel tier where actual media lives; undecodable
   blobs quarantine like the codec queries do.
 
-Integer arithmetic only (sums, DIV, arithmetic bit extraction — no
-engine bit intrinsics), so Spark and the SQL oracle agree bit-for-bit.
+Integer arithmetic throughout, so Spark and the SQL oracle agree
+bit-for-bit: hash CONSTRUCTION uses sums/DIV/arithmetic bit extraction
+(portably replayed by the DuckDB oracles), while the pair-verify
+Hamming uses Spark's codegen'd ``bit_count(xor)`` — the oracles keep
+the arithmetic form, so the two implementations cross-check each other.
 """
 
 from __future__ import annotations
