@@ -183,6 +183,36 @@ def lsh_candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def lsh_star_edges(bands_df: DataFrame, id_col: str) -> DataFrame:
+    """Connectivity-preserving LSH edges: per (band, band_key) bucket the
+    bucket's MIN id is the hub, and every other member gets exactly one
+    (hub, member) edge — N-1 edges per bucket instead of the pair join's
+    N(N-1)/2.
+
+    For CLUSTER consumers (ensemble_dedup, dedup_clusters) this is an
+    exact substitute for :func:`lsh_candidate_pairs`: the connected
+    components are identical (a bucket's full pair clique and its hub
+    star have the same transitive closure), and so are per-document
+    incident signals (every bucket member touches a hub edge). What it
+    removes is the quadratic term a crawl-scale EXACT-dup cluster
+    creates — a million boilerplate copies share every band key, so the
+    pair join would emit ~10^12 candidates per band while this emits
+    10^6-1 edges; the aggregate below is map-side combinable on the
+    same bucket-keyed shuffle the pair join already paid. Queries whose
+    CONTRACT is the pair list keep the pair-complete form."""
+    hubs = bands_df.groupBy("band", "band_key").agg(
+        F.min(id_col).alias("__hub")
+    )
+    return (
+        bands_df.join(hubs, ["band", "band_key"])
+        .filter(F.col(id_col) != F.col("__hub"))
+        .select(
+            F.col("__hub").alias("doc_a"), F.col(id_col).alias("doc_b")
+        )
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     shingle_df: DataFrame,
     id_col: str,

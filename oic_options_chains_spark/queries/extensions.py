@@ -446,7 +446,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = minhash_band_keys(
         doc_shingles(d, "doc_id", "text", distinct=False), "doc_id"
     )
-    return dedup_clusters(d, lsh_candidate_pairs(bands, "doc_id"))
+    # star edges, not the pair clique: identical components and keepers
+    # (the oracle replays the clique's closure — same fixpoint), but a
+    # crawl-scale exact-dup cluster costs N-1 edges instead of N^2/2
+    from oic_options_chains_spark.operators.minhash import lsh_star_edges
+
+    return dedup_clusters(d, lsh_star_edges(bands, "doc_id"))
 
 
 @register(
@@ -1723,7 +1728,12 @@ def q_dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = minhash_band_keys(
         doc_shingles(d, "doc_id", "text", distinct=False), "doc_id"
     )
-    lsh = lsh_candidate_pairs(bands, "doc_id")
+    # star edges for the cluster graph (identical components + per-doc
+    # incident signals as the pair clique; immune to exact-dup
+    # mega-clusters — see minhash.lsh_star_edges)
+    from oic_options_chains_spark.operators.minhash import lsh_star_edges
+
+    lsh = lsh_star_edges(bands, "doc_id")
     # bits auto-scale with the corpus (bits_for, replayed by the nbv
     # CTE) so the pair stage stays bucket-bounded at any sf; the bucket
     # target is 256 rows — PAIRING is quadratic per bucket, so it wants

@@ -340,3 +340,47 @@ def test_incremental_hot_bucket_tier_is_exact(spark):
     assert {r for r in plain if r[1] == 0}, "no dups for case-folded re-uploads"
     assert run(0) == plain  # every bucket through the hot tier
     assert run(8) == plain  # mixed split
+
+
+# --- LSH star edges: clique-equivalent clusters, linear in mega-buckets -----
+
+
+def test_lsh_star_edges_equal_clique_components(spark):
+    """Per-bucket hub stars have the same transitive closure as the full
+    pair clique — components, keepers, and per-doc incidence identical —
+    while an exact-dup mega-bucket (every copy shares every band key)
+    costs N-1 edges instead of N^2/2."""
+    from pyspark.sql import functions as F
+
+    from oic_options_chains_spark.operators.clusters import dedup_clusters
+    from oic_options_chains_spark.operators.minhash import (
+        doc_shingles,
+        lsh_candidate_pairs,
+        lsh_star_edges,
+        minhash_band_keys,
+    )
+
+    # 40 exact copies (the mega-bucket) + near-dup chain + singletons
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    rows = [(i, base) for i in range(40)]
+    rows += [(100, base + " lambda"), (101, base + " lambda mu")]
+    rows += [(200, "entirely different text one two three four five six seven"),
+             (201, "another unrelated document with its own words entirely")]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    bands = minhash_band_keys(
+        doc_shingles(d, "doc_id", "text", distinct=False), "doc_id"
+    ).localCheckpoint(eager=True)
+
+    clique = lsh_candidate_pairs(bands, "doc_id")
+    star = lsh_star_edges(bands, "doc_id")
+    n_clique, n_star = clique.count(), star.count()
+    assert n_star < n_clique  # 40-copy bucket: 780 clique pairs vs 39 stars
+    assert n_star <= 41  # hub edges only (40-clique: 39; chain adds <=2)
+
+    def verdict(edges):
+        return sorted(
+            (r.doc_id, r.cluster_id, r.is_keeper)
+            for r in dedup_clusters(d, edges).collect()
+        )
+
+    assert verdict(star) == verdict(clique)
