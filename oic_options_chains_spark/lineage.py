@@ -19,12 +19,16 @@ fused-filter / python-eval / cartesian counters over the FULL lineage.
 
 Production paths never enter the context — the wrapper exists only for
 the duration of an audit/test block, and the patch is restored even on
-error.  Single-threaded use only (the audit and the pytest gates are).
+error.  Single-threaded use only (the audit and the pytest gates are);
+the patch is process-global, so nested or concurrent captures would
+cross-attribute stages and restore the wrong original — a module-level
+guard makes that misuse raise instead of corrupting the patch state.
 """
 
 from __future__ import annotations
 
 import os
+import threading
 import traceback
 from contextlib import contextmanager
 from typing import Iterator
@@ -86,6 +90,23 @@ def capture_checkpoints() -> Iterator[list[CapturedStage]]:
     inputs are the *previous* checkpoint's scan, so stages tile the full
     lineage without double-counting.
     """
+    if not _CAPTURE_ACTIVE.acquire(blocking=False):
+        raise RuntimeError(
+            "capture_checkpoints is already active in this process: the "
+            "localCheckpoint patch is process-global and does not nest — "
+            "finish (or stop concurrently starting) the other capture first"
+        )
+    try:
+        yield from _capture_checkpoints_locked()
+    finally:
+        _CAPTURE_ACTIVE.release()
+
+
+# non-reentrant by design: see capture_checkpoints
+_CAPTURE_ACTIVE = threading.Lock()
+
+
+def _capture_checkpoints_locked() -> Iterator[list[CapturedStage]]:
     captured: list[CapturedStage] = []
     originals = {cls: cls.__dict__["localCheckpoint"] for cls in _checkpoint_classes()}
 

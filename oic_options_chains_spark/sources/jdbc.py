@@ -169,15 +169,18 @@ def _sql_states(exc: Exception) -> set[str]:
     ``getCause`` links instead of substring-matching the stringified
     error (which could false-positive on data echoed in the message).
     Falls back to scanning the message for the known retryable states
-    only when no java exception is attached at all.
+    whenever the walk yields NO state at all — either because no java
+    exception was attached, or because the chain hid its SQLState past
+    the 16-link bound / behind getSQLState() raising. The walk stays
+    authoritative when it finds anything; the fallback only widens the
+    empty case toward retrying (fail-safe for a genuinely retryable
+    dup-key race whose state the chain didn't expose).
     """
     states: set[str] = set()
     je = getattr(exc, "java_exception", None)
-    walked = False
     for _ in range(16):  # bound against cyclic cause chains
         if je is None:
             break
-        walked = True
         try:
             state = je.getSQLState()
             if state:
@@ -193,7 +196,7 @@ def _sql_states(exc: Exception) -> set[str]:
             if nxt is not None:
                 break
         je = nxt
-    if not walked:
+    if not states:
         text = str(exc)
         states = {s for s in RETRYABLE_SQL_STATES if s in text}
     return states

@@ -64,14 +64,23 @@ def table_row_count(
     the call raises rather than crashing mid-os.walk)."""
     assert name in TABLES, f"unknown table {name}"
     import os
-    import re
+    from urllib.parse import unquote, urlsplit
 
     import pyarrow.parquet as pq
 
     path = f"{sf_dir}/{name}.parquet"
-    scheme = re.match(r"^([a-z0-9+.-]+)://", sf_dir, re.IGNORECASE)
-    if scheme is None or scheme.group(1).lower() == "file":
-        lpath = path[len("file://") :] if path.startswith("file://") else path
+    # Normalize the scheme ONCE: urlsplit handles every local spelling —
+    # plain /p, file:///p, Spark-canonical single-slash file:/p, and any
+    # case of the scheme (FILE://) — where an ad-hoc startswith("file://")
+    # strip missed the last two.  A file URI with a non-local authority
+    # falls through to the pyarrow-filesystem branch.
+    parts = urlsplit(path)
+    scheme = parts.scheme.lower()
+    if (scheme in ("", "file") and parts.netloc in ("", "localhost")) or (
+        # windows-style drive letters parse as a 1-char "scheme"
+        len(parts.scheme) == 1
+    ):
+        lpath = path if scheme != "file" else unquote(parts.path)
         if os.path.isdir(lpath):
             total = 0
             for root, _dirs, files in os.walk(lpath):
