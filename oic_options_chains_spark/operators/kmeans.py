@@ -94,6 +94,81 @@ def _centroid_state(assigned: DataFrame) -> DataFrame:
     return arrays.join(counts, "cid")
 
 
+# Lloyd assignment switches from the interpreted JVM fold to the
+# BLAS-vectorized Arrow kernel at this centroid count: the fold is
+# O(n*k*d) INTERPRETED expression evaluation (HOFs never reach codegen),
+# which is the superlinear term when k scales with the corpus (the
+# SemDeDup scaled-k curve measured slope 1.16 on it); the kernel is one
+# int64 matmul per Arrow batch. Both paths are bit-identical by
+# construction (see _assign_clusters_vectorized) and property-tested
+# against each other, so the threshold is a pure cost knob.
+VECTORIZED_ASSIGN_MIN_K = 32
+
+
+def _assign_clusters_vectorized(qv: DataFrame, centroids: DataFrame, k_bound: int) -> DataFrame:
+    """The large-k assignment path: exact integer moments in numpy.
+
+    Bit-identical to the fold in :func:`assign_clusters`:
+
+    - b = q . s is an int64 matmul — exact, same wrap semantics as the
+      JVM bigint fold in its legal range.
+    - d replays ``_dist``'s EXACT double expression shape left-to-right:
+      ``(a - (2.0 * b) / n) + ss / (n * n)`` with every operand
+      correctly-rounded to float64 first (numpy float64 ops are the same
+      IEEE primitives the JVM uses, so the doubles match bit-for-bit).
+    - the centroid rows are sorted by cid and ``np.argmin`` takes the
+      FIRST minimum — the same lowest-cid tie-break as the fold's
+      ``array_min`` over cid-ascending (d, cid) structs.
+
+    The centroid relation is k rows by construction — the driver-side
+    collect is bounds-guarded at ``k_bound + 1`` and ships to executors
+    as a closure (the same broadcast the fold's packed-array crossJoin
+    performs). Arrow batches stream through one ``mapInPandas`` kernel:
+    no shuffle, no per-row Python.
+    """
+    from pyspark.sql.types import StructField, StructType
+
+    rows = centroids.select("cid", "sarr", "n", "ss").limit(k_bound + 1).collect()
+    assert len(rows) <= k_bound, (
+        f"centroid relation holds >{k_bound} rows; pass the true k as k_bound"
+    )
+    rows.sort(key=lambda r: r["cid"])
+    import numpy as np
+
+    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+    sarr = np.array([r["sarr"] for r in rows], dtype=np.int64)  # k x d
+    n = np.array([r["n"] for r in rows], dtype=np.float64)
+    # decimal(38,0) -> float64 is correctly rounded on both engines
+    ss = np.array([float(r["ss"]) for r in rows], dtype=np.float64)
+    n_sq = n * n
+
+    schema = StructType(
+        [
+            qv.schema["vec_id"],
+            qv.schema["qarr"],
+            StructField("cid", qv.schema["vec_id"].dataType),
+        ]
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"vec_id": [], "qarr": [], "cid": []})
+                continue
+            q = np.array(pdf["qarr"].tolist(), dtype=np.int64)  # b x d
+            a = (q * q).sum(axis=1).astype(np.float64)
+            b = (q @ sarr.T).astype(np.float64)
+            d = (a[:, None] - (2.0 * b) / n[None, :]) + ss[None, :] / n_sq[None, :]
+            best = np.argmin(d, axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "qarr": pdf["qarr"], "cid": cids[best]}
+            )
+
+    return qv.mapInPandas(kernel, schema)
+
+
 def assign_clusters(qv: DataFrame, centroids: DataFrame) -> DataFrame:
     """(vec_id, qarr, cid): argmin-distance assignment as a pure projection.
 
@@ -102,6 +177,12 @@ def assign_clusters(qv: DataFrame, centroids: DataFrame) -> DataFrame:
     no shuffle, no window. Strict ``<`` over the cid-ascending array
     breaks distance ties toward the lowest cid (mirrors the oracle's
     ``ORDER BY d, cid``).
+
+    This fold stays INTERPRETED (higher-order functions never enter
+    codegen), so its cost is O(n*k*d) interpreted ops — the right shape
+    while k is a small constant. ``kmeans_fit`` routes k >=
+    ``VECTORIZED_ASSIGN_MIN_K`` through the bit-identical
+    :func:`_assign_clusters_vectorized` matmul kernel instead.
     """
     packed = centroids.agg(
         F.array_sort(F.collect_list(F.struct("cid", "sarr", "n", "ss"))).alias("cents")
@@ -128,6 +209,7 @@ def kmeans_fit(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectorized_assign: bool | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run ``iters`` Lloyd iterations; return (assignments, centroids).
 
@@ -142,9 +224,19 @@ def kmeans_fit(
     The loop builds one lazy plan; centroid subtrees are k rows, so plan
     growth is the only cost of staying fully declarative. For deep
     iteration counts persist the (tiny) centroid state per round.
+
+    ``vectorized_assign`` (default: ``k >= VECTORIZED_ASSIGN_MIN_K``)
+    routes each assignment through the bit-identical matmul kernel — the
+    scale path when k grows with the corpus (IVF-style cell counts): the
+    interpreted fold is O(n*k*d) and measured superlinear at k ~ sqrt(n)
+    (slope 1.16 on the SemDeDup scaled-k curve), the kernel is one BLAS
+    matmul per Arrow batch. Results are identical either way, so
+    oracle-checked small-k callers keep the fully declarative fold.
     """
     if iters < 1:
         raise ValueError(f"kmeans_fit requires iters >= 1, got {iters}")
+    if vectorized_assign is None:
+        vectorized_assign = k >= VECTORIZED_ASSIGN_MIN_K
     qv = quantize(embeddings, id_col, vec_col)
     seeds = qv.orderBy("vec_id").limit(k)
     # each centroid state is k rows but is referenced by every later
@@ -156,7 +248,10 @@ def kmeans_fit(
     ).cache()
     assigned = None
     for _ in range(iters):
-        assigned = assign_clusters(qv, centroids)
+        if vectorized_assign:
+            assigned = _assign_clusters_vectorized(qv, centroids, k_bound=k)
+        else:
+            assigned = assign_clusters(qv, centroids)
         centroids = _centroid_state(assigned).cache()
     return assigned, centroids
 
@@ -258,41 +353,107 @@ def ivf_kmeans_topk(
     )
 
 
-def _auto_sub_bits(n_rows: int, k: int) -> int:
-    """Default sub-LSH width for ``semantic_dedup``: 0 (exact
-    within-cell pairing) while the EXPECTED cell n/k fits the shared
-    bucket target, else ``similarity.bits_for`` of the cell size — the
-    split that keeps pair groups ~target-rows as the corpus grows."""
-    from oic_options_chains_spark.operators.similarity import (
-        DEFAULT_TARGET_BUCKET_ROWS,
-        bits_for,
+# widest per-cell sub-LSH prefix the hot-cell router will apply: 2^16
+# sub-buckets inside ONE cell is already executor-grain; embeddings
+# shorter than this many dims simply saturate at their own length
+_HOT_SUB_MAX_BITS = 16
+
+
+def _hot_cell_widths(assigned: DataFrame, cap: int) -> DataFrame:
+    """(cid, __w): the cells holding more than ``cap`` members, each with
+    the sub-LSH prefix width that splits it back to ~cap-row pair groups
+    (ceil(log2(n/cap)), capped at ``_HOT_SUB_MAX_BITS``).
+
+    This is the SemDeDup twin of the aHash hot-bucket relation
+    (phash.pairs_from_band_table): tiny by construction — at most k rows
+    survive the ``> cap`` filter — so it broadcasts, and the count
+    aggregate is map-side combinable over the assignment relation.
+    Callers materialize it (k-bounded collect) so the common no-hot-cell
+    corpus skips the routing join entirely."""
+    return (
+        assigned.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("__cn"))
+        .filter(F.col("__cn") > cap)
+        .select(
+            "cid",
+            F.least(
+                F.lit(_HOT_SUB_MAX_BITS),
+                F.greatest(
+                    F.lit(1),
+                    F.ceil(F.log2(F.col("__cn").cast("double") / F.lit(float(cap)))),
+                ),
+            )
+            .cast("int")
+            .alias("__w"),
+        )
     )
 
-    expected_cell = n_rows / max(k, 1)
-    if expected_cell <= DEFAULT_TARGET_BUCKET_ROWS:
-        return 0
-    return bits_for(int(expected_cell))
+
+def _sign_prefix(n_bits: int) -> Column:
+    """'1'/'0' sign string of the leading ``n_bits`` quantized dims.
+
+    ``F.get`` (0-based) instead of ``element_at``: past-the-end dims read
+    NULL -> '0' rather than raising under ANSI, so a 16-wide hot-cell
+    prefix is safe on embeddings shorter than 16 dims (it just saturates
+    at the vector length)."""
+    return F.concat(
+        *[
+            F.when(F.get(F.col("qarr"), i) > 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(n_bits)
+        ]
+    )
 
 
-def _cell_pair_distances(assigned: DataFrame, sub_bits: int) -> DataFrame:
+def _resolved_hot_cells(assigned: DataFrame, cap: int, k: int) -> DataFrame | None:
+    """Materialize :func:`_hot_cell_widths` into a literal k-bounded
+    relation, or None when no cell crossed the cap — so the typical
+    healthy corpus pays one tiny aggregate over the already-checkpointed
+    assignment and ZERO extra operators in the pairing plan (measured
+    ~0.4 s of per-query overhead at bench scale for the in-plan join
+    form, all of it for nothing when the relation is empty)."""
+    rows = _hot_cell_widths(assigned, cap).limit(k + 1).collect()
+    assert len(rows) <= k, "hot-cell relation exceeded the centroid count"
+    if not rows:
+        return None
+    spark = assigned.sparkSession
+    cid_type = assigned.schema["cid"].dataType.simpleString()
+    return spark.createDataFrame(
+        [(r["cid"], r["__w"]) for r in rows], f"cid {cid_type}, __w int"
+    )
+
+
+def _cell_pair_distances(
+    assigned: DataFrame, sub_bits: int, hot_cells: DataFrame | None = None
+) -> DataFrame:
     """(cid, vid_hi, vid_lo, d): exact integer distances of every
     within-cell (optionally sub-LSH-restricted) ordered pair — the
     pairing core shared by ``semantic_dedup`` (fixed eps) and
     ``semantic_dedup_auto_eps`` (quantile-derived eps). Salted on the
-    cell key (see semantic_dedup docstring)."""
+    cell key (see semantic_dedup docstring).
+
+    ``sub_bits > 0`` restricts every cell's pairing to one global-width
+    sign bucket (the pinned, oracle-replayable knob). ``hot_cells``
+    (exclusive with sub_bits) routes ONLY the cells named in that
+    (cid, __w) relation through a per-cell-width sign bucket — small
+    cells keep the exact pairing, so the split cost and the recall trade
+    are both confined to the cells that actually blew past the cap."""
     from oic_options_chains_spark.operators.skew import salted_join
 
     keys = ["cid"]
     if sub_bits > 0:
-        sub = F.concat(
-            *[
-                F.when(F.element_at(F.col("qarr"), i + 1) > 0, F.lit("1")).otherwise(
-                    F.lit("0")
-                )
-                for i in range(sub_bits)
-            ]
+        assigned = assigned.withColumn("__sub", _sign_prefix(sub_bits))
+        keys = ["cid", "__sub"]
+    elif hot_cells is not None:
+        assigned = (
+            assigned.join(F.broadcast(hot_cells), "cid", "left")
+            .withColumn(
+                "__sub",
+                F.when(F.col("__w").isNull(), F.lit("")).otherwise(
+                    _sign_prefix(_HOT_SUB_MAX_BITS).substr(F.lit(1), F.col("__w"))
+                ),
+            )
+            .drop("__w")
         )
-        assigned = assigned.withColumn("__sub", sub)
         keys = ["cid", "__sub"]
     a = assigned.select(
         *keys,
@@ -321,6 +482,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sub_bits: int | None = None,
+    hot_cell_cap: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster embeddings with k-means,
     then drop any vector whose cluster holds a LOWER-id vector within
@@ -362,19 +524,46 @@ def semantic_dedup(
     cost O(n · E[bucket]). The trade is recall at sub-bucket
     boundaries — the same miss class as SemDeDup's own cell boundaries.
 
-    DEFAULT (``sub_bits=None``) derives the split from the EXPECTED
-    CELL size, ceil(log2((n/k)/target)) with target =
-    ``similarity.DEFAULT_TARGET_BUCKET_ROWS``: 0 (exact within-cell
-    pairing) while cells fit an executor, growing log2 with the corpus
-    after that — so the default path is scale-safe (measured slope
-    1.18 exact vs 0.34 sub-LSH at 10x data, SCALE_CURVE round 6)
-    while small/gate-scale corpora keep the exact oracle-checked
-    behavior bit-for-bit. Pin ``sub_bits=0`` for the verification
-    form, or an explicit width for oracle determinism at scale."""
-    if sub_bits is None:
-        sub_bits = _auto_sub_bits(embeddings.count(), k)
+    DEFAULT (``sub_bits=None``) routes PER CELL, by ACTUAL cell size —
+    the round-11 rework of the old expected-cell global width, mirroring
+    the aHash hot-bucket split (phash.pairs_from_band_table): every cell
+    at or under ``hot_cell_cap`` members (default
+    ``similarity.DEFAULT_TARGET_BUCKET_ROWS``) pairs exactly; a cell
+    above it pairs within a sign-LSH sub-bucket sized to its OWN
+    overflow, ceil(log2(cell/cap)) leading-dim signs. Expected-cell
+    sizing misses exactly the corpora that need the split most — a
+    clumped/skewed corpus concentrates in few cells while n/k looks
+    harmless — and a global width taxes every healthy cell with the
+    recall trade only the hot ones require. Identical vectors share
+    every sign prefix, so EXACT duplicates are never lost to routing;
+    the boundary-miss class is the same one SemDeDup's own cell
+    boundaries already carry. Small/gate-scale corpora cannot cross the
+    cap, so the oracle-checked exact behavior is preserved bit-for-bit.
+    Pin ``sub_bits=0`` for the pure verification form (no routing), or
+    an explicit width for oracle determinism of the split itself
+    (``q_semdedup_sub``); ``hot_cell_cap`` only applies to the default
+    path.
+
+    The assignment relation is localCheckpointed before pairing: both
+    pair sides (and the hot-cell counts) read the materialized rows
+    instead of re-running the O(n*k*d) assignment once per reference —
+    at scaled k that recompute, not the pairing, was the measured
+    superlinear term (SCALE_CURVE r10: scaled_k slope_last 1.16)."""
+    routed = sub_bits is None
+    if routed:
+        sub_bits = 0
+        if hot_cell_cap is None:
+            from oic_options_chains_spark.operators.similarity import (
+                DEFAULT_TARGET_BUCKET_ROWS,
+            )
+
+            hot_cell_cap = DEFAULT_TARGET_BUCKET_ROWS
     assigned, _ = kmeans_fit(embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
-    close = _cell_pair_distances(assigned, sub_bits).filter(F.col("d") <= eps)
+    assigned = assigned.localCheckpoint(eager=True)
+    hot_cells = _resolved_hot_cells(assigned, hot_cell_cap, k) if routed else None
+    close = _cell_pair_distances(assigned, sub_bits, hot_cells).filter(
+        F.col("d") <= eps
+    )
     best = close.groupBy("vid_hi", "cid").agg(
         F.min("vid_lo").alias("keeper"),
         F.min_by("d", "vid_lo").alias("dist"),
@@ -432,6 +621,7 @@ def semantic_dedup_auto_eps(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sub_bits: int | None = None,
+    hot_cell_cap: int | None = None,
 ) -> DataFrame:
     """SemDeDup with the eps threshold DERIVED from the corpus itself:
     eps = the exact ``pct_bp``-basis-point lower order statistic of the
@@ -451,15 +641,33 @@ def semantic_dedup_auto_eps(
     single-reducer global sort), and the 1-row eps broadcasts back.
 
     Returns the dropped rows (vec_id, cid, keeper, dist, eps) — eps
-    included so downstream audit sees the threshold that was applied."""
+    included so downstream audit sees the threshold that was applied.
+
+    Default routing matches ``semantic_dedup``: ``sub_bits=None`` pairs
+    exactly except inside cells past ``hot_cell_cap``, which take a
+    per-cell sign-LSH split; on such a corpus the order statistic is
+    taken over the ROUTED pair distribution (deterministic; the excluded
+    pairs are sub-bucket-boundary pairs — the same miss class the cell
+    boundaries already carry)."""
     from oic_options_chains_spark.operators.sampling import global_rank
 
-    if sub_bits is None:
-        sub_bits = _auto_sub_bits(embeddings.count(), k)
+    routed = sub_bits is None
+    if routed:
+        sub_bits = 0
+        if hot_cell_cap is None:
+            from oic_options_chains_spark.operators.similarity import (
+                DEFAULT_TARGET_BUCKET_ROWS,
+            )
+
+            hot_cell_cap = DEFAULT_TARGET_BUCKET_ROWS
     assigned, _ = kmeans_fit(
         embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col
     )
-    dists = _cell_pair_distances(assigned, sub_bits).localCheckpoint(eager=True)
+    assigned = assigned.localCheckpoint(eager=True)
+    hot_cells = _resolved_hot_cells(assigned, hot_cell_cap, k) if routed else None
+    dists = _cell_pair_distances(assigned, sub_bits, hot_cells).localCheckpoint(
+        eager=True
+    )
     ranked = global_rank(dists, ["d", "vid_hi", "vid_lo"], out="__rank")
     n = dists.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
     eps_row = (

@@ -189,22 +189,26 @@ def test_multiprobe_dominates_single_probe_recall(spark, sf_dir):
     assert all(r.recall_bp == 10000 for r in perfect)
 
 
-def test_auto_sub_bits_scales_with_corpus():
-    """semantic_dedup's DEFAULT sub-LSH width: exact (0) while the
-    expected cell fits the bucket target, then log2 growth — the
-    round-6 scale-curve fix (slope 1.18 exact vs 0.34 sub-LSH)."""
-    from oic_options_chains_spark.operators.kmeans import _auto_sub_bits
+def test_hot_cell_widths_per_cell(spark):
+    """semantic_dedup's DEFAULT routing (round-11 rework of the old
+    expected-cell global width): only cells ACTUALLY past the cap get a
+    sub-LSH width, sized per cell as ceil(log2(n/cap)) and capped at 16.
+    Expected-cell sizing misses clumped corpora — this keys on actuals."""
+    from oic_options_chains_spark.operators.kmeans import _hot_cell_widths
 
-    assert _auto_sub_bits(500, 8) == 0  # gate-scale corpus: exact path
-    assert _auto_sub_bits(8 * 1024, 8) == 0  # boundary: cell == target
-    assert _auto_sub_bits(8 * 2048, 8) == 1
-    assert _auto_sub_bits(8 * 1024 * 1024, 8) == 10
-    # monotone nondecreasing in n
-    prev = 0
-    for n in (1_000, 10_000, 100_000, 1_000_000, 10_000_000):
-        b = _auto_sub_bits(n, 8)
-        assert b >= prev
-        prev = b
+    cap = 4
+    sizes = {1: 3, 2: 4, 3: 5, 4: 8, 5: 9, 6: 4 * (1 << 20)}
+    rows = [(cid, i) for cid, n in sizes.items() for i in range(n)]
+    assigned = spark.createDataFrame(rows, "cid int, vec_id int")
+    got = {
+        r["cid"]: r["__w"] for r in _hot_cell_widths(assigned, cap).collect()
+    }
+    # cells at or under the cap pair exactly: no row at all
+    assert 1 not in got and 2 not in got
+    assert got[3] == 1  # 5/4 -> ceil(log2(1.25)) = 1
+    assert got[4] == 1  # 8/4 -> exactly one bit
+    assert got[5] == 2  # 9/4 -> ceil(log2(2.25)) = 2
+    assert got[6] == 16  # 2^20 over the cap: saturates at _HOT_SUB_MAX_BITS
 
 
 def test_bucketed_knn_default_bits_auto(spark, sf_dir):
