@@ -159,28 +159,105 @@ def lsh_bands(sig_df: DataFrame, id_col: str, rows_per_band: int = 4) -> DataFra
     )
 
 
-def lsh_candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
+def lsh_candidate_pairs(
+    bands_df: DataFrame, id_col: str, hot_bucket_cap: int | None = None
+) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing any band bucket.
 
     The self-join shuffles on (band, band_key) — the LSH bucket — so work
     is proportional to bucket sizes, never to n^2.
+
+    ``hot_bucket_cap`` is the pair-contract twin of the aHash two-tier
+    split (phash.pairs_from_band_table) for TEMPLATE-HEAVY corpora: a
+    shared boilerplate prefix biases one band's minima, so a single
+    (band, band_key) bucket holds B docs that are NOT near-dups overall
+    — the plain join emits B^2/2 candidates and downstream verify kills
+    ~all of them (the Zipf aHash twin measured 156 M candidates, 99 %
+    verify-fail, from exactly this shape). With the cap set:
+
+    - buckets <= cap: the plain bucket join, unchanged;
+    - hot buckets: a member pair must ALSO agree on one of its OTHER
+      band keys — the hot join adds (sub_band, sub_key) from each
+      member's remaining bands to the key, so a biased bucket fragments
+      into second-band sub-buckets and the quadratic term is removed
+      rather than salted around.
+
+    Semantics under the cap: unlike the aHash split there is no
+    pigeonhole guarantee to hide behind — MinHash banding is already
+    probabilistic, and demanding a second band inside hot buckets
+    TIGHTENS the effective S-curve for those members only (a true
+    near-dup pair at shingle-similarity s keeps probability
+    1-(1-s^r)^(b-1) of a second-band match: ~1 for real dups, tiny for
+    the template false-positives that made the bucket hot). EXACT
+    duplicates agree on every band, so they are never lost. The DEFAULT
+    (None) keeps the pair contract bit-exact for oracle replay; set the
+    cap on crawl-scale corpora, where an uncapped hot bucket is a job
+    killer, and document the recall trade with the run. Docs carrying a
+    single band (num_hashes == rows_per_band) have no second band to
+    agree on — the cap would drop all their hot pairs, so it is
+    rejected.
     """
     a = bands_df.alias("a")
     b = bands_df.alias("b")
-    return (
-        a.join(
-            b,
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.band_key") == F.col("b.band_key"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
+    plain_on = [
+        F.col("a.band") == F.col("b.band"),
+        F.col("a.band_key") == F.col("b.band_key"),
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+    ]
+    if hot_bucket_cap is None:
+        return (
+            a.join(b, on=plain_on)
+            .select(
+                F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"),
+            )
+            .distinct()
         )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+    # bounded probe, not a corpus aggregate: banding emits every band
+    # index for every doc, so one row with band >= 1 proves multi-band
+    if bands_df.filter(F.col("band") >= 1).limit(1).count() == 0:
+        raise ValueError(
+            "hot_bucket_cap needs >= 2 bands per doc (a hot pair must be "
+            "able to agree on a second band); got a single-band table"
         )
-        .distinct()
+    hot = (
+        bands_df.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") > hot_bucket_cap)
+        .select("band", "band_key", F.lit(True).alias("__hot"))
     )
+    tagged = bands_df.join(F.broadcast(hot), ["band", "band_key"], "left")
+    normal = tagged.filter(F.col("__hot").isNull()).drop("__hot")
+    na, nb = normal.alias("a"), normal.alias("b")
+    cand_normal = na.join(nb, on=plain_on).select(
+        F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+    )
+    # hot tier: expand each hot-bucket member with its OTHER bands and
+    # key the join on (bucket, second band) — the sub relation reuses
+    # the same bands_df, so no new corpus pass
+    subs = bands_df.select(
+        F.col(id_col).alias("__sid"),
+        F.col("band").alias("sub_band"),
+        F.col("band_key").alias("sub_key"),
+    )
+    hot_rows = (
+        tagged.filter(F.col("__hot"))
+        .drop("__hot")
+        .join(subs, on=[F.col(id_col) == F.col("__sid"), F.col("band") != F.col("sub_band")])
+        .drop("__sid")
+    )
+    ha, hb = hot_rows.alias("a"), hot_rows.alias("b")
+    cand_hot = ha.join(
+        hb,
+        on=plain_on
+        + [
+            F.col("a.sub_band") == F.col("b.sub_band"),
+            F.col("a.sub_key") == F.col("b.sub_key"),
+        ],
+    ).select(
+        F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+    )
+    return cand_normal.unionByName(cand_hot).distinct()
 
 
 def lsh_star_edges(bands_df: DataFrame, id_col: str) -> DataFrame:

@@ -104,6 +104,28 @@ def _semdedup_sub_lsh(spark, sf_dir):
     )
 
 
+def _minhash_pairs_hot_cap(spark, sf_dir):
+    """The pair-contract hot-bucket guard (round-11): inside band
+    buckets past the cap a candidate pair must also agree on a second
+    band (minhash.lsh_candidate_pairs hot_bucket_cap). On uniform
+    replicated corpora hot buckets fragment on second bands and the
+    capped join is FASTER than the clique; on exact-dup megabuckets the
+    pair CONTRACT itself is quadratic (use lsh_star_edges for cluster
+    consumers) — this curve entry records both corpora honestly."""
+    from oic_options_chains_spark.operators.minhash import (
+        doc_shingles,
+        lsh_candidate_pairs,
+        minhash_band_keys,
+    )
+    from oic_options_chains_spark.sources.registry import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    bands = minhash_band_keys(
+        doc_shingles(d, "doc_id", "text", distinct=False), "doc_id"
+    )
+    return lsh_candidate_pairs(bands, "doc_id", hot_bucket_cap=1024)
+
+
 def _vl_build_scaled_shards(spark, sf_dir):
     """The documented q_vl_build scale knob (VERDICT r9 item 4): the
     per-shard window sort is the only super-constant stage, so n_shards
@@ -136,6 +158,7 @@ def _vl_build_scaled_shards(spark, sf_dir):
 SCALED_VARIANTS = {
     "q_semdedup@scaled_k": _semdedup_scaled_k,
     "q_semdedup@sub_lsh": _semdedup_sub_lsh,
+    "q_minhash_lsh_pairs@hot_cap": _minhash_pairs_hot_cap,
     "q_knn_triangles@scaled_bits": _knn_triangles_scaled_bits,
     "q_vl_build@scaled_shards": _vl_build_scaled_shards,
 }
