@@ -453,6 +453,44 @@ def ahash_incremental(
     # same inferred-filter barrier as ahash_pairs (tiny relations)
     base_h = base_h.localCheckpoint(eager=True)
     delta_h = delta_h.localCheckpoint(eager=True)
+    best = incremental_screen_from_band_tables(
+        base_h, delta_h, max_hamming=max_hamming, hot_bucket_cap=hot_bucket_cap
+    )
+    return (
+        delta.select(F.col(id_col).alias("delta_id"))
+        .join(best, "delta_id", "left")
+        .select(
+            F.col("delta_id").alias(id_col),
+            F.when(F.col("base_id").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("kept"),
+            F.col("base_id").cast("bigint").alias("dup_of"),
+            F.col("hamming").cast("bigint").alias("hamming"),
+        )
+    )
+
+
+def incremental_screen_from_band_tables(
+    base_h: DataFrame,
+    delta_h: DataFrame,
+    max_hamming: int = 3,
+    hot_bucket_cap: int = 1024,
+) -> DataFrame:
+    """The delta-vs-base banded screen of :func:`ahash_incremental`,
+    factored to the prepared-band-table layer (__id, __bands — the
+    :func:`ahash_band_table` contract) so the tier split is testable
+    with CONTROLLED band values: (delta_id, base_id, hamming) with one
+    row per delta image that verifies at <= ``max_hamming`` against
+    some base image (best match: hamming asc, base_id asc).
+
+    The hot relation is computed from the BASE index only and applied
+    to BOTH sides, so within one screen the tier decision can never
+    disagree between base and delta; across micro-batches a bucket may
+    cross ``hot_bucket_cap`` as deltas fold into the base, which
+    changes the JOIN KEY SHAPE for that bucket on the next batch but
+    not the result set — both tiers are exact by pigeonhole (property:
+    tests/test_round11_ahash_cap.py)."""
 
     def banded(h: DataFrame, prefix: str) -> DataFrame:
         return h.select(
@@ -528,23 +566,10 @@ def ahash_incremental(
     w = Window.partitionBy("delta_id").orderBy(
         F.col("hamming").asc(), F.col("base_id").asc()
     )
-    best = (
+    return (
         scored.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") == 1)
         .select("delta_id", "base_id", "hamming")
-    )
-    return (
-        delta.select(F.col(id_col).alias("delta_id"))
-        .join(best, "delta_id", "left")
-        .select(
-            F.col("delta_id").alias(id_col),
-            F.when(F.col("base_id").isNull(), F.lit(1))
-            .otherwise(F.lit(0))
-            .cast("int")
-            .alias("kept"),
-            F.col("base_id").cast("bigint").alias("dup_of"),
-            F.col("hamming").cast("bigint").alias("hamming"),
-        )
     )
 
 
