@@ -279,6 +279,213 @@ def cross_near_pairs(
     )
 
 
+def _hp_sign_py(i: int, k: int) -> int:
+    """±1 hyperplane-matrix entry from md5("hp:i:k") parity — the same
+    regenerate-anywhere convention as the JL matrix
+    (operators/projection._sign_py), in its own "hp:" namespace so
+    composing this with a JL projection never reuses planes."""
+    import hashlib
+
+    h = int(hashlib.md5(f"hp:{i}:{k}".encode()).hexdigest()[:8], 16)
+    return 1 if h % 2 == 0 else -1
+
+
+def hyperplane_keys_expr(
+    vec: Column, n_tables: int, bits_per_table: int, in_dim: int
+) -> Column:
+    """array<bigint> of ``n_tables`` packed hyperplane-sign keys for one
+    vector — the oracle-replayable expression tier.
+
+    Plane k = t * bits_per_table + j is the md5-parity ±1 row
+    ``_hp_sign_py(·, k)``; bit j of table t's key is 1 iff the
+    QUANTIZED dot (floor(x*4096), the repo-wide integer convention)
+    with that row is >= 0. All arithmetic is exact integers, so any
+    engine regenerating the matrix from the formula computes identical
+    keys. The sign matrix inlines as driver-side literals (the
+    jl_project lesson: per-row md5 costs 1000x the multiply-adds it
+    gates)."""
+    from oic_options_chains_spark.operators.projection import quantized
+
+    q = quantized(vec)
+    keys = []
+    for t in range(n_tables):
+        key = None
+        for j in range(bits_per_table):
+            k = t * bits_per_table + j
+            signs = F.array(
+                *[F.lit(_hp_sign_py(i, k)).cast("bigint") for i in range(in_dim)]
+            )
+            d = F.aggregate(
+                F.zip_with(q, signs, lambda x, s: x * s),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+            term = F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("bigint")
+            key = term if key is None else key + term
+        keys.append(key)
+    return F.array(*keys)
+
+
+def _hyperplane_keys_kernel(
+    df: DataFrame,
+    vec_col: str,
+    n_tables: int,
+    bits_per_table: int,
+    in_dim: int,
+) -> DataFrame:
+    """All input columns plus ``__keys`` (array<bigint>, length
+    ``n_tables``) — the Arrow-batched twin of :func:`hyperplane_keys_expr`
+    for wide table sets, bit-identical by construction: the quantized
+    dot is an int64 matmul (exact in range: |q_i| <= 4096 * |x|, dim
+    * 4096^2 << 2^63) and bit j is ``dot >= 0``, the same predicate.
+    The L*b*d multiply-adds per row run once per Arrow BATCH in BLAS
+    instead of L*b interpreted JVM folds (higher-order functions never
+    reach codegen — the kmeans large-k lesson)."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    planes = n_tables * bits_per_table
+    smat = np.array(
+        [[_hp_sign_py(i, k) for k in range(planes)] for i in range(in_dim)],
+        dtype=np.int64,
+    )  # d x (L*b)
+    weights = np.array(
+        [1 << j for j in range(bits_per_table)], dtype=np.int64
+    )
+    schema = StructType(
+        list(df.schema.fields) + [StructField("__keys", ArrayType(LongType()))]
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(__keys=pd.Series([], dtype=object))
+                continue
+            q = np.floor(
+                np.array(pdf[vec_col].tolist(), dtype=np.float64) * 4096
+            ).astype(np.int64)
+            bits = (q @ smat) >= 0  # rows x (L*b)
+            keys = (
+                bits.reshape(len(pdf), n_tables, bits_per_table) * weights
+            ).sum(axis=2)
+            yield pdf.assign(__keys=list(keys))
+
+    return df.mapInPandas(kernel, schema)
+
+
+# past this many planes the interpreted per-row fold chain dominates;
+# the Arrow matmul kernel takes over (both tiers bit-identical, so the
+# threshold is a pure cost knob — mirrors kmeans.VECTORIZED_ASSIGN_MIN_K)
+KERNEL_MIN_PLANES = 48
+
+
+def cross_near_pairs_banded(
+    probe: DataFrame,
+    reference: DataFrame,
+    threshold: float = 0.35,
+    n_tables: int = 12,
+    bits_per_table: int = 8,
+    in_dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_reference: bool = True,
+    use_kernel: bool | None = None,
+) -> DataFrame:
+    """Bipartite cosine near-pairs with BANDED hyperplane LSH — the
+    OR-amplified scale path of :func:`cross_near_pairs`.
+
+    A single sign-bucket equi-join prunes by AND over all its bits, so
+    its recall decays exponentially in ``bits``: measured on this
+    corpus, the pinned 4-bit screen finds ~15% of true cos>=0.35 pairs
+    and the bits_for(n) scaled form collapses to ~5% at sf2
+    (SCALE_CURVE recall_bp:pair_recall). Banding is the cosine analog
+    of MinHash banding: ``n_tables`` independent
+    ``bits_per_table``-bit hyperplane keys per vector; a pair is a
+    candidate when ANY table agrees, then exact cosine verifies. With
+    per-plane agreement p = 1 - theta/pi, pair recall is the S-curve
+    1 - (1 - p^b)^L — near-0 for unrelated vectors, near-1 for the
+    high-cosine pairs contamination screening exists to catch (exact
+    duplicates agree on every plane, so they are NEVER lost), tunable
+    at the threshold by (L, b).
+
+    100 TB shape: the reference (benchmark/eval) side is small and
+    fixed-size in real decontamination, so it is broadcast
+    (``broadcast_reference``) and the probe side is never shuffled —
+    per-probe-row cost is L key lookups + the verifies its buckets
+    admit, linear in the probe corpus. Emit-once via first-matching-
+    table (the aHash first-band pattern), so no candidate-wide
+    distinct. Key generation routes through an Arrow int64-matmul
+    kernel past ``KERNEL_MIN_PLANES`` (bit-identical to the
+    expression tier; property-tested).
+
+    Returns (id_a = probe id, id_b = reference id, score_e6). NULL
+    vectors never pair (dropped on both sides)."""
+    if use_kernel is None:
+        use_kernel = n_tables * bits_per_table >= KERNEL_MIN_PLANES
+
+    def prep(df: DataFrame) -> DataFrame:
+        base = df.filter(F.col(vec_col).isNotNull()).select(id_col, vec_col)
+        if use_kernel:
+            keyed = _hyperplane_keys_kernel(
+                base, vec_col, n_tables, bits_per_table, in_dim
+            )
+        else:
+            keyed = base.withColumn(
+                "__keys",
+                hyperplane_keys_expr(
+                    F.col(vec_col), n_tables, bits_per_table, in_dim
+                ),
+            )
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        return keyed.select(
+            F.col(id_col),
+            v.alias("__v"),
+            F.sqrt(_fold_sum(F.transform(v, lambda x: x * x))).alias("__n"),
+            "__keys",
+        ).select(
+            id_col,
+            "__v",
+            "__n",
+            "__keys",
+            F.posexplode("__keys").alias("__t", "__key"),
+        )
+
+    a = prep(probe).alias("a")
+    c = prep(reference)
+    c = (F.broadcast(c) if broadcast_reference else c).alias("c")
+    earlier = None
+    for tp in range(n_tables - 1):
+        m = (F.col("a.__t") > tp) & (
+            F.element_at(F.col("a.__keys"), tp + 1)
+            == F.element_at(F.col("c.__keys"), tp + 1)
+        )
+        earlier = m if earlier is None else earlier | m
+    cand = a.join(
+        c,
+        (F.col("a.__t") == F.col("c.__t")) & (F.col("a.__key") == F.col("c.__key")),
+    )
+    if earlier is not None:
+        cand = cand.filter(~earlier)
+    cos = dot_pre(F.col("a.__v"), F.col("c.__v")) / (
+        F.col("a.__n") * F.col("c.__n")
+    )
+    return (
+        cand.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"c.{id_col}").alias("id_b"),
+            cos.alias("__cos"),
+        )
+        .filter(F.col("__cos") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(F.lit(1e6) * F.col("__cos")).cast("bigint").alias("score_e6"),
+        )
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query: DataFrame,

@@ -126,6 +126,96 @@ def _minhash_pairs_hot_cap(spark, sf_dir):
     return lsh_candidate_pairs(bands, "doc_id", hot_bucket_cap=1024)
 
 
+def _semantic_decontam_scaled_bits(spark, sf_dir):
+    """The documented cross_near_pairs scale path: sign-bucket bits
+    derived from the PROBE (train) side's count via bits_for(n) instead
+    of the oracle-pinned bits=4. With 16 fixed buckets both bipartite
+    sides grow linearly in sf, so candidates grow ~n^2/16 — measured
+    slope_last 1.32 on the pinned form at sf1->sf2 (the only other
+    superlinear segment besides the fixed semdedup scaled-k). Auto bits
+    keep expected bucket occupancy flat; the recall probes record the
+    accuracy each form actually delivers against exact cosine ground
+    truth on a sampled eval side."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from oic_options_chains_spark.operators.similarity import cross_near_pairs
+    from oic_options_chains_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % 10 == 0)
+    tr = emb.filter(F.col("vec_id") % 10 != 0)
+    hits = cross_near_pairs(tr, ev, threshold=0.35, bits=None)  # auto
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("score_e6").desc(), F.col("id_b").asc()
+    )
+    return (
+        hits.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("id_a").alias("vec_id"),
+            F.col("id_b").alias("contaminant_id"),
+            "score_e6",
+        )
+    )
+
+
+def _decontam_top1(hits):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("score_e6").desc(), F.col("id_b").asc()
+    )
+    return (
+        hits.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("id_a").alias("vec_id"),
+            F.col("id_b").alias("contaminant_id"),
+            "score_e6",
+        )
+    )
+
+
+def _semantic_decontam_banded(spark, sf_dir):
+    """The recall-preserving scale path: banded hyperplane LSH
+    (similarity.cross_near_pairs_banded, L=12 tables x 8 bits,
+    OR-amplified) instead of one AND-over-all-bits sign bucket. The
+    recall probe records the S-curve's actual pair recall next to the
+    pinned and scaled single-bucket forms; exact duplicates are never
+    lost by construction."""
+    from pyspark.sql import functions as F
+
+    from oic_options_chains_spark.operators.similarity import (
+        cross_near_pairs_banded,
+    )
+    from oic_options_chains_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % 10 == 0)
+    tr = emb.filter(F.col("vec_id") % 10 != 0)
+    return _decontam_top1(cross_near_pairs_banded(tr, ev, threshold=0.35))
+
+
+def _semantic_decontam_fixed_eval(spark, sf_dir):
+    """The real-deployment cost shape: benchmark/eval suites do NOT
+    grow with the crawl, so the reference side is the sf0.1-sized eval
+    population (200 vectors) at every curve point while the probe side
+    scales. The pinned-bits operator is unchanged — this isolates the
+    superlinear term to the synthetic both-sides-scale corpus: with a
+    fixed reference the screen is linear in the probe corpus."""
+    from pyspark.sql import functions as F
+
+    from oic_options_chains_spark.operators.similarity import cross_near_pairs
+    from oic_options_chains_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.filter((F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 2000))
+    tr = emb.filter(F.col("vec_id") % 10 != 0)
+    return _decontam_top1(cross_near_pairs(tr, ev, threshold=0.35, bits=4))
+
+
 def _vl_build_scaled_shards(spark, sf_dir):
     """The documented q_vl_build scale knob (VERDICT r9 item 4): the
     per-shard window sort is the only super-constant stage, so n_shards
@@ -160,6 +250,9 @@ SCALED_VARIANTS = {
     "q_semdedup@sub_lsh": _semdedup_sub_lsh,
     "q_minhash_lsh_pairs@hot_cap": _minhash_pairs_hot_cap,
     "q_knn_triangles@scaled_bits": _knn_triangles_scaled_bits,
+    "q_semantic_decontam@scaled_bits": _semantic_decontam_scaled_bits,
+    "q_semantic_decontam@banded": _semantic_decontam_banded,
+    "q_semantic_decontam@fixed_eval": _semantic_decontam_fixed_eval,
     "q_vl_build@scaled_shards": _vl_build_scaled_shards,
 }
 
@@ -382,11 +475,75 @@ def _recall_simhash(spark, sf_dir) -> int:
     return 10_000 * hits // table_row_count(sf_dir, "documents")
 
 
+def _recall_decontam_at(bits_mode):
+    """Pair recall of the sign-bucket bipartite decontamination screen
+    against EXACT cosine ground truth, over a ~64-vector eval sample:
+    recall_bp = bucket-join pairs found / all pairs with cos >= 0.35.
+    ``bits_mode`` 'pinned' replays the oracle form (bits=4); 'scaled'
+    is the bits_for(n) scale path — recorded for BOTH so the curve
+    shows what accuracy the speedup costs on this corpus."""
+
+    def probe(spark, sf_dir) -> int:
+        from pyspark.sql import functions as F
+
+        from oic_options_chains_spark.operators.similarity import (
+            bits_for,
+            cosine,
+            cross_near_pairs,
+        )
+        from oic_options_chains_spark.sources.registry import (
+            load_table,
+            table_row_count,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        n = table_row_count(sf_dir, "embeddings")
+        step = max(1, (n // 10) // 64)
+        ev = emb.filter(
+            (F.col("vec_id") % 10 == 0)
+            & ((F.col("vec_id") / 10).cast("bigint") % step == 0)
+        ).localCheckpoint(eager=True)
+        tr = emb.filter(F.col("vec_id") % 10 != 0)
+        exact = (
+            tr.crossJoin(
+                F.broadcast(
+                    ev.select(
+                        F.col("vec_id").alias("id_b"),
+                        F.col("embedding").alias("__e"),
+                    )
+                )
+            )
+            .filter(cosine(F.col("embedding"), F.col("__e")) >= 0.35)
+            .count()
+        )
+        if exact == 0:
+            return 10_000
+        if bits_mode == "banded":
+            from oic_options_chains_spark.operators.similarity import (
+                cross_near_pairs_banded,
+            )
+
+            found = cross_near_pairs_banded(tr, ev, threshold=0.35).count()
+        else:
+            bits = 4 if bits_mode == "pinned" else bits_for(tr.count())
+            found = cross_near_pairs(tr, ev, threshold=0.35, bits=bits).count()
+        return 10_000 * found // exact
+
+    return probe
+
+
 RECALL_PROBES = {
     "q_ann_ivf_pq": {"ivf_batch": _recall_ann, "ivf_pq_q0": _recall_ann_pq},
     "q_minhash_lsh_pairs": {"production_banding": _recall_lsh},
     "q_ahash_dedup": {"sibling_detection": _recall_ahash},
     "q_simhash_pairs": {"planted_siblings": _recall_simhash},
+    "q_semantic_decontam": {"pair_recall": _recall_decontam_at("pinned")},
+    "q_semantic_decontam@scaled_bits": {
+        "pair_recall": _recall_decontam_at("scaled")
+    },
+    "q_semantic_decontam@banded": {
+        "pair_recall": _recall_decontam_at("banded")
+    },
 }
 
 
