@@ -406,37 +406,44 @@ def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time join: label every purchase with the SCD2 regime
     version valid AT its timestamp — the "query the warehouse as of t"
     semantics the reference's Dolt-versioned tables imply, expressed as
-    an equi+range join against the gaps-and-islands validity intervals
-    of operators/cdc.scd2_history. The join shuffles on the entity key
-    with the range predicate filtering inside each key's partition;
-    half-open intervals guarantee exactly one match per fact row
-    (zero-length intervals at duplicate timestamps can never match)."""
+    a lookup against the gaps-and-islands validity intervals of
+    operators/cdc.scd2_history. Because SCD2 intervals TILE each
+    entity's timeline (effective_to IS the next version's
+    effective_from; the last is open-ended), "the interval containing
+    ts" equals "the greatest effective_from <= ts", so the plan is the
+    union+sort+carry-forward as-of merge (asof.asof_join_union): one
+    shuffle on the entity key, no per-key pair products. The naive
+    equi+range join pays n_facts(u) * n_versions(u) candidates inside
+    every user's partition — the Zipf twin measured it at 117x wall
+    (one hot user holds a Zipf share of both sides); the merge form is
+    linear per key however skewed the entities are. Equal-
+    effective_from versions (regime flipped twice at one timestamp)
+    resolve to the highest version — exactly the rows the half-open
+    range form keeps, since the earlier same-instant interval is
+    zero-length and unmatchable (equivalence property-tested:
+    tests/test_round11_pit.py)."""
+    from oic_options_chains_spark.operators.asof import asof_join_union
+
     e = load_table(spark, sf_dir, "events")
     dim = scd2_history(e, "user_id", "event_type", "ts", "event_id").select(
         "user_id",
         F.col("event_type").alias("regime_type"),
         "effective_from",
-        "effective_to",
         "version",
+        F.col("effective_from").alias("__rt"),
     )
     fact = e.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
-    joined = fact.join(
+    return asof_join_union(
+        fact,
         dim,
-        on=[
-            fact["user_id"] == dim["user_id"],
-            fact["ts"] >= dim["effective_from"],
-            dim["effective_to"].isNull() | (fact["ts"] < dim["effective_to"]),
-        ],
-    )
-    return joined.select(
-        fact["event_id"],
-        fact["user_id"],
-        dim["version"],
-        dim["regime_type"],
-        dim["effective_from"],
-    )
+        on=["user_id"],
+        left_time="ts",
+        right_time="__rt",
+        tiebreak=("version",),
+        how="inner",
+    ).select("event_id", "user_id", "version", "regime_type", "effective_from")
 
 
 @register(

@@ -234,7 +234,19 @@ def q_selection_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     lm = lm_quality_scores(d).filter(F.col("lm_score") >= _LM_GATE)
-    surv = d.join(lm.select("doc_id", "lm_score"), "doc_id")
+    # materialization barrier: `surv` is consumed three times downstream
+    # (DSIR gram counts feed BOTH the ratio model and the scoring join,
+    # plus the final carry-columns join) and the branches' physical
+    # subtrees diverge enough that exchange reuse never fires — without
+    # the barrier the whole corpus-wide LM pass re-runs per consumer.
+    # Harmless on a gate that keeps few docs; on a corpus the gate DOESN'T
+    # prune (the Zipf template twin scores every doc fluent: 100k/100k
+    # survivors) the recompute tripled the query (zipf2 81 s -> 27 s).
+    # At warehouse scale this is the curated intermediate a pipeline
+    # persists anyway.
+    surv = d.join(lm.select("doc_id", "lm_score"), "doc_id").localCheckpoint(
+        eager=True
+    )
     sel = dsir_select(surv, F.col("lang") == _TARGET_LANG, k=_TOP_K)
     return sel.join(
         surv.select("doc_id", "lang", "source", "lm_score"), "doc_id"

@@ -412,17 +412,28 @@ def test_range_join_plans_stay_equi_keyed(spark, sf_dir):
     broadcast-nested-loop / cartesian over the range side.
     q_interval_join's bucketed strategy turns point-in-interval into a
     bucket EQUI join (exact bounds as a post-join filter); q_pit_join
-    shuffles on the entity equi-key with the time predicate evaluated
-    inside each key's partition. Exchange budgets pin the shuffle
-    count so a quietly-added repartition fails here, not at 100 TB."""
+    (round 11) is the union+sort+carry-forward as-of MERGE — no join
+    operator at all, one window sorted inside each entity partition, so
+    a hot entity costs its row count, never a per-key pair product (the
+    equi+range form measured 117x wall on the Zipf twin). Exchange
+    budgets pin the shuffle count so a quietly-added repartition fails
+    here, not at 100 TB."""
     for name, max_exchanges in (("q_interval_join", 4), ("q_pit_join", 4)):
         plan = _plan(QUERIES[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
         n_ex = plan.count("Exchange ")
         assert n_ex <= max_exchanges, f"{name}: {n_ex} exchanges > {max_exchanges}"
-        # the join itself must be hash- or sort-merge-keyed
-        assert ("SortMergeJoin" in plan) or ("HashJoin" in plan), name
+    # interval_join itself must stay hash- or sort-merge-keyed
+    plan = _plan(QUERIES["q_interval_join"](spark, sf_dir))
+    assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
+    # the PIT merge must have NO pairing join on its fact->label path
+    # (scd2_history's own build may join; the fact labeling must not) —
+    # the union+window shape means the word "Join" appears only via the
+    # dim build's self-structures, never a fact x dim product; lock the
+    # cheap invariant that the plan windows over the entity key instead
+    plan = _plan(QUERIES["q_pit_join"](spark, sf_dir))
+    assert "Window" in plan
 
 
 def test_round8_joins_stay_equi_keyed(spark, sf_dir):
