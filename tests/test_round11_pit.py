@@ -194,3 +194,36 @@ def test_carry_struct_is_atomic_across_null_attributes(spark):
     ).collect()
     assert len(got) == 1
     assert got[0].v == 50 and got[0].label is None and got[0].rt == 8
+
+
+@settings(max_examples=8, deadline=None)
+@given(seed=st.integers(0, 10**6))
+def test_asof_join_strategies_agree(spark, seed):
+    """asof_join(strategy='merge') == strategy='pairs' on random keyed
+    data including NULL right times (which never match in either form)
+    and exact right-time ties."""
+    rng = random.Random(seed)
+    left = spark.createDataFrame(
+        [
+            (i, rng.choice("AB"), rng.randrange(20))
+            for i in range(rng.randrange(1, 15))
+        ],
+        "lid long, k string, t long",
+    )
+    right = spark.createDataFrame(
+        [
+            (
+                rng.choice("ABC"),
+                rng.choice([None] + list(range(20))),
+                rng.randrange(100),
+            )
+            for _ in range(rng.randrange(1, 15))
+        ],
+        "k string, rt long, v long",
+    )
+    kwargs = dict(
+        on=["k"], left_time="t", right_time="rt", tiebreak=("v",), how="left"
+    )
+    pairs = asof_join(left, right, **kwargs)
+    merge = asof_join(left, right, strategy="merge", **kwargs)
+    assert _rows(merge.select(*pairs.columns)) == _rows(pairs)
