@@ -336,6 +336,93 @@ def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q_decontam_banded: QUEUED FOR r12 REGISTRATION -----------------------
+# (registry held at 219 this round per VERDICT r10 item 1). The query and
+# its DuckDB oracle are complete and cross-engine-tested now
+# (tests/test_round11_banded_oracle.py) so registration is a one-line
+# @register flip next round.
+
+DECONTAM_BANDED_ORACLE = """
+    WITH planes AS (
+      SELECT i, k,
+             CASE WHEN CAST(concat('0x', substr(md5('hp:' || i || ':' || k),
+                                   1, 8)) AS BIGINT) % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM range(0, 64) t1(i) CROSS JOIN range(0, 96) t2(k)),
+    qv AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 4096) AS BIGINT)) AS q
+      FROM embeddings),
+    qe AS (SELECT vec_id, unnest(range(0, len(q))) AS i, unnest(q) AS qi
+           FROM qv),
+    dots AS (SELECT qe.vec_id, p.k, SUM(qe.qi * p.s) AS d
+             FROM qe JOIN planes p ON qe.i = p.i GROUP BY 1, 2),
+    keys AS (
+      SELECT vec_id, CAST(k // 8 AS INT) AS t,
+             CAST(SUM(CASE WHEN d >= 0 THEN 1 << CAST(k % 8 AS INT)
+                           ELSE 0 END) AS BIGINT) AS key
+      FROM dots GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS train_id, c.vec_id AS eval_id
+      FROM keys a JOIN keys c ON a.t = c.t AND a.key = c.key
+      WHERE a.vec_id % 10 <> 0 AND c.vec_id % 10 = 0),
+    p AS (
+      SELECT cand.train_id, cand.eval_id,
+        list_reduce(list_transform(list_zip(a.embedding, c.embedding),
+                                   pr -> CAST(pr[1] AS DOUBLE)
+                                         * CAST(pr[2] AS DOUBLE)),
+                    (acc, x) -> acc + x)
+        / (sqrt(list_reduce(list_transform(a.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                            (acc, x) -> acc + x))
+           * sqrt(list_reduce(list_transform(c.embedding,
+                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                              (acc, x) -> acc + x))) AS cos
+      FROM cand JOIN qv a ON cand.train_id = a.vec_id
+                JOIN qv c ON cand.eval_id = c.vec_id),
+    hits AS (SELECT train_id, eval_id,
+                    CAST(FLOOR(1e6 * cos) AS BIGINT) AS score_e6
+             FROM p WHERE cos >= 0.35)
+    SELECT train_id AS vec_id, eval_id AS contaminant_id, score_e6
+    FROM (SELECT *, row_number() OVER (PARTITION BY train_id
+                 ORDER BY score_e6 DESC, eval_id ASC) AS rk FROM hits)
+    WHERE rk = 1
+"""
+
+
+def q_decontam_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH semantic decontamination
+    (operators/similarity.cross_near_pairs_banded, L=12 x b=8): the
+    recall-preserving scale form of q_semantic_decontam — OR-amplified
+    hyperplane tables instead of one AND-over-all-bits sign bucket,
+    exact cosine verify, top-1 eval contaminant per flagged train
+    vector. The md5-parity plane matrix regenerates from its formula in
+    any engine, so the oracle replays the keys bit-for-bit (the oracle
+    uses DISTINCT candidates where Spark uses first-matching-table
+    emit-once — same pair set either way)."""
+    from oic_options_chains_spark.operators.similarity import (
+        cross_near_pairs_banded,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % 10 == 0)
+    tr = emb.filter(F.col("vec_id") % 10 != 0)
+    hits = cross_near_pairs_banded(tr, ev, threshold=0.35)
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("score_e6").desc(), F.col("id_b").asc()
+    )
+    return (
+        hits.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("id_a").alias("vec_id"),
+            F.col("id_b").alias("contaminant_id"),
+            "score_e6",
+        )
+    )
+
+
 # shared aHash CTE core (px -> block sums -> 4x16-bit bands -> flat band
 # keys) over a `feeds(doc_id, text)` CTE the caller prepends
 _AHASH_CORE = """
