@@ -260,6 +260,7 @@ def ivf_pq_topk(
     topk: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rerank: int | None = None,
 ) -> DataFrame:
     """IVF-ADC retrieval: coarse-quantize the corpus (k-means,
     ``coarse_k`` cells), PQ-encode it, then answer the query by scanning
@@ -270,7 +271,21 @@ def ivf_pq_topk(
     ``ivf_kmeans_topk`` (operators/kmeans.py:190); the in-cell ranking
     differs: candidates are never read, only their 8 codes, which is
     what makes the scan side byte-cheap at 100 TB. ADC scores are
-    scaled-integer by construction, so top-k and rank are hash-exact."""
+    scaled-integer by construction, so top-k and rank are hash-exact.
+
+    ``rerank=R`` adds the production accuracy stage (ADC shortlist +
+    exact re-rank): the ADC pass keeps its byte-cheap scan but returns
+    a top-R shortlist instead of the final answer; only those R rows'
+    real vectors are read and ranked by the exact quantized integer L2
+    (the same distance the recall ground truth uses), ties to the
+    lowest id. PQ quantization error then can only cost recall when a
+    true neighbor misses the ENTIRE shortlist (or its coarse cell was
+    not probed) — the measured decay of the pinned 16-codeword codebook
+    (recall_bp 7333 -> 2666 as sf0.5 -> 2) is quantization misranking
+    inside probed cells, exactly what the R-deep shortlist absorbs. At
+    100 TB the re-rank reads R full vectors per query, microscopic next
+    to the scan the ADC stage avoids; `rank`/`score` stay hash-exact
+    integers (score = exact L2 in the re-ranked form)."""
     from oic_options_chains_spark.operators.kmeans import ivf_probe_cells
 
     qv = quantize(embeddings, id_col, vec_col)
@@ -296,6 +311,30 @@ def ivf_pq_topk(
     scored = cand_long.join(F.broadcast(adc), ["sub", "cid"]).groupBy(
         "vec_id"
     ).agg(F.sum("sd").cast("bigint").alias("score"))
+    if rerank is not None:
+        shortlist = scored.orderBy("score", "vec_id").limit(max(rerank, topk))
+        exact = (
+            shortlist.select("vec_id")
+            .join(qv, "vec_id")
+            .crossJoin(F.broadcast(qrow))
+            .select(
+                "vec_id",
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qarr"),
+                        F.col("q_qarr"),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x,
+                ).alias("score"),
+            )
+        )
+        top = exact.orderBy("score", "vec_id").limit(topk)
+        return top.withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy("score", "vec_id")).cast("int"),
+        )
     top = scored.orderBy("score", "vec_id").limit(topk)
     return top.withColumn(
         "rank", F.row_number().over(Window.orderBy("score", "vec_id")).cast("int")

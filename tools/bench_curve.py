@@ -160,6 +160,54 @@ def _semantic_decontam_scaled_bits(spark, sf_dir):
     )
 
 
+def _ann_ivf_pq_scaled(spark, sf_dir):
+    """q_ann_ivf_pq's operator with the scale knobs turned
+    (:func:`_pq_scaled_params`): coarse cells sized to ~1024 vectors,
+    probe fraction held constant, 64-codeword sub-quantizers. The
+    paired recall probe shows whether the knobs recover the pinned
+    form's measured recall decay."""
+    from oic_options_chains_spark.operators.pq import ivf_pq_topk
+    from oic_options_chains_spark.queries.clustering import (
+        _ITERS,
+        _N_SUB,
+        _spread,
+    )
+    from oic_options_chains_spark.sources.registry import (
+        load_table,
+        table_row_count,
+    )
+
+    e = _spread(load_table(spark, sf_dir, "embeddings"))
+    kw = _pq_scaled_params(table_row_count(sf_dir, "embeddings"))
+    return ivf_pq_topk(
+        e, query_id=0, n_sub=_N_SUB, iters=_ITERS, topk=5, **kw
+    )
+
+
+def _ann_ivf_pq_rerank(spark, sf_dir):
+    """q_ann_ivf_pq's operator at the ORACLE-PINNED parameters plus the
+    production accuracy stage: ADC top-50 shortlist exact-re-ranked
+    (ivf_pq_topk(rerank=50)). Separates the two decay sources — the
+    shortlist absorbs quantization misranking inside probed cells at
+    the cost of reading 50 real vectors per query; any residual recall
+    loss is coarse-cell pruning."""
+    from oic_options_chains_spark.operators.pq import ivf_pq_topk
+    from oic_options_chains_spark.queries.clustering import (
+        _ITERS,
+        _K,
+        _K_SUB,
+        _N_SUB,
+        _spread,
+    )
+    from oic_options_chains_spark.sources.registry import load_table
+
+    e = _spread(load_table(spark, sf_dir, "embeddings"))
+    return ivf_pq_topk(
+        e, query_id=0, coarse_k=_K, n_probe=2, n_sub=_N_SUB, k_sub=_K_SUB,
+        iters=_ITERS, topk=5, rerank=50,
+    )
+
+
 def _decontam_top1(hits):
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
@@ -250,6 +298,8 @@ SCALED_VARIANTS = {
     "q_semdedup@sub_lsh": _semdedup_sub_lsh,
     "q_minhash_lsh_pairs@hot_cap": _minhash_pairs_hot_cap,
     "q_knn_triangles@scaled_bits": _knn_triangles_scaled_bits,
+    "q_ann_ivf_pq@scaled_codebook": _ann_ivf_pq_scaled,
+    "q_ann_ivf_pq@rerank": _ann_ivf_pq_rerank,
     "q_semantic_decontam@scaled_bits": _semantic_decontam_scaled_bits,
     "q_semantic_decontam@banded": _semantic_decontam_banded,
     "q_semantic_decontam@fixed_eval": _semantic_decontam_fixed_eval,
@@ -300,7 +350,7 @@ def _recall_ann(spark, sf_dir) -> int:
     return int(row["r"])
 
 
-def _recall_ann_pq(spark, sf_dir) -> int:
+def _recall_ann_pq(spark, sf_dir, params=None) -> int:
     """Mean recall@5 of the full IVF-ADC path (q_ann_ivf_pq's operator:
     2-of-8 coarse probe + product-quantized scoring) against the exact
     integer-L2 top-5 over the same spread table, averaged over three
@@ -309,7 +359,9 @@ def _recall_ann_pq(spark, sf_dir) -> int:
     parameters (8 sub-quantizers x 16 codewords over 2k-50k vectors is
     deliberately coarse so the oracle replay stays cheap) — the curve's
     job is detecting DECAY as the corpus grows, not grading the pinned
-    codebook size."""
+    codebook size. ``params`` (n -> ivf_pq_topk kwargs) measures a
+    scale-knob variant against the same exact ground truth."""
+    from oic_options_chains_spark.sources.registry import table_row_count
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
@@ -342,10 +394,13 @@ def _recall_ann_pq(spark, sf_dir) -> int:
     )
     total_hits = 0
     query_ids = (0, 17, 101)
+    n = table_row_count(sf_dir, "embeddings")
+    kw = params(n) if params else dict(
+        coarse_k=_K, n_probe=2, k_sub=_K_SUB
+    )
     for qid in query_ids:
         approx = ivf_pq_topk(
-            e, query_id=qid, coarse_k=_K, n_probe=2, n_sub=_N_SUB,
-            k_sub=_K_SUB, iters=_ITERS, topk=5,
+            e, query_id=qid, n_sub=_N_SUB, iters=_ITERS, topk=5, **kw
         ).select("vec_id")
         q = e.filter(F.col("vec_id") == qid).select(
             F.col("embedding").alias("qv")
@@ -361,6 +416,16 @@ def _recall_ann_pq(spark, sf_dir) -> int:
         )
         total_hits += exact.join(approx, "vec_id").count()
     return 10_000 * total_hits // (5 * len(query_ids))
+
+
+def _pq_scaled_params(n: int) -> dict:
+    """The IVF-PQ scale knobs: cells sized to ~1024 vectors (coarse_k
+    grows with n), the probe fraction held at ~1/4 of cells, and a
+    64-codeword sub-quantizer codebook (vs the oracle-pinned 16 —
+    quantization error, not cell pruning, drives the measured decay:
+    pinned recall fell 7333 -> 2666 bp from sf0.5 to sf2)."""
+    coarse_k = max(8, n // 1024)
+    return dict(coarse_k=coarse_k, n_probe=max(2, coarse_k // 4), k_sub=64)
 
 
 def _recall_lsh(spark, sf_dir) -> int:
@@ -534,6 +599,18 @@ def _recall_decontam_at(bits_mode):
 
 RECALL_PROBES = {
     "q_ann_ivf_pq": {"ivf_batch": _recall_ann, "ivf_pq_q0": _recall_ann_pq},
+    "q_ann_ivf_pq@scaled_codebook": {
+        "ivf_pq_q0": lambda spark, sf_dir: _recall_ann_pq(
+            spark, sf_dir, params=_pq_scaled_params
+        )
+    },
+    "q_ann_ivf_pq@rerank": {
+        "ivf_pq_q0": lambda spark, sf_dir: _recall_ann_pq(
+            spark,
+            sf_dir,
+            params=lambda n: dict(coarse_k=8, n_probe=2, k_sub=16, rerank=50),
+        )
+    },
     "q_minhash_lsh_pairs": {"production_banding": _recall_lsh},
     "q_ahash_dedup": {"sibling_detection": _recall_ahash},
     "q_simhash_pairs": {"planted_siblings": _recall_simhash},
