@@ -334,6 +334,54 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(bands, "doc_id")
 
 
+# --- q_lsh_pairs_capped: QUEUED FOR r12 REGISTRATION ----------------------
+# (registry held at 219 this round; cross-engine parity proven by
+# tests/test_round11_lsh_cap_oracle.py). Makes the round-11 hot-bucket
+# guard (lsh_candidate_pairs hot_bucket_cap) contract-checkable: the
+# capped pair SET has a clean closed form — a pair qualifies iff it
+# shares a bucket at-or-under the cap, OR shares >= 2 buckets (the hot
+# tier's "must also agree on another band" condition) — which the oracle
+# replays without mirroring the two-tier join plan.
+
+_LSH_CAP = 2
+
+LSH_PAIRS_CAPPED_ORACLE = (
+    _SIG_SQL
+    + f""",
+    bands AS (
+      SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+             string_agg(minhash, ',' ORDER BY seed) AS band_key
+      FROM sig GROUP BY doc_id, seed // 4),
+    bn AS (SELECT band, band_key, COUNT(*) AS n FROM bands GROUP BY 1, 2),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, bn.n
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+      JOIN bn ON bn.band = a.band AND bn.band_key = a.band_key)
+    SELECT doc_a, doc_b FROM shared
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2 OR MIN(n) <= {_LSH_CAP}
+"""
+)
+
+
+def q_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-bucket-guarded LSH candidate pairs
+    (lsh_candidate_pairs(hot_bucket_cap={cap})): buckets past the cap
+    require a second shared band per pair — the quadratic-template
+    guard with its S-curve tightening applied only to hot-bucket
+    members (operators/minhash.py docstring spells out the
+    probabilistic semantics; exact duplicates are never lost).""".format(
+        cap=_LSH_CAP
+    )
+    d = load_table(spark, sf_dir, "documents")
+    bands = minhash_band_keys(
+        doc_shingles(d, "doc_id", "text", distinct=False), "doc_id"
+    )
+    return lsh_candidate_pairs(bands, "doc_id", hot_bucket_cap=_LSH_CAP)
+
+
 @register(
     "q_edit_verify",
     oracle=_SIG_SQL
