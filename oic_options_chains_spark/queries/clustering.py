@@ -527,6 +527,7 @@ ANN_PQ_RERANK_ORACLE = f"""
 """
 
 
+@register("q_ann_pq_rerank", oracle=ANN_PQ_RERANK_ORACLE)
 def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-ADC top-5 with exact re-rank (ivf_pq_topk(rerank=50)): the
     ADC stage's byte-cheap scan produces a 50-deep shortlist; only

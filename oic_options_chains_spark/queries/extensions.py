@@ -366,15 +366,14 @@ LSH_PAIRS_CAPPED_ORACLE = (
 )
 
 
+@register("q_lsh_pairs_capped", oracle=LSH_PAIRS_CAPPED_ORACLE)
 def q_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-bucket-guarded LSH candidate pairs
-    (lsh_candidate_pairs(hot_bucket_cap={cap})): buckets past the cap
-    require a second shared band per pair — the quadratic-template
-    guard with its S-curve tightening applied only to hot-bucket
-    members (operators/minhash.py docstring spells out the
-    probabilistic semantics; exact duplicates are never lost).""".format(
-        cap=_LSH_CAP
-    )
+    (lsh_candidate_pairs with hot_bucket_cap=2, matching _LSH_CAP):
+    buckets past the cap require a second shared band per pair — the
+    quadratic-template guard with its S-curve tightening applied only
+    to hot-bucket members (operators/minhash.py docstring spells out
+    the probabilistic semantics; exact duplicates are never lost)."""
     d = load_table(spark, sf_dir, "documents")
     bands = minhash_band_keys(
         doc_shingles(d, "doc_id", "text", distinct=False), "doc_id"

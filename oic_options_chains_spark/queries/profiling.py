@@ -391,6 +391,7 @@ DECONTAM_BANDED_ORACLE = """
 """
 
 
+@register("q_decontam_banded", oracle=DECONTAM_BANDED_ORACLE)
 def q_decontam_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-LSH semantic decontamination
     (operators/similarity.cross_near_pairs_banded, L=12 x b=8): the
