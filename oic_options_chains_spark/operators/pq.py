@@ -260,7 +260,7 @@ def ivf_pq_topk(
     topk: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    rerank: int | None = None,
+    rerank: int | None = 50,
 ) -> DataFrame:
     """IVF-ADC retrieval: coarse-quantize the corpus (k-means,
     ``coarse_k`` cells), PQ-encode it, then answer the query by scanning
@@ -273,8 +273,11 @@ def ivf_pq_topk(
     what makes the scan side byte-cheap at 100 TB. ADC scores are
     scaled-integer by construction, so top-k and rank are hash-exact.
 
-    ``rerank=R`` adds the production accuracy stage (ADC shortlist +
-    exact re-rank): the ADC pass keeps its byte-cheap scan but returns
+    ``rerank=R`` (DEFAULT: 50 — the production path since round 12;
+    pass ``rerank=None`` for the diagnostic ADC-only form the
+    q_ann_ivf_pq oracle pins) adds the production accuracy stage (ADC
+    shortlist + exact re-rank): the ADC pass keeps its byte-cheap scan
+    but returns
     a top-R shortlist instead of the final answer; only those R rows'
     real vectors are read and ranked by the exact quantized integer L2
     (the same distance the recall ground truth uses), ties to the

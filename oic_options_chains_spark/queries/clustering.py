@@ -456,13 +456,17 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates scored as the sum of 8 scaled-integer ADC table lookups —
     candidates' raw vectors are never read, which is the 100 TB memory
     story (codes are ~8 bytes/vector). Scores are scaled-integer by
-    construction, so the ranking is hash-exact across engines."""
+    construction, so the ranking is hash-exact across engines.
+
+    rerank=None pins the DIAGNOSTIC ADC-only form this oracle replays;
+    the production retrieval default is ivf_pq_topk's rerank=50
+    (contracted by q_ann_pq_rerank)."""
     from oic_options_chains_spark.operators.pq import ivf_pq_topk
 
     e = _spread(load_table(spark, sf_dir, "embeddings"))
     return ivf_pq_topk(
         e, query_id=0, coarse_k=_K, n_probe=2, n_sub=_N_SUB,
-        k_sub=_K_SUB, iters=_ITERS, topk=5,
+        k_sub=_K_SUB, iters=_ITERS, topk=5, rerank=None,
     )
 
 

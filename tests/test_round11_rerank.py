@@ -82,6 +82,6 @@ def test_rerank_recall_at_least_plain_adc(spark, emb):
     kw = dict(
         query_id=7, coarse_k=4, n_probe=4, n_sub=8, k_sub=8, iters=2, topk=5
     )
-    plain = {r.vec_id for r in ivf_pq_topk(emb, **kw).collect()}
+    plain = {r.vec_id for r in ivf_pq_topk(emb, rerank=None, **kw).collect()}
     rr = {r.vec_id for r in ivf_pq_topk(emb, rerank=40, **kw).collect()}
     assert len(rr & want) >= len(plain & want)

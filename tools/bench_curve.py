@@ -179,7 +179,7 @@ def _ann_ivf_pq_scaled(spark, sf_dir):
 
     e = _spread(load_table(spark, sf_dir, "embeddings"))
     kw = _pq_scaled_params(table_row_count(sf_dir, "embeddings"))
-    return ivf_pq_topk(
+    return ivf_pq_topk(  # kw carries rerank=None (ADC-only twin)
         e, query_id=0, n_sub=_N_SUB, iters=_ITERS, topk=5, **kw
     )
 
@@ -396,7 +396,7 @@ def _recall_ann_pq(spark, sf_dir, params=None) -> int:
     query_ids = (0, 17, 101)
     n = table_row_count(sf_dir, "embeddings")
     kw = params(n) if params else dict(
-        coarse_k=_K, n_probe=2, k_sub=_K_SUB
+        coarse_k=_K, n_probe=2, k_sub=_K_SUB, rerank=None
     )
     for qid in query_ids:
         approx = ivf_pq_topk(
@@ -425,7 +425,12 @@ def _pq_scaled_params(n: int) -> dict:
     quantization error, not cell pruning, drives the measured decay:
     pinned recall fell 7333 -> 2666 bp from sf0.5 to sf2)."""
     coarse_k = max(8, n // 1024)
-    return dict(coarse_k=coarse_k, n_probe=max(2, coarse_k // 4), k_sub=64)
+    # rerank=None: the scaled twin isolates codebook-size recovery of the
+    # ADC-only decay, so it must not get the round-12 rerank=50 default
+    return dict(
+        coarse_k=coarse_k, n_probe=max(2, coarse_k // 4), k_sub=64,
+        rerank=None,
+    )
 
 
 def _recall_lsh(spark, sf_dir) -> int:
