@@ -139,6 +139,11 @@ HEADLINE = (
     # round-9: real-pixel media flagship (PNG encode->decode->hash in
     # one mapInPandas kernel, then JVM banded dedup + verdicts)
     "q_media_pipeline",
+    # round-12: the registered r11 quality fixes (recall-contract banded
+    # decontamination, IVF-PQ exact re-rank, hot-bucket-capped LSH pairs)
+    "q_decontam_banded",
+    "q_ann_pq_rerank",
+    "q_lsh_pairs_capped",
 )
 
 # single-JVM local bench has ~±20-30% run-to-run noise (ambient load
@@ -174,6 +179,11 @@ SCALE_QUERIES = (
     # round-9: the real-pixel media flagship (kernel-bound; its curve
     # lives in SCALE_CURVE.json at slope 0.69)
     "q_media_pipeline",
+    # round-12: the pair-generating / ANN forms whose quality contracts
+    # were the round's point — their scale shape is the claim
+    "q_decontam_banded",
+    "q_ann_pq_rerank",
+    "q_lsh_pairs_capped",
 )
 SCALE_RUNS_PER_QUERY = 2
 

@@ -348,7 +348,7 @@ DECONTAM_BANDED_ORACLE = """
              CASE WHEN CAST(concat('0x', substr(md5('hp:' || i || ':' || k),
                                    1, 8)) AS BIGINT) % 2 = 0
                   THEN 1 ELSE -1 END AS s
-      FROM range(0, 64) t1(i) CROSS JOIN range(0, 96) t2(k)),
+      FROM range(0, 64) t1(i) CROSS JOIN range(0, 224) t2(k)),
     qv AS (
       SELECT vec_id, embedding,
              list_transform(embedding,
@@ -394,7 +394,9 @@ DECONTAM_BANDED_ORACLE = """
 @register("q_decontam_banded", oracle=DECONTAM_BANDED_ORACLE)
 def q_decontam_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-LSH semantic decontamination
-    (operators/similarity.cross_near_pairs_banded, L=12 x b=8): the
+    (operators/similarity.cross_near_pairs_banded, L=28 x b=8 — the
+    round-12 recall-contract parameterization: >= 9000 bp planted-pair
+    recall at the promised cos >= 0.7 near-dup threshold): the
     recall-preserving scale form of q_semantic_decontam — OR-amplified
     hyperplane tables instead of one AND-over-all-bits sign bucket,
     exact cosine verify, top-1 eval contaminant per flagged train

@@ -1,0 +1,121 @@
+"""Atomic bench refresh: run bench.py, gate the FRESH record against
+BASELINE_BENCH.json, and commit BENCH_DETAIL.json in the same step.
+
+Closes the recurring r10/r11 process gap where the committed (gated)
+BENCH_DETAIL.json trailed the working tree by one refresh: the gate in
+tests/test_plans.py::test_committed_bench_stays_within_baseline_contract
+audits the COMMITTED file, so any bench re-record that is not committed
+immediately leaves the shipped record stale. This tool makes
+refresh -> gate -> commit one command:
+
+    python tools/bench_commit.py [--sf-dir /root/testdata/sf0.1]
+
+Behavior:
+- refuses to run if anything OTHER than BENCH_DETAIL.json is dirty
+  (a bench record must sit on top of committed code, or the record and
+  the commit it lands in describe different engines);
+- runs bench.py as a subprocess (same interpreter), capturing the
+  one-line JSON from stdout;
+- applies the SAME bounds as the repo gate (per-key <= 2x baseline,
+  shared-key total <= 1.5x) to the fresh BENCH_DETAIL.json;
+- on green: git add BENCH_DETAIL.json && git commit;
+- on red: leaves the record in the working tree (for diagnosis) and
+  exits 1 WITHOUT committing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", "-C", REPO, *args], check=True, capture_output=True, text=True
+    ).stdout
+
+
+def gate(detail_path: str) -> list[str]:
+    """Same bounds as the repo gate; returns a list of violations."""
+    with open(os.path.join(REPO, "BASELINE_BENCH.json")) as fh:
+        base = json.load(fh).get("queries", {})
+    with open(detail_path) as fh:
+        cur = json.load(fh).get("queries", {})
+    common = [k for k in cur if k in base]
+    problems = []
+    if len(common) < 20:
+        problems.append(f"only {len(common)} baseline keys benched (need 20)")
+    over = {
+        k: round(cur[k] / base[k], 2) for k in common if cur[k] > 2 * base[k]
+    }
+    if over:
+        problems.append(f"queries past 2x baseline: {over}")
+    total = sum(cur[k] for k in common) / sum(base[k] for k in common)
+    if total > 1.5:
+        problems.append(f"shared-key total ratio {total:.2f} > 1.5")
+    return problems
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--message",
+        default="Refresh BENCH_DETAIL.json (atomic bench_commit run)",
+    )
+    args = ap.parse_args()
+
+    dirty = [
+        line[3:]
+        for line in _git("status", "--porcelain").splitlines()
+        if line.strip() and line[3:] != "BENCH_DETAIL.json"
+    ]
+    if dirty:
+        print(
+            "refusing: working tree has non-bench changes — commit them "
+            f"first so the record describes committed code: {dirty}",
+            file=sys.stderr,
+        )
+        return 2
+
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=args.sf_dir)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+    )
+    sys.stderr.write(proc.stderr[-2000:])
+    if proc.returncode != 0:
+        print(f"bench.py failed (exit {proc.returncode})", file=sys.stderr)
+        return 1
+    print(proc.stdout.strip().splitlines()[-1])
+
+    detail = os.path.join(REPO, "BENCH_DETAIL.json")
+    problems = gate(detail)
+    if problems:
+        print(
+            "gate RED — record left uncommitted for diagnosis:\n  "
+            + "\n  ".join(problems),
+            file=sys.stderr,
+        )
+        return 1
+
+    _git("add", "BENCH_DETAIL.json")
+    if not _git("status", "--porcelain", "BENCH_DETAIL.json").strip():
+        print("record unchanged — nothing to commit")
+        return 0
+    _git("commit", "-m", args.message)
+    print("gate green — BENCH_DETAIL.json committed:")
+    print(_git("log", "--oneline", "-1").strip())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

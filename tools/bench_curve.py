@@ -45,6 +45,9 @@ DEFAULT_QUERIES = [
     "q_maxmatch_segment",
     "q_anf",
     "q_pit_join",
+    "q_decontam_banded",
+    "q_ann_pq_rerank",
+    "q_lsh_pairs_capped",
 ]
 
 
@@ -228,7 +231,8 @@ def _decontam_top1(hits):
 
 def _semantic_decontam_banded(spark, sf_dir):
     """The recall-preserving scale path: banded hyperplane LSH
-    (similarity.cross_near_pairs_banded, L=12 tables x 8 bits,
+    (similarity.cross_near_pairs_banded at its defaults — L=28 tables
+    x 8 bits since the round-12 recall contract, L=12 before —
     OR-amplified) instead of one AND-over-all-bits sign bucket. The
     recall probe records the S-curve's actual pair recall next to the
     pinned and scaled single-bucket forms; exact duplicates are never
@@ -602,7 +606,96 @@ def _recall_decontam_at(bits_mode):
     return probe
 
 
+def _recall_decontam_planted(target_cos: float):
+    """PLANTED-pair recall of the banded decontamination screen at a
+    CONTROLLED cosine — the recall-contract measurement (round 12).
+
+    The corpus's own pair histogram is empty above cos ~0.5 (sf0.1: one
+    pair at >= 0.5, none at >= 0.7), so recall at the contract
+    thresholds is unmeasurable from natural pairs. Instead: for each of
+    up to 256 eval vectors e, plant a probe twin
+    t = c*ê + sqrt(1-c²)*u (u a deterministic md5-seeded unit direction
+    orthogonalized against e), so cos(t, e) = c exactly; recall_bp =
+    planted pairs recovered by cross_near_pairs_banded AT ITS DEFAULT
+    (L, b) / pairs planted. The verify threshold sits 0.02 under the
+    planted cosine so the measurement isolates the LSH screen (the
+    exact-cosine verify never loses an admitted pair). Planting AT the
+    threshold boundary is the worst case of the promised region —
+    1-(1-p^b)^L is monotone in cosine."""
+
+    def probe(spark, sf_dir) -> int:
+        import hashlib
+        import math
+
+        import numpy as np
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import (
+            ArrayType,
+            FloatType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        from oic_options_chains_spark.operators.similarity import (
+            cross_near_pairs_banded,
+        )
+        from oic_options_chains_spark.sources.registry import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        ev = emb.filter(F.col("vec_id") % 10 == 0)
+        ev_rows = ev.orderBy("vec_id").limit(256).collect()
+
+        def unit(v):
+            return v / np.linalg.norm(v)
+
+        def rand_dir(seed: int, dim: int):
+            vals: list[float] = []
+            ctr = 0
+            while len(vals) < dim:
+                h = hashlib.md5(f"plant:{seed}:{ctr}".encode()).digest()
+                for b in range(0, 16, 4):
+                    vals.append(
+                        int.from_bytes(h[b : b + 4], "big") / 2**32 - 0.5
+                    )
+                ctr += 1
+            return np.array(vals[:dim])
+
+        base = 1_000_000_000
+        rows = []
+        for r in ev_rows:
+            e = unit(np.array(r.embedding, dtype=np.float64))
+            u = rand_dir(r.vec_id, len(e))
+            u = unit(u - np.dot(u, e) * e)
+            t = target_cos * e + math.sqrt(1 - target_cos**2) * u
+            rows.append((base + int(r.vec_id), [float(x) for x in t]))
+        schema = StructType(
+            [
+                StructField("vec_id", LongType()),
+                StructField("embedding", ArrayType(FloatType())),
+            ]
+        )
+        twins = spark.createDataFrame(rows, schema)
+        hits = (
+            cross_near_pairs_banded(
+                twins,
+                ev.orderBy("vec_id").limit(256),
+                threshold=target_cos - 0.02,
+            )
+            .filter(F.col("id_b") == F.col("id_a") - base)
+            .count()
+        )
+        return 10_000 * hits // len(rows)
+
+    return probe
+
+
 RECALL_PROBES = {
+    "q_decontam_banded": {
+        "planted_c50": _recall_decontam_planted(0.5),
+        "planted_c70": _recall_decontam_planted(0.7),
+        "planted_c90": _recall_decontam_planted(0.9),
+    },
     "q_ann_ivf_pq": {"ivf_batch": _recall_ann, "ivf_pq_q0": _recall_ann_pq},
     "q_ann_ivf_pq@scaled_codebook": {
         "ivf_pq_q0": lambda spark, sf_dir: _recall_ann_pq(
