@@ -144,6 +144,8 @@ HEADLINE = (
     "q_decontam_banded",
     "q_ann_pq_rerank",
     "q_lsh_pairs_capped",
+    "q_semdedup_routed",
+    "q_decontam_fixed_eval",
 )
 
 # single-JVM local bench has ~±20-30% run-to-run noise (ambient load

@@ -15,6 +15,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def latest_per_key(
@@ -171,19 +172,22 @@ def asof_join_union(
     assert how in ("left", "inner")
     key_set = set(on)
     carry = [c for c in right.columns if c not in key_set and c != right_time]
+    clash = sorted(set(carry) & set(left.columns))
+    if clash:
+        raise ValueError(
+            "asof_join_union: right carry columns collide with left "
+            f"columns (rename or drop one side): {clash}"
+        )
+    # StructType, not a DDL string: carry names needing quoting
+    # (space/colon/comma) would break a hand-built "struct<...>" cast
+    carry_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in carry]
+    )
     l2 = left.select(
         *[F.col(c) for c in left.columns],
         F.col(left_time).alias("__t"),
         F.lit(0).alias("__side"),
-        F.lit(None)
-        .cast(
-            "struct<"
-            + ",".join(
-                f"{c}:{right.schema[c].dataType.simpleString()}" for c in carry
-            )
-            + ">"
-        )
-        .alias("__carry"),
+        F.lit(None).cast(carry_type).alias("__carry"),
     )
     r2 = right.select(
         *[F.col(k) for k in on],

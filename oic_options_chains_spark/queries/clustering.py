@@ -302,6 +302,65 @@ def q_semdedup_sub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# hot_cell_cap pinned LOW so the per-cell routing ACTIVATES on the
+# 500-vector gate corpus (~62 per cell at k=8 -> width ceil(log2(62/16))
+# = 2): the production default (similarity.DEFAULT_TARGET_BUCKET_ROWS =
+# 1024) never trips at gate scale, which would leave the routing
+# semantics oracle-unchecked — exactly the registered-form-vs-production
+# gap the r11 verdict flagged for decontam/PQ.
+_ROUTED_CAP = 16
+
+
+@register(
+    "q_semdedup_routed",
+    oracle=f"""
+    {_kmeans_cte()},
+    hw AS (SELECT cid,
+                  LEAST(16, GREATEST(1, CAST(CEIL(LOG2(
+                      cn / {_ROUTED_CAP}.0)) AS INT))) AS w
+           FROM (SELECT cid, COUNT(*) AS cn FROM a{_ITERS} GROUP BY 1)
+           WHERE cn > {_ROUTED_CAP}),
+    sb AS (SELECT vec_id,
+                  string_agg(CASE WHEN q > 0 THEN '1' ELSE '0' END,
+                             '' ORDER BY pos) AS p16
+           FROM qv WHERE pos < 16 GROUP BY vec_id),
+    pr AS (SELECT a.vec_id AS hi, a.cid, b.vec_id AS lo
+           FROM a{_ITERS} a JOIN a{_ITERS} b
+             ON a.cid = b.cid AND b.vec_id < a.vec_id
+           LEFT JOIN hw ON hw.cid = a.cid
+           JOIN sb sa ON sa.vec_id = a.vec_id
+           JOIN sb sbb ON sbb.vec_id = b.vec_id
+           WHERE hw.cid IS NULL
+              OR substr(sa.p16, 1, hw.w) = substr(sbb.p16, 1, hw.w)),
+    d AS (SELECT pr.hi, pr.cid, pr.lo,
+                 SUM((va.q - vb.q) * (va.q - vb.q)) AS d
+          FROM pr JOIN qv va ON va.vec_id = pr.hi
+                  JOIN qv vb ON vb.vec_id = pr.lo AND va.pos = vb.pos
+          GROUP BY 1, 2, 3)
+    SELECT hi AS vec_id, cid,
+           CAST(MIN(lo) AS BIGINT) AS keeper,
+           CAST(arg_min(d, lo) AS BIGINT) AS dist
+    FROM d WHERE d <= {_SEMDEDUP_EPS}
+    GROUP BY hi, cid
+    """,
+)
+def q_semdedup_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the round-11 PER-CELL hot routing active
+    (``semantic_dedup(hot_cell_cap=16)``, sub_bits left at the routed
+    default): every cell at or under the cap pairs exactly; a cell
+    above it pairs within a sign-LSH sub-bucket sized to its OWN
+    overflow, ceil(log2(cell/cap)) leading-dim signs (kmeans.py
+    ``_hot_cell_widths``). The cap is pinned far below the production
+    1024 so the routing TRIPS on the gate corpus and the oracle replays
+    the per-cell widths, the prefix split, and the surviving pair set —
+    the routing semantics themselves are the contract here, not just
+    the healthy-cell exact path q_semdedup already checks."""
+    e = _spread(load_table(spark, sf_dir, "embeddings"))
+    return semantic_dedup(
+        e, eps=_SEMDEDUP_EPS, k=_K, iters=_ITERS, hot_cell_cap=_ROUTED_CAP
+    )
+
+
 _N_SUB = 8
 _K_SUB = 16
 _SUB_DIM = 8

@@ -426,6 +426,52 @@ def q_decontam_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the deployment shape of the banded screen: eval/benchmark suites do
+# NOT grow with the crawl, so the reference side is a FIXED id range
+# (vec_id < 2000) while the probe side scales. q_decontam_banded keeps
+# the synthetic both-sides-scale shape (its curve slope reflects a
+# growing eval side BY DESIGN — documented so the curve isn't misread);
+# this key contracts the broadcast-fixed-reference form whose cost is
+# linear in the probe corpus.
+DECONTAM_FIXED_EVAL_ORACLE = DECONTAM_BANDED_ORACLE.replace(
+    "AND c.vec_id % 10 = 0", "AND c.vec_id % 10 = 0 AND c.vec_id < 2000"
+)
+assert DECONTAM_FIXED_EVAL_ORACLE != DECONTAM_BANDED_ORACLE
+
+
+@register("q_decontam_fixed_eval", oracle=DECONTAM_FIXED_EVAL_ORACLE)
+def q_decontam_fixed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH decontamination in the REAL-DEPLOYMENT shape: the
+    eval/reference side is a fixed population (vec_id < 2000 — the
+    sf0.1-sized eval suite at every scale) broadcast against a probe
+    corpus that alone grows. Same recall-contract operator defaults as
+    q_decontam_banded (L=28 x b=8, >= 9000 bp planted recall at
+    cos >= 0.7); the cost shape is the difference — linear in the probe
+    corpus because the broadcast reference never shuffles it
+    (SCALE_CURVE q_semantic_decontam@fixed_eval measured ~flat while
+    the both-sides twin grows)."""
+    from oic_options_chains_spark.operators.similarity import (
+        cross_near_pairs_banded,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.filter((F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 2000))
+    tr = emb.filter(F.col("vec_id") % 10 != 0)
+    hits = cross_near_pairs_banded(tr, ev, threshold=0.35)
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("score_e6").desc(), F.col("id_b").asc()
+    )
+    return (
+        hits.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("id_a").alias("vec_id"),
+            F.col("id_b").alias("contaminant_id"),
+            "score_e6",
+        )
+    )
+
+
 # shared aHash CTE core (px -> block sums -> 4x16-bit bands -> flat band
 # keys) over a `feeds(doc_id, text)` CTE the caller prepends
 _AHASH_CORE = """

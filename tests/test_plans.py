@@ -428,11 +428,21 @@ def test_range_join_plans_stay_equi_keyed(spark, sf_dir):
     plan = _plan(QUERIES["q_interval_join"](spark, sf_dir))
     assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
     # the PIT merge must have NO pairing join on its fact->label path
-    # (scd2_history's own build may join; the fact labeling must not) —
-    # the union+window shape means the word "Join" appears only via the
-    # dim build's self-structures, never a fact x dim product; lock the
-    # cheap invariant that the plan windows over the entity key instead
+    # (scd2_history's own build may join; the fact labeling must not):
+    # the join-operator count of the FULL q_pit_join plan must equal the
+    # dim build's own — a regression back to a fact x dim pairing join
+    # adds one and fails here directly (not just via the exchange
+    # budget; ADVICE r11 item 3)
+    from oic_options_chains_spark.operators.cdc import scd2_history
+    from oic_options_chains_spark.sources.registry import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    dim_plan = _plan(scd2_history(e, "user_id", "event_type", "ts", "event_id"))
     plan = _plan(QUERIES["q_pit_join"](spark, sf_dir))
+    assert plan.count("Join") == dim_plan.count("Join"), (
+        f"fact->label path grew a join: q_pit_join has {plan.count('Join')} "
+        f"join operators vs the dim build's {dim_plan.count('Join')}"
+    )
     assert "Window" in plan
 
 
