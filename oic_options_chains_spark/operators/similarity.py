@@ -412,18 +412,18 @@ def cross_near_pairs_banded(
 
     RECALL CONTRACT (round 12): the default L=28 x b=8 promises
     >= 9000 bp pair recall at cos >= 0.7 — the near-dup contamination
-    regime — measured on planted pairs AT the 0.7 boundary (the worst
-    case of the promised region; recall is monotone above it): 9200 bp
-    planted at 0.7, 10000 bp at 0.9, vs theory 9418/9999 bp
-    (SCALE_CURVE recall_bp:planted_c70/_c90 on q_decontam_banded).
-    Below the promised threshold the S-curve tapers by design
-    (planted 0.5 measures ~6400 bp; borderline cos 0.35 corpus pairs
-    ~2400-4400 bp) — those pairs are OUT of contract: they are not
-    near-duplicate contamination, and catching them requires an
-    exact or dense screen, not more tables (L=12 was the round-11
-    default; the move to 28 bought 0.7-boundary recall 7000 -> 9200 bp
-    for a measured 1.4x cost — 1.19 -> 1.64 s on the sf0.1 decontam
-    query, same session best-of-3; SCALING.md).
+    regime — measured on 256 planted pairs AT the 0.7 boundary (the
+    worst case of the promised region; recall is monotone above it):
+    9400-9414 bp planted at 0.7 across sf0.1-2, 10000 bp at 0.9, vs
+    theory 9418/9999 bp (SCALE_CURVE recall_bp:planted_c70/_c90 on
+    q_decontam_banded). Below the promised threshold the S-curve
+    tapers by design (planted 0.5 measures ~6100 bp; borderline
+    cos-0.35 corpus pairs ~4900-5400 bp) — those pairs are OUT of
+    contract: they are not near-duplicate contamination, and catching
+    them requires an exact or dense screen, not more tables (L=12 was
+    the round-11 default; the move to 28 bought 0.7-boundary recall
+    7000 -> 9400 bp for a measured 1.4x cost — 1.19 -> 1.64 s on the
+    sf0.1 decontam query, same session best-of-3; SCALING.md).
 
     100 TB shape: the reference (benchmark/eval) side is small and
     fixed-size in real decontamination, so it is broadcast
