@@ -146,6 +146,7 @@ HEADLINE = (
     "q_lsh_pairs_capped",
     "q_semdedup_routed",
     "q_decontam_fixed_eval",
+    "q_ann_pq_batch",
 )
 
 # single-JVM local bench has ~±20-30% run-to-run noise (ambient load

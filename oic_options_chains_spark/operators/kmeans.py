@@ -306,6 +306,59 @@ def ivf_probe_cells(centroids: DataFrame, qrow: DataFrame, n_probe: int) -> Data
     ).select(F.col("cell.cid").alias("cid"))
 
 
+def ivf_probe_cells_batch(
+    centroids: DataFrame, queries: DataFrame, n_probe: int
+) -> DataFrame:
+    """Per-query probe cells for a RELATION of queries — the serving
+    twin of :func:`ivf_probe_cells`. ``queries`` is (qid, q_qarr);
+    returns (qid, cid) with exactly ``n_probe`` rows per qid.
+
+    Identical exact-integer count-ahead ranking (decimal(38,0)
+    cross-multiplication, cid tie-break), grouped per qid instead of
+    collapsed to one global row: the k cells score against every query
+    in ONE broadcast cross product (k x q rows — both tiny), then the
+    per-qid collect_list + nested filter picks each query's cells with
+    no join back to the corpus. KEEP IN SYNC with the single-query form
+    above and the qids-keyed probe CTE in queries/clustering.py."""
+    a_q = _fold_sum_long(F.zip_with("q_qarr", "q_qarr", lambda x, y: x * y))
+    scored_cells = centroids.crossJoin(
+        F.broadcast(queries.withColumn("qa", a_q))
+    )
+    b = _fold_sum_long(
+        F.zip_with(F.col("q_qarr"), F.col("sarr"), lambda x, y: x * y)
+    )
+    ncell = scored_cells.select(
+        "qid",
+        "cid",
+        (
+            _dec(F.col("qa")) * _dec(F.col("n")) * _dec(F.col("n"))
+            - _dec(F.lit(2)) * _dec(b) * _dec(F.col("n"))
+            + _dec(F.col("ss"))
+        ).alias("num"),
+        (_dec(F.col("n")) * _dec(F.col("n"))).alias("nn"),
+    )
+
+    def _ahead(o: Column, c: Column) -> Column:
+        return (o["num"] * c["nn"] < c["num"] * o["nn"]) | (
+            (o["num"] * c["nn"] == c["num"] * o["nn"]) & (o["cid"] < c["cid"])
+        )
+
+    packed = ncell.groupBy("qid").agg(
+        F.collect_list(F.struct("cid", "num", "nn")).alias("cells")
+    )
+    return packed.select(
+        "qid",
+        F.explode(
+            F.filter(
+                "cells",
+                lambda c: F.size(
+                    F.filter("cells", lambda o: _ahead(o, c))
+                ) < n_probe,
+            )
+        ).alias("cell"),
+    ).select("qid", F.col("cell.cid").alias("cid"))
+
+
 def ivf_kmeans_topk(
     embeddings: DataFrame,
     query_id: int,

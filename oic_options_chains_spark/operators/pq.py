@@ -342,3 +342,129 @@ def ivf_pq_topk(
     return top.withColumn(
         "rank", F.row_number().over(Window.orderBy("score", "vec_id")).cast("int")
     )
+
+
+def adc_table_batch(
+    codebooks: DataFrame, queries: DataFrame, n_sub: int, sub_dim: int = 8
+) -> DataFrame:
+    """(qid, sub, cid, sd): the ADC lookup tables of a RELATION of
+    queries — q x n_sub x k_sub rows, one broadcast cross product of
+    two tiny relations. Same scaled-integer entries as
+    :func:`adc_table` (floor(num * 2^20 / n^2), decimal(38,0) div)."""
+    with_q = codebooks.crossJoin(F.broadcast(queries))
+    sq = _subvector(F.col("q_qarr"), F.col("sub"), sub_dim)
+    a = _fold_sum_long(F.zip_with(sq, sq, lambda x, y: x * y))
+    cell = F.struct("cid", "sarr", "n", "ss")
+    scored = with_q.select(
+        "qid",
+        "sub",
+        "cid",
+        _cell_num(sq, a, cell).alias("num"),
+        (_dec(F.col("n")) * _dec(F.col("n"))).alias("nn"),
+    )
+    return scored.selectExpr(
+        "qid", "sub", "cid", f"CAST(num * {ADC_SHIFT} div nn AS BIGINT) AS sd"
+    )
+
+
+def ivf_pq_topk_batch(
+    embeddings: DataFrame,
+    query_ids,
+    coarse_k: int = 8,
+    n_probe: int = 2,
+    n_sub: int = 8,
+    k_sub: int = 16,
+    iters: int = 2,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int | None = 50,
+) -> DataFrame:
+    """IVF-ADC retrieval for a SET of queries against ONE fit — the
+    serving shape :func:`ivf_pq_topk` (one query per fit) cannot
+    express. Returns (qid, vec_id, score, rank), ``topk`` rows per qid.
+
+    At 100 TB the index is trained once and queried millions of times;
+    per-query cost must be independent of the fit. Here the coarse
+    probe, the ADC tables, and the shortlist all key on ``qid``:
+
+    - probe: the k coarse cells score against ALL queries in one
+      broadcast cross product (k x q rows), per-qid exact count-ahead
+      ranking (``kmeans.ivf_probe_cells_batch``);
+    - ADC: (qid, sub, cid, sd) — q x n_sub x k_sub rows, broadcast to
+      the candidate join, so the corpus-side scan still reads CODES
+      only, once, for every query simultaneously;
+    - candidates: assigned x probe on cid fans each corpus code row
+      out to only the queries probing its cell; the single corpus-wide
+      exchange is the (qid, vec_id) score aggregation;
+    - rerank (default 50, the round-12 production setting): per-qid
+      shortlist via one window over the scored relation, exact integer
+      L2 against only the shortlisted vectors' real embeddings.
+
+    Every decision is the same integer arithmetic as the single-query
+    form, so a qid's rows here match ``ivf_pq_topk(query_id=qid)``
+    bit-for-bit (property-tested), and the DuckDB oracle replays the
+    whole batch (queries/clustering.py q_ann_pq_batch)."""
+    from oic_options_chains_spark.operators.kmeans import (
+        ivf_probe_cells_batch,
+    )
+
+    qids = sorted(int(q) for q in query_ids)
+    qv = quantize(embeddings, id_col, vec_col)
+    assigned, centroids = kmeans_fit(
+        embeddings, k=coarse_k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    queries = qv.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), F.col("qarr").alias("q_qarr")
+    )
+    probe = ivf_probe_cells_batch(centroids, queries, n_probe)
+
+    coded, codebooks = _pq_fit_qv(qv, n_sub, k_sub, iters)
+    adc = adc_table_batch(codebooks, queries, n_sub)
+
+    cand = (
+        assigned.join(F.broadcast(probe), "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+        .join(coded.select("vec_id", "codes"), "vec_id")
+    )
+    cand_long = cand.select(
+        "qid", "vec_id", F.posexplode("codes").alias("sub", "cid")
+    )
+    scored = (
+        cand_long.join(F.broadcast(adc), ["qid", "sub", "cid"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("sd").cast("bigint").alias("score"))
+    )
+    per_q = Window.partitionBy("qid").orderBy("score", "vec_id")
+    if rerank is not None:
+        shortlist = (
+            scored.withColumn("__rk", F.row_number().over(per_q))
+            .filter(F.col("__rk") <= max(rerank, topk))
+            .select("qid", "vec_id")
+        )
+        exact = (
+            shortlist.join(qv, "vec_id")
+            .join(F.broadcast(queries), "qid")
+            .select(
+                "qid",
+                "vec_id",
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qarr"),
+                        F.col("q_qarr"),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x,
+                ).alias("score"),
+            )
+        )
+        scored = exact
+    return (
+        scored.withColumn(
+            "rank", F.row_number().over(per_q).cast("int")
+        )
+        .filter(F.col("rank") <= topk)
+        .select("qid", "vec_id", "score", "rank")
+    )

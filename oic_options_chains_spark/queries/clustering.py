@@ -607,6 +607,89 @@ def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the serving shape: ONE fit, a SET of queries. The oracle generalizes
+# ANN_PQ_RERANK_ORACLE by keying every query-side CTE on qid.
+_BATCH_QIDS = (0, 17, 101)
+
+ANN_PQ_BATCH_ORACLE = f"""
+    {_kmeans_cte()}{_pq_cte()},
+    qids AS (SELECT * FROM (VALUES (0), (17), (101)) t(qid)),
+    qq AS (SELECT q.qid, v.pos, v.q FROM qv v JOIN qids q ON v.vec_id = q.qid),
+    qa AS (SELECT q.qid, a.a FROM av a JOIN qids q ON a.vec_id = q.qid),
+    bq AS (SELECT q0.qid, c.cid, SUM(q0.q * c.s) AS b
+           FROM qq q0 JOIN c{_ITERS} c ON q0.pos = c.pos GROUP BY 1, 2),
+    nq AS (SELECT bq.qid, bq.cid,
+                  CAST(qa.a AS HUGEINT) * CAST(m.n AS HUGEINT) * CAST(m.n AS HUGEINT)
+                    - 2 * CAST(bq.b AS HUGEINT) * CAST(m.n AS HUGEINT)
+                    + CAST(m.ss AS HUGEINT) AS num,
+                  CAST(m.n AS HUGEINT) * CAST(m.n AS HUGEINT) AS nn
+           FROM bq JOIN m{_ITERS} m ON bq.cid = m.cid
+                   JOIN qa ON qa.qid = bq.qid),
+    probe AS (SELECT qid, cid FROM (
+                SELECT l.qid, l.cid,
+                       SUM(CASE WHEN r.num * l.nn < l.num * r.nn
+                                  OR (r.num * l.nn = l.num * r.nn AND r.cid < l.cid)
+                             THEN 1 ELSE 0 END) AS ahead
+                FROM nq l JOIN nq r ON l.qid = r.qid GROUP BY 1, 2)
+              WHERE ahead < 2),
+    qsv AS (SELECT qid, pos // {_SUB_DIM} AS sub, pos % {_SUB_DIM} AS spos, q
+            FROM qq),
+    qpw AS (SELECT qid, sub, SUM(q*q) AS a FROM qsv GROUP BY 1, 2),
+    adcb AS (SELECT q0.qid, c.sub, c.cid, SUM(q0.q * c.s) AS b
+             FROM qsv q0 JOIN pc{_ITERS} c
+               ON q0.sub = c.sub AND q0.spos = c.spos
+             GROUP BY 1, 2, 3),
+    adc AS (SELECT b.qid, b.sub, b.cid,
+                   CAST(((CAST(w.a AS HUGEINT) * m.n * m.n
+                          - 2 * CAST(b.b AS HUGEINT) * m.n + m.ss) * 1048576)
+                        // (CAST(m.n AS HUGEINT) * m.n) AS BIGINT) AS sd
+            FROM adcb b JOIN pm{_ITERS} m ON b.sub = m.sub AND b.cid = m.cid
+                        JOIN qpw w ON w.qid = b.qid AND w.sub = b.sub),
+    cand AS (SELECT p.qid, a.vec_id FROM a{_ITERS} a JOIN probe p ON a.cid = p.cid
+             WHERE a.vec_id <> p.qid),
+    score AS (SELECT c.qid, c.vec_id, CAST(SUM(adc.sd) AS BIGINT) AS score
+              FROM cand c JOIN pa{_ITERS} pa ON pa.vec_id = c.vec_id
+                          JOIN adc ON adc.qid = c.qid AND adc.sub = pa.sub
+                                  AND adc.cid = pa.code
+              GROUP BY 1, 2),
+    shortlist AS (SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY score, vec_id) AS srk
+        FROM score) WHERE srk <= 50),
+    ex AS (SELECT s.qid, s.vec_id,
+                  CAST(SUM((v.q - q0.q) * (v.q - q0.q)) AS BIGINT) AS score
+           FROM shortlist s JOIN qv v ON v.vec_id = s.vec_id
+                JOIN qq q0 ON q0.qid = s.qid AND q0.pos = v.pos
+           GROUP BY 1, 2)
+    SELECT CAST(qid AS BIGINT) AS qid, vec_id, score,
+           CAST(rank AS INT) AS rank FROM (
+      SELECT qid, vec_id, score,
+             row_number() OVER (PARTITION BY qid ORDER BY score, vec_id) AS rank
+      FROM ex)
+    WHERE rank <= 5
+"""
+
+
+@register("q_ann_pq_batch", oracle=ANN_PQ_BATCH_ORACLE)
+def q_ann_pq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ADC top-5 for a SET of queries against ONE fit
+    (``pq.ivf_pq_topk_batch`` — the serving shape: at 100 TB the index
+    is trained once and queried millions of times, so per-query cost
+    must not include the fit). Coarse probe, ADC tables, shortlist and
+    exact re-rank all key on qid; the corpus-side scan reads codes
+    only, ONCE, for every query simultaneously. Integer end-to-end —
+    each qid's rows match ivf_pq_topk(query_id=qid) bit-for-bit
+    (property: tests/test_round12_batch.py) and the oracle replays the
+    whole batch."""
+    from oic_options_chains_spark.operators.pq import ivf_pq_topk_batch
+
+    e = _spread(load_table(spark, sf_dir, "embeddings"))
+    return ivf_pq_topk_batch(
+        e, _BATCH_QIDS, coarse_k=_K, n_probe=2, n_sub=_N_SUB,
+        k_sub=_K_SUB, iters=_ITERS, topk=5, rerank=50,
+    )
+
+
 @register(
     "q_knn_triangles",
     # distances are integer L2 over the shared floor(x*4096) quantization;
