@@ -315,7 +315,14 @@ def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     complement of the n-gram q_decontaminate. Bipartite bucket join:
     the 100 TB train side never self-pairs; candidates are bounded by
     the (small) eval side's bucket occupancy. Output: each contaminated
-    train vector with its strongest eval match."""
+    train vector with its strongest eval match.
+
+    DIAGNOSTIC TWIN since round 12: the single 4-bit sign bucket
+    measures only ~15% pair recall at this threshold (AND over all
+    bits) — kept registered so the decay stays on the curve next to
+    the fix. Production decontamination is q_decontam_banded /
+    q_decontam_fixed_eval (banded LSH, >= 9000 bp recall contract at
+    cos >= 0.7; see SCALING.md round-12)."""
     from oic_options_chains_spark.operators.similarity import cross_near_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
