@@ -404,7 +404,12 @@ def ivf_pq_topk_batch(
     Every decision is the same integer arithmetic as the single-query
     form, so a qid's rows here match ``ivf_pq_topk(query_id=qid)``
     bit-for-bit (property-tested), and the DuckDB oracle replays the
-    whole batch (queries/clustering.py q_ann_pq_batch)."""
+    whole batch (queries/clustering.py q_ann_pq_batch).
+
+    A query id absent from the corpus contributes no query vector and
+    therefore NO output rows (same as the single-query form returning
+    empty) — callers wanting a hard failure should validate ids
+    upstream; checking here would cost an action at plan time."""
     from oic_options_chains_spark.operators.kmeans import (
         ivf_probe_cells_batch,
     )

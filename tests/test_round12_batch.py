@@ -29,6 +29,13 @@ def test_batch_matches_single_query_per_qid(spark, sf_dir, rerank):
             assert batch[(qid, r.rank)] == (r.vec_id, r.score), (qid, r.rank)
 
 
+def test_absent_query_id_contributes_no_rows(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    out = ivf_pq_topk_batch(e, (0, 10_000_000), **KW).collect()
+    assert {r.qid for r in out} == {0}
+    assert len(out) == 5
+
+
 def test_batch_ranks_dense_per_qid(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     out = ivf_pq_topk_batch(e, QIDS, **KW).collect()
