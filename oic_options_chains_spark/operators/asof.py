@@ -72,10 +72,13 @@ def asof_join(
 
     ``strategy='merge'`` (backward, unbounded, unique left rows only):
     delegates to :func:`asof_join_union` — union + per-key sort +
-    carry-forward, linear per key at any skew. Same results, with two
-    documented edge differences it asserts away: no forward/tolerance
-    support, and exact duplicate left ROWS are not collapsed the way
-    the pairs window (partitioned by every left column) collapses them.
+    carry-forward, linear per key at any skew. Same results, with
+    three documented edge differences: no forward/tolerance support,
+    exact duplicate left ROWS are not collapsed the way the pairs
+    window (partitioned by every left column) collapses them, and a
+    right attribute sharing a LEFT column's name raises ValueError
+    (e.g. left_time == right_time — the pairs form silently emits two
+    ambiguous same-named output columns there; rename one side).
     """
     assert direction in ("backward", "forward")
     assert strategy in ("pairs", "merge")

@@ -319,7 +319,12 @@ def ivf_probe_cells_batch(
     in ONE broadcast cross product (k x q rows — both tiny), then the
     per-qid collect_list + nested filter picks each query's cells with
     no join back to the corpus. KEEP IN SYNC with the single-query form
-    above and the qids-keyed probe CTE in queries/clustering.py."""
+    above and the qids-keyed probe CTE in queries/clustering.py — the
+    sync is ENFORCED, not just asked for: tests/test_round12_batch.py
+    pins batch == single bit-for-bit per qid, so a tweak to one copy
+    fails the suite until mirrored. (The single form stays separate on
+    purpose: its global orderBy+limit plan is cheaper than the per-qid
+    window this form needs.)"""
     a_q = _fold_sum_long(F.zip_with("q_qarr", "q_qarr", lambda x, y: x * y))
     scored_cells = centroids.crossJoin(
         F.broadcast(queries.withColumn("qa", a_q))

@@ -53,7 +53,7 @@ def _run_stream(spark, tmp_path, chunks, ev):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "availableNow drain exceeded 300s"
     return spark.read.parquet(out)
 
 

@@ -46,10 +46,12 @@ def gate(detail_path: str) -> list[str]:
         base = json.load(fh).get("queries", {})
     with open(detail_path) as fh:
         cur = json.load(fh).get("queries", {})
-    common = [k for k in cur if k in base]
+    common = [k for k in cur if k in base and base[k] > 0]
     problems = []
     if len(common) < 20:
         problems.append(f"only {len(common)} baseline keys benched (need 20)")
+        if not common:  # nothing to ratio against — report, don't crash
+            return problems
     over = {
         k: round(cur[k] / base[k], 2) for k in common if cur[k] > 2 * base[k]
     }
@@ -95,7 +97,8 @@ def main() -> int:
     if proc.returncode != 0:
         print(f"bench.py failed (exit {proc.returncode})", file=sys.stderr)
         return 1
-    print(proc.stdout.strip().splitlines()[-1])
+    out_lines = proc.stdout.strip().splitlines()
+    print(out_lines[-1] if out_lines else "(bench.py produced no stdout)")
 
     detail = os.path.join(REPO, "BENCH_DETAIL.json")
     problems = gate(detail)
