@@ -46,6 +46,54 @@ def bits_for(
     return min(max_bits, max(1, math.ceil(math.log2(n_rows / target_bucket_rows))))
 
 
+def tables_for(
+    threshold: float,
+    target_recall_bp: int = 9000,
+    bits_per_table: int = 8,
+    max_tables: int = 256,
+) -> int:
+    """Minimal banded-LSH table count L so a pair AT cosine
+    ``threshold`` is recovered with probability >= ``target_recall_bp``
+    basis points — the closed-form inverse of the recall S-curve
+    1 - (1 - p^b)^L with per-plane agreement p = 1 - arccos(c)/pi.
+
+    This makes the round-12 recall contract PROGRAMMABLE instead of a
+    hardcoded default: ``tables_for(0.7)`` = 23 (the theoretical
+    minimum; :func:`cross_near_pairs_banded` defaults to 28 for
+    measured margin — planted-pair probes, SCALING.md round-12), and a
+    deployment screening at a different threshold derives its own L
+    the same way. The boundary is the WORST case of the promised
+    region — recall is monotone in cosine above it — so L from here
+    bounds the whole cos >= threshold family. Raising L multiplies
+    key-generation and bucket-lookup cost linearly but barely moves
+    the false-candidate rate (a random pair agrees on a table with
+    p ~ 2^-b), which is why tuning L, not b, is the recall lever.
+
+    Raises ValueError when no L <= ``max_tables`` reaches the target
+    (threshold too low for the band width — at that point the honest
+    answer is an exact or dense screen, not more tables)."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if not 0 < target_recall_bp < 10_000:
+        raise ValueError(
+            f"target_recall_bp must be in (0, 10000), got {target_recall_bp}"
+        )
+    p = 1.0 - math.acos(threshold) / math.pi
+    miss_per_table = 1.0 - p**bits_per_table
+    if miss_per_table <= 0.0:
+        return 1
+    target_miss = 1.0 - target_recall_bp / 10_000.0
+    n = math.ceil(math.log(target_miss) / math.log(miss_per_table))
+    if n > max_tables:
+        raise ValueError(
+            f"no L <= {max_tables} reaches {target_recall_bp} bp at "
+            f"cos {threshold} with b={bits_per_table}: the S-curve is too "
+            "flat there — use an exact or dense screen for sub-threshold "
+            "pairs instead of more tables"
+        )
+    return max(1, n)
+
+
 # bits resolved per DataFrame object, so repeated calls on the same input
 # (e.g. near_dup_pairs then ivf_topk over one embeddings table) pay the
 # sizing count() once. Weak keys: entries die with the DataFrame.
