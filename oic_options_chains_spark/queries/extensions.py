@@ -369,7 +369,9 @@ LSH_PAIRS_CAPPED_ORACLE = (
 @register("q_lsh_pairs_capped", oracle=LSH_PAIRS_CAPPED_ORACLE)
 def q_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-bucket-guarded LSH candidate pairs
-    (lsh_candidate_pairs with hot_bucket_cap=2, matching _LSH_CAP):
+    (lsh_candidate_pairs with hot_bucket_cap=_LSH_CAP — the oracle
+    interpolates the same constant, so the two stay in sync by
+    construction):
     buckets past the cap require a second shared band per pair — the
     quadratic-template guard with its S-curve tightening applied only
     to hot-bucket members (operators/minhash.py docstring spells out

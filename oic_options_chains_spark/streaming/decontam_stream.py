@@ -49,11 +49,17 @@ def streaming_decontam(
     to :func:`cross_near_pairs_banded` — the one requirement this
     wrapper enforces is the broadcast-reference shape, because a
     non-broadcast reference would make the bucket join stream-stream."""
-    assert not eval_embeddings.isStreaming, "eval suite must be static"
+    # caller-facing contract checks, so real exceptions (asserts vanish
+    # under python -O and would let a stream-stream bucket join build)
+    if eval_embeddings.isStreaming:
+        raise TypeError("eval suite must be static, got a streaming relation")
     banded_kwargs.setdefault("broadcast_reference", True)
-    assert banded_kwargs["broadcast_reference"], (
-        "streaming decontam requires the broadcast-reference shape"
-    )
+    if not banded_kwargs["broadcast_reference"]:
+        raise ValueError(
+            "streaming decontam requires the broadcast-reference shape "
+            "(broadcast_reference=False would make the bucket join "
+            "stream-stream)"
+        )
     return cross_near_pairs_banded(
         stream_embeddings, eval_embeddings, threshold=threshold, **banded_kwargs
     )

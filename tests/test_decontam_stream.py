@@ -84,7 +84,9 @@ def test_streaming_rejects_streaming_eval_side(spark, sf_dir, tmp_path):
     src.mkdir()
     (src / "f0.json").write_text("")
     ev_stream = spark.readStream.schema(SCHEMA).json(str(src))
-    with pytest.raises(AssertionError, match="static"):
+    # real exceptions, not asserts: the contract must hold under
+    # python -O too (ADVICE r12)
+    with pytest.raises(TypeError, match="static"):
         streaming_decontam(ev_stream, ev_stream)
-    with pytest.raises(AssertionError, match="broadcast"):
+    with pytest.raises(ValueError, match="broadcast"):
         streaming_decontam(ev_stream, emb, broadcast_reference=False)

@@ -603,18 +603,16 @@ def test_committed_bench_stays_within_baseline_contract():
     keyed query in the committed BENCH_DETAIL.json must run within 2x
     its BASELINE_BENCH.json time (the contract bound), and the shared-
     key total within 1.5x. Catches a committed bench record that would
-    fail the round before the round does."""
-    import json
+    fail the round before the round does.
+
+    ONE gate definition exists (tools/bench_commit.gate — also what the
+    atomic bench_commit tool applies pre-commit); this test delegates to
+    it so the two can never disagree on edge handling (ADVICE r12: a
+    zero-time baseline key was dropped by one and divided by the
+    other)."""
     import os
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "BASELINE_BENCH.json")) as fh:
-        base = json.load(fh).get("queries", {})
-    with open(os.path.join(repo, "BENCH_DETAIL.json")) as fh:
-        cur = json.load(fh).get("queries", {})
-    common = [k for k in cur if k in base]
-    assert len(common) >= 20  # the baseline keys stay benched
-    over = {k: round(cur[k] / base[k], 2) for k in common if cur[k] > 2 * base[k]}
-    assert not over, f"queries past 2x baseline: {over}"
-    total = sum(cur[k] for k in common) / sum(base[k] for k in common)
-    assert total <= 1.5, f"shared-key total ratio {total:.2f}"
+    from tools.bench_commit import REPO, gate
+
+    problems = gate(os.path.join(REPO, "BENCH_DETAIL.json"))
+    assert problems == [], f"committed bench record fails the gate: {problems}"

@@ -41,7 +41,14 @@ def _git(*args: str) -> str:
 
 
 def gate(detail_path: str) -> list[str]:
-    """Same bounds as the repo gate; returns a list of violations."""
+    """THE bench gate (single definition): per-key <= 2x baseline,
+    shared-key total <= 1.5x, >= 20 baseline keys covered. Used by this
+    tool pre-commit AND delegated to by tests/test_plans.py::
+    test_committed_bench_stays_within_baseline_contract, so the
+    pre-commit check and the repo gate cannot drift (ADVICE r12).
+    Returns a list of violations (empty = green). A zero-time baseline
+    key (can't be ratioed) is excluded from the ratio set but still
+    counts as missing coverage via the >= 20 floor."""
     with open(os.path.join(REPO, "BASELINE_BENCH.json")) as fh:
         base = json.load(fh).get("queries", {})
     with open(detail_path) as fh:
