@@ -147,6 +147,9 @@ HEADLINE = (
     "q_semdedup_routed",
     "q_decontam_fixed_eval",
     "q_ann_pq_batch",
+    # round-13: the contract-parameterized banded screen (tables_for is
+    # the default L path; this key serves the 0.8 contract's L=17)
+    "q_decontam_t08",
 )
 
 # single-JVM local bench has ~±20-30% run-to-run noise (ambient load

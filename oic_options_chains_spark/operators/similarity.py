@@ -433,13 +433,16 @@ def cross_near_pairs_banded(
     probe: DataFrame,
     reference: DataFrame,
     threshold: float = 0.35,
-    n_tables: int = 28,
+    n_tables: int | None = None,
     bits_per_table: int = 8,
     in_dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     broadcast_reference: bool = True,
     use_kernel: bool | None = None,
+    contract_cos: float = 0.7,
+    target_recall_bp: int = 9000,
+    recall_margin_bp: int = 400,
 ) -> DataFrame:
     """Bipartite cosine near-pairs with BANDED hyperplane LSH — the
     OR-amplified scale path of :func:`cross_near_pairs`.
@@ -458,10 +461,25 @@ def cross_near_pairs_banded(
     duplicates agree on every plane, so they are NEVER lost), tunable
     at the threshold by (L, b).
 
-    RECALL CONTRACT (round 12): the default L=28 x b=8 promises
-    >= 9000 bp pair recall at cos >= 0.7 — the near-dup contamination
-    regime — measured on 256 planted pairs AT the 0.7 boundary (the
-    worst case of the promised region; recall is monotone above it):
+    RECALL CONTRACT (round 12, parameterized round 13): when
+    ``n_tables`` is None (the default path), L is SOLVED from the
+    contract instead of hardcoded —
+    ``tables_for(contract_cos, target_recall_bp + recall_margin_bp,
+    bits_per_table)`` — so a deployment screening at a different
+    near-dup threshold states ``contract_cos=0.8`` (or 0.6, ...) and
+    gets the minimal table count for the same >= ``target_recall_bp``
+    promise automatically (0.8 -> L=17, 0.6 -> L=45 at b=8). The
+    ``recall_margin_bp`` head-room exists because measurement tracks
+    the closed-form S-curve only to ~20 bp and the contract is a floor:
+    solving at target+margin puts the THEORY point far enough above the
+    promise that the measured value cannot graze it (the round-12
+    planted probes measured 9400-9414 bp against theory 9418 bp). At
+    the defaults (contract_cos=0.7, 9000+400 bp) this resolves to
+    L=28 x b=8 — bit-identical to the round-12 hardcoded default and
+    its recorded curves. The promise, restated: >= 9000 bp pair recall
+    at cos >= contract_cos — measured on 256 planted pairs AT the 0.7
+    boundary (the worst case of the promised region; recall is
+    monotone above it):
     9400-9414 bp planted at 0.7 across sf0.1-2, 10000 bp at 0.9, vs
     theory 9418/9999 bp (SCALE_CURVE recall_bp:planted_c70/_c90 on
     q_decontam_banded). Below the promised threshold the S-curve
@@ -485,6 +503,12 @@ def cross_near_pairs_banded(
 
     Returns (id_a = probe id, id_b = reference id, score_e6). NULL
     vectors never pair (dropped on both sides)."""
+    if n_tables is None:
+        n_tables = tables_for(
+            contract_cos,
+            min(9999, target_recall_bp + recall_margin_bp),
+            bits_per_table,
+        )
     if use_kernel is None:
         use_kernel = n_tables * bits_per_table >= KERNEL_MIN_PLANES
 

@@ -343,11 +343,10 @@ def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- q_decontam_banded: QUEUED FOR r12 REGISTRATION -----------------------
-# (registry held at 219 this round per VERDICT r10 item 1). The query and
-# its DuckDB oracle are complete and cross-engine-tested now
-# (tests/test_round11_banded_oracle.py) so registration is a one-line
-# @register flip next round.
+# --- q_decontam_banded (registered round 12) -------------------------------
+# Built and cross-engine-tested in round 11 (tests/test_round11_banded_oracle
+# .py) while the registry was held at 219 per VERDICT r10 item 1; the
+# @register flip landed in round 12.
 
 DECONTAM_BANDED_ORACLE = """
     WITH planes AS (
@@ -465,6 +464,56 @@ def q_decontam_fixed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = emb.filter((F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 2000))
     tr = emb.filter(F.col("vec_id") % 10 != 0)
     hits = cross_near_pairs_banded(tr, ev, threshold=0.35)
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("score_e6").desc(), F.col("id_b").asc()
+    )
+    return (
+        hits.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("id_a").alias("vec_id"),
+            F.col("id_b").alias("contaminant_id"),
+            "score_e6",
+        )
+    )
+
+
+# the contract-parameterized banded screen at a NON-default near-dup
+# threshold (round 13, VERDICT r12 item 5): contract_cos=0.8 makes
+# cross_near_pairs_banded SOLVE its table count via tables_for
+# (L = tables_for(0.8, 9400) = 17 at b=8) instead of inheriting the
+# 0.7-contract's 28 — the oracle replays the same md5-parity plane
+# family over exactly 17*8 = 136 planes, so a drift between the solver
+# and the served key count breaks the value hash. Emission threshold
+# 0.5 (a 0.8-contract screen still reports the borderline pairs it
+# happens to catch; the PROMISE only covers cos >= 0.8).
+DECONTAM_T08_ORACLE = DECONTAM_BANDED_ORACLE.replace(
+    "range(0, 224)", "range(0, 136)"
+).replace("cos >= 0.35", "cos >= 0.5")
+assert "range(0, 136)" in DECONTAM_T08_ORACLE
+assert "cos >= 0.5" in DECONTAM_T08_ORACLE
+
+
+@register("q_decontam_t08", oracle=DECONTAM_T08_ORACLE)
+def q_decontam_t08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH decontamination with the recall contract RESTATED at
+    cos >= 0.8 (operators/similarity.cross_near_pairs_banded with
+    contract_cos=0.8): the threshold->tables_for default path solves
+    the minimal margin-bearing table count for the promise — L=17 x b=8
+    here, vs the 0.7 contract's 28 — so a deployment screening only for
+    tighter near-dups pays 17/28 of the key-generation and bucket-probe
+    cost and keeps the same >= 9000 bp planted-pair floor (theory at
+    the 0.8 boundary: 9482 bp; measured row in SCALE_CURVE
+    recall_bp:planted_c80). Same top-1-contaminant reporting shape as
+    q_decontam_banded."""
+    from oic_options_chains_spark.operators.similarity import (
+        cross_near_pairs_banded,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % 10 == 0)
+    tr = emb.filter(F.col("vec_id") % 10 != 0)
+    hits = cross_near_pairs_banded(tr, ev, threshold=0.5, contract_cos=0.8)
     w = Window.partitionBy("id_a").orderBy(
         F.col("score_e6").desc(), F.col("id_b").asc()
     )

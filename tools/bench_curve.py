@@ -606,9 +606,12 @@ def _recall_decontam_at(bits_mode):
     return probe
 
 
-def _recall_decontam_planted(target_cos: float):
+def _recall_decontam_planted(target_cos: float, contract_cos: float | None = None):
     """PLANTED-pair recall of the banded decontamination screen at a
-    CONTROLLED cosine — the recall-contract measurement (round 12).
+    CONTROLLED cosine — the recall-contract measurement (round 12;
+    ``contract_cos`` added round 13 so the threshold-parametric default
+    path — L solved by tables_for — is measurable at non-0.7 contracts
+    too, q_decontam_t08's planted_c80 row).
 
     The corpus's own pair histogram is empty above cos ~0.5 (sf0.1: one
     pair at >= 0.5, none at >= 0.7), so recall at the contract
@@ -645,6 +648,10 @@ def _recall_decontam_planted(target_cos: float):
         emb = load_table(spark, sf_dir, "embeddings")
         ev = emb.filter(F.col("vec_id") % 10 == 0)
         ev_rows = ev.orderBy("vec_id").limit(256).collect()
+        if not ev_rows:
+            # eval-side-empty sf dir: the probe is unmeasurable, not a
+            # crash — report 0 like the tool's other degenerate cases
+            return 0
 
         def unit(v):
             return v / np.linalg.norm(v)
@@ -681,6 +688,11 @@ def _recall_decontam_planted(target_cos: float):
                 twins,
                 ev.orderBy("vec_id").limit(256),
                 threshold=target_cos - 0.02,
+                **(
+                    {"contract_cos": contract_cos}
+                    if contract_cos is not None
+                    else {}
+                ),
             )
             .filter(F.col("id_b") == F.col("id_a") - base)
             .count()
@@ -695,6 +707,11 @@ RECALL_PROBES = {
         "planted_c50": _recall_decontam_planted(0.5),
         "planted_c70": _recall_decontam_planted(0.7),
         "planted_c90": _recall_decontam_planted(0.9),
+    },
+    # the 0.8-contract key measures AT ITS OWN parameterization: the
+    # solver's L=17, not the 0.7 contract's 28
+    "q_decontam_t08": {
+        "planted_c80": _recall_decontam_planted(0.8, contract_cos=0.8),
     },
     "q_ann_ivf_pq": {"ivf_batch": _recall_ann, "ivf_pq_q0": _recall_ann_pq},
     "q_ann_ivf_pq@scaled_codebook": {
