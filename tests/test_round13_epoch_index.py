@@ -1,0 +1,103 @@
+"""Round 13 (VERDICT r12 item 2): the incremental aHash screen consumes
+a MATERIALIZED epoch index instead of re-hashing the base corpus per
+invocation. Pins:
+
+- result identity: the base_index= path returns exactly the inline
+  base= path's rows (the index is a pure function of the corpus, so
+  materializing it can only move work, never answers);
+- the exactly-one-of contract (base= xor base_index=) and the index
+  schema check are real ValueErrors;
+- the query-level cache builds once per corpus identity and is READ,
+  not recomputed, on every later call (the steady-state bench cost is
+  delta-side work only);
+- q_ahash_incremental (the registered key) equals the inline form on
+  the real sf tables — the oracle never sees the cache, so this is the
+  same-answer guarantee the driver's value hash relies on.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from oic_options_chains_spark.operators.phash import (
+    ahash_band_table,
+    ahash_incremental,
+    materialize_epoch_index,
+)
+
+
+def _rows(df):
+    return {(r.doc_id, r.kept, r.dup_of, r.hamming) for r in df.collect()}
+
+
+@pytest.fixture()
+def corpus(spark):
+    prefix = "the same leading template sentence for every single doc "
+    base = spark.createDataFrame(
+        [(i, prefix + f"tail {i} " + "x" * (i % 7)) for i in range(60)],
+        ["doc_id", "text"],
+    )
+    delta = base.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.upper("text").alias("text"),
+    )
+    return base, delta
+
+
+def test_materialized_index_path_equals_inline(spark, tmp_path, corpus):
+    base, delta = corpus
+    path = str(tmp_path / "epoch_idx")
+    materialize_epoch_index(base, path)
+    idx = spark.read.parquet(path)
+    got = _rows(ahash_incremental(None, delta, base_index=idx))
+    want = _rows(ahash_incremental(base, delta))
+    assert got == want and got
+
+
+def test_exactly_one_of_base_and_index(spark, corpus):
+    base, delta = corpus
+    idx = ahash_band_table(base)
+    with pytest.raises(ValueError, match="exactly one"):
+        ahash_incremental(base, delta, base_index=idx)
+    with pytest.raises(ValueError, match="exactly one"):
+        ahash_incremental(None, delta)
+    with pytest.raises(ValueError, match="contract columns"):
+        ahash_incremental(None, delta, base_index=base)  # wrong relation
+
+
+def test_epoch_cache_builds_once_then_reads(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    import oic_options_chains_spark.operators.phash as phash
+    from oic_options_chains_spark.queries.profiling import _ahash_epoch_index
+
+    monkeypatch.setenv("SPARK_GRAFT_CACHE_DIR", str(tmp_path))
+    builds = []
+    real = phash.materialize_epoch_index
+    monkeypatch.setattr(
+        phash,
+        "materialize_epoch_index",
+        lambda *a, **k: (builds.append(1), real(*a, **k))[1],
+    )
+    first = _ahash_epoch_index(spark, sf_dir)
+    again = _ahash_epoch_index(spark, sf_dir)
+    assert builds == [1], "index rebuilt despite unchanged corpus identity"
+    assert first.count() == again.count() > 0
+
+
+def test_registered_key_matches_inline_form(spark, sf_dir, tmp_path, monkeypatch):
+    from oic_options_chains_spark.queries import QUERIES
+    from oic_options_chains_spark.sources.registry import load_table
+
+    monkeypatch.setenv("SPARK_GRAFT_CACHE_DIR", str(tmp_path))
+    got = _rows(QUERIES["q_ahash_incremental"](spark, sf_dir))
+    d = load_table(spark, sf_dir, "documents")
+    delta = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.upper("text").alias("text"),
+    )
+    want = _rows(
+        ahash_incremental(d.select("doc_id", "text"), delta, max_hamming=3)
+    )
+    assert got == want and got
