@@ -7,6 +7,22 @@ Each query is timed over a full execution (collect of a count/foreach-less
 materialization) after a shared session warm-up. Headline set covers every
 operator class: scan+filter, as-of window, nearest-selection, anti-join
 dedup, merge, export sort, minhash/LSH, jaccard, ANN, text analysis.
+
+TWO detail records, one path each (VERDICT r12 item 3 — the committed
+gated record and the driver's post-commit run used to fight over
+BENCH_DETAIL.json, leaving a dirty tree and a two-records-one-file
+ambiguity every round):
+- tools/bench_commit.py runs set SPARK_GRAFT_BENCH_RECORD=commit and
+  write the COMMITTED record to BENCH_DETAIL.json (gated, committed in
+  the same step);
+- every other run (the driver's per-round capture, local iteration)
+  writes BENCH_DETAIL.run.json, which is gitignored.
+Both records carry a `provenance` block (host, load averages at start
+and end, cpu count, record mode) so same-code cross-box deltas are
+attributable from the artifacts alone, and a per-key `queries_spread`
+of [min, max, n] over the timing runs so capture-noise-bound keys are
+visible in the record itself (VERDICT r12 item 6 — the gate still
+reads the min-of-N `queries` map, unchanged).
 """
 
 from __future__ import annotations
@@ -195,8 +211,12 @@ SCALE_RUNS_PER_QUERY = 2
 
 
 def main() -> None:
+    import socket
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    mode = os.environ.get("SPARK_GRAFT_BENCH_RECORD", "run")
+    load_start = os.getloadavg()
 
     from oic_options_chains_spark.queries import QUERIES
     from oic_options_chains_spark.session import get_spark
@@ -208,16 +228,19 @@ def main() -> None:
     QUERIES["q_group_count"](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
+    spread: dict[str, list] = {}
     total = 0.0
     for name in HEADLINE:
         fn = QUERIES[name]
-        best, n = float("inf"), 0
+        runs, n = [], 0
         for _ in range(RUNS_PER_QUERY):
             start = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
-            best = min(best, time.perf_counter() - start)
+            runs.append(time.perf_counter() - start)
+        best = min(runs)
         timings[name] = round(best, 3)
+        spread[name] = [round(best, 3), round(max(runs), 3), len(runs)]
         total += best
         print(f"# {name}: {best:.3f}s rows={n}", file=sys.stderr)
 
@@ -231,18 +254,21 @@ def main() -> None:
     # sf0.5 scale section (only on the driver's default sf0.1 run; an
     # explicit SPARK_GRAFT_SF_DIR override is someone iterating locally)
     scale_detail: dict[str, float] = {}
+    scale_spread: dict[str, list] = {}
     scale_dir = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".scale", "sf0.5"
     )
     if sf == "0.1" and os.path.isdir(scale_dir):
         for name in SCALE_QUERIES:
             fn = QUERIES[name]
-            best, n = float("inf"), 0
+            runs, n = [], 0
             for _ in range(SCALE_RUNS_PER_QUERY):
                 start = time.perf_counter()
                 n = fn(spark, scale_dir).count()
-                best = min(best, time.perf_counter() - start)
+                runs.append(time.perf_counter() - start)
+            best = min(runs)
             scale_detail[name] = round(best, 3)
+            scale_spread[name] = [round(best, 3), round(max(runs), 3), len(runs)]
             print(f"# sf0.5 {name}: {best:.3f}s rows={n}", file=sys.stderr)
         out["sf05_total"] = round(sum(scale_detail.values()), 3)
         out["sf05_n_queries"] = len(scale_detail)
@@ -277,12 +303,28 @@ def main() -> None:
     # bench records "parsed": null (happened in r04). Keep the stdout
     # line compact — totals + the 5 slowest queries — and write the full
     # per-query detail (timings + vs_r01 ratios) to BENCH_DETAIL.json.
+    # machine context next to the numbers, so cross-box same-code deltas
+    # are adjudicable from the artifacts alone (the r9-r12 drift ledger
+    # had to reconstruct this per round)
+    provenance = {
+        "host": socket.gethostname(),
+        "cpus": os.cpu_count(),
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "record_mode": mode,
+    }
     detail = dict(out)
     detail["queries"] = timings
+    detail["queries_spread"] = spread
+    detail["provenance"] = provenance
     if scale_detail:
         detail["sf05_queries"] = scale_detail
+        detail["sf05_spread"] = scale_spread
+    detail_name = (
+        "BENCH_DETAIL.json" if mode == "commit" else "BENCH_DETAIL.run.json"
+    )
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        os.path.dirname(os.path.abspath(__file__)), detail_name
     )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
@@ -290,7 +332,8 @@ def main() -> None:
     slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:5]
     out["queries"] = dict(slowest)
     out["n_queries"] = len(timings)
-    out["detail"] = "BENCH_DETAIL.json"
+    out["detail"] = detail_name
+    out["provenance"] = provenance
     if "vs_r01" in out:
         del out["vs_r01"]
 

@@ -92,7 +92,15 @@ def main() -> int:
         )
         return 2
 
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=args.sf_dir)
+    # commit mode: bench.py writes the gated record to BENCH_DETAIL.json;
+    # any other invocation (the driver's per-round run, local iteration)
+    # writes the gitignored BENCH_DETAIL.run.json instead, so the two
+    # records never fight over one path (VERDICT r12 item 3)
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR=args.sf_dir,
+        SPARK_GRAFT_BENCH_RECORD="commit",
+    )
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env,
