@@ -1428,15 +1428,33 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental delta-vs-base near-dup screen
     (operators/minhash.incremental_lsh_dedup): the 20% doc_id%10>=8 slice
     plays the incoming batch, the other 80% the already-deduped corpus.
-    The delta's band keys bucket-join the base's band INDEX (at scale a
-    materialized table) — the base never self-pairs — and candidates are
-    exact-verified by shingle Jaccard before a delta doc is dropped."""
-    from oic_options_chains_spark.operators.minhash import incremental_lsh_dedup
+    The delta's band keys bucket-join the base's band INDEX — served
+    from the materialized epoch cache (sources/epoch.epoch_parquet +
+    minhash.materialize_epoch_band_index, round 13), so per batch the
+    base corpus is never re-minhashed — the base never self-pairs, and
+    candidates are exact-verified by shingle Jaccard over a verify scan
+    pruned to the candidate frontier before a delta doc is dropped."""
+    import os
+
+    from oic_options_chains_spark.operators.minhash import (
+        incremental_lsh_dedup,
+        materialize_epoch_band_index,
+    )
+    from oic_options_chains_spark.sources.epoch import epoch_parquet
 
     d = load_table(spark, sf_dir, "documents")
     base = d.filter(F.col("doc_id") % 10 < 8)
     delta = d.filter(F.col("doc_id") % 10 >= 8)
-    return incremental_lsh_dedup(base, delta, min_jaccard_bp=2000)
+    # tag pins the slice predicate and band params the contents depend on
+    idx = epoch_parquet(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        "minhash-bands-v1:mod10lt8:h8r4",
+        lambda tmp: materialize_epoch_band_index(base, tmp),
+    )
+    return incremental_lsh_dedup(
+        base, delta, min_jaccard_bp=2000, base_index=idx
+    )
 
 
 @register(

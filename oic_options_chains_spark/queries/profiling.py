@@ -625,56 +625,30 @@ def q_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ahash_epoch_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MATERIALIZED once-per-epoch aHash index of the documents
-    corpus (operators/phash.materialize_epoch_index), cached as parquet
-    keyed by the source file's identity (path + size + mtime_ns) so a
-    regenerated corpus re-materializes and an unchanged one never
-    re-hashes — the serving shape VERDICT r12 item 2 asked for: the
-    incremental screen's steady-state cost is delta-side work only.
-    Index contents are a pure function of the corpus (the DuckDB oracle
-    recomputes them from raw text and still matches), so the cache can
-    only ever change WHEN work happens, not WHAT the query returns.
-    Concurrent builders race benignly: each writes a unique temp dir
-    and the loser of the atomic rename discards its copy."""
-    import hashlib
+    corpus (operators/phash.materialize_epoch_index), served through
+    the shared build-once cache (sources/epoch.epoch_parquet — keyed by
+    source identity, atomic-rename build, benign concurrent race): the
+    serving shape VERDICT r12 item 2 asked for, where the incremental
+    screen's steady-state cost is delta-side work only. Index contents
+    are a pure function of the corpus (the DuckDB oracle recomputes
+    them from raw text and still matches), so the cache can only ever
+    change WHEN work happens, not WHAT the query returns."""
     import os
-    import shutil
-    import uuid
 
     from oic_options_chains_spark.operators.phash import (
         materialize_epoch_index,
     )
+    from oic_options_chains_spark.sources.epoch import epoch_parquet
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    if os.path.isdir(src):
-        st = [
-            (n, os.stat(os.path.join(src, n)))
-            for n in sorted(os.listdir(src))
-            if not n.startswith((".", "_"))
-        ]
-        ident = ";".join(f"{n}:{s.st_size}:{s.st_mtime_ns}" for n, s in st)
-    else:
-        s = os.stat(src)
-        ident = f"{s.st_size}:{s.st_mtime_ns}"
-    sig = hashlib.md5(
-        f"ahash-epoch-v1:{os.path.abspath(src)}:{ident}".encode()
-    ).hexdigest()[:16]
-    root = os.environ.get("SPARK_GRAFT_CACHE_DIR") or os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".cache",
-    )
-    final = os.path.join(root, "ahash_epoch", sig)
-    if not os.path.isdir(final):
-        os.makedirs(os.path.dirname(final), exist_ok=True)
-        tmp = f"{final}.build-{uuid.uuid4().hex[:8]}"
-        materialize_epoch_index(
+    return epoch_parquet(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        "ahash-epoch-v1",
+        lambda tmp: materialize_epoch_index(
             load_table(spark, sf_dir, "documents").select("doc_id", "text"),
             tmp,
-        )
-        try:
-            os.rename(tmp, final)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # lost a benign race
-    return spark.read.parquet(final)
+        ),
+    )
 
 
 @register(

@@ -101,3 +101,75 @@ def test_registered_key_matches_inline_form(spark, sf_dir, tmp_path, monkeypatch
         ahash_incremental(d.select("doc_id", "text"), delta, max_hamming=3)
     )
     assert got == want and got
+
+
+# --- the MinHash twin (round-13 second wave) --------------------------------
+
+
+def test_minhash_index_path_equals_inline(spark, sf_dir, tmp_path):
+    from oic_options_chains_spark.operators.minhash import (
+        incremental_lsh_dedup,
+        materialize_epoch_band_index,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = d.filter(F.col("doc_id") % 10 < 8).select("doc_id", "text")
+    delta = d.filter(F.col("doc_id") % 10 >= 8).select("doc_id", "text")
+    path = str(tmp_path / "band_idx")
+    materialize_epoch_band_index(base, path)
+    idx = spark.read.parquet(path)
+    got = {
+        (r.doc_id, r.kept, r.dup_of, r.jaccard_bp)
+        for r in incremental_lsh_dedup(base, delta, base_index=idx).collect()
+    }
+    want = {
+        (r.doc_id, r.kept, r.dup_of, r.jaccard_bp)
+        for r in incremental_lsh_dedup(base, delta).collect()
+    }
+    assert got == want and got
+
+
+def test_minhash_index_schema_check(spark, sf_dir):
+    import pytest
+
+    from oic_options_chains_spark.operators.minhash import (
+        incremental_lsh_dedup,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = d.filter(F.col("doc_id") % 10 < 8)
+    delta = d.filter(F.col("doc_id") % 10 >= 8)
+    with pytest.raises(ValueError, match="contract columns"):
+        incremental_lsh_dedup(base, delta, base_index=base)
+
+
+def test_minhash_registered_key_uses_cache_once(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """q_dedup_incremental builds its epoch band index on first use and
+    READS it afterwards — and the served rows equal the inline form's."""
+    import oic_options_chains_spark.operators.minhash as mh
+    from oic_options_chains_spark.queries import QUERIES
+
+    monkeypatch.setenv("SPARK_GRAFT_CACHE_DIR", str(tmp_path))
+    builds = []
+    real = mh.materialize_epoch_band_index
+    monkeypatch.setattr(
+        mh,
+        "materialize_epoch_band_index",
+        lambda *a, **k: (builds.append(1), real(*a, **k))[1],
+    )
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = d.filter(F.col("doc_id") % 10 < 8).select("doc_id", "text")
+    delta = d.filter(F.col("doc_id") % 10 >= 8).select("doc_id", "text")
+    want = {
+        (r.doc_id, r.kept, r.dup_of, r.jaccard_bp)
+        for r in mh.incremental_lsh_dedup(base, delta).collect()
+    }
+    for expected_builds in (1, 1):
+        got = {
+            (r.doc_id, r.kept, r.dup_of, r.jaccard_bp)
+            for r in QUERIES["q_dedup_incremental"](spark, sf_dir).collect()
+        }
+        assert got == want and got
+        assert len(builds) == expected_builds, "index rebuilt on reuse"
