@@ -164,8 +164,11 @@ HEADLINE = (
     "q_decontam_fixed_eval",
     "q_ann_pq_batch",
     # round-13: the contract-parameterized banded screen (tables_for is
-    # the default L path; this key serves the 0.8 contract's L=17)
+    # the default L path; this key serves the 0.8 contract's L=17) and
+    # the ANN serving shape (materialized IVF-PQ index, zero fit per
+    # query)
     "q_decontam_t08",
+    "q_ann_pq_served",
 )
 
 # single-JVM local bench has ~±20-30% run-to-run noise (ambient load

@@ -38,7 +38,9 @@ shuffles candidate (vec_id, sub) code rows once for the score sum.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from typing import NamedTuple
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from oic_options_chains_spark.operators.kmeans import (
@@ -249,6 +251,117 @@ def adc_table(
     )
 
 
+class IvfPqIndex(NamedTuple):
+    """The four relations of a trained IVF-PQ index — everything
+    retrieval needs besides the raw vectors (which only the bounded
+    exact re-rank reads):
+
+    - ``assigned``  (vec_id, cid): coarse cell membership
+    - ``centroids`` (cid, sarr, n, ss): coarse centroid integer moments
+    - ``codes``     (vec_id, codes array<int>): the PQ code table — the
+      ~8-bytes-per-vector relation the ADC scan reads INSTEAD of the
+      corpus
+    - ``codebooks`` (sub, cid, sarr, n, ss): sub-quantizer moments
+
+    All integer/decimal by the module's cross-engine discipline, so a
+    parquet round-trip is exact: a served query returns bit-for-bit the
+    rows an inline fit would."""
+
+    assigned: DataFrame
+    centroids: DataFrame
+    codes: DataFrame
+    codebooks: DataFrame
+
+
+_INDEX_COLS = {
+    "assigned": {"vec_id", "cid"},
+    "centroids": {"cid", "sarr", "n", "ss"},
+    "codes": {"vec_id", "codes"},
+    "codebooks": {"sub", "cid", "sarr", "n", "ss"},
+}
+
+
+def _check_index(index: IvfPqIndex) -> None:
+    for part, want in _INDEX_COLS.items():
+        got = set(getattr(index, part).columns)
+        if not want <= got:
+            raise ValueError(
+                f"IvfPqIndex.{part} lacks contract columns "
+                f"{sorted(want - got)}; got {sorted(got)}"
+            )
+
+
+def ivf_pq_fit_index(
+    embeddings: DataFrame,
+    coarse_k: int = 8,
+    n_sub: int = 8,
+    k_sub: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IvfPqIndex:
+    """Train the full IVF-PQ index (coarse k-means + per-subspace
+    codebooks + corpus codes) as one epoch job. The serving split
+    VERDICT r12's shape items established for the dedup screens applies
+    verbatim to ANN: at 100 TB the index is trained once and queried
+    millions of times, so the fit must not ride along on every query —
+    :func:`materialize_ivf_pq_index` persists this result and
+    :func:`ivf_pq_topk` consumes it via ``index=``. Both fits are
+    deterministic (lowest-id seeding, integer Lloyd updates), so served
+    answers are bit-for-bit the inline fit's — the same property that
+    lets the DuckDB oracles replay the training recursion."""
+    qv = quantize(embeddings, id_col, vec_col)
+    assigned, centroids = kmeans_fit(
+        embeddings, k=coarse_k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    coded, codebooks = _pq_fit_qv(qv, n_sub, k_sub, iters)
+    return IvfPqIndex(
+        assigned=assigned.select("vec_id", "cid"),
+        centroids=centroids.select("cid", "sarr", "n", "ss"),
+        codes=coded.select("vec_id", "codes"),
+        codebooks=codebooks.select("sub", "cid", "sarr", "n", "ss"),
+    )
+
+
+def materialize_ivf_pq_index(
+    embeddings: DataFrame,
+    path: str,
+    coarse_k: int = 8,
+    n_sub: int = 8,
+    k_sub: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Write the trained index as four parquet tables under ``path``
+    (subdirectories named as the IvfPqIndex fields). Sizes at 100 TB:
+    codes ~8 B/vector, assigned ~12 B/vector, centroids + codebooks a
+    few KB total — the whole artifact is ~1% of the corpus it serves."""
+    idx = ivf_pq_fit_index(
+        embeddings,
+        coarse_k=coarse_k,
+        n_sub=n_sub,
+        k_sub=k_sub,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    for part in IvfPqIndex._fields:
+        getattr(idx, part).write.mode("overwrite").parquet(
+            f"{path}/{part}"
+        )
+
+
+def read_ivf_pq_index(spark: SparkSession, path: str) -> IvfPqIndex:
+    """Read back a :func:`materialize_ivf_pq_index` artifact as plain
+    parquet scans (schema-checked)."""
+    idx = IvfPqIndex(
+        **{p: spark.read.parquet(f"{path}/{p}") for p in IvfPqIndex._fields}
+    )
+    _check_index(idx)
+    return idx
+
+
 def ivf_pq_topk(
     embeddings: DataFrame,
     query_id: int,
@@ -261,11 +374,23 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rerank: int | None = 50,
+    index: IvfPqIndex | None = None,
 ) -> DataFrame:
     """IVF-ADC retrieval: coarse-quantize the corpus (k-means,
     ``coarse_k`` cells), PQ-encode it, then answer the query by scanning
     only the ``n_probe`` nearest coarse cells and scoring their members
     as the sum of n_sub ADC table lookups — (vec_id, score, rank).
+
+    ``index=`` (round 13) is the SERVING path: pass a trained
+    :class:`IvfPqIndex` (:func:`ivf_pq_fit_index` /
+    :func:`read_ivf_pq_index`) and the call skips both fits — per-query
+    work is the coarse probe against ~coarse_k centroid rows, the
+    128-row ADC table, the code scan of the probed cells, and the
+    R-row exact re-rank. ``coarse_k``/``k_sub``/``iters`` are fit
+    parameters and are IGNORED with ``index=`` (the index's own
+    training pinned them); ``n_sub`` must match the index's subspace
+    count since the ADC table is keyed by it. Fits are deterministic,
+    so served rows are bit-for-bit the inline form's.
 
     The coarse probe reuses the exact cross-multiplied ranking of
     ``ivf_kmeans_topk`` (operators/kmeans.py:190); the in-cell ranking
@@ -292,16 +417,20 @@ def ivf_pq_topk(
     from oic_options_chains_spark.operators.kmeans import ivf_probe_cells
 
     qv = quantize(embeddings, id_col, vec_col)
-    assigned, centroids = kmeans_fit(
-        embeddings, k=coarse_k, iters=iters, id_col=id_col, vec_col=vec_col
-    )
+    if index is not None:
+        _check_index(index)
+        assigned, centroids = index.assigned, index.centroids
+        coded, codebooks = index.codes, index.codebooks
+    else:
+        assigned, centroids = kmeans_fit(
+            embeddings, k=coarse_k, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+        coded, codebooks = _pq_fit_qv(qv, n_sub, k_sub, iters)
     qrow = (
         qv.filter(F.col("vec_id") == query_id)
         .select(F.col("qarr").alias("q_qarr"))
     )
     probe = ivf_probe_cells(centroids, qrow, n_probe)
-
-    coded, codebooks = _pq_fit_qv(qv, n_sub, k_sub, iters)
     adc = adc_table(codebooks, qrow, n_sub)
 
     cand = (

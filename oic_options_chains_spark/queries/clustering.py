@@ -690,6 +690,41 @@ def q_ann_pq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_ann_pq_served", oracle=ANN_PQ_RERANK_ORACLE)
+def q_ann_pq_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ADC top-5 against a MATERIALIZED index (round 13 — the other
+    half of the serving story q_ann_pq_batch started): the coarse
+    assignment, centroid moments, PQ codes and codebooks are trained
+    once per corpus epoch (pq.materialize_ivf_pq_index via the shared
+    sources/epoch cache) and every query after that is
+    ivf_pq_topk(index=...) — per-query work is the broadcast probe,
+    the 128-row ADC table, a code scan of the probed cells and the
+    50-row exact re-rank; NO k-means runs at query time. Fits are
+    deterministic, so this key shares q_ann_pq_rerank's oracle
+    verbatim: the served rows must be bit-for-bit the inline fit's."""
+    import os
+
+    from oic_options_chains_spark.operators.pq import (
+        ivf_pq_topk,
+        materialize_ivf_pq_index,
+        read_ivf_pq_index,
+    )
+    from oic_options_chains_spark.sources.epoch import epoch_dir
+
+    e = _spread(load_table(spark, sf_dir, "embeddings"))
+    path = epoch_dir(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        f"ivfpq-v1:k{_K}:s{_N_SUB}:c{_K_SUB}:i{_ITERS}",
+        lambda tmp: materialize_ivf_pq_index(
+            e, tmp, coarse_k=_K, n_sub=_N_SUB, k_sub=_K_SUB, iters=_ITERS
+        ),
+    )
+    idx = read_ivf_pq_index(spark, path)
+    return ivf_pq_topk(
+        e, query_id=0, n_probe=2, n_sub=_N_SUB, topk=5, rerank=50, index=idx
+    )
+
+
 @register(
     "q_knn_triangles",
     # distances are integer L2 over the shared floor(x*4096) quantization;

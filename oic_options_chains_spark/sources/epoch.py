@@ -51,18 +51,15 @@ def source_identity(path: str) -> str:
     return f"{s.st_size}:{s.st_mtime_ns}"
 
 
-def epoch_parquet(
-    spark: SparkSession,
-    src_path: str,
-    tag: str,
-    build: Callable[[str], None],
-) -> DataFrame:
-    """The materialized epoch relation for ``(tag, identity(src_path))``
-    — built via ``build(tmp_path)`` (which must write parquet there) on
-    first use, a plain parquet scan afterwards. ``tag`` must encode
-    every parameter the built contents depend on (operator version,
-    slice predicate, band widths, ...): two different parameterizations
-    over the same source need two tags."""
+def epoch_dir(src_path: str, tag: str, build: Callable[[str], None]) -> str:
+    """The cache DIRECTORY for ``(tag, identity(src_path))`` — built via
+    ``build(tmp_path)`` on first use (the callback may lay out anything
+    under that path: one parquet table, or several subdirectories for a
+    multi-relation artifact like an IVF-PQ index), atomically renamed
+    into place afterwards. ``tag`` must encode every parameter the
+    built contents depend on (operator version, slice predicate, band
+    widths, ...): two different parameterizations over the same source
+    need two tags."""
     sig = hashlib.md5(
         f"{tag}:{os.path.abspath(src_path)}:{source_identity(src_path)}".encode()
     ).hexdigest()[:16]
@@ -79,4 +76,16 @@ def epoch_parquet(
             os.rename(tmp, final)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)  # lost a benign race
-    return spark.read.parquet(final)
+    return final
+
+
+def epoch_parquet(
+    spark: SparkSession,
+    src_path: str,
+    tag: str,
+    build: Callable[[str], None],
+) -> DataFrame:
+    """The materialized epoch relation for ``(tag, identity(src_path))``
+    — ``build(tmp_path)`` must write one parquet table there; every
+    call returns it as a plain parquet scan."""
+    return spark.read.parquet(epoch_dir(src_path, tag, build))

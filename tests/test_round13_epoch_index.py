@@ -1,6 +1,7 @@
-"""Round 13 (VERDICT r12 item 2): the incremental aHash screen consumes
-a MATERIALIZED epoch index instead of re-hashing the base corpus per
-invocation. Pins:
+"""Round 13 (VERDICT r12 item 2, generalized): the incremental screens
+(aHash, MinHash) and IVF-PQ retrieval consume MATERIALIZED epoch
+artifacts instead of re-deriving them per invocation. Pins, for each
+family:
 
 - result identity: the base_index= path returns exactly the inline
   base= path's rows (the index is a pure function of the corpus, so
@@ -170,6 +171,89 @@ def test_minhash_registered_key_uses_cache_once(
         got = {
             (r.doc_id, r.kept, r.dup_of, r.jaccard_bp)
             for r in QUERIES["q_dedup_incremental"](spark, sf_dir).collect()
+        }
+        assert got == want and got
+        assert len(builds) == expected_builds, "index rebuilt on reuse"
+
+
+# --- the ANN serving shape (round-13 third wave) -----------------------------
+
+
+def test_ivf_pq_index_path_equals_inline_fit(spark, sf_dir, tmp_path):
+    from oic_options_chains_spark.operators.pq import (
+        ivf_pq_fit_index,
+        ivf_pq_topk,
+        materialize_ivf_pq_index,
+        read_ivf_pq_index,
+    )
+    from oic_options_chains_spark.sources.registry import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    want = {
+        tuple(r) for r in ivf_pq_topk(e, query_id=0, rerank=50).collect()
+    }
+    # in-memory index
+    idx = ivf_pq_fit_index(e)
+    got = {
+        tuple(r)
+        for r in ivf_pq_topk(e, query_id=0, rerank=50, index=idx).collect()
+    }
+    assert got == want and got
+    # parquet round-trip: bit-exact (integer moments end-to-end)
+    path = str(tmp_path / "ivfpq")
+    materialize_ivf_pq_index(e, path)
+    stored = read_ivf_pq_index(spark, path)
+    got2 = {
+        tuple(r)
+        for r in ivf_pq_topk(e, query_id=0, rerank=50, index=stored).collect()
+    }
+    assert got2 == want
+    # ...and for the diagnostic ADC-only form too
+    want_adc = {
+        tuple(r) for r in ivf_pq_topk(e, query_id=0, rerank=None).collect()
+    }
+    got_adc = {
+        tuple(r)
+        for r in ivf_pq_topk(
+            e, query_id=0, rerank=None, index=stored
+        ).collect()
+    }
+    assert got_adc == want_adc
+
+
+def test_ivf_pq_index_schema_check(spark, sf_dir):
+    import pytest
+
+    from oic_options_chains_spark.operators.pq import IvfPqIndex, ivf_pq_topk
+    from oic_options_chains_spark.sources.registry import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    bad = IvfPqIndex(assigned=e, centroids=e, codes=e, codebooks=e)
+    with pytest.raises(ValueError, match="contract columns"):
+        ivf_pq_topk(e, query_id=0, index=bad)
+
+
+def test_served_key_builds_once_and_matches_rerank_key(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    import oic_options_chains_spark.operators.pq as pq
+    from oic_options_chains_spark.queries import QUERIES
+
+    monkeypatch.setenv("SPARK_GRAFT_CACHE_DIR", str(tmp_path))
+    builds = []
+    real = pq.materialize_ivf_pq_index
+    monkeypatch.setattr(
+        pq,
+        "materialize_ivf_pq_index",
+        lambda *a, **k: (builds.append(1), real(*a, **k))[1],
+    )
+    want = {
+        tuple(r) for r in QUERIES["q_ann_pq_rerank"](spark, sf_dir).collect()
+    }
+    for expected_builds in (1, 1):
+        got = {
+            tuple(r)
+            for r in QUERIES["q_ann_pq_served"](spark, sf_dir).collect()
         }
         assert got == want and got
         assert len(builds) == expected_builds, "index rebuilt on reuse"
