@@ -508,10 +508,18 @@ def ivf_pq_topk_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rerank: int | None = 50,
+    index: IvfPqIndex | None = None,
 ) -> DataFrame:
     """IVF-ADC retrieval for a SET of queries against ONE fit — the
     serving shape :func:`ivf_pq_topk` (one query per fit) cannot
     express. Returns (qid, vec_id, score, rank), ``topk`` rows per qid.
+
+    ``index=`` (round 13) composes the two halves of the serving story:
+    a MATERIALIZED epoch index (:func:`ivf_pq_fit_index` /
+    :func:`read_ivf_pq_index`) answering a BATCH of queries — zero
+    training at query time, one corpus code scan for the whole batch.
+    Fit parameters (``coarse_k``/``k_sub``/``iters``) are ignored with
+    ``index=``; ``n_sub`` must match the index's subspace count.
 
     At 100 TB the index is trained once and queried millions of times;
     per-query cost must be independent of the fit. Here the coarse
@@ -545,15 +553,19 @@ def ivf_pq_topk_batch(
 
     qids = sorted(int(q) for q in query_ids)
     qv = quantize(embeddings, id_col, vec_col)
-    assigned, centroids = kmeans_fit(
-        embeddings, k=coarse_k, iters=iters, id_col=id_col, vec_col=vec_col
-    )
+    if index is not None:
+        _check_index(index)
+        assigned, centroids = index.assigned, index.centroids
+        coded, codebooks = index.codes, index.codebooks
+    else:
+        assigned, centroids = kmeans_fit(
+            embeddings, k=coarse_k, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+        coded, codebooks = _pq_fit_qv(qv, n_sub, k_sub, iters)
     queries = qv.filter(F.col("vec_id").isin(qids)).select(
         F.col("vec_id").alias("qid"), F.col("qarr").alias("q_qarr")
     )
     probe = ivf_probe_cells_batch(centroids, queries, n_probe)
-
-    coded, codebooks = _pq_fit_qv(qv, n_sub, k_sub, iters)
     adc = adc_table_batch(codebooks, queries, n_sub)
 
     cand = (

@@ -257,3 +257,28 @@ def test_served_key_builds_once_and_matches_rerank_key(
         }
         assert got == want and got
         assert len(builds) == expected_builds, "index rebuilt on reuse"
+
+
+def test_batch_with_index_equals_batch_inline(spark, sf_dir, tmp_path):
+    """The composed production shape: a materialized epoch index
+    answering a batch of queries — bit-for-bit the inline-fit batch."""
+    from oic_options_chains_spark.operators.pq import (
+        ivf_pq_topk_batch,
+        materialize_ivf_pq_index,
+        read_ivf_pq_index,
+    )
+    from oic_options_chains_spark.sources.registry import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qids = (0, 17, 101)
+    want = {
+        tuple(r) for r in ivf_pq_topk_batch(e, qids, rerank=50).collect()
+    }
+    path = str(tmp_path / "ivfpq")
+    materialize_ivf_pq_index(e, path)
+    idx = read_ivf_pq_index(spark, path)
+    got = {
+        tuple(r)
+        for r in ivf_pq_topk_batch(e, qids, rerank=50, index=idx).collect()
+    }
+    assert got == want and got
