@@ -209,6 +209,10 @@ SCALE_QUERIES = (
     "q_decontam_banded",
     "q_ann_pq_rerank",
     "q_lsh_pairs_capped",
+    # round-13: the threshold-parametric contract and the served-index
+    # ANN form — the flat-at-scale claim is their point
+    "q_decontam_t08",
+    "q_ann_pq_served",
 )
 SCALE_RUNS_PER_QUERY = 2
 

@@ -48,6 +48,9 @@ DEFAULT_QUERIES = [
     "q_decontam_banded",
     "q_ann_pq_rerank",
     "q_lsh_pairs_capped",
+    "q_decontam_t08",
+    "q_ann_pq_served",
+    "q_dedup_incremental",
 ]
 
 
