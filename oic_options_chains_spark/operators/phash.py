@@ -520,7 +520,7 @@ def materialize_epoch_index(
     ).parquet(path)
 
 
-def incremental_screen_from_band_tables(
+def incremental_screen_hits(
     base_h: DataFrame,
     delta_h: DataFrame,
     max_hamming: int = 3,
@@ -529,9 +529,11 @@ def incremental_screen_from_band_tables(
     """The delta-vs-base banded screen of :func:`ahash_incremental`,
     factored to the prepared-band-table layer (__id, __bands — the
     :func:`ahash_band_table` contract) so the tier split is testable
-    with CONTROLLED band values: (delta_id, base_id, hamming) with one
-    row per delta image that verifies at <= ``max_hamming`` against
-    some base image (best match: hamming asc, base_id asc).
+    with CONTROLLED band values: ALL verified pairs (delta_id, base_id,
+    hamming) at <= ``max_hamming`` — no per-delta argmin, so the plan
+    is window-free and composes with a STREAMING delta side
+    (streaming/incremental_screen_stream.py); the batch verdict wrapper
+    is :func:`incremental_screen_from_band_tables`.
 
     The hot relation is computed from the BASE index only and applied
     to BOTH sides, so within one screen the tier decision can never
@@ -542,11 +544,19 @@ def incremental_screen_from_band_tables(
     tests/test_round11_ahash_cap.py)."""
 
     def banded(h: DataFrame, prefix: str) -> DataFrame:
+        # posexplode_OUTER + null filter, not posexplode: a non-outer
+        # Generate lets the optimizer infer size(__bands) > 0 and fuse
+        # the whole hashing pipeline into a per-scan-row filter on a
+        # STREAMING delta side, where no checkpoint barrier can shield
+        # it (the streaming_image_near_dup lesson). Outer generates
+        # imply no constraint; semantics are identical because the
+        # generated attribute is filtered, which can never push beneath
+        # the Generate.
         return h.select(
             F.col("__id").alias(f"{prefix}_id"),
             F.col("__bands").alias(f"__b_{prefix}"),
-            F.posexplode("__bands").alias("band_idx", "band_val"),
-        )
+            F.posexplode_outer("__bands").alias("band_idx", "band_val"),
+        ).filter(F.col("band_val").isNotNull())
 
     # first-matching-band emission instead of a candidate-wide distinct
     # (same as ahash_pairs): both sides carry all band values
@@ -605,13 +615,30 @@ def incremental_screen_from_band_tables(
         .select("delta_id", "base_id", "__b_delta", "__b_base")
     )
     cand = cand_cold.unionByName(cand_hot)
-    from pyspark.sql.window import Window
-
-    scored = cand.select(
+    return cand.select(
         "delta_id",
         "base_id",
         hamming_from_bands(F.col("__b_delta"), F.col("__b_base")).alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def incremental_screen_from_band_tables(
+    base_h: DataFrame,
+    delta_h: DataFrame,
+    max_hamming: int = 3,
+    hot_bucket_cap: int = 1024,
+) -> DataFrame:
+    """:func:`incremental_screen_hits` plus the batch-only argmin: one
+    row per MATCHED delta image, best base match first (hamming asc,
+    base_id asc). The window is why the streaming twin consumes the
+    hits form directly — row_number over an unbounded stream is not
+    expressible, and the per-batch verdict belongs to the consumer
+    there."""
+    from pyspark.sql.window import Window
+
+    scored = incremental_screen_hits(
+        base_h, delta_h, max_hamming=max_hamming, hot_bucket_cap=hot_bucket_cap
+    )
     w = Window.partitionBy("delta_id").orderBy(
         F.col("hamming").asc(), F.col("base_id").asc()
     )
