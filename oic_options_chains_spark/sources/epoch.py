@@ -71,11 +71,20 @@ def epoch_dir(src_path: str, tag: str, build: Callable[[str], None]) -> str:
     if not os.path.isdir(final):
         os.makedirs(os.path.dirname(final), exist_ok=True)
         tmp = f"{final}.build-{uuid.uuid4().hex[:8]}"
-        build(tmp)
+        try:
+            build(tmp)
+        except BaseException:
+            # a failed build must not leave a half-written temp dir (it
+            # would never be read, only accumulate) — and must surface
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         try:
             os.rename(tmp, final)
         except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # lost a benign race
+            # lost a benign concurrent-builder race: the winner's copy
+            # is in place (identical contents — the build is a pure
+            # function of (tag, source)); discard ours
+            shutil.rmtree(tmp, ignore_errors=True)
     return final
 
 

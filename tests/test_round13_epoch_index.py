@@ -282,3 +282,27 @@ def test_batch_with_index_equals_batch_inline(spark, sf_dir, tmp_path):
         for r in ivf_pq_topk_batch(e, qids, rerank=50, index=idx).collect()
     }
     assert got == want and got
+
+
+def test_failed_build_leaves_no_temp_dir_and_raises(tmp_path, monkeypatch):
+    import os
+
+    from oic_options_chains_spark.sources.epoch import epoch_dir
+
+    monkeypatch.setenv("SPARK_GRAFT_CACHE_DIR", str(tmp_path))
+    src = tmp_path / "src.parquet"
+    src.write_bytes(b"x")
+
+    def bad_build(p):
+        os.makedirs(p)  # half-written artifact
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError, match="boom"):
+        epoch_dir(str(src), "t13-failtest", bad_build)
+    leftovers = list((tmp_path / "epoch").glob("*")) if (
+        tmp_path / "epoch"
+    ).exists() else []
+    assert leftovers == [], f"half-written temp dirs left: {leftovers}"
+    # and the failure is not cached: a later good build succeeds
+    built = epoch_dir(str(src), "t13-failtest", lambda p: os.makedirs(p))
+    assert os.path.isdir(built)
