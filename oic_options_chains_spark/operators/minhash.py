@@ -770,6 +770,16 @@ def incremental_lsh_dedup(
     ordinary within-batch pass (lsh_candidate_pairs on the delta alone);
     this operator owns only the delta-vs-base frontier.
     """
+    if base is None:
+        # unlike phash.ahash_incremental (where the index alone
+        # suffices), the verify stage here reads candidate base docs'
+        # TEXT — fail at entry, not as an opaque AttributeError deep in
+        # the semi-join
+        raise ValueError(
+            "base is required even with base_index=: the Jaccard verify "
+            "stage shingles the candidate base docs' text (the index "
+            "carries band keys only)"
+        )
     if base_index is not None:
         missing = {id_col, "band", "band_key"} - set(base_index.columns)
         if missing:
@@ -777,6 +787,12 @@ def incremental_lsh_dedup(
                 f"base_index lacks the minhash_band_keys contract "
                 f"columns {sorted(missing)}; got {base_index.columns}"
             )
+        # NOT checkable from the schema: the index must have been built
+        # with THIS call's (num_hashes, rows_per_band) — band keys from
+        # a different banding never equi-join the delta's, and the
+        # screen silently returns kept=1 for everything. Ownership is
+        # the materialization tag's (sources/epoch.py: encode h/r in
+        # the tag, as q_dedup_incremental's "...:h8r4" does).
         base_bands = base_index.select(id_col, "band", "band_key")
     else:
         base_bands = minhash_band_keys(

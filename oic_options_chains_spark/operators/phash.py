@@ -441,11 +441,16 @@ def ahash_incremental(
     already-deduped BASE corpus without re-pairing the base against
     itself — the aHash twin of minhash.incremental_lsh_dedup, and the
     shape a 100 TB media corpus actually runs in: the base's band index
-    is computed ONCE PER EPOCH and passed in as ``base_index`` (the
-    (__id, __bands) relation :func:`ahash_band_table` produces, e.g.
-    read back from the parquet :func:`materialize_epoch_index` wrote),
-    and each incoming batch only hashes ITSELF and bucket-joins the
-    index. Without ``base_index`` the index is computed from ``base``
+    is computed ONCE PER EPOCH and passed in as ``base_index`` — a
+    STORED (__id, __bands) relation, i.e. the parquet
+    :func:`materialize_epoch_index` wrote read back as a scan. Passing
+    a LIVE :func:`ahash_band_table` pipeline here instead is the
+    inline path's job (``base=``): this path deliberately skips the
+    checkpoint barrier on the assumption that the index's lineage is a
+    plain scan — a live hashing pipeline would re-execute under both
+    the hot-bucket aggregation and the joins, and could re-trigger the
+    fused-filter trap the barrier exists to stop. Each incoming batch
+    then only hashes ITSELF and bucket-joins the index. Without ``base_index`` the index is computed from ``base``
     inline (the one-shot/test path — at scale that re-hashes the whole
     corpus per batch, which is exactly what the epoch index exists to
     avoid; VERDICT r12 item 2). Exactly one of ``base`` /
@@ -520,11 +525,32 @@ def materialize_epoch_index(
     ).parquet(path)
 
 
+def hot_bucket_keys(base_h: DataFrame, hot_bucket_cap: int = 1024) -> DataFrame:
+    """(band_idx, band_val, __hot=true) for every base-index bucket past
+    ``hot_bucket_cap`` — the tier-split relation of
+    :func:`incremental_screen_hits`, exposed so a consumer that screens
+    MANY deltas against ONE epoch index (a stream's micro-batches, a
+    day of batch jobs) computes the aggregation once and passes it via
+    ``hot=`` instead of re-aggregating the full index per screen. Tiny
+    by construction (only over-cap buckets appear), so an eager
+    localCheckpoint of it is cheap."""
+    banded = base_h.select(
+        F.posexplode_outer("__bands").alias("band_idx", "band_val")
+    ).filter(F.col("band_val").isNotNull())
+    return (
+        banded.groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") > hot_bucket_cap)
+        .select("band_idx", "band_val", F.lit(True).alias("__hot"))
+    )
+
+
 def incremental_screen_hits(
     base_h: DataFrame,
     delta_h: DataFrame,
     max_hamming: int = 3,
     hot_bucket_cap: int = 1024,
+    hot: DataFrame | None = None,
 ) -> DataFrame:
     """The delta-vs-base banded screen of :func:`ahash_incremental`,
     factored to the prepared-band-table layer (__id, __bands — the
@@ -541,7 +567,11 @@ def incremental_screen_hits(
     cross ``hot_bucket_cap`` as deltas fold into the base, which
     changes the JOIN KEY SHAPE for that bucket on the next batch but
     not the result set — both tiers are exact by pigeonhole (property:
-    tests/test_round11_ahash_cap.py)."""
+    tests/test_round11_ahash_cap.py). Pass ``hot=`` (the
+    :func:`hot_bucket_keys` relation, same cap) to reuse one computed
+    tier split across many screens of the same epoch index —
+    re-deriving it here costs a full index explode + aggregation per
+    screen, which a per-micro-batch streaming consumer should not pay."""
 
     def banded(h: DataFrame, prefix: str) -> DataFrame:
         # posexplode_OUTER + null filter, not posexplode: a non-outer
@@ -573,15 +603,10 @@ def incremental_screen_hits(
     # by the bucket's size; the hot tier adds the sub-band pigeonhole
     # key on both sides instead. Hot keys come from the base index (the
     # big, epoch-materialized side) and are broadcast.
-    cap = hot_bucket_cap
     base_b = banded(base_h, "base")
     delta_b = banded(delta_h, "delta")
-    hot = (
-        base_b.groupBy("band_idx", "band_val")
-        .agg(F.count(F.lit(1)).alias("__bn"))
-        .filter(F.col("__bn") > cap)
-        .select("band_idx", "band_val", F.lit(True).alias("__hot"))
-    )
+    if hot is None:
+        hot = hot_bucket_keys(base_h, hot_bucket_cap)
 
     def _split(side: DataFrame, bands_col: str):
         tagged = side.join(F.broadcast(hot), ["band_idx", "band_val"], "left")

@@ -386,11 +386,15 @@ def ivf_pq_topk(
     :func:`read_ivf_pq_index`) and the call skips both fits — per-query
     work is the coarse probe against ~coarse_k centroid rows, the
     128-row ADC table, the code scan of the probed cells, and the
-    R-row exact re-rank. ``coarse_k``/``k_sub``/``iters`` are fit
-    parameters and are IGNORED with ``index=`` (the index's own
-    training pinned them); ``n_sub`` must match the index's subspace
-    count since the ADC table is keyed by it. Fits are deterministic,
-    so served rows are bit-for-bit the inline form's.
+    R-row exact re-rank. ALL fit parameters —
+    ``coarse_k``/``n_sub``/``k_sub``/``iters`` — are IGNORED with
+    ``index=`` (the index's own training pinned them; the ADC table
+    derives its (sub, cid) keys from the index's codebooks relation
+    itself, and candidate scoring explodes the index's codes, so
+    subspace structure travels entirely WITH the artifact — only the
+    module-default sub_dim=8 slicing of the query vector must match
+    how the index was trained). Fits are deterministic, so served rows
+    are bit-for-bit the inline form's.
 
     The coarse probe reuses the exact cross-multiplied ranking of
     ``ivf_kmeans_topk`` (operators/kmeans.py:190); the in-cell ranking
@@ -518,8 +522,9 @@ def ivf_pq_topk_batch(
     a MATERIALIZED epoch index (:func:`ivf_pq_fit_index` /
     :func:`read_ivf_pq_index`) answering a BATCH of queries — zero
     training at query time, one corpus code scan for the whole batch.
-    Fit parameters (``coarse_k``/``k_sub``/``iters``) are ignored with
-    ``index=``; ``n_sub`` must match the index's subspace count.
+    ALL fit parameters (``coarse_k``/``n_sub``/``k_sub``/``iters``)
+    are ignored with ``index=`` — subspace structure travels with the
+    artifact (see :func:`ivf_pq_topk`).
 
     At 100 TB the index is trained once and queried millions of times;
     per-query cost must be independent of the fit. Here the coarse

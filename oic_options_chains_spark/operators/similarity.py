@@ -469,17 +469,22 @@ def cross_near_pairs_banded(
     near-dup threshold states ``contract_cos=0.8`` (or 0.6, ...) and
     gets the minimal table count for the same >= ``target_recall_bp``
     promise automatically (0.8 -> L=17, 0.6 -> L=45 at b=8). The
-    ``recall_margin_bp`` head-room exists because measurement tracks
-    the closed-form S-curve only to ~20 bp and the contract is a floor:
-    solving at target+margin puts the THEORY point far enough above the
-    promise that the measured value cannot graze it (the round-12
-    planted probes measured 9400-9414 bp against theory 9418 bp). At
-    the defaults (contract_cos=0.7, 9000+400 bp) this resolves to
-    L=28 x b=8 — bit-identical to the round-12 hardcoded default and
-    its recorded curves. The promise, restated: >= 9000 bp pair recall
-    at cos >= contract_cos — measured on 256 planted pairs AT the 0.7
-    boundary (the worst case of the promised region; recall is
-    monotone above it):
+    ``recall_margin_bp`` head-room absorbs the theory-to-measured gap
+    (embedding quantization shifts planted pairs slightly off their
+    nominal cosine), and that gap is THRESHOLD-DEPENDENT: ~20 bp at
+    the 0.7 boundary (measured 9400-9414 vs theory 9418) but ~250-300
+    bp at 0.8 (measured 9179-9250 vs theory 9482, SCALE_CURVE
+    planted_c80) — the 0.8 contract clears its 9000 bp floor with
+    ~180 bp to spare, not 400. A deployment stating a NEW contract_cos
+    must therefore measure a planted-probe row at that boundary (the
+    q_decontam_t08 pattern: bench_curve's parameterized
+    _recall_decontam_planted) rather than trust the solver's theory
+    point alone. At the defaults (contract_cos=0.7, 9000+400 bp) the
+    solver resolves to L=28 x b=8 — bit-identical to the round-12
+    hardcoded default and its recorded curves. The promise, restated:
+    >= 9000 bp pair recall at cos >= contract_cos — measured on 256
+    planted pairs AT the 0.7 boundary (the worst case of the promised
+    region; recall is monotone above it):
     9400-9414 bp planted at 0.7 across sf0.1-2, 10000 bp at 0.9, vs
     theory 9418/9999 bp (SCALE_CURVE recall_bp:planted_c70/_c90 on
     q_decontam_banded). Below the promised threshold the S-curve

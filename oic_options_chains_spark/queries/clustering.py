@@ -720,9 +720,8 @@ def q_ann_pq_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     idx = read_ivf_pq_index(spark, path)
-    return ivf_pq_topk(
-        e, query_id=0, n_probe=2, n_sub=_N_SUB, topk=5, rerank=50, index=idx
-    )
+    # no fit params here: subspace structure travels with the artifact
+    return ivf_pq_topk(e, query_id=0, n_probe=2, topk=5, rerank=50, index=idx)
 
 
 @register(

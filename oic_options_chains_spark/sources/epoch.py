@@ -81,10 +81,15 @@ def epoch_dir(src_path: str, tag: str, build: Callable[[str], None]) -> str:
         try:
             os.rename(tmp, final)
         except OSError:
-            # lost a benign concurrent-builder race: the winner's copy
-            # is in place (identical contents — the build is a pure
-            # function of (tag, source)); discard ours
             shutil.rmtree(tmp, ignore_errors=True)
+            # only a concurrent-builder race is benign (the winner's
+            # copy is in place, identical contents — the build is a
+            # pure function of (tag, source)). Any other rename failure
+            # (read-only cache root, build that never created tmp)
+            # must surface here, not as a confusing
+            # path-does-not-exist from the eventual parquet read.
+            if not os.path.isdir(final):
+                raise
     return final
 
 

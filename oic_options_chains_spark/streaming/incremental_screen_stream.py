@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame
 
 from oic_options_chains_spark.operators.phash import (
     ahash_band_table,
+    hot_bucket_keys,
     incremental_screen_hits,
 )
 
@@ -72,10 +73,20 @@ def streaming_incremental_screen(
             f"base_index lacks the ahash_band_table contract columns "
             f"{sorted(missing)}; got {base_index.columns}"
         )
+    base_h = base_index.select("__id", "__bands")
+    # the tier split is frozen for the epoch, so compute it ONCE at
+    # stream construction and checkpoint it (a static subplan inside a
+    # streaming query is otherwise re-evaluated every micro-batch —
+    # that's a full index explode + aggregation per trigger). The hot
+    # relation holds only over-cap buckets, so the eager materialization
+    # is tiny; the remaining per-batch base-side cost is the index scan
+    # + explode feeding the bucket join, with no aggregation.
+    hot = hot_bucket_keys(base_h, hot_bucket_cap).localCheckpoint(eager=True)
     delta_h = ahash_band_table(stream_docs, id_col=id_col, text_col=text_col)
     return incremental_screen_hits(
-        base_index.select("__id", "__bands"),
+        base_h,
         delta_h,
         max_hamming=max_hamming,
         hot_bucket_cap=hot_bucket_cap,
+        hot=hot,
     )

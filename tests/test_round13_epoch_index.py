@@ -306,3 +306,60 @@ def test_failed_build_leaves_no_temp_dir_and_raises(tmp_path, monkeypatch):
     # and the failure is not cached: a later good build succeeds
     built = epoch_dir(str(src), "t13-failtest", lambda p: os.makedirs(p))
     assert os.path.isdir(built)
+
+
+def test_minhash_requires_base_even_with_index(spark, sf_dir, tmp_path):
+    """Unlike the aHash screen, the Jaccard verify reads base TEXT — the
+    missing-base failure must be a caller-facing ValueError at entry,
+    not an AttributeError deep in the semi-join (review finding r13)."""
+    from oic_options_chains_spark.operators.minhash import (
+        incremental_lsh_dedup,
+        materialize_epoch_band_index,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = d.filter(F.col("doc_id") % 10 < 8).select("doc_id", "text")
+    delta = d.filter(F.col("doc_id") % 10 >= 8).select("doc_id", "text")
+    path = str(tmp_path / "band_idx")
+    materialize_epoch_band_index(base, path)
+    idx = spark.read.parquet(path)
+    with pytest.raises(ValueError, match="base is required"):
+        incremental_lsh_dedup(None, delta, base_index=idx)
+
+
+def test_precomputed_hot_equals_inline_hot(spark, sf_dir, tmp_path):
+    """hot= (the once-per-epoch tier split the streaming twin
+    checkpoints) must not change any hit vs the inline aggregation."""
+    from oic_options_chains_spark.operators.phash import (
+        hot_bucket_keys,
+        incremental_screen_hits,
+        materialize_epoch_index,
+    )
+    from oic_options_chains_spark.sources.registry import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", "text")
+    path = str(tmp_path / "epoch_idx")
+    materialize_epoch_index(base, path)
+    idx = spark.read.parquet(path)
+    delta_h = ahash_band_table(
+        d.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.upper("text").alias("text"),
+        )
+    ).localCheckpoint(eager=True)
+    # cap=0 so the hot tier actually fires on this corpus
+    want = {
+        tuple(r)
+        for r in incremental_screen_hits(
+            idx, delta_h, hot_bucket_cap=0
+        ).collect()
+    }
+    hot = hot_bucket_keys(idx, hot_bucket_cap=0).localCheckpoint(eager=True)
+    got = {
+        tuple(r)
+        for r in incremental_screen_hits(
+            idx, delta_h, hot_bucket_cap=0, hot=hot
+        ).collect()
+    }
+    assert got == want and got
