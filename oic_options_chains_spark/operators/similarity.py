@@ -469,22 +469,29 @@ def cross_near_pairs_banded(
     near-dup threshold states ``contract_cos=0.8`` (or 0.6, ...) and
     gets the minimal table count for the same >= ``target_recall_bp``
     promise automatically (0.8 -> L=17, 0.6 -> L=45 at b=8). The
-    ``recall_margin_bp`` head-room absorbs the theory-to-measured gap
-    (embedding quantization shifts planted pairs slightly off their
-    nominal cosine), and that gap is THRESHOLD-DEPENDENT: ~20 bp at
-    the 0.7 boundary (measured 9400-9414 vs theory 9418) but ~250-300
-    bp at 0.8 (measured 9179-9250 vs theory 9482, SCALE_CURVE
-    planted_c80) — the 0.8 contract clears its 9000 bp floor with
-    ~180 bp to spare, not 400. A deployment stating a NEW contract_cos
-    must therefore measure a planted-probe row at that boundary (the
-    q_decontam_t08 pattern: bench_curve's parameterized
-    _recall_decontam_planted) rather than trust the solver's theory
-    point alone. At the defaults (contract_cos=0.7, 9000+400 bp) the
-    solver resolves to L=28 x b=8 — bit-identical to the round-12
-    hardcoded default and its recorded curves. The promise, restated:
-    >= 9000 bp pair recall at cos >= contract_cos — measured on 256
-    planted pairs AT the 0.7 boundary (the worst case of the promised
-    region; recall is monotone above it):
+    ``recall_margin_bp`` head-room absorbs the FIXED-PLANE-SET effect
+    (root-caused round 13, SCALING.md): the closed-form treats per-pair
+    plane agreement as exactly p = 1 - theta/pi, but a deployment draws
+    ONE plane family shared by every pair, so realized per-pair
+    agreement is a binomial over its L*b draws — std
+    sqrt(p(1-p)/(L*b)), ~0.036 at the 0.8 contract's 136 planes — and
+    the recall curve's concavity near 1 turns that symmetric dispersion
+    into a net loss. Measured: planted_c80 9179-9250 bp vs theory
+    9482 bp, and a NumPy replay of the actual md5 plane family
+    reproduces the measured value exactly (9250 bp) while showing
+    embedding quantization moves effective cosine < 2e-4 (NOT the
+    cause). The operational rule stands: a deployment stating a NEW
+    contract_cos measures a planted-probe row at that boundary (the
+    q_decontam_t08 pattern — bench_curve's parameterized
+    _recall_decontam_planted) rather than trusting the solver's theory
+    point; the 400 bp margin absorbed the realized gap at both shipped
+    contracts (0.7: ~15 bp; 0.8: ~250 bp, floor cleared with ~180 bp
+    spare). At the defaults (contract_cos=0.7, 9000+400 bp) the solver
+    resolves to L=28 x b=8 — bit-identical to the round-12 hardcoded
+    default and its recorded curves. The promise, restated: >= 9000 bp
+    pair recall at cos >= contract_cos — measured on 256 planted pairs
+    AT the 0.7 boundary (the worst case of the promised region; recall
+    is monotone above it):
     9400-9414 bp planted at 0.7 across sf0.1-2, 10000 bp at 0.9, vs
     theory 9418/9999 bp (SCALE_CURVE recall_bp:planted_c70/_c90 on
     q_decontam_banded). Below the promised threshold the S-curve
