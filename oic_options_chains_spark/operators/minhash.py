@@ -728,6 +728,38 @@ def containment_pairs(
     )
 
 
+#: metadata columns a materialized band index carries so consumers can
+#: verify the banding it was built with (ADVICE r13): band keys from a
+#: different (num_hashes, rows_per_band) never equi-join the delta's,
+#: so an unchecked mismatch silently returns kept=1 for every doc.
+BAND_INDEX_META_COLS = ("idx_num_hashes", "idx_rows_per_band")
+
+
+def _check_band_index_params(
+    base_index: DataFrame, num_hashes: int, rows_per_band: int
+) -> None:
+    """Fail LOUDLY when a materialized index's recorded banding differs
+    from the call's. A bare :func:`minhash_band_keys` relation (no meta
+    columns) stays trusted — ownership is then the caller's tag, the
+    pre-r14 contract. The check is one bounded action (a 1-row scan of
+    two constant columns), paid once per screen construction."""
+    if not set(BAND_INDEX_META_COLS) <= set(base_index.columns):
+        return
+    row = base_index.select(*BAND_INDEX_META_COLS).head(1)
+    if not row:
+        return
+    got_h, got_r = row[0][0], row[0][1]
+    if (got_h, got_r) != (num_hashes, rows_per_band):
+        raise ValueError(
+            f"base_index was materialized with num_hashes={got_h}, "
+            f"rows_per_band={got_r} but this screen runs num_hashes="
+            f"{num_hashes}, rows_per_band={rows_per_band} — mismatched "
+            "bandings never share band keys, so the screen would "
+            "silently keep every delta doc; re-materialize the epoch "
+            "index with the call's banding (or match the call to it)"
+        )
+
+
 def incremental_lsh_dedup(
     base: DataFrame,
     delta: DataFrame,
@@ -787,12 +819,7 @@ def incremental_lsh_dedup(
                 f"base_index lacks the minhash_band_keys contract "
                 f"columns {sorted(missing)}; got {base_index.columns}"
             )
-        # NOT checkable from the schema: the index must have been built
-        # with THIS call's (num_hashes, rows_per_band) — band keys from
-        # a different banding never equi-join the delta's, and the
-        # screen silently returns kept=1 for everything. Ownership is
-        # the materialization tag's (sources/epoch.py: encode h/r in
-        # the tag, as q_dedup_incremental's "...:h8r4" does).
+        _check_band_index_params(base_index, num_hashes, rows_per_band)
         base_bands = base_index.select(id_col, "band", "band_key")
     else:
         base_bands = minhash_band_keys(
@@ -895,12 +922,26 @@ def materialize_epoch_band_index(
     (id, small int, short digest string) — a fraction of a percent of
     the corpus it indexes — and a pure function of the corpus, so
     re-materializing after corpus changes yields the identical relation
-    and oracles that recompute it from raw text still value-match."""
-    minhash_band_keys(
+    and oracles that recompute it from raw text still value-match.
+
+    The banding parameters travel WITH the artifact as constant columns
+    (:data:`BAND_INDEX_META_COLS`, ADVICE r13) so
+    :func:`incremental_lsh_dedup` can reject an index whose banding
+    does not match the screen's instead of silently never joining.
+    (The aHash twin needs no equivalent: its band count is the module
+    constant phash.N_BANDS, structurally pinned by the __bands array
+    the schema check already sees — there is no per-call banding to
+    desync.)"""
+    keys = minhash_band_keys(
         doc_shingles(docs, id_col, text_col, distinct=False),
         id_col,
         num_hashes,
         rows_per_band,
+    )
+    keys.select(
+        "*",
+        F.lit(num_hashes).cast("int").alias("idx_num_hashes"),
+        F.lit(rows_per_band).cast("int").alias("idx_rows_per_band"),
     ).write.mode("overwrite").parquet(path)
 
 

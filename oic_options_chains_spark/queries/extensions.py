@@ -1449,7 +1449,9 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = epoch_parquet(
         spark,
         os.path.join(sf_dir, "documents.parquet"),
-        "minhash-bands-v1:mod10lt8:h8r4",
+        # v2: the artifact now carries its banding as metadata columns
+        # (minhash.BAND_INDEX_META_COLS) verified at screen entry
+        "minhash-bands-v2:mod10lt8:h8r4",
         lambda tmp: materialize_epoch_band_index(base, tmp),
     )
     return incremental_lsh_dedup(
