@@ -230,12 +230,16 @@ def _pq_fit_qv(
 
 
 def adc_table(
-    codebooks: DataFrame, query_qv: DataFrame, n_sub: int, sub_dim: int = 8
+    codebooks: DataFrame, query_qv: DataFrame, sub_dim: int = 8
 ) -> DataFrame:
     """(sub, cid, sd): the query's scaled integer distance
     floor(num * 2^20 / n^2) to every sub-centroid — the ADC lookup
     table, n_sub * k_sub rows, built once and broadcast. ``query_qv``
-    is a one-row (q_qarr) relation."""
+    is a one-row (q_qarr) relation. The subspace count is NOT a
+    parameter: it comes from the codebooks' own ``sub`` column, so a
+    served (index=) path cannot desync from the artifact's training
+    (ADVICE r13 — the old ignored n_sub argument upheld that contract
+    only by being dead)."""
     with_q = codebooks.crossJoin(F.broadcast(query_qv))
     sq = _subvector(F.col("q_qarr"), F.col("sub"), sub_dim)
     a = _fold_sum_long(F.zip_with(sq, sq, lambda x, y: x * y))
@@ -435,7 +439,7 @@ def ivf_pq_topk(
         .select(F.col("qarr").alias("q_qarr"))
     )
     probe = ivf_probe_cells(centroids, qrow, n_probe)
-    adc = adc_table(codebooks, qrow, n_sub)
+    adc = adc_table(codebooks, qrow)
 
     cand = (
         assigned.join(F.broadcast(probe), "cid", "semi")
@@ -478,12 +482,14 @@ def ivf_pq_topk(
 
 
 def adc_table_batch(
-    codebooks: DataFrame, queries: DataFrame, n_sub: int, sub_dim: int = 8
+    codebooks: DataFrame, queries: DataFrame, sub_dim: int = 8
 ) -> DataFrame:
     """(qid, sub, cid, sd): the ADC lookup tables of a RELATION of
     queries — q x n_sub x k_sub rows, one broadcast cross product of
     two tiny relations. Same scaled-integer entries as
-    :func:`adc_table` (floor(num * 2^20 / n^2), decimal(38,0) div)."""
+    :func:`adc_table` (floor(num * 2^20 / n^2), decimal(38,0) div),
+    and same no-n_sub-parameter contract: subspace structure comes
+    from the codebooks relation itself."""
     with_q = codebooks.crossJoin(F.broadcast(queries))
     sq = _subvector(F.col("q_qarr"), F.col("sub"), sub_dim)
     a = _fold_sum_long(F.zip_with(sq, sq, lambda x, y: x * y))
@@ -571,7 +577,7 @@ def ivf_pq_topk_batch(
         F.col("vec_id").alias("qid"), F.col("qarr").alias("q_qarr")
     )
     probe = ivf_probe_cells_batch(centroids, queries, n_probe)
-    adc = adc_table_batch(codebooks, queries, n_sub)
+    adc = adc_table_batch(codebooks, queries)
 
     cand = (
         assigned.join(F.broadcast(probe), "cid")

@@ -74,7 +74,7 @@ def test_adc_scores_bound_exact_distance(spark, sf_dir):
     qv = quantize(e)
     qrow = qv.filter(F.col("vec_id") == 0).select(F.col("qarr").alias("q_qarr"))
     _, codebooks = pq_fit(e, n_sub=N_SUB, k_sub=K_SUB, iters=1)
-    adc = {(r.sub, r.cid): r.sd for r in adc_table(codebooks, qrow, N_SUB).collect()}
+    adc = {(r.sub, r.cid): r.sd for r in adc_table(codebooks, qrow).collect()}
     q = qv.filter(F.col("vec_id") == 0).collect()[0].qarr
     for r in codebooks.collect():
         sq = q[r.sub * SUB_DIM : (r.sub + 1) * SUB_DIM]
