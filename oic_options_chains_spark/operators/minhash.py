@@ -146,6 +146,46 @@ def minhash_band_keys(
     )
 
 
+def minhash_band_keys_expr(
+    text: Column, num_hashes: int = 8, rows_per_band: int = 4
+) -> Column:
+    """The doc's LSH band keys as a PER-ROW array<string> expression
+    (element b+1 = band b's key), NULL for docs too short to shingle —
+    bit-identical to the (band, band_key) rows :func:`minhash_band_keys`
+    produces for the same text (property-pinned in
+    tests/test_round14_minhash_stream.py).
+
+    This exists for APPEND-MODE STREAMING (round 14): the relational
+    path aggregates (groupBy min over exploded shingles), which
+    Structured Streaming rejects in append mode, but each doc is one
+    row, so the same minima fold per-row over the shingle ARRAY —
+    ``min`` over a column of md5 hex strings == ``array_min`` over the
+    same strings, and duplicates (relational path: distinct=False)
+    cannot move a min. The HOF-lambda slow path the :func:`shingles`
+    docstring warns about is priced here too: per micro-BATCH of delta
+    docs, not per corpus — the base side of any consumer stays the
+    materialized epoch index."""
+    assert num_hashes % rows_per_band == 0
+    sh = shingles(text)
+
+    def _min_for_seed(i: int) -> Column:
+        # arity-1 lambda on purpose: a two-parameter transform lambda
+        # would receive (element, array_index) and shadow the seed
+        seed = F.lit(f"{i}:")
+        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(seed, s))))
+
+    mins = [_min_for_seed(i) for i in range(num_hashes)]
+    keys = F.array(
+        *[
+            F.concat_ws(
+                ",", *mins[b * rows_per_band : (b + 1) * rows_per_band]
+            )
+            for b in range(num_hashes // rows_per_band)
+        ]
+    )
+    return F.when(F.size(sh) > 0, keys)
+
+
 def lsh_bands(sig_df: DataFrame, id_col: str, rows_per_band: int = 4) -> DataFrame:
     """Collapse signatures into (doc, band, band_key) for bucket joins."""
     banded = sig_df.withColumn(

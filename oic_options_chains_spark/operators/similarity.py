@@ -46,28 +46,80 @@ def bits_for(
     return min(max_bits, max(1, math.ceil(math.log2(n_rows / target_bucket_rows))))
 
 
+def banded_recall_bp(
+    threshold: float,
+    n_tables: int,
+    bits_per_table: int = 8,
+    dispersion: bool = True,
+) -> float:
+    """Expected planted-pair recall, in basis points, of an (L, b)
+    banded hyperplane screen at cosine ``threshold``.
+
+    ``dispersion=False`` is the textbook closed form 1 - (1 - p^b)^L
+    with per-plane agreement p = 1 - arccos(c)/pi — exact only in the
+    limit of a FRESH plane family per pair. ``dispersion=True`` (the
+    default, round 14) models what a deployment actually does: draw ONE
+    fixed family of L*b planes shared by every pair, so a pair's
+    realized per-plane agreement rate disperses binomially around p
+    (std sqrt(p(1-p)/(L*b)) — measured 0.0361 vs predicted 0.0344 at
+    the 0.8 contract's 136 planes, SCALING.md round 13), and the recall
+    curve's concavity near 1 turns that symmetric dispersion into a net
+    loss (Jensen). The corrected point is the binomial expectation
+    E[1 - (1 - (K/n)^b)^L], K ~ Binomial(n=L*b, p) — the exact
+    integral of the plug-in model the round-13 NumPy replay validated
+    (its empirical mean-of-per-pair-recalls 9301 bp at (0.8, L=17) vs
+    9281 bp here; the replayed family's realized value was 9250 bp).
+    It is a MEAN over plane families: any one family's realized recall
+    still scatters ~+-150 bp around it (the 0.7 family landed +140,
+    the 0.8 family -30), which is what the solver's residual margin
+    absorbs."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    p = 1.0 - math.acos(threshold) / math.pi
+    closed = (1.0 - (1.0 - p**bits_per_table) ** n_tables) * 10_000.0
+    if not dispersion or p >= 1.0 or p <= 0.0:
+        return closed
+    n = n_tables * bits_per_table
+    lg, log, exp = math.lgamma, math.log, math.exp
+    total = 0.0
+    for k in range(n + 1):
+        w = exp(
+            lg(n + 1) - lg(k + 1) - lg(n - k + 1)
+            + k * log(p)
+            + (n - k) * log(1.0 - p)
+        )
+        ph = k / n
+        total += w * (1.0 - (1.0 - ph**bits_per_table) ** n_tables)
+    return total * 10_000.0
+
+
 def tables_for(
     threshold: float,
     target_recall_bp: int = 9000,
     bits_per_table: int = 8,
     max_tables: int = 256,
+    dispersion: bool = False,
 ) -> int:
     """Minimal banded-LSH table count L so a pair AT cosine
     ``threshold`` is recovered with probability >= ``target_recall_bp``
-    basis points — the closed-form inverse of the recall S-curve
-    1 - (1 - p^b)^L with per-plane agreement p = 1 - arccos(c)/pi.
+    basis points — the inverse of the recall S-curve
+    1 - (1 - p^b)^L with per-plane agreement p = 1 - arccos(c)/pi
+    (``dispersion=False``, the closed form), or of the fixed-plane-set
+    corrected curve :func:`banded_recall_bp` computes
+    (``dispersion=True`` — what :func:`cross_near_pairs_banded`'s
+    default path solves against since round 14).
 
     This makes the round-12 recall contract PROGRAMMABLE instead of a
-    hardcoded default: ``tables_for(0.7)`` = 23 (the theoretical
-    minimum; :func:`cross_near_pairs_banded` defaults to 28 for
-    measured margin — planted-pair probes, SCALING.md round-12), and a
-    deployment screening at a different threshold derives its own L
-    the same way. The boundary is the WORST case of the promised
-    region — recall is monotone in cosine above it — so L from here
-    bounds the whole cos >= threshold family. Raising L multiplies
-    key-generation and bucket-lookup cost linearly but barely moves
-    the false-candidate rate (a random pair agrees on a table with
-    p ~ 2^-b), which is why tuning L, not b, is the recall lever.
+    hardcoded default: ``tables_for(0.7)`` = 23 (the closed-form
+    minimum; :func:`cross_near_pairs_banded` defaults resolve to 28 via
+    the dispersed curve + residual margin), and a deployment screening
+    at a different threshold derives its own L the same way. The
+    boundary is the WORST case of the promised region — recall is
+    monotone in cosine above it — so L from here bounds the whole
+    cos >= threshold family. Raising L multiplies key-generation and
+    bucket-lookup cost linearly but barely moves the false-candidate
+    rate (a random pair agrees on a table with p ~ 2^-b), which is why
+    tuning L, not b, is the recall lever.
 
     Raises ValueError when no L <= ``max_tables`` reaches the target
     (threshold too low for the band width — at that point the honest
@@ -82,6 +134,18 @@ def tables_for(
     miss_per_table = 1.0 - p**bits_per_table
     if miss_per_table <= 0.0:
         return 1
+    if dispersion:
+        # no closed-form inverse of the binomial expectation — linear
+        # scan (max_tables * L * b lgamma evals worst case, trivial)
+        for n in range(1, max_tables + 1):
+            if banded_recall_bp(threshold, n, bits_per_table) >= target_recall_bp:
+                return n
+        raise ValueError(
+            f"no L <= {max_tables} reaches {target_recall_bp} bp at "
+            f"cos {threshold} with b={bits_per_table} under the dispersed "
+            "curve — use an exact or dense screen for sub-threshold "
+            "pairs instead of more tables"
+        )
     target_miss = 1.0 - target_recall_bp / 10_000.0
     n = math.ceil(math.log(target_miss) / math.log(miss_per_table))
     if n > max_tables:
@@ -442,7 +506,7 @@ def cross_near_pairs_banded(
     use_kernel: bool | None = None,
     contract_cos: float = 0.7,
     target_recall_bp: int = 9000,
-    recall_margin_bp: int = 400,
+    recall_margin_bp: int = 250,
 ) -> DataFrame:
     """Bipartite cosine near-pairs with BANDED hyperplane LSH — the
     OR-amplified scale path of :func:`cross_near_pairs`.
@@ -461,37 +525,42 @@ def cross_near_pairs_banded(
     duplicates agree on every plane, so they are NEVER lost), tunable
     at the threshold by (L, b).
 
-    RECALL CONTRACT (round 12, parameterized round 13): when
-    ``n_tables`` is None (the default path), L is SOLVED from the
-    contract instead of hardcoded —
+    RECALL CONTRACT (round 12, parameterized round 13,
+    dispersion-corrected round 14): when ``n_tables`` is None (the
+    default path), L is SOLVED from the contract instead of hardcoded —
     ``tables_for(contract_cos, target_recall_bp + recall_margin_bp,
-    bits_per_table)`` — so a deployment screening at a different
-    near-dup threshold states ``contract_cos=0.8`` (or 0.6, ...) and
-    gets the minimal table count for the same >= ``target_recall_bp``
-    promise automatically (0.8 -> L=17, 0.6 -> L=45 at b=8). The
-    ``recall_margin_bp`` head-room absorbs the FIXED-PLANE-SET effect
-    (root-caused round 13, SCALING.md): the closed-form treats per-pair
-    plane agreement as exactly p = 1 - theta/pi, but a deployment draws
-    ONE plane family shared by every pair, so realized per-pair
+    bits_per_table, dispersion=True)`` — so a deployment screening at
+    a different near-dup threshold states ``contract_cos=0.8`` (or
+    0.6, ...) and gets the minimal table count for the same
+    >= ``target_recall_bp`` promise automatically (0.8 -> L=17,
+    0.6 -> L=45 at b=8). The solve runs against the FIXED-PLANE-SET
+    corrected curve (:func:`banded_recall_bp` — root-caused round 13,
+    folded into the solver round 14): the closed form treats per-pair
+    plane agreement as exactly p = 1 - theta/pi, but a deployment
+    draws ONE plane family shared by every pair, so realized per-pair
     agreement is a binomial over its L*b draws — std
     sqrt(p(1-p)/(L*b)), ~0.036 at the 0.8 contract's 136 planes — and
-    the recall curve's concavity near 1 turns that symmetric dispersion
-    into a net loss. Measured: planted_c80 9179-9250 bp vs theory
-    9482 bp, and a NumPy replay of the actual md5 plane family
-    reproduces the measured value exactly (9250 bp) while showing
-    embedding quantization moves effective cosine < 2e-4 (NOT the
-    cause). The operational rule stands: a deployment stating a NEW
-    contract_cos measures a planted-probe row at that boundary (the
-    q_decontam_t08 pattern — bench_curve's parameterized
-    _recall_decontam_planted) rather than trusting the solver's theory
-    point; the 400 bp margin absorbed the realized gap at both shipped
-    contracts (0.7: ~15 bp; 0.8: ~250 bp, floor cleared with ~180 bp
-    spare). At the defaults (contract_cos=0.7, 9000+400 bp) the solver
-    resolves to L=28 x b=8 — bit-identical to the round-12 hardcoded
-    default and its recorded curves. The promise, restated: >= 9000 bp
-    pair recall at cos >= contract_cos — measured on 256 planted pairs
-    AT the 0.7 boundary (the worst case of the promised region; recall
-    is monotone above it):
+    the recall curve's concavity near 1 turns that symmetric
+    dispersion into a net loss (a NumPy replay of the actual md5
+    family reproduces the measured planted_c80 value exactly, 9250 bp,
+    vs closed form 9482 / corrected 9281; embedding quantization moves
+    effective cosine < 2e-4, NOT the cause). With the systematic
+    component now modeled in the curve, ``recall_margin_bp`` shrinks
+    400 -> 250 and covers only the residual noise: one family's
+    realized draw scatters ~+-150 bp around the corrected mean
+    (measured: +140 bp at 0.7, -30 bp at 0.8) plus finite-probe
+    sampling (~80 bp at 200 planted pairs). The operational rule
+    stands: a deployment stating a NEW contract_cos measures a
+    planted-probe row at that boundary (the q_decontam_t08 pattern —
+    bench_curve's parameterized _recall_decontam_planted) rather than
+    trusting any theory point. At the defaults (contract_cos=0.7,
+    9000+250 bp) the dispersed solver resolves to L=28 x b=8 —
+    bit-identical to the round-12 hardcoded default and its recorded
+    curves, as are the 0.8 contract's 17 and 0.6's 45 (the margin
+    re-derivation moved no shipped contract). The promise, restated:
+    >= 9000 bp pair recall at cos >= contract_cos — measured on 256
+    planted pairs AT the 0.7 boundary (the worst case of the promised
+    region; recall is monotone above it):
     9400-9414 bp planted at 0.7 across sf0.1-2, 10000 bp at 0.9, vs
     theory 9418/9999 bp (SCALE_CURVE recall_bp:planted_c70/_c90 on
     q_decontam_banded). Below the promised threshold the S-curve
@@ -520,6 +589,7 @@ def cross_near_pairs_banded(
             contract_cos,
             min(9999, target_recall_bp + recall_margin_bp),
             bits_per_table,
+            dispersion=True,
         )
     if use_kernel is None:
         use_kernel = n_tables * bits_per_table >= KERNEL_MIN_PLANES

@@ -481,12 +481,14 @@ def q_decontam_fixed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the contract-parameterized banded screen at a NON-default near-dup
 # threshold (round 13, VERDICT r12 item 5): contract_cos=0.8 makes
 # cross_near_pairs_banded SOLVE its table count via tables_for
-# (L = tables_for(0.8, 9400) = 17 at b=8) instead of inheriting the
-# 0.7-contract's 28 — the oracle replays the same md5-parity plane
-# family over exactly 17*8 = 136 planes, so a drift between the solver
-# and the served key count breaks the value hash. Emission threshold
-# 0.5 (a 0.8-contract screen still reports the borderline pairs it
-# happens to catch; the PROMISE only covers cos >= 0.8).
+# (L = tables_for(0.8, 9250, dispersion=True) = 17 at b=8 — the
+# round-14 dispersion-corrected solve; same 17 the r13 closed-form
+# +400 bp margin produced) instead of inheriting the 0.7-contract's 28
+# — the oracle replays the same md5-parity plane family over exactly
+# 17*8 = 136 planes, so a drift between the solver and the served key
+# count breaks the value hash. Emission threshold 0.5 (a 0.8-contract
+# screen still reports the borderline pairs it happens to catch; the
+# PROMISE only covers cos >= 0.8).
 DECONTAM_T08_ORACLE = DECONTAM_BANDED_ORACLE.replace(
     "range(0, 224)", "range(0, 136)"
 ).replace("cos >= 0.35", "cos >= 0.5")
@@ -502,10 +504,10 @@ def q_decontam_t08(spark: SparkSession, sf_dir: str) -> DataFrame:
     the minimal margin-bearing table count for the promise — L=17 x b=8
     here, vs the 0.7 contract's 28 — so a deployment screening only for
     tighter near-dups pays 17/28 of the key-generation and bucket-probe
-    cost and keeps the same >= 9000 bp planted-pair floor (theory at
-    the 0.8 boundary: 9482 bp; measured row in SCALE_CURVE
-    recall_bp:planted_c80). Same top-1-contaminant reporting shape as
-    q_decontam_banded."""
+    cost and keeps the same >= 9000 bp planted-pair floor (corrected
+    theory at the 0.8 boundary: 9281 bp via banded_recall_bp, closed
+    form 9482; measured row in SCALE_CURVE recall_bp:planted_c80).
+    Same top-1-contaminant reporting shape as q_decontam_banded."""
     from oic_options_chains_spark.operators.similarity import (
         cross_near_pairs_banded,
     )
@@ -514,6 +516,53 @@ def q_decontam_t08(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = emb.filter(F.col("vec_id") % 10 == 0)
     tr = emb.filter(F.col("vec_id") % 10 != 0)
     hits = cross_near_pairs_banded(tr, ev, threshold=0.5, contract_cos=0.8)
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("score_e6").desc(), F.col("id_b").asc()
+    )
+    return (
+        hits.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("id_a").alias("vec_id"),
+            F.col("id_b").alias("contaminant_id"),
+            "score_e6",
+        )
+    )
+
+
+# the contract restated LOOSER than the default (round 14): a 0.6
+# near-dup boundary needs MORE tables (the S-curve is flatter there) —
+# the dispersed solve resolves L = tables_for(0.6, 9250,
+# dispersion=True) = 45 at b=8, so the oracle replays 45*8 = 360
+# planes. Together with 0.7->28 and 0.8->17 this pins the solver at
+# three contract points spanning both directions from the default, and
+# carries its own planted-probe row (SCALE_CURVE
+# recall_bp:planted_c60 — corrected theory 9288 bp, closed form 9409).
+DECONTAM_T06_ORACLE = DECONTAM_BANDED_ORACLE.replace(
+    "range(0, 224)", "range(0, 360)"
+)
+assert "range(0, 360)" in DECONTAM_T06_ORACLE
+
+
+@register("q_decontam_t06", oracle=DECONTAM_T06_ORACLE)
+def q_decontam_t06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH decontamination with the recall contract RESTATED at
+    cos >= 0.6 (operators/similarity.cross_near_pairs_banded with
+    contract_cos=0.6): the dispersion-corrected tables_for default path
+    (round 14) solves L=45 x b=8 — a looser near-dup boundary sits on a
+    flatter part of the recall S-curve, so the same >= 9000 bp
+    planted-pair promise costs 45/28 of the 0.7 contract's tables.
+    Emission threshold stays the operator's 0.35 default (the screen
+    reports what it catches; the PROMISE covers cos >= 0.6). Same
+    top-1-contaminant reporting shape as q_decontam_banded."""
+    from oic_options_chains_spark.operators.similarity import (
+        cross_near_pairs_banded,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % 10 == 0)
+    tr = emb.filter(F.col("vec_id") % 10 != 0)
+    hits = cross_near_pairs_banded(tr, ev, threshold=0.35, contract_cos=0.6)
     w = Window.partitionBy("id_a").orderBy(
         F.col("score_e6").desc(), F.col("id_b").asc()
     )

@@ -42,8 +42,11 @@ from oic_options_chains_spark.sources.registry import load_table
 
 
 def test_margin_solver_anchors():
-    # the default path's resolution: contract target + measurement
-    # margin. 0.7 -> the round-12 shipped 28, 0.8 -> 17, 0.6 -> 45.
+    # the r13 closed-form anchors (target 9000 + the then-400 bp flat
+    # margin). Since round 14 the DEFAULT path solves the dispersed
+    # curve at 9000+250 instead (test_round14_dispersion pins that it
+    # resolves to the same 28/17/45) — these stay as the closed-form
+    # regression anchors.
     assert tables_for(0.7, 9400) == 28
     assert tables_for(0.8, 9400) == 17
     assert tables_for(0.6, 9400) == 45

@@ -711,10 +711,14 @@ RECALL_PROBES = {
         "planted_c70": _recall_decontam_planted(0.7),
         "planted_c90": _recall_decontam_planted(0.9),
     },
-    # the 0.8-contract key measures AT ITS OWN parameterization: the
-    # solver's L=17, not the 0.7 contract's 28
+    # the non-default-contract keys measure AT THEIR OWN
+    # parameterization: the solver's L=17 (0.8) / L=45 (0.6), not the
+    # 0.7 contract's 28
     "q_decontam_t08": {
         "planted_c80": _recall_decontam_planted(0.8, contract_cos=0.8),
+    },
+    "q_decontam_t06": {
+        "planted_c60": _recall_decontam_planted(0.6, contract_cos=0.6),
     },
     "q_ann_ivf_pq": {"ivf_batch": _recall_ann, "ivf_pq_q0": _recall_ann_pq},
     "q_ann_ivf_pq@scaled_codebook": {
