@@ -169,6 +169,9 @@ HEADLINE = (
     # query)
     "q_decontam_t08",
     "q_ann_pq_served",
+    # round-14: the dispersion-corrected solver's looser contract point
+    # (0.6 -> L=45 — the most tables any shipped contract serves)
+    "q_decontam_t06",
 )
 
 # single-JVM local bench has ~±20-30% run-to-run noise (ambient load
