@@ -146,14 +146,14 @@ def minhash_band_keys(
     )
 
 
-def minhash_band_keys_expr(
-    text: Column, num_hashes: int = 8, rows_per_band: int = 4
+def minhash_band_keys_from_shingles(
+    sh: Column, num_hashes: int = 8, rows_per_band: int = 4
 ) -> Column:
     """The doc's LSH band keys as a PER-ROW array<string> expression
-    (element b+1 = band b's key), NULL for docs too short to shingle —
-    bit-identical to the (band, band_key) rows :func:`minhash_band_keys`
-    produces for the same text (property-pinned in
-    tests/test_round14_minhash_stream.py).
+    over an ALREADY-PROJECTED shingle-array column (element b+1 = band
+    b's key), NULL for docs too short to shingle — bit-identical to the
+    (band, band_key) rows :func:`minhash_band_keys` produces for the
+    same text (property-pinned in tests/test_round14_minhash_stream.py).
 
     This exists for APPEND-MODE STREAMING (round 14): the relational
     path aggregates (groupBy min over exploded shingles), which
@@ -161,12 +161,17 @@ def minhash_band_keys_expr(
     row, so the same minima fold per-row over the shingle ARRAY —
     ``min`` over a column of md5 hex strings == ``array_min`` over the
     same strings, and duplicates (relational path: distinct=False)
-    cannot move a min. The HOF-lambda slow path the :func:`shingles`
-    docstring warns about is priced here too: per micro-BATCH of delta
-    docs, not per corpus — the base side of any consumer stays the
-    materialized epoch index."""
+    cannot move a min.
+
+    Take ``sh`` from a SEPARATE upstream projection of
+    :func:`shingles` (as :func:`minhash_band_keys_expr` cannot): this
+    expression references it num_hashes+1 times, HOFs are
+    CodegenFallback with no common-subexpression elimination, and
+    CollapseProject declines to inline non-cheap expressions into
+    multiple uses — so the two-step form tokenizes each row ONCE where
+    the inlined form re-shingles it 9x (measured 3.2x end-to-end on a
+    20k-doc batch, round-14 review)."""
     assert num_hashes % rows_per_band == 0
-    sh = shingles(text)
 
     def _min_for_seed(i: int) -> Column:
         # arity-1 lambda on purpose: a two-parameter transform lambda
@@ -184,6 +189,18 @@ def minhash_band_keys_expr(
         ]
     )
     return F.when(F.size(sh) > 0, keys)
+
+
+def minhash_band_keys_expr(
+    text: Column, num_hashes: int = 8, rows_per_band: int = 4
+) -> Column:
+    """:func:`minhash_band_keys_from_shingles` inlined over raw text —
+    the one-expression convenience form. Prefer the two-step projection
+    (see that docstring's re-evaluation note) anywhere the per-row cost
+    matters; consumers here keep it for tests and ad-hoc use."""
+    return minhash_band_keys_from_shingles(
+        shingles(text), num_hashes, rows_per_band
+    )
 
 
 def lsh_bands(sig_df: DataFrame, id_col: str, rows_per_band: int = 4) -> DataFrame:

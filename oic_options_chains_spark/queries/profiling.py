@@ -397,6 +397,46 @@ DECONTAM_BANDED_ORACLE = """
 """
 
 
+def _banded_decontam_top1(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float,
+    contract_cos: float | None = None,
+    eval_cap: int | None = None,
+) -> DataFrame:
+    """The shared banded-decontamination reporting shape (round-14
+    dedup of the three contract keys + fixed-eval): eval = vec_id%10==0
+    (optionally capped to the fixed suite, ``eval_cap``), train = the
+    rest, cross_near_pairs_banded at ``threshold`` (solver-default L
+    unless ``contract_cos`` restates the contract), top-1 contaminant
+    per flagged train vector (score desc, id asc). One definition so a
+    reporting change — e.g. the tie-break — cannot drift between the
+    contract points."""
+    from oic_options_chains_spark.operators.similarity import (
+        cross_near_pairs_banded,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % 10 == 0)
+    if eval_cap is not None:
+        ev = ev.filter(F.col("vec_id") < eval_cap)
+    tr = emb.filter(F.col("vec_id") % 10 != 0)
+    kwargs = {} if contract_cos is None else {"contract_cos": contract_cos}
+    hits = cross_near_pairs_banded(tr, ev, threshold=threshold, **kwargs)
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("score_e6").desc(), F.col("id_b").asc()
+    )
+    return (
+        hits.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("id_a").alias("vec_id"),
+            F.col("id_b").alias("contaminant_id"),
+            "score_e6",
+        )
+    )
+
+
 @register("q_decontam_banded", oracle=DECONTAM_BANDED_ORACLE)
 def q_decontam_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-LSH semantic decontamination
@@ -410,26 +450,7 @@ def q_decontam_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     any engine, so the oracle replays the keys bit-for-bit (the oracle
     uses DISTINCT candidates where Spark uses first-matching-table
     emit-once — same pair set either way)."""
-    from oic_options_chains_spark.operators.similarity import (
-        cross_near_pairs_banded,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    ev = emb.filter(F.col("vec_id") % 10 == 0)
-    tr = emb.filter(F.col("vec_id") % 10 != 0)
-    hits = cross_near_pairs_banded(tr, ev, threshold=0.35)
-    w = Window.partitionBy("id_a").orderBy(
-        F.col("score_e6").desc(), F.col("id_b").asc()
-    )
-    return (
-        hits.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(
-            F.col("id_a").alias("vec_id"),
-            F.col("id_b").alias("contaminant_id"),
-            "score_e6",
-        )
-    )
+    return _banded_decontam_top1(spark, sf_dir, threshold=0.35)
 
 
 # the deployment shape of the banded screen: eval/benchmark suites do
@@ -456,26 +477,7 @@ def q_decontam_fixed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus because the broadcast reference never shuffles it
     (SCALE_CURVE q_semantic_decontam@fixed_eval measured ~flat while
     the both-sides twin grows)."""
-    from oic_options_chains_spark.operators.similarity import (
-        cross_near_pairs_banded,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    ev = emb.filter((F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 2000))
-    tr = emb.filter(F.col("vec_id") % 10 != 0)
-    hits = cross_near_pairs_banded(tr, ev, threshold=0.35)
-    w = Window.partitionBy("id_a").orderBy(
-        F.col("score_e6").desc(), F.col("id_b").asc()
-    )
-    return (
-        hits.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(
-            F.col("id_a").alias("vec_id"),
-            F.col("id_b").alias("contaminant_id"),
-            "score_e6",
-        )
-    )
+    return _banded_decontam_top1(spark, sf_dir, threshold=0.35, eval_cap=2000)
 
 
 # the contract-parameterized banded screen at a NON-default near-dup
@@ -508,25 +510,8 @@ def q_decontam_t08(spark: SparkSession, sf_dir: str) -> DataFrame:
     theory at the 0.8 boundary: 9281 bp via banded_recall_bp, closed
     form 9482; measured row in SCALE_CURVE recall_bp:planted_c80).
     Same top-1-contaminant reporting shape as q_decontam_banded."""
-    from oic_options_chains_spark.operators.similarity import (
-        cross_near_pairs_banded,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    ev = emb.filter(F.col("vec_id") % 10 == 0)
-    tr = emb.filter(F.col("vec_id") % 10 != 0)
-    hits = cross_near_pairs_banded(tr, ev, threshold=0.5, contract_cos=0.8)
-    w = Window.partitionBy("id_a").orderBy(
-        F.col("score_e6").desc(), F.col("id_b").asc()
-    )
-    return (
-        hits.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(
-            F.col("id_a").alias("vec_id"),
-            F.col("id_b").alias("contaminant_id"),
-            "score_e6",
-        )
+    return _banded_decontam_top1(
+        spark, sf_dir, threshold=0.5, contract_cos=0.8
     )
 
 
@@ -555,25 +540,8 @@ def q_decontam_t06(spark: SparkSession, sf_dir: str) -> DataFrame:
     Emission threshold stays the operator's 0.35 default (the screen
     reports what it catches; the PROMISE covers cos >= 0.6). Same
     top-1-contaminant reporting shape as q_decontam_banded."""
-    from oic_options_chains_spark.operators.similarity import (
-        cross_near_pairs_banded,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    ev = emb.filter(F.col("vec_id") % 10 == 0)
-    tr = emb.filter(F.col("vec_id") % 10 != 0)
-    hits = cross_near_pairs_banded(tr, ev, threshold=0.35, contract_cos=0.6)
-    w = Window.partitionBy("id_a").orderBy(
-        F.col("score_e6").desc(), F.col("id_b").asc()
-    )
-    return (
-        hits.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(
-            F.col("id_a").alias("vec_id"),
-            F.col("id_b").alias("contaminant_id"),
-            "score_e6",
-        )
+    return _banded_decontam_top1(
+        spark, sf_dir, threshold=0.35, contract_cos=0.6
     )
 
 

@@ -123,17 +123,29 @@ def _evict_stale(epoch_root: str, scope: str, ident: str) -> None:
     """Best-effort eviction, run only when a build just happened (the
     cache can change only WHEN work happens): a fresh identity under a
     scope obsoletes the scope's older identities — the source state
-    they fingerprint no longer exists — so remove them, plus any
-    pre-round-14 flat-layout entries (16-hex names at the epoch root;
-    the recursive fingerprint changed every identity anyway, so none
-    of them can ever be read again). Failures are swallowed: eviction
-    is hygiene and must not fail the build that just succeeded."""
+    they fingerprint no longer exists — so prune them down to the
+    single most recent predecessor, plus any pre-round-14 flat-layout
+    entries (16-hex names at the epoch root; the recursive fingerprint
+    changed every identity anyway, so none of them can ever be read
+    again). Keeping exactly ONE predecessor (not zero) is the
+    live-reader guard (round-14 review): a concurrent process may
+    still hold a lazily-evaluated scan over the entry this build just
+    superseded — deleting it would fail that reader mid-query, where
+    the pre-r14 append-only cache would have served it the consistent
+    stale artifact. A reader of an entry superseded TWICE would have
+    had to survive two corpus regenerations; growth stays bounded at 2
+    entries per scope either way. Failures are swallowed: eviction is
+    hygiene and must not fail the build that just succeeded."""
     scope_dir = os.path.join(epoch_root, scope)
     try:
-        stale = [n for n in os.listdir(scope_dir) if n != ident]
+        siblings = [
+            (os.stat(os.path.join(scope_dir, n)).st_mtime_ns, n)
+            for n in os.listdir(scope_dir)
+            if n != ident
+        ]
     except OSError:
-        stale = []
-    for n in stale:
+        siblings = []
+    for _, n in sorted(siblings)[:-1]:  # keep the newest predecessor
         shutil.rmtree(os.path.join(scope_dir, n), ignore_errors=True)
     try:
         old_layout = [

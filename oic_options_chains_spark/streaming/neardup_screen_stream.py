@@ -28,8 +28,9 @@ streaming/neardup_stream.py's keyed-state job.
 
 Per-row banding: the relational MinHash path aggregates (groupBy min
 over exploded shingles) — not append-streamable — so the delta side
-uses operators/minhash.minhash_band_keys_expr, the per-row array fold
-pinned bit-identical to the relational band keys. Emit-once comes from
+uses operators/minhash.minhash_band_keys_from_shingles over a
+separately projected shingle array, the per-row fold pinned
+bit-identical to the relational band keys. Emit-once comes from
 the first-matching-band rule (the aHash first-band pattern): the
 static side carries each base doc's FULL key array, so a pair matching
 in several bands is emitted exactly once, from its earliest band — a
@@ -43,7 +44,8 @@ from pyspark.sql import functions as F
 
 from oic_options_chains_spark.operators.minhash import (
     _check_band_index_params,
-    minhash_band_keys_expr,
+    minhash_band_keys_from_shingles,
+    shingles,
 )
 
 
@@ -109,12 +111,23 @@ def streaming_minhash_candidate_screen(
         )
         .localCheckpoint(eager=True)
     )
-    delta = stream_docs.select(
-        F.col(id_col).alias("delta_id"),
-        minhash_band_keys_expr(
-            F.col(text_col), num_hashes, rows_per_band
-        ).alias("__dk"),
-    ).filter(F.col("__dk").isNotNull())
+    # two-step projection on purpose: the band-key expression references
+    # its shingle array num_hashes+1 times, so materializing __sh in its
+    # own Project keeps tokenization at once per row (the from_shingles
+    # docstring prices the inlined form at 9x; measured 3.2x end-to-end)
+    delta = (
+        stream_docs.select(
+            F.col(id_col).alias("delta_id"),
+            shingles(F.col(text_col)).alias("__sh"),
+        )
+        .select(
+            "delta_id",
+            minhash_band_keys_from_shingles(
+                F.col("__sh"), num_hashes, rows_per_band
+            ).alias("__dk"),
+        )
+        .filter(F.col("__dk").isNotNull())
+    )
     exploded = delta.select(
         "delta_id", "__dk", F.posexplode("__dk").alias("band", "band_key")
     )

@@ -82,9 +82,16 @@ def test_nested_rewrite_rebuilds_and_unchanged_hits_cache(tmp_path, monkeypatch)
     assert rebuilt != first
 
 
-def test_regeneration_evicts_stale_sibling_not_other_scopes(
+def test_regeneration_evicts_twice_superseded_not_predecessor(
     tmp_path, monkeypatch
 ):
+    """Growth is bounded at 2 entries per scope: a build keeps its
+    immediate predecessor (a concurrent reader may still hold a lazy
+    scan over it — deleting would fail that reader mid-query where the
+    pre-r14 append-only cache served it consistently) and evicts
+    anything superseded twice. Other scopes are untouched (their next
+    build owns their eviction; cross-scope sweeps would race
+    concurrent builders of unrelated artifacts)."""
     cache = tmp_path / "cache"
     monkeypatch.setenv("SPARK_GRAFT_CACHE_DIR", str(cache))
     src = _make_partitioned_src(tmp_path)
@@ -92,20 +99,25 @@ def test_regeneration_evicts_stale_sibling_not_other_scopes(
     def build(p):
         os.makedirs(p)
 
+    inner = os.path.join(src, "date=2024-01-01", "part-0.parquet")
     a1 = epoch_dir(src, "t14-tag-a", build)
     b1 = epoch_dir(src, "t14-tag-b", build)
-    inner = os.path.join(src, "date=2024-01-01", "part-0.parquet")
     _rewrite_in_place(inner, os.stat(inner).st_mtime_ns + 1_000_000)
     a2 = epoch_dir(src, "t14-tag-a", build)
-
     assert a2 != a1
-    assert not os.path.isdir(a1), "stale same-scope entry must be evicted"
-    scope_a = os.path.dirname(a2)
-    assert os.listdir(scope_a) == [os.path.basename(a2)]
-    # the OTHER tag's entry is a different scope: untouched (it is
-    # stale too, but ITS next build owns its eviction — cross-scope
-    # sweeps would race concurrent builders of unrelated artifacts)
-    assert os.path.isdir(b1)
+    assert os.path.isdir(a1), "immediate predecessor must survive"
+    assert sorted(os.listdir(os.path.dirname(a2))) == sorted(
+        [os.path.basename(a1), os.path.basename(a2)]
+    )
+
+    _rewrite_in_place(inner, os.stat(inner).st_mtime_ns + 1_000_000)
+    a3 = epoch_dir(src, "t14-tag-a", build)
+    assert not os.path.isdir(a1), "twice-superseded entry must be evicted"
+    assert os.path.isdir(a2), "new immediate predecessor survives"
+    assert sorted(os.listdir(os.path.dirname(a3))) == sorted(
+        [os.path.basename(a2), os.path.basename(a3)]
+    )
+    assert os.path.isdir(b1), "other scopes untouched"
 
 
 def test_old_flat_layout_entries_swept_on_build(tmp_path, monkeypatch):
