@@ -56,23 +56,28 @@ def banded_recall_bp(
     banded hyperplane screen at cosine ``threshold``.
 
     ``dispersion=False`` is the textbook closed form 1 - (1 - p^b)^L
-    with per-plane agreement p = 1 - arccos(c)/pi — exact only in the
-    limit of a FRESH plane family per pair. ``dispersion=True`` (the
-    default, round 14) models what a deployment actually does: draw ONE
-    fixed family of L*b planes shared by every pair, so a pair's
-    realized per-plane agreement rate disperses binomially around p
-    (std sqrt(p(1-p)/(L*b)) — measured 0.0361 vs predicted 0.0344 at
-    the 0.8 contract's 136 planes, SCALING.md round 13), and the recall
-    curve's concavity near 1 turns that symmetric dispersion into a net
-    loss (Jensen). The corrected point is the binomial expectation
-    E[1 - (1 - (K/n)^b)^L], K ~ Binomial(n=L*b, p) — the exact
-    integral of the plug-in model the round-13 NumPy replay validated
-    (its empirical mean-of-per-pair-recalls 9301 bp at (0.8, L=17) vs
-    9281 bp here; the replayed family's realized value was 9250 bp).
-    It is a MEAN over plane families: any one family's realized recall
-    still scatters ~+-150 bp around it (the 0.7 family landed +140,
-    the 0.8 family -30), which is what the solver's residual margin
-    absorbs."""
+    with per-plane agreement p = 1 - arccos(c)/pi. For a FIXED pair,
+    agreement indicators across iid-drawn planes are iid Bernoulli(p),
+    so the closed form is the TRUE expectation over plane families —
+    Monte-Carlo-pinned in tests/test_round14_dispersion.py (400
+    families x 2000 pairs at the 0.8 contract: mean 9487 bp vs closed
+    9482, family-to-family std only ~48 bp). The r13/r14 ledgers'
+    earlier reading of the planted_c80 deficit as a systematic
+    fixed-plane-set loss is corrected there (SCALING.md round-14
+    addendum): the deficit is finite-PROBE sampling noise — a <= 256
+    planted-pair measurement has binomial std ~150 bp, and all three
+    measured contract rows sit within ~2 such sigma of the closed form.
+
+    ``dispersion=True`` (the solver's default input since round 14) is
+    therefore NOT a better estimate of the mean — it is a deliberately
+    CONSERVATIVE lower curve: the binomial plug-in
+    E[1 - (1 - (K/n)^b)^L], K ~ Binomial(n=L*b, p), which Jensen
+    pushes strictly below the closed form by roughly one probe-sigma
+    at the shipped contracts (9281 vs 9482 at 0.8/L=17). Solving L
+    against it means the promised floor survives a ~1-sigma-low
+    realized probe draw before the explicit residual margin is even
+    touched — the right direction for a >= floor contract, bought with
+    0-2 extra tables."""
     if not 0.0 < threshold < 1.0:
         raise ValueError(f"threshold must be in (0, 1), got {threshold}")
     p = 1.0 - math.acos(threshold) / math.pi
@@ -104,10 +109,12 @@ def tables_for(
     ``threshold`` is recovered with probability >= ``target_recall_bp``
     basis points — the inverse of the recall S-curve
     1 - (1 - p^b)^L with per-plane agreement p = 1 - arccos(c)/pi
-    (``dispersion=False``, the closed form), or of the fixed-plane-set
-    corrected curve :func:`banded_recall_bp` computes
-    (``dispersion=True`` — what :func:`cross_near_pairs_banded`'s
-    default path solves against since round 14).
+    (``dispersion=False``, the closed form — the true mean over plane
+    families), or of the deliberately conservative binomial plug-in
+    curve :func:`banded_recall_bp` computes (``dispersion=True`` —
+    what :func:`cross_near_pairs_banded`'s default path solves against
+    since round 14; see that docstring for why conservative, not
+    corrected, is the right word).
 
     This makes the round-12 recall contract PROGRAMMABLE instead of a
     hardcoded default: ``tables_for(0.7)`` = 23 (the closed-form
@@ -533,34 +540,32 @@ def cross_near_pairs_banded(
     a different near-dup threshold states ``contract_cos=0.8`` (or
     0.6, ...) and gets the minimal table count for the same
     >= ``target_recall_bp`` promise automatically (0.8 -> L=17,
-    0.6 -> L=45 at b=8). The solve runs against the FIXED-PLANE-SET
-    corrected curve (:func:`banded_recall_bp` — root-caused round 13,
-    folded into the solver round 14): the closed form treats per-pair
-    plane agreement as exactly p = 1 - theta/pi, but a deployment
-    draws ONE plane family shared by every pair, so realized per-pair
-    agreement is a binomial over its L*b draws — std
-    sqrt(p(1-p)/(L*b)), ~0.036 at the 0.8 contract's 136 planes — and
-    the recall curve's concavity near 1 turns that symmetric
-    dispersion into a net loss (a NumPy replay of the actual md5
-    family reproduces the measured planted_c80 value exactly, 9250 bp,
-    vs closed form 9482 / corrected 9281; embedding quantization moves
-    effective cosine < 2e-4, NOT the cause). With the systematic
-    component now modeled in the curve, ``recall_margin_bp`` shrinks
-    400 -> 250 and covers only the residual noise: one family's
-    realized draw scatters ~+-150 bp around the corrected mean
-    (measured: +140 bp at 0.7, -30 bp at 0.8) plus finite-probe
-    sampling (~80 bp at 200 planted pairs). The operational rule
-    stands: a deployment stating a NEW contract_cos measures a
-    planted-probe row at that boundary (the q_decontam_t08 pattern —
-    bench_curve's parameterized _recall_decontam_planted) rather than
-    trusting any theory point. At the defaults (contract_cos=0.7,
-    9000+250 bp) the dispersed solver resolves to L=28 x b=8 —
-    bit-identical to the round-12 hardcoded default and its recorded
-    curves, as are the 0.8 contract's 17 and 0.6's 45 (the margin
-    re-derivation moved no shipped contract). The promise, restated:
-    >= 9000 bp pair recall at cos >= contract_cos — measured on 256
-    planted pairs AT the 0.7 boundary (the worst case of the promised
-    region; recall is monotone above it):
+    0.6 -> L=45 at b=8). The solve runs against the CONSERVATIVE
+    binomial plug-in curve (:func:`banded_recall_bp` — see its
+    docstring and the SCALING.md round-14 addendum for the
+    Monte-Carlo adjudication): the closed form is the true mean over
+    plane families, but the CONTRACT is verified by a <= 256
+    planted-pair probe whose binomial sampling noise is ~150 bp (1
+    sigma) — the entire measured planted_c80 deficit (9250 vs closed
+    9482; NumPy-replayed exactly in r13; embedding quantization moves
+    effective cosine < 2e-4, NOT a factor) is ~1.5 such sigma, not a
+    systematic plane-family loss (family-to-family std is only
+    ~48 bp). Solving against the plug-in curve — which Jensen pushes
+    ~one probe-sigma below the mean — plus the explicit
+    ``recall_margin_bp`` (400 -> 250 since the curve itself now
+    carries a sigma of conservatism) means the floor survives a
+    ~2.5-sigma-low probe draw in total. The operational rule stands: a
+    deployment stating a NEW contract_cos measures a planted-probe row
+    at that boundary (the q_decontam_t08/t06 pattern — bench_curve's
+    parameterized _recall_decontam_planted) rather than trusting any
+    theory point. At the defaults (contract_cos=0.7, 9000+250 bp) the
+    conservative solver resolves to L=28 x b=8 — bit-identical to the
+    round-12 hardcoded default and its recorded curves, as are the 0.8
+    contract's 17 and 0.6's 45 (the solve-curve re-derivation moved no
+    shipped contract). The promise, restated: >= 9000 bp pair recall
+    at cos >= contract_cos — measured on 256 planted pairs AT the 0.7
+    boundary (the worst case of the promised region; recall is
+    monotone above it):
     9400-9414 bp planted at 0.7 across sf0.1-2, 10000 bp at 0.9, vs
     theory 9418/9999 bp (SCALE_CURVE recall_bp:planted_c70/_c90 on
     q_decontam_banded). Below the promised threshold the S-curve

@@ -506,9 +506,10 @@ def q_decontam_t08(spark: SparkSession, sf_dir: str) -> DataFrame:
     the minimal margin-bearing table count for the promise — L=17 x b=8
     here, vs the 0.7 contract's 28 — so a deployment screening only for
     tighter near-dups pays 17/28 of the key-generation and bucket-probe
-    cost and keeps the same >= 9000 bp planted-pair floor (corrected
-    theory at the 0.8 boundary: 9281 bp via banded_recall_bp, closed
-    form 9482; measured row in SCALE_CURVE recall_bp:planted_c80).
+    cost and keeps the same >= 9000 bp planted-pair floor (conservative
+    solve curve at the 0.8 boundary: 9281 bp via banded_recall_bp;
+    closed-form mean 9482 — see the SCALING.md round-14 addendum;
+    measured row in SCALE_CURVE recall_bp:planted_c80).
     Same top-1-contaminant reporting shape as q_decontam_banded."""
     return _banded_decontam_top1(
         spark, sf_dir, threshold=0.5, contract_cos=0.8
@@ -522,7 +523,8 @@ def q_decontam_t08(spark: SparkSession, sf_dir: str) -> DataFrame:
 # planes. Together with 0.7->28 and 0.8->17 this pins the solver at
 # three contract points spanning both directions from the default, and
 # carries its own planted-probe row (SCALE_CURVE
-# recall_bp:planted_c60 — corrected theory 9288 bp, closed form 9409).
+# recall_bp:planted_c60 — conservative solve curve 9288 bp,
+# closed-form mean 9409).
 DECONTAM_T06_ORACLE = DECONTAM_BANDED_ORACLE.replace(
     "range(0, 224)", "range(0, 360)"
 )

@@ -1,35 +1,43 @@
-"""Round 14 (VERDICT r13 item 5): the fixed-plane-set dispersion
-correction root-caused in r13 (commit c7de761) is folded INTO the
-recall solver instead of living in a flat 400 bp margin.
+"""Round 14 (VERDICT r13 item 5), twice-adjudicated.
 
-banded_recall_bp(dispersion=True) integrates the plug-in model the r13
-NumPy replay validated — E[1-(1-(K/n)^b)^L], K ~ Binomial(L*b, p) —
-and tables_for(dispersion=True) inverts it; the residual margin
-shrinks 400 -> 250 bp and now covers only single-family draw noise
-(~+-150 bp measured) plus finite-probe sampling (~80 bp at 200 pairs).
+First pass folded the r13 "fixed-plane-set dispersion" into the
+solver: `banded_recall_bp(dispersion=True)` = the binomial plug-in
+E[1-(1-(K/n)^b)^L], K ~ Binomial(n=L*b, p), and
+`tables_for(dispersion=True)` inverts it with the residual margin
+shrunk 400 -> 250 bp (no shipped contract moves: 0.6->45, 0.7->28,
+0.8->17).
 
-Corrected-theory vs planted measurements (SCALE_CURVE, sf0.1-2):
+Second pass (the Monte-Carlo test below) then REFUTED the r13/r14
+framing of that curve as "the mean over plane families": for a fixed
+pair, agreement indicators across iid planes are iid Bernoulli(p), so
+the CLOSED form is the exact mean — MC-confirmed (9487 +- 2 vs 9482 at
+the 0.8 contract), with family-to-family std only ~48 bp. What
+actually explains the measured planted-row deficits is finite-PROBE
+sampling: a <= 256-pair probe has binomial std ~140-160 bp, and every
+committed contract row sits within ~2 such sigma of the closed form:
 
-  contract  L   closed  corrected  measured          gap-to-corrected
-  0.6       45  9409    9288       9296-9350 bp      +8 .. +62
-  0.7       28  9421    9264       9400-9414 bp      +136 .. +150
-  0.8       17  9482    9281       9179-9250 bp      -102 .. -31
+  contract  L   closed  plug-in  measured       (closed gap, probe sigma)
+  0.6       45  9409    9288     9296-9350 bp   (-113..-59, ~0.4-0.8s)
+  0.7       28  9421    9264     9400-9414 bp   (-21..-7,   ~0.1s)
+  0.8       17  9482    9281     9179-9250 bp   (-303..-232, ~1.6-2.1s)
 
-The 0.6 and 0.8 rows sit within ~50-100 bp of the corrected point (vs
-130-300 bp from the closed form); the 0.7 family's +140 is ONE plane
-family's realized draw landing high — no single theory point can be
-within 50 bp of both the 0.7 and 0.8 rows, because they sit ~150 bp on
-OPPOSITE sides of any mean curve, which is exactly the single-draw
-noise the residual margin exists for (SCALING.md round 14). The tests
-below assert each measured row within the noise envelope of the
-corrected point AND above the 9000 bp contract floor.
+The plug-in curve stays as the SOLVE TARGET because it is deliberately
+conservative — Jensen pushes it ~one probe-sigma below the mean — so
+the floor promise survives a low probe draw before the explicit
+margin is touched. The tests pin: the MC mean identity, the plug-in's
+strict conservatism, the solver's contract-point resolution (the
+oracles hardcode plane counts 224/136/360), the committed rows' 9000 bp
+floors, and that no committed row strays past 2.5 probe-sigma from the
+closed form (i.e. no systematic loss is hiding in the screen).
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 
+import numpy as np
 import pytest
 
 from oic_options_chains_spark.operators.similarity import (
@@ -40,37 +48,69 @@ from oic_options_chains_spark.operators.similarity import (
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_corrected_curve_sits_below_closed_form_at_contract_points():
+def test_closed_form_is_the_true_mean_over_plane_families():
+    """Monte Carlo at the 0.8 contract (L=17, b=8, dim 64, +-1-entry
+    planes like the md5 family): the across-family mean recall must
+    equal the closed form within MC error, and family-to-family std
+    must be an order of magnitude below the ~150 bp probe noise —
+    refuting the 'systematic fixed-plane-set loss' reading."""
+    rng = np.random.default_rng(7)
+    dim, L, b, c = 64, 17, 8, 0.8
+    n = L * b
+    closed = banded_recall_bp(c, L, dispersion=False)
+    fams, pairs = 120, 1500
+    means = []
+    for _ in range(fams):
+        planes = rng.choice([-1.0, 1.0], size=(n, dim))
+        e = rng.normal(size=(pairs, dim))
+        e /= np.linalg.norm(e, axis=1, keepdims=True)
+        u = rng.normal(size=(pairs, dim))
+        u -= (u * e).sum(1, keepdims=True) * e
+        u /= np.linalg.norm(u, axis=1, keepdims=True)
+        t = c * e + math.sqrt(1 - c * c) * u
+        agree = ((e @ planes.T) >= 0) == ((t @ planes.T) >= 0)
+        rec = agree.reshape(pairs, L, b).all(axis=2).any(axis=1)
+        means.append(rec.mean() * 10_000)
+    means = np.array(means)
+    se = means.std() / math.sqrt(fams)
+    assert abs(means.mean() - closed) <= 4 * se + 10, (
+        means.mean(), closed, se
+    )
+    assert means.std() < 80, "family-to-family std should be <~50-80 bp"
+    # and the plug-in curve is NOT the mean — it sits far below
+    assert banded_recall_bp(c, L) < means.mean() - 2 * means.std()
+
+
+def test_plugin_curve_sits_below_closed_form_at_contract_points():
     for c, L in [(0.6, 45), (0.7, 28), (0.8, 17), (0.7, 12), (0.9, 8)]:
         closed = banded_recall_bp(c, L, dispersion=False)
-        corrected = banded_recall_bp(c, L)
-        assert corrected < closed, (c, L, corrected, closed)
+        plug = banded_recall_bp(c, L)
+        assert plug < closed, (c, L, plug, closed)
 
 
-def test_corrected_points_match_r13_root_cause_numbers():
-    # the r13 replay's validated numbers (SCALING.md round 13): closed
-    # 9482 at (0.8, L=17); the replay's empirical mean-of-per-pair
-    # recalls 9301 vs this exact binomial integral 9281
+def test_curve_values_match_documented_points():
+    # the numbers quoted in docstrings/SCALING: closed 9482 and plug-in
+    # 9281 at (0.8, L=17); 9264 at (0.7, 28); 9288 at (0.6, 45)
     assert abs(banded_recall_bp(0.8, 17, dispersion=False) - 9482) <= 1
     assert abs(banded_recall_bp(0.8, 17) - 9281) <= 1
     assert abs(banded_recall_bp(0.7, 28) - 9264) <= 1
     assert abs(banded_recall_bp(0.6, 45) - 9288) <= 1
 
 
-def test_dispersed_solver_preserves_all_shipped_contracts():
-    """The margin re-derivation (9000 + 250 on the corrected curve)
-    must move NO shipped contract: the oracles hardcode the plane
-    counts (224 / 136 / 360), so a solver drift breaks value hashes."""
+def test_conservative_solver_preserves_all_shipped_contracts():
+    """The solve-curve change (closed+400 -> plug-in+250) must move NO
+    shipped contract: the oracles hardcode the plane counts
+    (224 / 136 / 360), so a solver drift breaks value hashes."""
     for c, want in [(0.6, 45), (0.7, 28), (0.8, 17)]:
         assert tables_for(c, 9250, dispersion=True) == want
 
 
-def test_dispersed_solver_needs_more_tables_than_closed():
+def test_conservative_solver_needs_at_least_closed_form_tables():
     for c in (0.6, 0.7, 0.8):
         assert tables_for(c, 9250, dispersion=True) >= tables_for(c, 9250)
 
 
-def test_dispersed_solver_monotone_and_bounded():
+def test_conservative_solver_monotone_and_bounded():
     assert tables_for(0.5, 9250, dispersion=True) >= tables_for(
         0.7, 9250, dispersion=True
     )
@@ -84,31 +124,29 @@ def _planted_row(key: str, probe: str) -> dict:
     return q[key][f"recall_bp:{probe}"]
 
 
-def test_measured_rows_within_noise_of_corrected_theory():
-    """The committed SCALE_CURVE planted rows vs the corrected points.
-    Envelope: +-110 bp where measurements straddle the mean (0.8's
-    four sf points span 71 bp themselves), one-sided for 0.7 whose
-    family landed ABOVE every theory point (a +140 bp lucky draw — the
-    corrected point may under-promise, never over-promise)."""
-    c60 = _planted_row("q_decontam_t06", "planted_c60")
-    c80 = _planted_row("q_decontam_t08", "planted_c80")
-    c70 = _planted_row("q_decontam_banded", "planted_c70")
-    th60 = banded_recall_bp(0.6, 45)
-    th80 = banded_recall_bp(0.8, 17)
-    th70 = banded_recall_bp(0.7, 28)
-    for sf, bp in c60.items():
-        assert abs(bp - th60) <= 110, (sf, bp, th60)
-    for sf, bp in c80.items():
-        assert abs(bp - th80) <= 110, (sf, bp, th80)
-    for sf, bp in c70.items():
-        assert bp >= th70 - 110 and abs(bp - th70) <= 250, (sf, bp, th70)
+_CONTRACTS = [
+    ("q_decontam_t06", "planted_c60", 0.6, 45),
+    ("q_decontam_banded", "planted_c70", 0.7, 28),
+    ("q_decontam_t08", "planted_c80", 0.8, 17),
+]
+
+
+def test_committed_rows_within_probe_noise_of_closed_form():
+    """No systematic screen loss: every committed planted row sits
+    within 2.5 probe-sigma of the closed form (sigma = binomial std of
+    a 200-256-pair probe at the closed-form rate) — and none sits
+    meaningfully ABOVE it either (sanity against a broken probe)."""
+    for key, probe, c, L in _CONTRACTS:
+        closed = banded_recall_bp(c, L, dispersion=False)
+        r = closed / 10_000.0
+        sigma = 10_000.0 * math.sqrt(r * (1 - r) / 200)
+        for sf, bp in _planted_row(key, probe).items():
+            assert abs(bp - closed) <= 2.5 * sigma, (
+                key, sf, bp, closed, sigma
+            )
 
 
 def test_all_contract_floors_hold_in_committed_curve():
-    for key, probe in [
-        ("q_decontam_t06", "planted_c60"),
-        ("q_decontam_t08", "planted_c80"),
-        ("q_decontam_banded", "planted_c70"),
-    ]:
+    for key, probe, _, _ in _CONTRACTS:
         for sf, bp in _planted_row(key, probe).items():
             assert bp >= 9000, (key, sf, bp)
