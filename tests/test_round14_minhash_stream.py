@@ -220,3 +220,51 @@ def test_entry_guards(spark, sf_dir, tmp_path):
     mism = spark.read.parquet(mism_path)
     with pytest.raises(ValueError, match="num_hashes=12"):
         streaming_minhash_candidate_screen(stream, mism)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# texts drawn adversarially for tokenization parity: empty strings,
+# runs of spaces (empty tokens), mixed case, punctuation glued to
+# words, repeated words (duplicate shingles), and length straddling
+# the 3-token shingle threshold
+_word = st.text(
+    alphabet="abcXYZ0.,!'-", min_size=1, max_size=6
+)
+_text = st.lists(
+    st.one_of(_word, st.just(""), st.just(" ")), min_size=0, max_size=12
+).map(" ".join)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_text, min_size=1, max_size=30))
+def test_expr_band_keys_equal_relational_property(spark, texts):
+    """Hypothesis twin of the fixed-corpus parity pin: for ARBITRARY
+    texts the per-row expression path and the relational groupBy path
+    must produce the identical (doc, band, band_key) set — including
+    docs that shingle to nothing on both sides."""
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    want = {
+        (r.doc_id, r.band, r.band_key)
+        for r in minhash_band_keys(
+            doc_shingles(docs, "doc_id", "text", distinct=False),
+            "doc_id", 8, 4,
+        ).collect()
+    }
+    got = {
+        (r.doc_id, r.band, r.band_key)
+        for r in docs.select(
+            "doc_id", minhash_band_keys_expr(F.col("text")).alias("dk")
+        )
+        .filter(F.col("dk").isNotNull())
+        .select("doc_id", F.posexplode("dk").alias("band", "band_key"))
+        .collect()
+    }
+    assert got == want

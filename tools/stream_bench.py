@@ -23,10 +23,18 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def stage_chunked_source(spark, sf_dir: str, src_dir: str, chunks: int) -> int:
+def stage_chunked_source(
+    spark,
+    sf_dir: str,
+    src_dir: str,
+    chunks: int,
+    offsets: tuple[int, int] = (0, 10_000_000),
+) -> int:
     """Write documents as ``2 * chunks`` parquet files: the corpus in
-    id-ascending chunks, then the same texts re-idded (+10_000_000) —
-    the state-growth probe. Returns total rows staged."""
+    id-ascending chunks, then the same texts re-idded (second offset) —
+    the state-growth probe. Returns total rows staged. The stateless
+    epoch-screen runners pass disjoint ``offsets`` so the streamed ids
+    never collide with the base index's own id space."""
     from pyspark.sql import functions as F
 
     from oic_options_chains_spark.sources.registry import load_table
@@ -40,7 +48,7 @@ def stage_chunked_source(spark, sf_dir: str, src_dir: str, chunks: int) -> int:
     os.makedirs(src_dir, exist_ok=True)
     step = -(-len(docs) // chunks)
     total = 0
-    for offset, tag in ((0, "a"), (10_000_000, "b")):
+    for offset, tag in zip(offsets, ("a", "b")):
         for i in range(chunks):
             part = docs[i * step : (i + 1) * step]
             if not part:
@@ -131,6 +139,77 @@ def run_image_near_dup_verified(spark, sf_dir: str, work: str, chunks: int) -> d
             "rows_staged": n, "batches": batches}
 
 
+def run_epoch_screen_ahash(spark, sf_dir: str, work: str, chunks: int) -> dict:
+    """The STATELESS class (round 13/14): a live crawl screened against
+    the frozen aHash epoch index. The claim under test flips the
+    stateful runners': there must be NO state operator at all — every
+    batch pays only its own hashing plus the stream-static bucket join,
+    so state_rows stays 0 across the whole drain and the re-offer
+    second half costs the same as the first."""
+    from oic_options_chains_spark.operators.phash import (
+        materialize_epoch_index,
+    )
+    from oic_options_chains_spark.sources.registry import load_table
+    from oic_options_chains_spark.streaming.incremental_screen_stream import (
+        streaming_incremental_screen,
+    )
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx_path = f"{work}/ah_idx"
+    materialize_epoch_index(base, idx_path)
+    idx = spark.read.parquet(idx_path)
+    src = f"{work}/ah_src"
+    n = stage_chunked_source(
+        spark, sf_dir, src, chunks, offsets=(10_000_000, 20_000_000)
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/chunk_*")
+    )
+    batches = drain_with_progress(
+        streaming_incremental_screen(stream, idx),
+        f"{work}/ah_out",
+        f"{work}/ah_ckpt",
+    )
+    return {"pipeline": "streaming_incremental_screen[ahash-epoch]",
+            "sf_dir": sf_dir, "rows_staged": n, "batches": batches}
+
+
+def run_epoch_screen_minhash(spark, sf_dir: str, work: str, chunks: int) -> dict:
+    """The round-14 MinHash candidate half against the frozen band
+    index — same stateless contract as the aHash screen (verify is the
+    batch layer's job, so the stream carries no state at all)."""
+    from oic_options_chains_spark.operators.minhash import (
+        materialize_epoch_band_index,
+    )
+    from oic_options_chains_spark.sources.registry import load_table
+    from oic_options_chains_spark.streaming.neardup_screen_stream import (
+        streaming_minhash_candidate_screen,
+    )
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx_path = f"{work}/mh_idx"
+    materialize_epoch_band_index(base, idx_path)
+    idx = spark.read.parquet(idx_path)
+    src = f"{work}/mh_src"
+    n = stage_chunked_source(
+        spark, sf_dir, src, chunks, offsets=(10_000_000, 20_000_000)
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/chunk_*")
+    )
+    batches = drain_with_progress(
+        streaming_minhash_candidate_screen(stream, idx),
+        f"{work}/mh_out",
+        f"{work}/mh_ckpt",
+    )
+    return {"pipeline": "streaming_minhash_candidate_screen[epoch]",
+            "sf_dir": sf_dir, "rows_staged": n, "batches": batches}
+
+
 def run_corpus_admission(spark, sf_dir: str, work: str, chunks: int) -> dict:
     from oic_options_chains_spark.streaming.corpus_pipeline import (
         corpus_build_admission,
@@ -165,6 +244,13 @@ def main() -> None:
         ],
     )
     ap.add_argument("--chunks", type=int, default=5)
+    ap.add_argument(
+        "--pipelines",
+        nargs="+",
+        default=None,
+        help="substring filter over runner names (e.g. 'epoch' runs "
+        "only the stateless epoch-screen pair)",
+    )
     args = ap.parse_args()
 
     from oic_options_chains_spark.session import get_spark
@@ -172,11 +258,20 @@ def main() -> None:
     spark = get_spark(app_name="oic-stream-bench")
     spark.sparkContext.setLogLevel("ERROR")
     for sf_dir in args.sf_dirs:
-        for runner in (
+        runners = [
             run_image_near_dup,
             run_image_near_dup_verified,
             run_corpus_admission,
-        ):
+            run_epoch_screen_ahash,
+            run_epoch_screen_minhash,
+        ]
+        if args.pipelines:
+            runners = [
+                r
+                for r in runners
+                if any(p in r.__name__ for p in args.pipelines)
+            ]
+        for runner in runners:
             work = tempfile.mkdtemp(prefix="stream_bench_")
             try:
                 out = runner(spark, sf_dir, work, args.chunks)
