@@ -574,19 +574,57 @@ def incremental_screen_hits(
     screen, which a per-micro-batch streaming consumer should not pay."""
 
     def banded(h: DataFrame, prefix: str) -> DataFrame:
-        # posexplode_OUTER + null filter, not posexplode: a non-outer
-        # Generate lets the optimizer infer size(__bands) > 0 and fuse
-        # the whole hashing pipeline into a per-scan-row filter on a
-        # STREAMING delta side, where no checkpoint barrier can shield
-        # it (the streaming_image_near_dup lesson). Outer generates
-        # imply no constraint; semantics are identical because the
-        # generated attribute is filtered, which can never push beneath
-        # the Generate.
-        return h.select(
-            F.col("__id").alias(f"{prefix}_id"),
-            F.col("__bands").alias(f"__b_{prefix}"),
-            F.posexplode_outer("__bands").alias("band_idx", "band_val"),
-        ).filter(F.col("band_val").isNotNull())
+        # EVERY band-derived output — band_idx, band_val, AND the full
+        # band array the verify/emit-once stages read — must come out
+        # of the Generate as a GENERATED attribute, so the explode
+        # emits one struct per band carrying (idx, val, the whole
+        # array). Two pushdown traps force this shape (both are the r9
+        # streaming_image_near_dup lesson; the second found round 14
+        # by stream-benching this screen at sf0.1):
+        # 1. a non-outer Generate lets the optimizer infer
+        #    size(__bands) > 0 — hence posexplode_OUTER + null filter
+        #    on the generated value;
+        # 2. passing __bands THROUGH the Generate as a child column
+        #    lets InferFiltersFromConstraints derive
+        #    isnotnull(__bands) from the downstream null-intolerant
+        #    predicates (the hamming filter, the earlier-band
+        #    emit-once), and PushDownPredicates then substitutes the
+        #    alias chain straight through the band table's staged
+        #    projections — the whole raster->sums->bands pipeline
+        #    fused into ONE per-scan-row interpreted filter (~15k-char
+        #    Filter line; measured ~0.2 s/row, a 429 s micro-batch
+        #    equivalent at sf0.1). The batch path never sees this only
+        #    because ahash_incremental checkpoints delta_h; a
+        #    streaming delta has no such barrier. Predicates on
+        #    generated attributes cannot push beneath the Generate, so
+        #    routing the array itself through the struct closes the
+        #    leak structurally (plan-gated in tests/test_plans.py).
+        # __bands is referenced twice inside the generator expression
+        # on purpose: SPARK-36718's duplicate-expensive guard keeps
+        # the producing projection staged (one hash per row).
+        per_band = F.transform(
+            F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+            lambda i: F.struct(
+                i.cast("int").alias("idx"),
+                F.element_at(F.col("__bands"), (i + 1).cast("int")).alias(
+                    "val"
+                ),
+                F.col("__bands").alias("arr"),
+            ),
+        )
+        return (
+            h.select(
+                F.col("__id").alias(f"{prefix}_id"),
+                F.posexplode_outer(per_band).alias("__pos", "__s"),
+            )
+            .select(
+                f"{prefix}_id",
+                F.col("__s.idx").alias("band_idx"),
+                F.col("__s.val").alias("band_val"),
+                F.col("__s.arr").alias(f"__b_{prefix}"),
+            )
+            .filter(F.col("band_val").isNotNull())
+        )
 
     # first-matching-band emission instead of a candidate-wide distinct
     # (same as ahash_pairs): both sides carry all band values

@@ -86,7 +86,6 @@ def streaming_minhash_candidate_screen(
             f"columns {sorted(missing)}; got {base_index.columns}"
         )
     _check_band_index_params(base_index, num_hashes, rows_per_band)
-    n_bands = num_hashes // rows_per_band
     # the static side needs each base doc's FULL key array for the
     # first-matching-band emit-once rule, and the widening is an
     # aggregation — a static subplan a streaming query would otherwise
@@ -111,25 +110,73 @@ def streaming_minhash_candidate_screen(
         )
         .localCheckpoint(eager=True)
     )
+    return _candidate_screen_plan(
+        stream_docs, base_wide, id_col, text_col, num_hashes, rows_per_band
+    )
+
+
+def _candidate_screen_plan(
+    docs: DataFrame,
+    base_wide: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    rows_per_band: int,
+) -> DataFrame:
+    """The per-micro-batch candidate plan over an ALREADY-WIDENED static
+    side, factored out so the fused-filter plan gate
+    (tests/test_plans.py) can audit the exact shape every micro-batch
+    runs on a STATIC docs frame — a streaming DataFrame cannot expose
+    its optimized plan before writeStream.start()."""
+    n_bands = num_hashes // rows_per_band
     # two-step projection on purpose: the band-key expression references
     # its shingle array num_hashes+1 times, so materializing __sh in its
     # own Project keeps tokenization at once per row (the from_shingles
     # docstring prices the inlined form at 9x; measured 3.2x end-to-end)
-    delta = (
-        stream_docs.select(
-            F.col(id_col).alias("delta_id"),
-            shingles(F.col(text_col)).alias("__sh"),
+    delta_keys = docs.select(
+        F.col(id_col).alias("delta_id"),
+        shingles(F.col(text_col)).alias("__sh"),
+    ).select(
+        "delta_id",
+        minhash_band_keys_from_shingles(
+            F.col("__sh"), num_hashes, rows_per_band
+        ).alias("__dk"),
+    )
+    # every key-derived output — band, band_key, AND the full key array
+    # the emit-once filter reads — leaves the Generate as a GENERATED
+    # struct field: predicates on generated attributes cannot push
+    # beneath the Generate, which is what stops
+    # InferFiltersFromConstraints (isnotnull from the emit-once
+    # element_at comparisons, size > 0 from a non-outer explode) from
+    # substituting the whole shingle->minhash pipeline into one
+    # per-scan-row interpreted Filter. Same trap, same fix as
+    # phash.incremental_screen_hits' banded() — found round 14 by
+    # stream-benching the screens at sf0.1 (~0.2 s/row fused vs ~ms
+    # staged); the batch operator never sees it because its delta
+    # relation is checkpoint-shielded. __dk is referenced twice inside
+    # the generator on purpose (SPARK-36718's duplicate-expensive
+    # guard keeps its projection staged — one minhash pass per row).
+    # A null __dk (doc too short to shingle) yields null struct vals,
+    # dropped by the generated-attribute filter.
+    per_band = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda i: F.struct(
+            i.cast("int").alias("band"),
+            F.element_at(F.col("__dk"), (i + 1).cast("int")).alias("key"),
+            F.col("__dk").alias("arr"),
+        ),
+    )
+    exploded = (
+        delta_keys.select(
+            "delta_id", F.posexplode_outer(per_band).alias("__pos", "__s")
         )
         .select(
             "delta_id",
-            minhash_band_keys_from_shingles(
-                F.col("__sh"), num_hashes, rows_per_band
-            ).alias("__dk"),
+            F.col("__s.band").alias("band"),
+            F.col("__s.key").alias("band_key"),
+            F.col("__s.arr").alias("__dk"),
         )
-        .filter(F.col("__dk").isNotNull())
-    )
-    exploded = delta.select(
-        "delta_id", "__dk", F.posexplode("__dk").alias("band", "band_key")
+        .filter(F.col("band_key").isNotNull())
     )
     joined = exploded.join(base_wide, on=["band", "band_key"])
     earlier = F.lit(False)

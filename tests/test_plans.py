@@ -616,3 +616,83 @@ def test_committed_bench_stays_within_baseline_contract():
 
     problems = gate(os.path.join(REPO, "BENCH_DETAIL.json"))
     assert problems == [], f"committed bench record fails the gate: {problems}"
+
+
+def test_epoch_screen_compositions_have_no_fused_filter(spark, sf_dir, tmp_path):
+    """Round 14: the r9 fused-filter trap's THIRD appearance, found by
+    stream-benching the stateless epoch screens at sf0.1. A live (un-
+    checkpointed) delta hashing pipeline under incremental_screen_hits
+    let InferFiltersFromConstraints derive isnotnull(__bands) from the
+    hamming / earlier-band predicates on the PASS-THROUGH array column
+    and push the whole raster pipeline into one ~15k-char per-scan-row
+    interpreted Filter (measured 429 s for a 2000-row micro-batch
+    equivalent; 3.8 s once banded() routes the array through a
+    GENERATED struct field). Gate both screens' checkpoint-free
+    compositions — the exact shape every streaming micro-batch runs —
+    at the suite's 4000-char fused-filter bound."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from oic_options_chains_spark.operators.minhash import (
+        materialize_epoch_band_index,
+    )
+    from oic_options_chains_spark.operators.phash import (
+        ahash_band_table,
+        hot_bucket_keys,
+        incremental_screen_hits,
+        materialize_epoch_index,
+    )
+    from oic_options_chains_spark.sources.registry import load_table
+    from oic_options_chains_spark.streaming.neardup_screen_stream import (
+        _candidate_screen_plan,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    delta = docs.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+
+    ah_path = str(tmp_path / "ah_idx")
+    materialize_epoch_index(docs, ah_path)
+    ah_idx = spark.read.parquet(ah_path)
+    ahash_plan = _optimized(
+        incremental_screen_hits(
+            ah_idx,
+            ahash_band_table(delta),  # live pipeline — NO checkpoint
+            hot=hot_bucket_keys(ah_idx),
+        )
+    )
+
+    mh_path = str(tmp_path / "mh_idx")
+    materialize_epoch_band_index(docs, mh_path)
+    mh_idx = spark.read.parquet(mh_path)
+    # a streaming frame cannot expose its optimized plan before
+    # writeStream.start(), so audit the factored per-micro-batch plan
+    # on a static delta — identical construction by definition
+    base_wide = (
+        mh_idx.select("doc_id", "band", "band_key")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("band", "band_key"))),
+                lambda e: e["band_key"],
+            ).alias("__bk")
+        )
+        .select(
+            F.col("doc_id").alias("base_id"),
+            "__bk",
+            F.posexplode("__bk").alias("band", "band_key"),
+        )
+    )
+    mh_plan = _optimized(
+        _candidate_screen_plan(delta, base_wide, "doc_id", "text", 8, 4)
+    )
+
+    for name, opt in (("ahash", ahash_plan), ("minhash", mh_plan)):
+        fused = [
+            len(line)
+            for line in opt.splitlines()
+            if re.match(r"\s*[+:]*-? *Filter ", line) and len(line) > 4000
+        ]
+        assert not fused, (name, fused)
