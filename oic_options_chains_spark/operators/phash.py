@@ -636,39 +636,83 @@ def incremental_screen_hits(
         )
         earlier = c if earlier is None else earlier | c
 
-    # same two-tier split as pairs_from_band_table: a hot BASE bucket
-    # (count > cap) would multiply every delta image that lands in it
-    # by the bucket's size; the hot tier adds the sub-band pigeonhole
-    # key on both sides instead. Hot keys come from the base index (the
-    # big, epoch-materialized side) and are broadcast.
+    # same two-tier semantics as pairs_from_band_table: a hot BASE
+    # bucket (count > cap) would multiply every delta image that lands
+    # in it by the bucket's size; the hot tier adds the sub-band
+    # pigeonhole key on both sides instead. Hot keys come from the base
+    # index (the big, epoch-materialized side) and are broadcast.
+    #
+    # SINGLE-PASS tiering (round 14): the r13 form split each side into
+    # cold/hot branches and unioned two joins, which consumed every
+    # side's scan+hash TWICE per screen — the batch path hides that
+    # behind its delta checkpoint, but a STREAMING micro-batch re-ran
+    # the delta hashing and the full index scan once per branch. One
+    # CONDITIONAL explode folds both tiers into one relation instead:
+    # cold rows carry the sentinel sub key (-1, 0), hot rows their
+    # max_hamming+1 pigeonhole chunks, and ONE equi-join on
+    # (band, val, sub_idx, sub_val) matches cold-with-cold and
+    # hot-with-hot — the tier decision comes from the same broadcast
+    # relation on both sides, so mixed-tier keys cannot meet. The
+    # emit-once predicate needs no cold special-case: sentinel
+    # sub_idx=-1 makes every (sub_idx > j) clause false, so
+    # _earlier_sub_matches is vacuously false for cold pairs.
     base_b = banded(base_h, "base")
     delta_b = banded(delta_h, "delta")
     if hot is None:
         hot = hot_bucket_keys(base_h, hot_bucket_cap)
+    width = _sub_band_width(max_hamming)
+    mask = (1 << width) - 1
 
-    def _split(side: DataFrame, bands_col: str):
+    def tiered(side: DataFrame, bands_col: str) -> DataFrame:
         tagged = side.join(F.broadcast(hot), ["band_idx", "band_val"], "left")
-        cold = tagged.filter(F.col("__hot").isNull()).drop("__hot")
-        hot_side = _with_sub_bands(
-            tagged.filter(F.col("__hot")).drop("__hot"),
-            max_hamming,
-            bands_col=bands_col,
+        others = F.filter(
+            F.col(bands_col), lambda _x, j: j != F.col("band_idx")
         )
-        return cold, hot_side
+        comp = None
+        for p in range(N_BANDS - 1):
+            term = F.element_at(others, p + 1) * F.lit(1 << (p * BITS_PER_BAND))
+            comp = term if comp is None else comp + term
+        with_comp = tagged.withColumn(
+            "__comp",
+            F.when(F.col("__hot"), comp.cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        )
+        subs_hot = F.array(
+            *[
+                F.struct(
+                    F.lit(k).cast("int").alias("sub_idx"),
+                    F.shiftright(F.col("__comp"), k * width)
+                    .bitwiseAND(F.lit(mask))
+                    .cast("bigint")
+                    .alias("sub_val"),
+                )
+                for k in range(max_hamming + 1)
+            ]
+        )
+        sentinel = F.array(
+            F.struct(
+                F.lit(-1).cast("int").alias("sub_idx"),
+                F.lit(0).cast("bigint").alias("sub_val"),
+            )
+        )
+        return (
+            with_comp.withColumn(
+                "__sub",
+                F.explode(F.when(F.col("__hot"), subs_hot).otherwise(sentinel)),
+            )
+            .select(
+                "*",
+                F.col("__sub.sub_idx").alias("sub_idx"),
+                F.col("__sub.sub_val").alias("sub_val"),
+            )
+            .drop("__sub", "__hot")
+        )
 
-    base_cold, base_hot = _split(base_b, "__b_base")
-    delta_cold, delta_hot = _split(delta_b, "__b_delta")
-    cand_cold = (
-        delta_cold.join(base_cold, ["band_idx", "band_val"])
-        .filter(~earlier)
-        .select("delta_id", "base_id", "__b_delta", "__b_base")
-    )
-    cand_hot = (
-        delta_hot.withColumnRenamed("__comp", "__comp_d")
-        .join(
-            base_hot.withColumnRenamed("__comp", "__comp_b"),
-            ["band_idx", "band_val", "sub_idx", "sub_val"],
-        )
+    d = tiered(delta_b, "__b_delta").withColumnRenamed("__comp", "__comp_d")
+    b = tiered(base_b, "__b_base").withColumnRenamed("__comp", "__comp_b")
+    cand = (
+        d.join(b, ["band_idx", "band_val", "sub_idx", "sub_val"])
         .filter(
             ~earlier
             & ~_earlier_sub_matches(
@@ -677,7 +721,6 @@ def incremental_screen_hits(
         )
         .select("delta_id", "base_id", "__b_delta", "__b_base")
     )
-    cand = cand_cold.unionByName(cand_hot)
     return cand.select(
         "delta_id",
         "base_id",
