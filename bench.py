@@ -172,6 +172,9 @@ HEADLINE = (
     # round-14: the dispersion-corrected solver's looser contract point
     # (0.6 -> L=45 — the most tables any shipped contract serves)
     "q_decontam_t06",
+    # round-15: the deployment-shaped (broadcast fixed-eval) twin of the
+    # 0.6 contract — the scale-safe form of the L=45 screen
+    "q_decontam_t06_fixed",
 )
 
 # single-JVM local bench has ~±20-30% run-to-run noise (ambient load

@@ -798,14 +798,31 @@ def _check_band_index_params(
     """Fail LOUDLY when a materialized index's recorded banding differs
     from the call's. A bare :func:`minhash_band_keys` relation (no meta
     columns) stays trusted — ownership is then the caller's tag, the
-    pre-r14 contract. The check is one bounded action (a 1-row scan of
-    two constant columns), paid once per screen construction."""
+    pre-r14 contract. The check is one bounded action (a DISTINCT over
+    two constant columns — map-side combine collapses it to one row per
+    partition before the shuffle), paid once per screen construction.
+
+    DISTINCT rather than a first-row peek (ADVICE r14): an index
+    accidentally assembled from MIXED bandings (e.g. a union of two
+    epoch artifacts) would pass a first-row check while half its band
+    keys never join — here it raises."""
     if not set(BAND_INDEX_META_COLS) <= set(base_index.columns):
         return
-    row = base_index.select(*BAND_INDEX_META_COLS).head(1)
-    if not row:
+    rows = (
+        base_index.select(*BAND_INDEX_META_COLS).distinct().limit(3).collect()
+    )
+    if not rows:
         return
-    got_h, got_r = row[0][0], row[0][1]
+    if len(rows) > 1:
+        raise ValueError(
+            "base_index carries more than one (num_hashes, rows_per_band) "
+            f"combination {sorted((r[0], r[1]) for r in rows)} — it was "
+            "assembled from mixed bandings (e.g. a union of two epoch "
+            "artifacts); band keys from different bandings never equi-join, "
+            "so part of the index would silently never match. Re-materialize "
+            "one consistent epoch index."
+        )
+    got_h, got_r = rows[0][0], rows[0][1]
     if (got_h, got_r) != (num_hashes, rows_per_band):
         raise ValueError(
             f"base_index was materialized with num_hashes={got_h}, "

@@ -547,6 +547,39 @@ def q_decontam_t06(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the deployment-shaped twin of the 0.6 contract (round 15, VERDICT r14
+# item 2): q_decontam_t06 deliberately keeps the both-sides-scale probe
+# shape (its superlinear sf1->sf2 curve tail is by construction — the
+# 0.35 emission threshold x L=45 admits ~60% of all cos>=0.35 pairs
+# into exact verify, and borderline pair mass grows quadratically when
+# BOTH sides grow; ledgered in SCALING.md r14). This key is the same
+# L=45 solver contract in the shape a deployment actually runs: a fixed
+# broadcast eval suite (vec_id < 2000 at every scale) against a probe
+# corpus that alone grows — linear cost, mirroring
+# q_decontam_fixed_eval's relationship to q_decontam_banded.
+DECONTAM_T06_FIXED_ORACLE = DECONTAM_T06_ORACLE.replace(
+    "AND c.vec_id % 10 = 0", "AND c.vec_id % 10 = 0 AND c.vec_id < 2000"
+)
+assert DECONTAM_T06_FIXED_ORACLE != DECONTAM_T06_ORACLE
+assert "range(0, 360)" in DECONTAM_T06_FIXED_ORACLE
+
+
+@register("q_decontam_t06_fixed", oracle=DECONTAM_T06_FIXED_ORACLE)
+def q_decontam_t06_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH decontamination at the cos >= 0.6 recall contract
+    (contract_cos=0.6 -> tables_for solves L=45 x b=8, as
+    q_decontam_t06) in the REAL-DEPLOYMENT cost shape: the
+    eval/reference side is a fixed population (vec_id < 2000) broadcast
+    against the probe corpus, so cost is linear in the crawl while the
+    promise (>= 9000 bp planted recall at cos >= 0.6) is unchanged.
+    The both-sides-scale twin q_decontam_t06 stays as the solver-pin
+    probe key; THIS is the shape to deploy at 100 TB. Same
+    top-1-contaminant reporting as q_decontam_banded."""
+    return _banded_decontam_top1(
+        spark, sf_dir, threshold=0.35, contract_cos=0.6, eval_cap=2000
+    )
+
+
 # shared aHash CTE core (px -> block sums -> 4x16-bit bands -> flat band
 # keys) over a `feeds(doc_id, text)` CTE the caller prepends
 _AHASH_CORE = """

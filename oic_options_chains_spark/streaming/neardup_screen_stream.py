@@ -56,6 +56,7 @@ def streaming_minhash_candidate_screen(
     text_col: str = "text",
     num_hashes: int = 8,
     rows_per_band: int = 4,
+    pin_dir: str | None = None,
 ) -> DataFrame:
     """(delta_id, base_id) append-mode CANDIDATE pairs of a STREAMING
     document relation against a STATIC materialized MinHash band index
@@ -71,7 +72,19 @@ def streaming_minhash_candidate_screen(
     shape this operator exists to avoid. An index materialized with a
     different (num_hashes, rows_per_band) is rejected at entry via its
     metadata columns (band keys from a mismatched banding never
-    equi-join — the screen would silently emit nothing)."""
+    equi-join — the screen would silently emit nothing).
+
+    ``pin_dir`` (ADVICE r14): where to pin the WIDENED base index for
+    the lifetime of the query. By default it is pinned via
+    ``localCheckpoint`` — executor block storage, which a lost executor
+    invalidates, failing the long-running streaming query mid-flight
+    (acceptable single-box / supervised-restart semantics: the query
+    restarts from its sink checkpoint and re-widens). For
+    deployment-grade streams pass a reliable-storage path (e.g. a
+    ``widened/`` dir beside the epoch artifact): the widened index is
+    written there as parquet once at stream construction and every
+    micro-batch scans THAT, surviving executor loss like any other
+    static source."""
     if not stream_docs.isStreaming:
         raise TypeError(
             "stream_docs must be a streaming relation; for batch deltas "
@@ -108,8 +121,15 @@ def streaming_minhash_candidate_screen(
             "__bk",
             F.posexplode("__bk").alias("band", "band_key"),
         )
-        .localCheckpoint(eager=True)
     )
+    if pin_dir is not None:
+        # reliable-storage pin: survives executor loss (localCheckpoint
+        # blocks do not), at the cost of one parquet write per stream
+        # construction — epoch-artifact-sized, not corpus-sized
+        base_wide.write.mode("overwrite").parquet(pin_dir)
+        base_wide = stream_docs.sparkSession.read.parquet(pin_dir)
+    else:
+        base_wide = base_wide.localCheckpoint(eager=True)
     return _candidate_screen_plan(
         stream_docs, base_wide, id_col, text_col, num_hashes, rows_per_band
     )
