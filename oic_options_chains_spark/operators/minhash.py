@@ -843,10 +843,23 @@ def incremental_lsh_dedup(
     num_hashes: int = 8,
     rows_per_band: int = 4,
     base_index: DataFrame | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental corpus update: near-dup-screen a DELTA batch against an
     already-deduped BASE corpus without re-pairing the base against
     itself.
+
+    ``candidates`` (round 15): an already-computed (delta_id, base_id)
+    candidate frontier — e.g. the drained output of
+    :func:`streaming.neardup_screen_stream.streaming_minhash_candidate_screen`
+    — in which case the band join is skipped entirely and ONLY those
+    pairs are exact-verified. This is the streamed-screen/batch-verify
+    composition the streaming module documents: candidates surface live
+    as documents arrive, the bounded Jaccard verify runs at batch
+    cadence over the drained frontier, and the result equals the
+    all-batch operator's because the streamed candidate set equals the
+    band join's (tests/test_round15_stream_compose.py pins end-to-end
+    equality). Delta docs with no candidate row still report kept=1.
 
     This is the shape a 100 TB corpus actually runs dedup in: the base's
     (doc, band, band_key) index is computed ONCE PER EPOCH and passed as
@@ -886,39 +899,52 @@ def incremental_lsh_dedup(
             "stage shingles the candidate base docs' text (the index "
             "carries band keys only)"
         )
-    if base_index is not None:
-        missing = {id_col, "band", "band_key"} - set(base_index.columns)
+    if candidates is not None:
+        missing = {"delta_id", "base_id"} - set(candidates.columns)
         if missing:
             raise ValueError(
-                f"base_index lacks the minhash_band_keys contract "
-                f"columns {sorted(missing)}; got {base_index.columns}"
+                f"candidates lacks the screen contract columns "
+                f"{sorted(missing)}; got {candidates.columns}"
             )
-        _check_band_index_params(base_index, num_hashes, rows_per_band)
-        base_bands = base_index.select(id_col, "band", "band_key")
+        cand = (
+            candidates.select("delta_id", "base_id")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
     else:
-        base_bands = minhash_band_keys(
-            doc_shingles(base, id_col, text_col, distinct=False),
+        if base_index is not None:
+            missing = {id_col, "band", "band_key"} - set(base_index.columns)
+            if missing:
+                raise ValueError(
+                    f"base_index lacks the minhash_band_keys contract "
+                    f"columns {sorted(missing)}; got {base_index.columns}"
+                )
+            _check_band_index_params(base_index, num_hashes, rows_per_band)
+            base_bands = base_index.select(id_col, "band", "band_key")
+        else:
+            base_bands = minhash_band_keys(
+                doc_shingles(base, id_col, text_col, distinct=False),
+                id_col, num_hashes, rows_per_band,
+            )
+        delta_bands = minhash_band_keys(
+            doc_shingles(delta, id_col, text_col, distinct=False),
             id_col, num_hashes, rows_per_band,
         )
-    delta_bands = minhash_band_keys(
-        doc_shingles(delta, id_col, text_col, distinct=False),
-        id_col, num_hashes, rows_per_band,
-    )
-    cand = (
-        delta_bands.alias("d")
-        .join(base_bands.alias("b"), on=["band", "band_key"])
-        .select(
-            F.col(f"d.{id_col}").alias("delta_id"),
-            F.col(f"b.{id_col}").alias("base_id"),
+        cand = (
+            delta_bands.alias("d")
+            .join(base_bands.alias("b"), on=["band", "band_key"])
+            .select(
+                F.col(f"d.{id_col}").alias("delta_id"),
+                F.col(f"b.{id_col}").alias("base_id"),
+            )
+            .distinct()
+            # the candidate frontier is delta-bounded (tiny next to
+            # either corpus) and consumed twice — once to prune the base
+            # verify scan, once as the intersection join's spine.
+            # Materialize it so the band join runs once and the prune is
+            # a broadcastable static relation.
+            .localCheckpoint(eager=True)
         )
-        .distinct()
-        # the candidate frontier is delta-bounded (tiny next to either
-        # corpus) and consumed twice — once to prune the base verify
-        # scan, once as the intersection join's spine. Materialize it
-        # so the band join runs once and the prune is a broadcastable
-        # static relation.
-        .localCheckpoint(eager=True)
-    )
     sh_d = doc_shingles(delta, id_col, text_col, distinct=True)
     base_cand = base.join(
         cand.select(F.col("base_id").alias(id_col)).distinct(),

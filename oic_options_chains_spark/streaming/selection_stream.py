@@ -74,22 +74,25 @@ def run_incremental_dsir_model(
     n_buckets: int = DSIR_BUCKETS,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> None:
+):
     """Drain a document stream into the model store (AvailableNow — the
-    same cadence contract as the raw-zone loads)."""
+    same cadence contract as the raw-zone loads). Returns the
+    terminated StreamingQuery so callers (tools/stream_bench.py) can
+    read its per-micro-batch progress."""
 
     def process(batch: DataFrame, batch_id: int) -> None:
         write_batch_stats(
             batch, target, model_dir, batch_id, n_buckets, id_col, text_col
         )
 
-    (
+    q = (
         stream.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
-        .awaitTermination()
     )
+    q.awaitTermination()
+    return q
 
 
 def _compaction_state(model_dir: str) -> tuple[int, set[int]] | None:

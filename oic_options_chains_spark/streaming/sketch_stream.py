@@ -101,21 +101,24 @@ def run_incremental_distinct(
     registers_dir: str,
     checkpoint_dir: str,
     b: int = 8,
-) -> None:
+):
     """Drain a stream, maintaining the running-distinct register table;
     stops when all available input is processed (AvailableNow), same
-    cadence contract as the raw-zone loads."""
+    cadence contract as the raw-zone loads. Returns the terminated
+    StreamingQuery so callers (tools/stream_bench.py) can read its
+    per-micro-batch progress."""
 
     def process(batch: DataFrame, _batch_id: int) -> None:
         merge_into_register_table(spark, batch, col, registers_dir, b)
 
-    (
+    q = (
         stream.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
-        .awaitTermination()
     )
+    q.awaitTermination()
+    return q
 
 
 def read_running_estimate(

@@ -65,10 +65,17 @@ def _canon(columns, rows):
 
 @pytest.fixture(scope="session")
 def oracle_con():
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
+        path = f"{SF_DIR}/{t}.parquet"
+        # .scale-style fixtures (tools/gen_scale.py) write each table as
+        # a DIRECTORY of part-files — glob those; the driver's tables
+        # are single files. Spark reads both shapes transparently.
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
         )
     return con
 

@@ -77,6 +77,14 @@ def drain_with_progress(stream_df, out_dir: str, ckpt_dir: str) -> list[dict]:
         .start()
     )
     q.awaitTermination()
+    return progress_rows(q)
+
+
+def progress_rows(q) -> list[dict]:
+    """Per-micro-batch (input rows, trigger ms, state rows/bytes) from a
+    terminated StreamingQuery — shared by the parquet-sink drains and
+    the foreachBatch pipelines (DSIR model, HLL registers), whose state
+    lives in their own storage so stateOperators is empty by design."""
     batches = []
     for p in q.recentProgress:
         prog = json.loads(p.json) if hasattr(p, "json") else dict(p)
@@ -210,6 +218,123 @@ def run_epoch_screen_minhash(spark, sf_dir: str, work: str, chunks: int) -> dict
             "sf_dir": sf_dir, "rows_staged": n, "batches": batches}
 
 
+def run_decontam_stream(spark, sf_dir: str, work: str, chunks: int) -> dict:
+    """Stateless class, embedding-typed: each micro-batch of crawl
+    embeddings banded-screened against the FIXED broadcast eval suite
+    (streaming/decontam_stream.py). No state operator at all — every
+    batch pays its own hyperplane keys plus the stream-static broadcast
+    join, so state_rows must stay 0 and the re-offer half must cost the
+    same as the first."""
+    from pyspark.sql import functions as F
+
+    from oic_options_chains_spark.sources.registry import load_table
+    from oic_options_chains_spark.streaming.decontam_stream import (
+        streaming_decontam,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ev = emb.filter(F.col("vec_id") % 10 == 0)
+    probe = emb.filter(F.col("vec_id") % 10 != 0).orderBy("vec_id").collect()
+    src = f"{work}/dc_src"
+    os.makedirs(src, exist_ok=True)
+    step = -(-len(probe) // chunks)
+    n = 0
+    for offset, tag in zip((10_000_000, 20_000_000), ("a", "b")):
+        for i in range(chunks):
+            part = probe[i * step : (i + 1) * step]
+            if not part:
+                continue
+            spark.createDataFrame(
+                [(r["vec_id"] + offset, r["embedding"]) for r in part],
+                "vec_id long, embedding array<float>",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{src}/chunk_{tag}{i:03d}"
+            )
+            n += len(part)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/chunk_*")
+    )
+    batches = drain_with_progress(
+        streaming_decontam(stream, ev), f"{work}/dc_out", f"{work}/dc_ckpt"
+    )
+    return {"pipeline": "streaming_decontam[fixed-eval]", "sf_dir": sf_dir,
+            "rows_staged": n, "batches": batches}
+
+
+def run_dsir_model_stream(spark, sf_dir: str, work: str, chunks: int) -> dict:
+    """foreachBatch class: each micro-batch folds its (bucket, c_raw,
+    c_tgt) partial into the model store as a batch-keyed parquet dir —
+    the streaming-state analog is the MODEL DIR, bounded by the bucket
+    space (DSIR_BUCKETS) per batch, never by rows ingested. The series
+    pins flat per-batch wall; replays overwrite their own batch dir."""
+    from pyspark.sql import functions as F
+
+    from oic_options_chains_spark.sources.registry import load_table
+    from oic_options_chains_spark.streaming.selection_stream import (
+        run_incremental_dsir_model,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang")
+        .orderBy("doc_id")
+        .collect()
+    )
+    src = f"{work}/ds_src"
+    os.makedirs(src, exist_ok=True)
+    step = -(-len(docs) // chunks)
+    n = 0
+    for offset, tag in zip((0, 10_000_000), ("a", "b")):
+        for i in range(chunks):
+            part = docs[i * step : (i + 1) * step]
+            if not part:
+                continue
+            spark.createDataFrame(
+                [(r["doc_id"] + offset, r["text"], r["lang"]) for r in part],
+                "doc_id long, text string, lang string",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{src}/chunk_{tag}{i:03d}"
+            )
+            n += len(part)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/chunk_*")
+    )
+    q = run_incremental_dsir_model(
+        spark, stream, F.col("lang") == "en", f"{work}/ds_model",
+        f"{work}/ds_ckpt",
+    )
+    return {"pipeline": "run_incremental_dsir_model", "sf_dir": sf_dir,
+            "rows_staged": n, "batches": progress_rows(q)}
+
+
+def run_sketch_distinct_stream(spark, sf_dir: str, work: str, chunks: int) -> dict:
+    """foreachBatch class: running HLL distinct over document TEXTS.
+    The register table is the state analog — fixed 2^b registers
+    regardless of rows ingested — and the re-offer half (same texts,
+    fresh ids) must leave the estimate unchanged while per-batch wall
+    stays flat."""
+    from oic_options_chains_spark.streaming.sketch_stream import (
+        run_incremental_distinct,
+    )
+
+    src = f"{work}/sk_src"
+    n = stage_chunked_source(spark, sf_dir, src, chunks)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/chunk_*")
+    )
+    q = run_incremental_distinct(
+        spark, stream, "text", f"{work}/sk_regs", f"{work}/sk_ckpt"
+    )
+    return {"pipeline": "run_incremental_distinct[text]", "sf_dir": sf_dir,
+            "rows_staged": n, "batches": progress_rows(q)}
+
+
 def run_corpus_admission(spark, sf_dir: str, work: str, chunks: int) -> dict:
     from oic_options_chains_spark.streaming.corpus_pipeline import (
         corpus_build_admission,
@@ -264,6 +389,9 @@ def main() -> None:
             run_corpus_admission,
             run_epoch_screen_ahash,
             run_epoch_screen_minhash,
+            run_decontam_stream,
+            run_dsir_model_stream,
+            run_sketch_distinct_stream,
         ]
         if args.pipelines:
             runners = [
