@@ -218,6 +218,64 @@ def run_epoch_screen_minhash(spark, sf_dir: str, work: str, chunks: int) -> dict
             "sf_dir": sf_dir, "rows_staged": n, "batches": batches}
 
 
+def run_minhash_screen_then_verify(
+    spark, sf_dir: str, work: str, chunks: int
+) -> dict:
+    """Round 15 (VERDICT r14 item 5, bench row): the COMPOSED routing —
+    the streamed candidate screen drains into the batch Jaccard verify
+    via ``incremental_lsh_dedup(candidates=)``. The streamed half obeys
+    the stateless contract (state_rows 0); the verify half's wall is
+    reported separately (``verify_sec``) so the composition's cost split
+    is visible. Correctness (composed == all-batch) is pinned by
+    tests/test_round15_stream_compose.py; this runner records cost."""
+    import time
+
+    from oic_options_chains_spark.operators.minhash import (
+        incremental_lsh_dedup,
+        materialize_epoch_band_index,
+    )
+    from oic_options_chains_spark.sources.registry import load_table
+    from oic_options_chains_spark.streaming.neardup_screen_stream import (
+        streaming_minhash_candidate_screen,
+    )
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx_path = f"{work}/mv_idx"
+    materialize_epoch_band_index(base, idx_path)
+    idx = spark.read.parquet(idx_path)
+    src = f"{work}/mv_src"
+    n = stage_chunked_source(
+        spark, sf_dir, src, chunks, offsets=(10_000_000, 20_000_000)
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/chunk_*")
+    )
+    out = f"{work}/mv_cand"
+    batches = drain_with_progress(
+        streaming_minhash_candidate_screen(stream, idx),
+        out,
+        f"{work}/mv_ckpt",
+    )
+    frontier = spark.read.parquet(out)
+    delta = spark.read.parquet(f"{src}/chunk_*")
+    t0 = time.monotonic()
+    verified = incremental_lsh_dedup(
+        base, delta, base_index=idx, candidates=frontier
+    )
+    dup_rows = verified.filter("kept = 0").count()
+    verify_sec = round(time.monotonic() - t0, 2)
+    return {
+        "pipeline": "minhash_screen->batch_verify[composed]",
+        "sf_dir": sf_dir,
+        "rows_staged": n,
+        "batches": batches,
+        "verify_sec": verify_sec,
+        "dup_rows": dup_rows,
+    }
+
+
 def run_decontam_stream(spark, sf_dir: str, work: str, chunks: int) -> dict:
     """Stateless class, embedding-typed: each micro-batch of crawl
     embeddings banded-screened against the FIXED broadcast eval suite
@@ -389,6 +447,7 @@ def main() -> None:
             run_corpus_admission,
             run_epoch_screen_ahash,
             run_epoch_screen_minhash,
+            run_minhash_screen_then_verify,
             run_decontam_stream,
             run_dsir_model_stream,
             run_sketch_distinct_stream,
