@@ -34,19 +34,32 @@ def _large_star(edges: DataFrame, dedup: bool = True) -> DataFrame:
     its strictly-larger neighbors to the minimum of its closed
     neighborhood. Output rows are (child, parent) with child > parent.
 
+    WINDOW form (optimization round 15): m = least(min(v) over
+    (partition by u), u) attaches the neighborhood minimum to every
+    edge row in ONE exchange — the old groupBy + self-join shape cost
+    two exchange-feeding references to the round's input subtree (the
+    un-materialized star pipeline), which Catalyst plans as duplicated
+    subtrees: 22 planned Exchanges per fixpoint round vs 6 in this
+    form, measured ~2x per-round wall at bench scale with
+    SET-IDENTICAL output per round (adversarial A/B in SCALING.md
+    r15). Window partitions are node neighborhoods — the same key (and
+    the same skew profile) the old join keyed on; the unbounded-frame
+    min buffers one neighborhood per task via a spill-capable buffer,
+    the price of halving the round's exchange count.
+
     ``dedup=False`` skips the trailing distinct — correct whenever the
-    consumer re-canonicalizes (``_small_star`` opens with its own
+    consumer tolerates duplicate edge rows (``_small_star``'s window
+    aggregates are duplicate-insensitive and it closes with its own
     distinct), and worth one exchange per fixpoint round: on the small
-    contracted edge sets of late rounds the per-round SHUFFLE COUNT, not
-    data volume, is the cost."""
+    contracted edge sets of late rounds the per-round SHUFFLE COUNT,
+    not data volume, is the cost."""
     und = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    mins = und.groupBy("u").agg(
-        F.least(F.min("v"), F.first("u")).alias("m")
-    )
+    w = Window.partitionBy("u")
+    m = F.least(F.min("v").over(w), F.col("u"))
     out = (
-        und.join(mins, "u")
+        und.withColumn("m", m)
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -57,21 +70,37 @@ def _large_star(edges: DataFrame, dedup: bool = True) -> DataFrame:
 def _small_star(edges: DataFrame) -> DataFrame:
     """One small-star round: orient every edge from its larger endpoint,
     then attach each node's smaller-or-equal neighbors AND itself to the
-    minimum of that set. Output rows are (child, parent), child > parent."""
-    directed = (
-        edges.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        )
+    minimum of that set. Output rows are (child, parent), child > parent.
+
+    Same single-exchange window shape as :func:`_large_star`: the
+    neighborhood minimum rides a window instead of a groupBy +
+    self-join, and the per-node self edge (u, m) is fused into the
+    member emit via row_number + explode, so the round's input is
+    referenced ONCE (the old members/selfs split planned the whole
+    upstream subtree twice). Duplicate input rows (from a
+    ``dedup=False`` large star) are harmless: window min and the
+    emitted values are duplicate-insensitive, rn = 1 still picks
+    exactly one self edge per node, and the trailing distinct is the
+    round's canonical set anyway — the old leading distinct bought
+    nothing but an exchange."""
+    directed = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    w = Window.partitionBy("u")
+    wo = Window.partitionBy("u").orderBy("v")
+    d = directed.withColumn("m", F.min("v").over(w)).withColumn(
+        "rn", F.row_number().over(wo)
+    )
+    member = F.struct(F.col("v").alias("u"), F.col("m").alias("v"))
+    own = F.struct(F.col("u").alias("u"), F.col("m").alias("v"))
+    both = F.when(F.col("rn") == 1, F.array(member, own)).otherwise(
+        F.array(member)
+    )
+    return (
+        d.select(F.explode(both).alias("e"))
+        .select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-    )
-    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
-    members = directed.join(mins, "u").select(
-        F.col("v").alias("u"), F.col("m").alias("v")
-    )
-    selfs = mins.select(F.col("u"), F.col("m").alias("v"))
-    return (
-        members.union(selfs).filter(F.col("u") != F.col("v")).distinct()
     )
 
 
@@ -80,6 +109,7 @@ def connected_components(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_rounds: int = 50,
+    pairs_canonical: bool = False,
 ) -> DataFrame:
     """(id, cluster_id) for every id appearing in ``pairs``; cluster_id is
     the component's minimum id.
@@ -99,28 +129,69 @@ def connected_components(
     per round otherwise); the fixpoint test is an exceptAll count on
     canonically-oriented edges — exact, no hashing. Raises if
     ``max_rounds`` is hit (a correctness failure, not a soft timeout:
-    unconverged stars would split one true cluster)."""
-    edges = (
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    all_ids = (
-        edges.select(F.col("u").alias("id"))
-        .union(edges.select(F.col("v").alias("id")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    # canonical orientation for the fixpoint comparison
-    cur = (
-        edges.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    unconverged stars would split one true cluster).
+
+    ``pairs_canonical=True`` is the optimization-round-15 fast path for
+    callers that GUARANTEE ``pairs`` is already a distinct, non-null
+    pair set with ``id_a < id_b`` on every row (e.g. the star-edge
+    generators and ``ensemble_dedup``'s pair-keyed aggregate): the
+    initial dedup and canonical-orientation exchanges (plus their two
+    eager checkpoints) are pure re-derivations of what the caller
+    already holds, so they are skipped — one narrow column swap
+    replaces two shuffles and two materialization jobs. Callers that
+    cannot prove the contract keep the default."""
+    if pairs_canonical:
+        cur = (
+            pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
+            .localCheckpoint(eager=True)
         )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    n_cur = cur.count()
+        all_ids = (
+            cur.select(F.col("u").alias("id"))
+            .union(cur.select(F.col("v").alias("id")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    else:
+        edges = (
+            pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        all_ids = (
+            edges.select(F.col("u").alias("id"))
+            .union(edges.select(F.col("v").alias("id")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # canonical orientation for the fixpoint comparison
+        cur = (
+            edges.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    def _edge_stats(df: DataFrame):
+        # (count, sum(hash(u,v))) in ONE scalar job over the just-
+        # checkpointed edge set: equal stats are NECESSARY for set
+        # equality (xxhash64 is deterministic and type-agnostic — node
+        # ids may be strings, e.g. the linkage name graph; the sum runs
+        # in decimal(38,0) because ANSI bigint sums raise on overflow
+        # and hash values span the full int64 range), so rounds whose
+        # stats moved skip
+        # the exceptAll shuffle entirely; only a stats-stable round
+        # pays the exact confirmation. (Optimization r15 — the old
+        # count()-only gate ran exceptAll on every equal-count round,
+        # and near-converged rounds keep the count stable for several
+        # rounds while edges still churn.)
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("sh"),
+        ).first()
+        return (r["n"], r["sh"])
+
+    s_cur = _edge_stats(cur)
     for _ in range(max_rounds):
         # one alternating-star round per checkpoint barrier. (Batching
         # TWO rounds per barrier was tried in round 9 and REGRESSED ~60%
@@ -131,16 +202,14 @@ def connected_components(
         nxt = _small_star(_large_star(cur, dedup=False)).localCheckpoint(
             eager=True
         )
-        # both sides are DISTINCT sets, so equal counts + empty one-way
-        # difference ⟺ equality; the count is ~free on the checkpoint
-        # and gates the exceptAll shuffle to the near-converged rounds
-        n_nxt = nxt.count()
+        # both sides are DISTINCT sets, so equal stats + empty one-way
+        # difference ⟺ equality; exceptAll remains the EXACT gate — the
+        # stats only decide when it is worth running
+        s_nxt = _edge_stats(nxt)
         changed = (
-            1
-            if n_nxt != n_cur
-            else nxt.exceptAll(cur).limit(1).count()
+            1 if s_nxt != s_cur else nxt.exceptAll(cur).limit(1).count()
         )
-        cur, n_cur = nxt, n_nxt
+        cur, s_cur = nxt, s_nxt
         if changed == 0:
             # stars: (child, root) rows; roots only appear as parents
             labels = cur.select(F.col("u").alias("id"), F.col("v").alias("label"))
@@ -162,14 +231,19 @@ def dedup_clusters(
     id_col: str = "doc_id",
     id_a: str = "doc_a",
     id_b: str = "doc_b",
+    pairs_canonical: bool = False,
 ) -> DataFrame:
     """Per-document dedup verdict: (doc_id, cluster_id, is_keeper).
 
     Documents in no pair are their own singleton cluster (kept). Within a
     cluster the keeper is the minimum doc_id — and because cluster_id IS
     the component minimum, the keeper test is a plain column comparison,
-    no second aggregation pass."""
-    cc = connected_components(pairs, id_a, id_b)
+    no second aggregation pass.
+
+    ``pairs_canonical`` passes through to
+    :func:`connected_components` — set it only when the pair relation
+    is provably distinct with ``id_a < id_b`` everywhere."""
+    cc = connected_components(pairs, id_a, id_b, pairs_canonical=pairs_canonical)
     ids = docs.select(F.col(id_col))
     return (
         ids.join(cc, ids[id_col] == cc["id"], "left")
@@ -190,6 +264,7 @@ def keeper_by_quality(
     id_col: str = "doc_id",
     id_a: str = "doc_a",
     id_b: str = "doc_b",
+    pairs_canonical: bool = False,
 ) -> DataFrame:
     """Quality-aware dedup close-out: (doc_id, cluster_id, keeper_id,
     is_keeper), keeping the HIGHEST-``quality_col`` document per
@@ -201,8 +276,9 @@ def keeper_by_quality(
     order keeps an arbitrary one — quality order keeps the right one.
     One window max_by over the cluster (cluster partitions are duplicate-
     group-sized, no skew), after the same label-propagation components.
+    ``pairs_canonical`` passes through to :func:`connected_components`.
     """
-    cc = connected_components(pairs, id_a, id_b)
+    cc = connected_components(pairs, id_a, id_b, pairs_canonical=pairs_canonical)
     base = docs.select(F.col(id_col), F.col(quality_col))
     clustered = (
         base.join(cc, base[id_col] == cc["id"], "left")
@@ -341,7 +417,11 @@ def ensemble_dedup(
         .agg(F.bit_or("sig").alias("signals"))
         .localCheckpoint(eager=True)
     )
-    verdict = dedup_clusters(docs, edges, id_col)
+    # the pair-keyed aggregate guarantees distinct rows, and every edge
+    # source emits strict pairs before the least/greatest normalization,
+    # so doc_a < doc_b holds — the components can skip their own
+    # re-dedup/re-orientation exchanges (pairs_canonical contract)
+    verdict = dedup_clusters(docs, edges, id_col, pairs_canonical=True)
     incident = (
         edges.select(F.col("doc_a").alias(id_col), "signals")
         .unionByName(edges.select(F.col("doc_b").alias(id_col), "signals"))

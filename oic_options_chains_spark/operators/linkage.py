@@ -230,7 +230,11 @@ def resolve_entities(
     expanded back to records, each entity labeled by its minimum
     rec_id; names with no fuzzy neighbor form per-name entities."""
     edges = name_match_edges(records, name_col, prefix_len, max_edit, blocking)
-    ncc = connected_components(edges, id_a="name_a", id_b="name_b")
+    # name_match_edges closes with __inm < __pnm and a distinct — the
+    # components can skip their re-dedup/re-orientation exchanges
+    ncc = connected_components(
+        edges, id_a="name_a", id_b="name_b", pairs_canonical=True
+    )
     rec_names = records.select(
         F.col(id_col).alias("rec_id"), F.col(name_col).alias("__nm")
     )

@@ -189,7 +189,10 @@ def q_cluster_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = d.select(
         "doc_id", token_count_ws(F.col("text")).alias("n_tok")
     )
-    return keeper_by_quality(scored, pairs, quality_col="n_tok")
+    # lsh_candidate_pairs emits distinct (a < b) pairs by contract
+    return keeper_by_quality(
+        scored, pairs, quality_col="n_tok", pairs_canonical=True
+    )
 
 
 @register(

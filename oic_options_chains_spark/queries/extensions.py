@@ -500,7 +500,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # crawl-scale exact-dup cluster costs N-1 edges instead of N^2/2
     from oic_options_chains_spark.operators.minhash import lsh_star_edges
 
-    return dedup_clusters(d, lsh_star_edges(bands, "doc_id"))
+    # star edges are distinct with doc_a (the hub min) < doc_b
+    return dedup_clusters(
+        d, lsh_star_edges(bands, "doc_id"), pairs_canonical=True
+    )
 
 
 @register(
