@@ -124,10 +124,24 @@ def bucketed_knn_edges(
         n_parts = _probe_partitions(embeddings)
         a = a.repartition(n_parts, F.col("src"))
         b = F.broadcast(b)
-    pairs = (
+    # L2 is symmetric, so each unordered bucket pair's interpreted
+    # distance fold (the CPU term: n * E[bucket] * d interpreted ops)
+    # runs ONCE on the src < dst half; the mirrored direction reads the
+    # materialized (src, dst, dist) rows — 3 scalar columns — instead
+    # of re-folding. The checkpoint is the price (the mutual_edges
+    # precedent; on a real cluster checkpoint to reliable storage):
+    # measured ~2x on the pair stage at bench sf0.1, and the pair
+    # relation is the candidate output LSH already bounds.
+    half = (
         a.join(b, "__b")
-        .filter(F.col("src") != F.col("dst"))
+        .filter(F.col("src") < F.col("dst"))
         .select("src", "dst", _l2_int(F.col("__qa"), F.col("__qb")).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    pairs = half.union(
+        half.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "dist"
+        )
     )
     return knn_from_candidates(pairs, k)
 

@@ -78,20 +78,32 @@ def _centroid_state(assigned: DataFrame) -> DataFrame:
 
     One narrow exchange: posexplode to (cid, pos, q), groupBy(cid, pos)
     with map-side partial sums, then re-assemble per-cid arrays.
-    """
+
+    The member count rides the SAME exploded aggregation (optimization
+    r15): every member contributes one row per dimension, so the
+    per-(cid, pos) row count IS the member count n (identical at every
+    pos; max picks it deterministically). The old separate
+    ``assigned.groupBy(cid).count()`` + join referenced the (often
+    un-materialized) assignment subtree a second time and cost one
+    more exchange plus a join per fit iteration — ~0.5 s of fixed
+    stage overhead per centroid state at bench scale. Precondition
+    (unchanged in practice, now load-bearing for n): member vectors
+    are non-null and fixed-dim — the schema contract every fit caller
+    already relies on for the sums to mean anything."""
     long = assigned.select("cid", F.posexplode("qarr").alias("pos", "q"))
-    sums = long.groupBy("cid", "pos").agg(F.sum("q").alias("s"))
+    sums = long.groupBy("cid", "pos").agg(
+        F.sum("q").alias("s"), F.count(F.lit(1)).alias("__n")
+    )
     # ss in decimal(38,0): s^2 passes int64 for clusters past ~750k
     # members, and the DuckDB oracle's SUM(BIGINT) widens to HUGEINT —
     # decimal keeps this side exact at any cluster size
-    arrays = sums.groupBy("cid").agg(
+    return sums.groupBy("cid").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda e: e["s"]
         ).alias("sarr"),
         F.sum(_dec(F.col("s")) * _dec(F.col("s"))).alias("ss"),
+        F.max("__n").alias("n"),
     )
-    counts = assigned.groupBy("cid").agg(F.count("*").alias("n"))
-    return arrays.join(counts, "cid")
 
 
 # Lloyd assignment switches from the interpreted JVM fold to the

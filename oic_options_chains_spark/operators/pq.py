@@ -122,20 +122,24 @@ def _pq_centroid_state(coded_long: DataFrame, subvec: Column) -> DataFrame:
     the per-subspace analog of ``kmeans._centroid_state``. One
     map-side-combined (sub, cid, pos) exchange, bounded by
     n_sub * k_sub * sub_dim keys at any corpus size."""
+    # member count fused into the exploded aggregation exactly as in
+    # kmeans._centroid_state (optimization r15): per-(sub, cid, pos)
+    # row count == member count, so the second reference to
+    # ``coded_long`` (a full assignment pass when un-materialized) and
+    # the count join disappear. Same non-null fixed-dim precondition.
     long = coded_long.select(
         "sub", F.col("code").alias("cid"), F.posexplode(subvec).alias("pos", "q")
     )
-    sums = long.groupBy("sub", "cid", "pos").agg(F.sum("q").alias("s"))
-    arrays = sums.groupBy("sub", "cid").agg(
+    sums = long.groupBy("sub", "cid", "pos").agg(
+        F.sum("q").alias("s"), F.count(F.lit(1)).alias("__n")
+    )
+    return sums.groupBy("sub", "cid").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda e: e["s"]
         ).alias("sarr"),
         F.sum(_dec(F.col("s")) * _dec(F.col("s"))).alias("ss"),
+        F.max("__n").alias("n"),
     )
-    counts = coded_long.groupBy("sub", F.col("code").alias("cid")).agg(
-        F.count("*").alias("n")
-    )
-    return arrays.join(counts, ["sub", "cid"])
 
 
 def _pack_codebooks(codebooks: DataFrame, n_sub: int) -> DataFrame:

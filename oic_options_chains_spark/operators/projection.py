@@ -76,7 +76,17 @@ def jl_project(
     null-pads the shorter side, so a wrong ``in_dim`` would otherwise
     yield all-NULL ``proj``/``norm_ratio_bp`` — an empty-looking
     projection instead of an error (the failure mode the explicit
-    ``size() == in_dim`` gate turns into a loud one)."""
+    ``size() == in_dim`` gate turns into a loud one).
+
+    The quantized array is STAGED as its own projection column
+    (optimization r15): higher-order functions have no common-
+    subexpression elimination, so the inline form re-evaluated the
+    d-element quantization transform (and its null/width guard) inside
+    EVERY one of the ``out_dim`` fold expressions — plus once more in
+    the norm audit — ~17x the per-row quantization work at d'=16.
+    Referenced ``out_dim + 1`` times, the staged column survives
+    CollapseProject (SPARK-36718 keeps non-cheap producers with more
+    than one reference), so the transform runs once per row."""
     qa = quantized(F.col(vec_col))
     if in_dim is not None:
         # NULL vectors propagate as NULL proj (matching the in_dim=None
@@ -97,11 +107,13 @@ def jl_project(
                 )
             )
         )
+        staged = df.withColumn("__jl_qa", qa)
+        qcol = F.col("__jl_qa")
         proj = F.array(
             *[
                 F.aggregate(
                     F.zip_with(
-                        qa,
+                        qcol,
                         F.array(
                             *[
                                 F.lit(_sign_py(i, k)).cast("bigint")
@@ -117,12 +129,14 @@ def jl_project(
             ]
         )
     else:
+        staged = df.withColumn("__jl_qa", qa)
+        qcol = F.col("__jl_qa")
         proj = F.transform(
             F.sequence(F.lit(0), F.lit(out_dim - 1)),
             lambda k: F.aggregate(
                 F.zip_with(
-                    qa,
-                    F.sequence(F.lit(0), F.size(qa) - 1),
+                    qcol,
+                    F.sequence(F.lit(0), F.size(qcol) - 1),
                     lambda x, i: F.struct(x.alias("x"), i.alias("i")),
                 ),
                 F.lit(0).cast("bigint"),
@@ -130,15 +144,21 @@ def jl_project(
             ),
         )
     # NULL input -> NULL proj in BOTH branches (without this the array
-    # constructors yield a [NULL, NULL, ...] shell instead of NULL)
+    # constructors yield a [NULL, NULL, ...] shell instead of NULL).
+    # The norm audit reads the STAGED quantization (same values the
+    # projection consumed) instead of re-deriving it from the raw
+    # vector — a NULL vector yields NULL either way.
     proj = F.when(F.col(vec_col).isNull(), F.lit(None)).otherwise(proj)
-    return df.withColumn("proj", proj).withColumn(
-        "norm_ratio_bp",
-        F.expr(
-            f"CAST((10000 * aggregate(proj, CAST(0 AS BIGINT),"
-            f" (acc, x) -> acc + x * x))"
-            f" DIV ({out_dim} * aggregate(transform({vec_col},"
-            f" x -> CAST(FLOOR(CAST(x AS DOUBLE) * 4096) AS BIGINT)),"
-            f" CAST(0 AS BIGINT), (acc, x) -> acc + x * x)) AS BIGINT)"
-        ),
+    return (
+        staged.withColumn("proj", proj)
+        .withColumn(
+            "norm_ratio_bp",
+            F.expr(
+                f"CAST((10000 * aggregate(proj, CAST(0 AS BIGINT),"
+                f" (acc, x) -> acc + x * x))"
+                f" DIV ({out_dim} * aggregate(__jl_qa,"
+                f" CAST(0 AS BIGINT), (acc, x) -> acc + x * x)) AS BIGINT)"
+            ),
+        )
+        .drop("__jl_qa")
     )

@@ -276,17 +276,22 @@ def test_round4_additions_have_no_cartesian_and_no_python(spark, sf_dir):
 def test_knn_triangle_candidates_are_bucket_equi_join(spark, sf_dir):
     """The kNN candidate join must key on the sign bucket (broadcast or
     shuffled EQUI join) — never an all-pairs nested loop. Inspected on
-    the graph-build operator itself: the full query truncates this
-    lineage behind a localCheckpoint, so its plan no longer shows it."""
-    from pyspark.sql import functions as F
-
+    the graph-build operator itself over its FULL lineage: the
+    half-pair distance stage is behind a localCheckpoint (optimization
+    r15 — symmetric distances fold once), so the final plan alone only
+    shows the mirrored union; the captured pre-checkpoint stage holds
+    the bucket join."""
+    from oic_options_chains_spark.lineage import capture_checkpoints
     from oic_options_chains_spark.operators.graph import bucketed_knn_edges
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     for bc in (False, True):
-        plan = _plan(bucketed_knn_edges(emb, k=6, bits=4, broadcast_candidates=bc))
-        assert "BroadcastNestedLoopJoin" not in plan
-        assert "__b" in plan  # the bucket key appears as a join key
+        with capture_checkpoints() as stages:
+            df = bucketed_knn_edges(emb, k=6, bits=4, broadcast_candidates=bc)
+        plans = [_plan(df)] + [_plan(s.df) for s in stages]
+        full = "\n".join(plans)
+        assert "BroadcastNestedLoopJoin" not in full
+        assert "__b" in full  # the bucket key appears as a join key
 
 
 def test_round5_selection_plans(spark, sf_dir):
