@@ -253,7 +253,23 @@ def lsh_candidate_pairs(
     single band (num_hashes == rows_per_band) have no second band to
     agree on — the cap would drop all their hot pairs, so it is
     rejected.
+
+    The band table is MATERIALIZED up front (optimization r15): every
+    form of this operator references ``bands_df`` at least twice (the
+    self-join sides; the capped form adds the multi-band probe, the
+    hot-bucket aggregate, the tag join and the second-band expansion —
+    8 planned copies of the shingle→minhash subtree, zero
+    ReusedExchange, in the r15 before-plan), and AQE does not reuse
+    those stages at runtime: measured at bench sf0.1, uncapped
+    1.39 → 0.96 s and capped 2.84 → 1.34 s from this one barrier. The
+    materialized relation is (id, band, band_key) — bands-per-doc rows
+    of three scalars, tiny next to the corpus it indexes (the
+    ahash_pairs precedent; reliable-storage checkpoint on a real
+    cluster). Streaming inputs skip it (no checkpoints mid-stream) and
+    keep the previous lineage shape.
     """
+    if not bands_df.isStreaming:
+        bands_df = bands_df.localCheckpoint(eager=True)
     a = bands_df.alias("a")
     b = bands_df.alias("b")
     plain_on = [
@@ -519,6 +535,16 @@ def simhash_near_pairs(
     the query; not shuffling it again matters more than anything here).
 
     Returns (id_a, id_b, hamming).
+
+    NOT checkpointed (optimization r15, measured): the self-join's two
+    sides share the IDENTICAL signature subtree and AQE reuses the
+    exchange at runtime (the
+    ``test_simhash_candidate_join_reuses_signature_exchange`` contract)
+    — an explicit barrier was A/B-flat on the bench key (1.54 → 1.48 s,
+    inside noise) and would trade a working ReusedExchange for an
+    executor-storage dependency. Contrast ``lsh_candidate_pairs``,
+    whose tiered references are NON-identical subtrees that AQE cannot
+    reuse — there the barrier wins 2.8 → 1.3 s.
     """
     words = [f"w{j}" for j in range(SIMHASH_WORDS)]
     segs = sim_df.select(
