@@ -104,6 +104,15 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+# below this many edges the alternating-star rounds are finished on the
+# driver with union-find (see _finish_local): 64k edges of two ids is a
+# few MB — far under driver limits, and exactly the regime where every
+# extra distributed round is fixed scheduling latency on near-empty
+# partitions. At scale the star rounds contract the graph into this
+# regime in O(log n) rounds, so the bound replaces only the tail.
+LOCAL_FINISH_MAX_EDGES = 65536
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "doc_a",
@@ -172,6 +181,58 @@ def connected_components(
             .distinct()
             .localCheckpoint(eager=True)
         )
+    def _finish_local(cur_edges: DataFrame, n_edges: int) -> DataFrame:
+        # Bounded driver finish (optimization r15): the per-round edge
+        # stats already give the EXACT size of the checkpointed edge
+        # set, and every alternating-star round costs a fixed ~0.5 s of
+        # stage scheduling regardless of data (6 exchanges + stats job
+        # + AQE replanning) — on an edge set this small the remaining
+        # O(log n) rounds are pure latency. Union-find over <= 64k
+        # collected edges computes the identical min-id labeling (the
+        # bounded-collect family: k+1 / 65537 / MAX_DAYS pulls). At
+        # scale the distributed rounds contract the graph first, so
+        # this replaces only the tail; correctness rests on the same
+        # invariant the fixpoint labeling already uses (a node absent
+        # from the current edge set is a singleton).
+        rows = cur_edges.limit(n_edges + 1).collect()
+        assert len(rows) <= n_edges, "edge set grew past its stats count"
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for r in rows:
+            u, v = r["u"], r["v"]
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[ru] = rv
+        comp_min: dict = {}
+        for x in parent:
+            r = find(x)
+            m = comp_min.get(r)
+            if m is None or x < m:
+                comp_min[r] = x
+        spark = cur_edges.sparkSession
+        id_type = cur_edges.schema["u"].dataType.simpleString()
+        labels = spark.createDataFrame(
+            [(x, comp_min[find(x)]) for x in parent] or [],
+            f"id {id_type}, label {id_type}",
+        )
+        return (
+            all_ids.join(labels, "id", "left")
+            .select(
+                "id",
+                F.coalesce(F.col("label"), F.col("id")).alias("cluster_id"),
+            )
+        )
+
     def _edge_stats(df: DataFrame):
         # (count, sum(hash(u,v))) in ONE scalar job over the just-
         # checkpointed edge set: equal stats are NECESSARY for set
@@ -193,6 +254,8 @@ def connected_components(
 
     s_cur = _edge_stats(cur)
     for _ in range(max_rounds):
+        if s_cur[0] <= LOCAL_FINISH_MAX_EDGES:
+            return _finish_local(cur, s_cur[0])
         # one alternating-star round per checkpoint barrier. (Batching
         # TWO rounds per barrier was tried in round 9 and REGRESSED ~60%
         # at bench scale: the coarser convergence check runs extra no-op

@@ -32,13 +32,48 @@ def test_path_graph_needs_propagation_rounds(spark):
     assert len(got) == 9
 
 
-def test_unconverged_raises(spark):
-    # a 64-node path cannot star-contract to the fixpoint in one round
+def test_unconverged_raises(spark, monkeypatch):
+    # a 64-node path cannot star-contract to the fixpoint in one round.
+    # The driver local-finish (optimization r15) would resolve a graph
+    # this small before the round cap can bite, so pin it off to keep
+    # the DISTRIBUTED fixpoint guard itself under test.
+    from oic_options_chains_spark.operators import clusters
+
+    monkeypatch.setattr(clusters, "LOCAL_FINISH_MAX_EDGES", 0)
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 64)], "doc_a bigint, doc_b bigint"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_rounds=1)
+
+
+def test_local_finish_matches_distributed_fixpoint(spark, monkeypatch):
+    # optimization r15: the <= LOCAL_FINISH_MAX_EDGES driver union-find
+    # must label exactly like the distributed star rounds — same
+    # components, same min-id cluster labels — including on string ids
+    # (the linkage name graph) and graphs with isolated star roots.
+    from oic_options_chains_spark.operators import clusters
+
+    cases = [
+        ([(1, 2), (2, 3), (10, 11), (5, 5)], "doc_a bigint, doc_b bigint"),
+        ([(i, i + 1) for i in range(1, 40)], "doc_a bigint, doc_b bigint"),
+        (
+            [("ann", "bob"), ("bob", "cid"), ("zoe", "yui")],
+            "doc_a string, doc_b string",
+        ),
+    ]
+    for rows, schema in cases:
+        pairs = spark.createDataFrame(rows, schema)
+        local = {
+            r.id: r.cluster_id for r in connected_components(pairs).collect()
+        }
+        monkeypatch.setattr(clusters, "LOCAL_FINISH_MAX_EDGES", 0)
+        dist = {
+            r.id: r.cluster_id
+            for r in connected_components(pairs, max_rounds=30).collect()
+        }
+        monkeypatch.undo()
+        assert local == dist, schema
 
 
 def test_long_chain_converges_in_log_rounds(spark):
