@@ -146,10 +146,76 @@ def _pin(dep: Column, value: Column) -> Column:
     return F.when(F.size(dep) >= 0, value).otherwise(F.lit(None))
 
 
+def _text_band_kernel(
+    src: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(__id, __bands) via one vectorized numpy pass per Arrow batch —
+    the BATCH tier of :func:`ahash_band_table` (optimization r15).
+
+    The expression tier evaluates the raster/block-sum/threshold
+    pipeline as higher-order functions, which are CodegenFallback and
+    run INTERPRETED per element — ~2.6 s of the 3.5 s q_ahash_dedup
+    noop at bench sf0.1 was this per-pixel lambda walk (SIDE*SIDE
+    element reads + 64 block folds per row). Here the same integers
+    run as one (n, SIDE, SIDE) block-sum reshape + one threshold
+    matmul per batch; only the tiling codepoint map stays per-row
+    (``_tiled_codepoints`` — the function the PNG kernel tier already
+    shares so its hashes replay in the SQL oracle). Bit-identical to
+    the expression tier by construction and pinned by
+    tests/test_round15_ahash_kernel.py; NULL text yields NULL bands in
+    both."""
+    import pandas as pd
+
+    id_type = src.schema[id_col].dataType.simpleString()
+    schema = f"__id {id_type}, __bands array<bigint>"
+    weights_shape = (N_BANDS, BITS_PER_BAND)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        weights = (1 << np.arange(BITS_PER_BAND, dtype=np.int64)).reshape(
+            1, 1, BITS_PER_BAND
+        )
+        for pdf in batches:
+            ids: list = []
+            bands: list[list[int] | None] = []
+            null_ids: list = []
+            rasters: list = []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    null_ids.append(rid)
+                    continue
+                ids.append(rid)
+                rasters.append(_tiled_codepoints(text))
+            if rasters:
+                a = np.stack(rasters).reshape(len(rasters), GRID, BH, GRID, BH)
+                blocks = a.sum(axis=(2, 4)).reshape(len(rasters), N_BLOCKS)
+                bits = blocks * N_BLOCKS >= blocks.sum(axis=1, keepdims=True)
+                vals = (
+                    bits.reshape(-1, *weights_shape).astype(np.int64) * weights
+                ).sum(axis=2)
+                bands = [list(map(int, row)) for row in vals]
+            yield pd.DataFrame(
+                {
+                    "__id": ids + null_ids,
+                    "__bands": bands + [None] * len(null_ids),
+                }
+            )
+
+    return src.select(id_col, text_col).mapInPandas(run, schema)
+
+
 def ahash_band_table(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(__id, __bands) per document. The raster, the block sums and the
+    """(__id, __bands) per document. BATCH inputs route through the
+    vectorized Arrow kernel tier (:func:`_text_band_kernel` — the
+    interpreted per-pixel expression walk was the dominant CPU term of
+    every consumer, see its docstring); STREAMING inputs keep the pure
+    expression tier below, whose plan shape the r14 fused-filter gates
+    pin. Both tiers are bit-identical (property-pinned).
+
+    Expression tier: the raster, the block sums and the
     band values are STAGED as separate projections — Catalyst has no
     common-subexpression elimination inside an expression tree, so each
     stage's input must be a per-row ATTRIBUTE (evaluated once), never an
@@ -171,6 +237,16 @@ def ahash_band_table(
         want = _probe_partitions(docs)
         if docs.rdd.getNumPartitions() < want:
             src = docs.repartition(want, F.col(id_col))
+        return _text_band_kernel(src, id_col, text_col)
+    return _expression_band_table(src, id_col, text_col)
+
+
+def _expression_band_table(
+    src: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The pure-expression band tier (the streaming path; plan-gated by
+    test_ahash_band_table_stays_staged). Apply parallelism correction
+    upstream — this function only stages the hash pipeline."""
     px = src.select(
         F.col(id_col).alias("__id"),
         raster_pixels(F.col(text_col)).alias("__px"),

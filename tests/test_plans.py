@@ -475,21 +475,29 @@ def test_ahash_band_table_stays_staged(spark, sf_dir):
     lambda (or the checkpoint stops shielding the join from inferred
     per-scan filters), the O(pixels) hash silently becomes O(pixels x
     blocks x block_size) per row — a measured >10-minute stall at 1000
-    docs. Lock: the optimized single-table plan keeps three separate
-    Project nodes and the pair plan scans a checkpointed relation."""
+    docs. Since optimization r15 the staged expression pipeline is the
+    STREAMING tier (batch routes through the vectorized Arrow kernel,
+    bit-identical, pinned by test_round15_ahash_kernel.py), so the
+    staging lock inspects it directly; batch plans are locked to the
+    kernel node instead. The pair plan must still scan a checkpointed
+    relation."""
     from pyspark.sql import functions as F
 
-    from oic_options_chains_spark.operators.phash import ahash_band_table
+    from oic_options_chains_spark.operators.phash import (
+        _expression_band_table,
+        ahash_band_table,
+    )
     from oic_options_chains_spark.sources.registry import load_table
 
     d = load_table(spark, sf_dir, "documents")
-    opt = _optimized(ahash_band_table(d))
-    # raster / block-sums / total / bands stay separate stages (plus the
-    # column-pruning projection under the parallelism repartition)
-    assert opt.count("Project [") >= 4, opt[:500]
-    assert "RepartitionByExpression" in opt  # CPU-parallel hashing
+    opt = _optimized(_expression_band_table(d))
+    # raster / block-sums / total / bands stay separate stages
+    assert opt.count("Project [") >= 3, opt[:500]
     # element_at must read the staged attribute, not an inlined raster
     assert "element_at(__px#" in opt and "element_at(__bs#" in opt
+    batch = _optimized(ahash_band_table(d))
+    assert "MapInPandas" in batch  # the r15 kernel tier
+    assert "RepartitionByExpression" in batch  # CPU-parallel hashing
     pair_plan = _plan(QUERIES["q_ahash_dedup"](spark, sf_dir))
     assert "ExistingRDD" in pair_plan or "Scan ExistingRDD" in pair_plan
 
