@@ -96,6 +96,16 @@ def hashed_gram_counts(
             F.col("is_tgt"),
             hash_bucket(F.col("gram"), n_buckets).cast("int").alias("bucket"),
         )
+        # bucket is never NULL (md5 of a non-null gram), so this filter
+        # drops nothing — it exists so every consumer's subtree carries
+        # the SAME isnotnull(bucket) constraint. Without it, the scoring
+        # join in dsir_scores pushes isnotnull(bucket) into ITS copy of
+        # this subtree only, the stats copy stays unfiltered, the two no
+        # longer canonicalize equal, and the runtime never reuses the
+        # gram-count shuffle stage: the corpus tokenize+explode ran once
+        # per consumer (r15 before-plan: three full corpus passes in
+        # q_dsir_select, zero ReusedExchange).
+        .where(F.col("bucket").isNotNull())
         .groupBy(id_col, "is_tgt", "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
     )
@@ -120,15 +130,23 @@ def ratios_from_stats(stats: DataFrame, n_buckets: int = DSIR_BUCKETS, scale: in
     the floor-scaled smoothed likelihood ratio, shared verbatim by the
     batch fit and the streaming model reader so the two can never
     drift."""
-    tot = stats.agg(
-        F.sum("c_raw").alias("n_raw"), F.sum("c_tgt").alias("n_tgt")
+    # totals ride a whole-relation window over the B-row stats instead
+    # of a separate agg + crossJoin: the agg form re-planned the entire
+    # stats subtree (through the corpus gram counts) a second time just
+    # to produce one row of sums, while the window computes them in the
+    # same single-partition pass over the B rows stats already occupies.
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     b = F.lit(n_buckets)
-    num = _dec(F.lit(scale)) * _dec(F.col("c_tgt") + 1) * _dec(F.col("n_raw") + b)
-    den = _dec(F.col("c_raw") + 1) * _dec(F.col("n_tgt") + b)
+    n_raw = F.sum("c_raw").over(w_all)
+    n_tgt = F.sum("c_tgt").over(w_all)
+    num = _dec(F.lit(scale)) * _dec(F.col("c_tgt") + 1) * _dec(n_raw + b)
+    den = _dec(F.col("c_raw") + 1) * _dec(n_tgt + b)
     return (
-        stats.crossJoin(F.broadcast(tot))
-        .select("bucket", "c_raw", "c_tgt", num.alias("__num"), den.alias("__den"))
+        stats.select(
+            "bucket", "c_raw", "c_tgt", num.alias("__num"), den.alias("__den")
+        )
         .selectExpr(
             "bucket",
             "c_raw",

@@ -53,9 +53,12 @@ def tfidf_topk_terms(
     (doc, term)."""
     terms = _term_rows(df, id_col, text_col)
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = terms.groupBy("term").agg(
-        F.count_distinct(F.col(id_col)).alias("df")
-    )
+    # document frequency FROM tf, not from a second corpus explode: tf
+    # holds exactly one row per (doc, term), so a plain count per term
+    # over tf equals count_distinct(doc) over the raw term rows — and
+    # both consumers of tf now share one exchange instead of planning
+    # the tokenize+explode subtree twice.
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(F.broadcast(dfreq), "term").withColumn(
         "score", F.col("tf").cast("double") / F.col("df").cast("double")
     )
@@ -219,13 +222,30 @@ def lm_quality_scores(
     dp = df.select(
         F.col(id_col), F.explode(adjacent_pairs(F.col(text_col))).alias("p")
     ).select(id_col, "p.w1", "p.w2")
+    # w1/w2 are never NULL (split/concat_ws products), so this drops
+    # nothing — it pins the SAME isnotnull constraint on every consumer
+    # of dp so their subtrees canonicalize equal and the runtime reuses
+    # the pair-count shuffle stages. Without it the scoring and model
+    # joins pushed isnotnull into their copies while the vocab-count leg
+    # stayed unfiltered: the r15 before-plan of q_lm_score ran the
+    # corpus explode four times with zero ReusedExchange.
+    dp = dp.where(F.col("w1").isNotNull() & F.col("w2").isNotNull())
     c2 = dp.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
     c1 = c2.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("c1"))
-    v = c1.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    # the vocab size V rides a whole-relation window over the
+    # vocabulary-sized c1 instead of a separate agg + crossJoin: the agg
+    # form planned a THIRD copy of the corpus pair pipeline just to
+    # count c1's rows (and the optimizer's redundant-aggregate rewrite
+    # made that copy structurally unique, so stage reuse could never
+    # recover it). The window costs one SinglePartition pass over the
+    # Zipf-bounded prefix vocabulary — dictionary-sized, never corpus.
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c1 = c1.withColumn("v", F.count(F.lit(1)).over(w_all).cast("bigint"))
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     model = (
         c2.join(c1, "w1")
-        .crossJoin(F.broadcast(v))
         .select(
             "w1",
             "w2",

@@ -218,6 +218,7 @@ def global_rank(
     order_cols: Sequence[str],
     out: str = "rank",
     num_ranges: int | None = None,
+    total_out: str | None = None,
 ) -> DataFrame:
     """Exact 1-based global rank over a TOTAL order (pass a unique
     tie-break — e.g. the primary key — as the last order column), without
@@ -244,6 +245,11 @@ def global_rank(
     UNIQUE leading key degenerates the offset relation to data size; at
     that point a global sort is the honest plan. ``num_ranges`` is
     accepted for API compatibility and ignored.
+
+    ``total_out`` additionally attaches the TOTAL row count as a column
+    of that name, computed in the same bounded-domain window pass over
+    the counts relation — so a caller needing rank AND total (rank_bins)
+    never pays a third full-input aggregate subtree for one scalar.
     """
     lead = order_cols[0]
     rest = list(order_cols[1:])
@@ -251,10 +257,16 @@ def global_rank(
     w_cum = Window.orderBy(F.col(lead).asc()).rowsBetween(
         Window.unboundedPreceding, -1
     )
-    offsets = counts.select(
-        lead,
+    off_cols = [
+        F.col(lead),
         F.coalesce(F.sum("__cnt").over(w_cum), F.lit(0)).alias("__off"),
-    )
+    ]
+    if total_out is not None:
+        w_all = Window.orderBy(F.col(lead).asc()).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        off_cols.append(F.sum("__cnt").over(w_all).cast("bigint").alias(total_out))
+    offsets = counts.select(*off_cols)
     w_local = Window.partitionBy(lead).orderBy(
         *[F.col(c).asc() for c in (rest or [lead])]
     )
@@ -279,14 +291,16 @@ def rank_bins(
     engines' documentation and is avoided on purpose).
 
     Rank comes from ``global_rank`` (deterministic two-phase over the
-    leading value's domain, no global sort) and n from a 1-row count
-    broadcast — both scale-safe. Length or quality binning feeds
-    curriculum schedules and balanced batch packing."""
-    ranked = global_rank(df, order_cols, out="__rank")
-    n = df.agg(F.count(F.lit(1)).alias("__total"))
+    leading value's domain, no global sort) with the total attached in
+    the same bounded-domain offsets pass (``total_out``) — the previous
+    separate 1-row count agg planned the ENTIRE input subtree a third
+    time just to produce n, which for composed callers (q_curation_build:
+    span_dedup -> split -> bins) re-ran the whole upstream pipeline.
+    Length or quality binning feeds curriculum schedules and balanced
+    batch packing."""
+    ranked = global_rank(df, order_cols, out="__rank", total_out="__total")
     return (
-        ranked.crossJoin(F.broadcast(n))
-        .withColumn(
+        ranked.withColumn(
             out,
             F.expr(f"CAST((__rank - 1) * {n_bins} div __total + 1 AS INT)"),
         )

@@ -125,10 +125,13 @@ def prefix_join_sets(
        bounded by ONE document's element count, the same contract as
        the span-dedup window.
 
-    The prefix index and the verification arrays both read the SAME
-    ranked relation (already hash-partitioned by doc_id from the rank
-    window), so the array build adds no exchange and the df join is not
-    recomputed per consumer.
+    The verification arrays are built from the raw SET relation, not
+    the ranked one: ranks and document frequencies play no part in the
+    exact intersection, and the ranked subtree (df join + two windows
+    over the full element relation) is corpus-expensive — reading it
+    for the arrays re-ran that pipeline once per array side (the two
+    sides share one groupBy(doc_id) exchange via runtime stage reuse;
+    the r15 before-plan shows four full ranked copies).
     """
     ranked = _ranked_tokens(sets, broadcast_df=broadcast_df)
     pref = _prefix_filter(ranked, t_pct)
@@ -154,7 +157,7 @@ def prefix_join_sets(
         )
         .distinct()
     )
-    arrays = ranked.groupBy("doc_id").agg(
+    arrays = sets.groupBy("doc_id").agg(
         F.array_sort(F.collect_list("term")).alias("__terms"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )

@@ -829,7 +829,18 @@ def q_curation_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sd = dedup_spans(d, n=8).select("doc_id", "n_tokens", "n_kept", "n_removed")
     stats = d.select("doc_id", "lang", "n_chars").join(sd, "doc_id")
-    kept = stats.filter(4 * F.col("n_removed") <= F.col("n_tokens"))
+    # materialization barrier (the q_selection_build precedent): the
+    # survivors feed global_rank, whose rank and offsets legs are
+    # structurally different consumers (the offsets leg prunes to the
+    # lead column, so their subtrees never canonicalize equal and the
+    # runtime cannot reuse a stage between them) — without the barrier
+    # the whole span-dedup pipeline (8-gram explode + fp window + island
+    # windows over the corpus) re-ran once per consumer (r15 before-plan:
+    # three full copies). Six scalar columns per surviving DOCUMENT —
+    # the curated intermediate a release pipeline persists anyway.
+    kept = stats.filter(4 * F.col("n_removed") <= F.col("n_tokens")).localCheckpoint(
+        eager=True
+    )
     split = stratified_split(kept, ["lang"], "doc_id")
     binned = rank_bins(split, ["n_chars", "doc_id"], n_bins=10)
     return binned.groupBy("lang", "split", "bin").agg(
