@@ -259,11 +259,24 @@ def kmeans_fit(
         seeds.select("vec_id", "qarr", F.col("vec_id").alias("cid"))
     ).cache()
     assigned = None
-    for _ in range(iters):
+    for it in range(iters):
         if vectorized_assign:
             assigned = _assign_clusters_vectorized(qv, centroids, k_bound=k)
         else:
             assigned = assign_clusters(qv, centroids)
+        if it == iters - 1:
+            # the FINAL assignment pass used to execute twice — once
+            # filling the last centroid cache, once more for whichever
+            # consumer reads ``assigned`` (the centroid cache holds k
+            # rows, not the assignment) — and the O(n*k*d) interpreted
+            # fold is the dominant per-row cost of every fit
+            # (optimization r15). Materialize it once; the final
+            # centroid state and every consumer read the materialized
+            # rows. This is the same relation semantic_dedup already
+            # checkpointed (and materialize_ivf_pq_index persists);
+            # on a real cluster prefer a reliable-storage checkpoint
+            # for long-lived consumers.
+            assigned = assigned.localCheckpoint(eager=True)
         centroids = _centroid_state(assigned).cache()
     return assigned, centroids
 
@@ -662,11 +675,12 @@ def semantic_dedup(
     (``q_semdedup_sub``); ``hot_cell_cap`` only applies to the default
     path.
 
-    The assignment relation is localCheckpointed before pairing: both
-    pair sides (and the hot-cell counts) read the materialized rows
-    instead of re-running the O(n*k*d) assignment once per reference —
-    at scaled k that recompute, not the pairing, was the measured
-    superlinear term (SCALE_CURVE r10: scaled_k slope_last 1.16)."""
+    The assignment relation is materialized before pairing (inside
+    ``kmeans_fit`` since optimization r15): both pair sides (and the
+    hot-cell counts) read the materialized rows instead of re-running
+    the O(n*k*d) assignment once per reference — at scaled k that
+    recompute, not the pairing, was the measured superlinear term
+    (SCALE_CURVE r10: scaled_k slope_last 1.16)."""
     routed = sub_bits is None
     if routed:
         sub_bits = 0
@@ -677,7 +691,6 @@ def semantic_dedup(
 
             hot_cell_cap = DEFAULT_TARGET_BUCKET_ROWS
     assigned, _ = kmeans_fit(embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
-    assigned = assigned.localCheckpoint(eager=True)
     hot_cells = _resolved_hot_cells(assigned, hot_cell_cap, k) if routed else None
     close = _cell_pair_distances(assigned, sub_bits, hot_cells).filter(
         F.col("d") <= eps
@@ -781,7 +794,6 @@ def semantic_dedup_auto_eps(
     assigned, _ = kmeans_fit(
         embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col
     )
-    assigned = assigned.localCheckpoint(eager=True)
     hot_cells = _resolved_hot_cells(assigned, hot_cell_cap, k) if routed else None
     dists = _cell_pair_distances(assigned, sub_bits, hot_cells).localCheckpoint(
         eager=True

@@ -217,8 +217,16 @@ def _pq_fit_qv(
     ).select("vec_id", "sub", F.col("vec_id").alias("code"), "sq")
     codebooks = _pq_centroid_state(seed_long, F.col("sq")).cache()
     coded = None
-    for _ in range(iters):
+    for it in range(iters):
         coded = assign_codes(qv, codebooks, n_sub, sub_dim)
+        if it == iters - 1:
+            # the final encode pass used to run twice — once filling
+            # the last codebook cache and once for the consumer of
+            # ``coded`` — and the n_sub x k_sub decimal argmin fold is
+            # the most expensive per-row expression in the family
+            # (optimization r15, the kmeans_fit twin). Materialize it
+            # once; codebooks and consumers read the materialized rows.
+            coded = coded.localCheckpoint(eager=True)
         coded_long = coded.select(
             "vec_id",
             F.posexplode("codes").alias("sub", "code"),

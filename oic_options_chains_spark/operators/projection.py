@@ -55,6 +55,84 @@ def _sign_py(i: int, k: int) -> int:
     return 1 if h % 2 == 0 else -1
 
 
+def _jl_kernel(
+    df: DataFrame, vec_col: str, out_dim: int, in_dim: int
+) -> DataFrame:
+    """All input columns plus ``proj``/``norm_ratio_bp`` via ONE numpy
+    int64 matmul per Arrow batch — the BATCH tier of :func:`jl_project`
+    (optimization r15, the ``_pair_l2_kernel``/``_text_band_kernel``
+    family).
+
+    The expression tier evaluates ``out_dim`` ``zip_with``+``aggregate``
+    folds per row — higher-order functions are CodegenFallback, so the
+    whole d x d' multiply-add ran INTERPRETED per element. Here the
+    quantization is one vectorized floor (same IEEE double multiply,
+    bit-identical), the projection is ``qa @ S`` with the d x d' sign
+    matrix built once per task from the same md5 parity
+    (:func:`_sign_py`), and the norm audit is two int64 row sums plus a
+    floor division (numerator/denominator both non-negative, so numpy
+    ``//`` == Spark ``div`` truncation). All values stay far inside
+    int64 (|q| <= 4096 * |x|, d * (4096 * |x|)^2 << 2^63 for unit-scale
+    embeddings), so the kernel is bit-identical to the fold — pinned by
+    tests/test_round15_jl_kernel.py. NULL vectors yield NULL
+    proj/norm_ratio_bp in both tiers; a width mismatch and a zero-norm
+    vector raise in both (the expression tier via raise_error resp.
+    ANSI division-by-zero)."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("proj", ArrayType(LongType())),
+            StructField("norm_ratio_bp", LongType()),
+        ]
+    )
+    sign_rows = [
+        [_sign_py(i, k) for k in range(out_dim)] for i in range(in_dim)
+    ]
+
+    def run(batches):
+        import numpy as np
+
+        s_mat = np.array(sign_rows, dtype=np.int64)
+        for pdf in batches:
+            n = len(pdf)
+            proj_out: list = [None] * n
+            norm_out: list = [None] * n
+            vecs = pdf[vec_col]
+            live = [j for j in range(n) if vecs.iloc[j] is not None]
+            if live:
+                widths = {len(vecs.iloc[j]) for j in live}
+                if widths != {in_dim}:
+                    bad = next(w for w in widths if w != in_dim)
+                    raise ValueError(
+                        f"jl_project: {vec_col} width {bad} != in_dim {in_dim}"
+                    )
+                arr = np.array(
+                    [vecs.iloc[j] for j in live], dtype=np.float64
+                )
+                qa = np.floor(arr * 4096.0).astype(np.int64)
+                pj = qa @ s_mat
+                num = 10000 * (pj * pj).sum(axis=1)
+                den = out_dim * (qa * qa).sum(axis=1)
+                if (den == 0).any():
+                    raise ValueError(
+                        "jl_project: zero-norm quantized vector "
+                        "(division by zero in norm audit)"
+                    )
+                ratio = num // den
+                for idx, j in enumerate(live):
+                    proj_out[j] = [int(x) for x in pj[idx]]
+                    norm_out[j] = int(ratio[idx])
+            out = pdf.copy()
+            out["proj"] = proj_out
+            out["norm_ratio_bp"] = norm_out
+            yield out
+
+    return df.mapInPandas(run, schema)
+
+
 def jl_project(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -86,7 +164,30 @@ def jl_project(
     the norm audit — ~17x the per-row quantization work at d'=16.
     Referenced ``out_dim + 1`` times, the staged column survives
     CollapseProject (SPARK-36718 keeps non-cheap producers with more
-    than one reference), so the transform runs once per row."""
+    than one reference), so the transform runs once per row.
+
+    BATCH inputs with a known width route through the vectorized Arrow
+    kernel tier (:func:`_jl_kernel`): even staged, the ``out_dim`` fold
+    expressions are CodegenFallback and run interpreted per element —
+    the dominant CPU term of the full-width projection. STREAMING
+    inputs and unknown-width inputs keep the expression tiers below
+    (the kernel needs the driver-built sign matrix, i.e. ``in_dim``).
+    Both tiers are bit-identical (tests/test_round15_jl_kernel.py)."""
+    if in_dim is not None and not df.isStreaming:
+        return _jl_kernel(df, vec_col, out_dim, in_dim)
+    return _jl_expression(df, vec_col, out_dim, in_dim)
+
+
+def _jl_expression(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+    in_dim: int | None = None,
+) -> DataFrame:
+    """The pure-expression tier of :func:`jl_project` (see its
+    docstring for the staging/CollapseProject contract) — kept for
+    streaming inputs and unknown-width inputs, and as the parity
+    reference the kernel is pinned against."""
     qa = quantized(F.col(vec_col))
     if in_dim is not None:
         # NULL vectors propagate as NULL proj (matching the in_dim=None
