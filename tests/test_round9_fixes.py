@@ -174,10 +174,16 @@ def test_stage_pk_string_over_cap_raises_early(spark, tmp_path):
 
 def test_jl_project_raises_on_in_dim_mismatch(spark):
     """ADVICE r8 (projection.py): zip_with null-pads a wrong-width
-    vector — the literal-matrix branch must raise, not emit NULLs."""
+    vector — the literal-matrix branch must raise, not emit NULLs.
+    Since optimization r15 the batch path is the Arrow kernel (raises a
+    worker-side ValueError with the same message); the expression tier
+    keeps the raise_error contract — both pinned."""
     from pyspark.errors import SparkRuntimeException
 
-    from oic_options_chains_spark.operators.projection import jl_project
+    from oic_options_chains_spark.operators.projection import (
+        _jl_expression,
+        jl_project,
+    )
 
     ok = spark.createDataFrame(
         [(1, [0.1, 0.2, 0.3, 0.4])], ["vec_id", "embedding"]
@@ -188,5 +194,7 @@ def test_jl_project_raises_on_in_dim_mismatch(spark):
     bad = spark.createDataFrame(
         [(1, [0.1, 0.2, 0.3])], ["vec_id", "embedding"]
     )
-    with pytest.raises(SparkRuntimeException, match="in_dim"):
+    with pytest.raises(Exception, match="in_dim"):
         jl_project(bad, out_dim=2, in_dim=4).collect()
+    with pytest.raises(SparkRuntimeException, match="in_dim"):
+        _jl_expression(bad, out_dim=2, in_dim=4).collect()
