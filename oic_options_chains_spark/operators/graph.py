@@ -404,7 +404,24 @@ def kcore_membership(
     the surviving edge set, which only shrinks; labels are
     localCheckpoint-ed so the loop's lineage stays flat. Returns
     (node, in_core, core_degree) for EVERY input node — never-edged
-    nodes report (0, 0)."""
+    nodes report (0, 0).
+
+    Bounded driver finish (optimization r15, the connected_components
+    precedent): each distributed peel costs a fixed stage-scheduling
+    latency regardless of edge count, and the per-round early-exit
+    count already gives the exact size of the checkpointed edge set —
+    at or under ``LOCAL_FINISH_MAX_EDGES`` the remaining rounds run as
+    a driver loop over the collected (bounded) edges, producing the
+    identical survivor set and degrees: each peel is the same pure
+    function of the edge set (deg >= k on the undirected-doubled rows,
+    keep both endpoints), with the same monotone early exit. At scale
+    the distributed peels shrink the graph into this regime first; the
+    bound replaces only the tail rounds. Pinned against the
+    distributed fixpoint by tests/test_round15_kcore_local.py."""
+    from oic_options_chains_spark.operators.clusters import (
+        LOCAL_FINISH_MAX_EDGES,
+    )
+
     # materialize the (sparse, <= n*k) edge list once: the undirected
     # union references it twice, which would re-run the whole upstream
     # kNN build per branch
@@ -413,7 +430,30 @@ def kcore_membership(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
     n_edges = surv.count()
-    for _ in range(rounds):
+    final_deg = None
+    for i in range(rounds):
+        if n_edges <= LOCAL_FINISH_MAX_EDGES:
+            rows = surv.limit(n_edges + 1).collect()
+            assert len(rows) <= n_edges, "edge set grew past its count"
+            es = [(r["src"], r["dst"]) for r in rows]
+            for _ in range(rounds - i):
+                deg: dict = {}
+                for s, _d in es:
+                    deg[s] = deg.get(s, 0) + 1
+                kept = {s for s, c in deg.items() if c >= k}
+                nxt = [(s, d) for s, d in es if s in kept and d in kept]
+                if len(nxt) == len(es):
+                    break
+                es = nxt
+            deg = {}
+            for s, _d in es:
+                deg[s] = deg.get(s, 0) + 1
+            src_type = surv.schema["src"].dataType.simpleString()
+            final_deg = surv.sparkSession.createDataFrame(
+                list(deg.items()) or [],
+                f"src {src_type}, core_degree bigint",
+            )
+            break
         keep = (
             surv.groupBy("src")
             .agg(F.count(F.lit(1)).alias("__deg"))
@@ -435,9 +475,10 @@ def kcore_membership(
         if n_next == n_edges:
             break
         n_edges = n_next
-    final_deg = surv.groupBy("src").agg(
-        F.count(F.lit(1)).cast("bigint").alias("core_degree")
-    )
+    if final_deg is None:
+        final_deg = surv.groupBy("src").agg(
+            F.count(F.lit(1)).cast("bigint").alias("core_degree")
+        )
     base = nodes.select(F.col(id_col).alias("node")).distinct()
     return base.join(
         final_deg, base["node"] == final_deg["src"], "left"
