@@ -241,6 +241,41 @@ def _pq_fit_qv(
     return coded, codebooks
 
 
+def _fit_both(
+    embeddings: DataFrame,
+    qv: DataFrame,
+    coarse_k: int,
+    n_sub: int,
+    k_sub: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+):
+    """Run the coarse k-means fit and the PQ codebook fit CONCURRENTLY
+    from two driver threads (optimization r15, guide §2.6 "overlap
+    independent jobs"): the two fits are independent job chains of
+    mostly tiny sequential stages whose eager final-pass checkpoints
+    previously materialized back-to-back, leaving the cluster idle
+    through each other's scheduling latency. Spark's scheduler runs
+    concurrent driver-thread jobs FIFO with back-fill; both fits are
+    internally deterministic, so results are bit-identical to the
+    sequential form. Returns ((assigned, centroids), (coded,
+    codebooks))."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_coarse = pool.submit(
+            kmeans_fit,
+            embeddings,
+            coarse_k,
+            iters,
+            id_col,
+            vec_col,
+        )
+        f_pq = pool.submit(_pq_fit_qv, qv, n_sub, k_sub, iters)
+        return f_coarse.result(), f_pq.result()
+
+
 def adc_table(
     codebooks: DataFrame, query_qv: DataFrame, sub_dim: int = 8
 ) -> DataFrame:
@@ -327,10 +362,9 @@ def ivf_pq_fit_index(
     answers are bit-for-bit the inline fit's — the same property that
     lets the DuckDB oracles replay the training recursion."""
     qv = quantize(embeddings, id_col, vec_col)
-    assigned, centroids = kmeans_fit(
-        embeddings, k=coarse_k, iters=iters, id_col=id_col, vec_col=vec_col
+    (assigned, centroids), (coded, codebooks) = _fit_both(
+        embeddings, qv, coarse_k, n_sub, k_sub, iters, id_col, vec_col
     )
-    coded, codebooks = _pq_fit_qv(qv, n_sub, k_sub, iters)
     return IvfPqIndex(
         assigned=assigned.select("vec_id", "cid"),
         centroids=centroids.select("cid", "sarr", "n", "ss"),
@@ -442,10 +476,9 @@ def ivf_pq_topk(
         assigned, centroids = index.assigned, index.centroids
         coded, codebooks = index.codes, index.codebooks
     else:
-        assigned, centroids = kmeans_fit(
-            embeddings, k=coarse_k, iters=iters, id_col=id_col, vec_col=vec_col
+        (assigned, centroids), (coded, codebooks) = _fit_both(
+            embeddings, qv, coarse_k, n_sub, k_sub, iters, id_col, vec_col
         )
-        coded, codebooks = _pq_fit_qv(qv, n_sub, k_sub, iters)
     qrow = (
         qv.filter(F.col("vec_id") == query_id)
         .select(F.col("qarr").alias("q_qarr"))
@@ -581,10 +614,9 @@ def ivf_pq_topk_batch(
         assigned, centroids = index.assigned, index.centroids
         coded, codebooks = index.codes, index.codebooks
     else:
-        assigned, centroids = kmeans_fit(
-            embeddings, k=coarse_k, iters=iters, id_col=id_col, vec_col=vec_col
+        (assigned, centroids), (coded, codebooks) = _fit_both(
+            embeddings, qv, coarse_k, n_sub, k_sub, iters, id_col, vec_col
         )
-        coded, codebooks = _pq_fit_qv(qv, n_sub, k_sub, iters)
     queries = qv.filter(F.col("vec_id").isin(qids)).select(
         F.col("vec_id").alias("qid"), F.col("qarr").alias("q_qarr")
     )
