@@ -51,12 +51,12 @@ def mad_outliers(
     the group identical) any deviation at all is an outlier — the
     degenerate case the comparison handles naturally."""
     vals = df.select(F.col(group_col).alias("g"), value_col.cast("bigint").alias("x"))
-    # med is GROUP-COUNT-sized (one row per group) but its subtree holds
-    # the first full median window sort; with_med is referenced twice
-    # downstream (the MAD median pass and the final aggregate), so
-    # without a barrier that sort executed once per consumer. Eager
-    # checkpoint = the repo's bounded small-side materialization family.
-    med = group_median(vals, "g", "x", "median").localCheckpoint(eager=True)
+    # med is GROUP-COUNT-sized and broadcast to both downstream
+    # consumers; AQE's runtime exchange reuse covers the duplicated
+    # subtree, so an eager checkpoint here is pure scheduling latency
+    # (r15 in-session A/B: checkpoint 2.41 s vs plain 2.06 s at sf0.1,
+    # 5.06 vs 4.93 at sf0.5 — measured-and-reverted).
+    med = group_median(vals, "g", "x", "median")
     with_med = vals.join(F.broadcast(med), "g").withColumn(
         "dev", F.abs(F.col("x") - F.col("median"))
     )
