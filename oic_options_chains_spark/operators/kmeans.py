@@ -191,10 +191,13 @@ def assign_clusters(qv: DataFrame, centroids: DataFrame) -> DataFrame:
     ``ORDER BY d, cid``).
 
     This fold stays INTERPRETED (higher-order functions never enter
-    codegen), so its cost is O(n*k*d) interpreted ops — the right shape
-    while k is a small constant. ``kmeans_fit`` routes k >=
-    ``VECTORIZED_ASSIGN_MIN_K`` through the bit-identical
-    :func:`_assign_clusters_vectorized` matmul kernel instead.
+    codegen), so its cost is O(n*k*d) interpreted ops at any k.
+    ``kmeans_fit`` defaults every batch fit to the bit-identical
+    :func:`_assign_clusters_vectorized` matmul kernel instead (r15); the
+    fold remains as the executable documentation of the distance math,
+    the parity test's reference, and the form for callers that must stay
+    collect-free (the kernel pulls the k-row centroid relation to the
+    driver).
     """
     packed = centroids.agg(
         F.array_sort(F.collect_list(F.struct("cid", "sarr", "n", "ss"))).alias("cents")
@@ -237,18 +240,23 @@ def kmeans_fit(
     growth is the only cost of staying fully declarative. For deep
     iteration counts persist the (tiny) centroid state per round.
 
-    ``vectorized_assign`` (default: ``k >= VECTORIZED_ASSIGN_MIN_K``)
-    routes each assignment through the bit-identical matmul kernel — the
-    scale path when k grows with the corpus (IVF-style cell counts): the
-    interpreted fold is O(n*k*d) and measured superlinear at k ~ sqrt(n)
-    (slope 1.16 on the SemDeDup scaled-k curve), the kernel is one BLAS
-    matmul per Arrow batch. Results are identical either way, so
-    oracle-checked small-k callers keep the fully declarative fold.
+    ``vectorized_assign`` (default: True) routes each assignment through
+    the bit-identical matmul kernel: the interpreted fold is O(n*k*d)
+    interpreted ops per pass at ANY k (and measured superlinear at
+    k ~ sqrt(n) — slope 1.16 on the SemDeDup scaled-k curve), while the
+    kernel is one BLAS matmul per Arrow batch. Results are identical
+    either way (pinned by ``tests/test_round11_semdedup.py``), and the
+    r15 in-session A/B showed the kernel >= the fold at small k too
+    (q_kmeans 1.05 -> 0.83 s sf0.1, q_semdedup 4.23 -> 3.83 s sf0.5),
+    so the kernel is now the default for every batch fit; pass
+    ``vectorized_assign=False`` for the fully declarative fold (kept as
+    the executable documentation of the distance math and the parity
+    test's reference).
     """
     if iters < 1:
         raise ValueError(f"kmeans_fit requires iters >= 1, got {iters}")
     if vectorized_assign is None:
-        vectorized_assign = k >= VECTORIZED_ASSIGN_MIN_K
+        vectorized_assign = True
     qv = quantize(embeddings, id_col, vec_col)
     seeds = qv.orderBy("vec_id").limit(k)
     # each centroid state is k rows but is referenced by every later

@@ -46,27 +46,30 @@ class TestVectorizedAssignment:
         assert kern == fold
 
     def test_default_threshold_routing(self, emb):
-        """k below the threshold keeps the declarative fold (no Python
-        in the plan); k at/above it runs the Arrow kernel. The returned
-        assignment is checkpoint-truncated (optimization r15: the final
-        pass materializes once), so the routing is read from the
-        captured pre-checkpoint lineage."""
+        """Every batch fit defaults to the Arrow kernel at ANY k
+        (optimization r15: the kernel beat the interpreted fold at
+        small k too); ``vectorized_assign=False`` opts back into the
+        declarative fold (no Python in the plan). The returned
+        assignment is checkpoint-truncated (the final pass materializes
+        once), so the routing is read from the captured pre-checkpoint
+        lineage."""
         from oic_options_chains_spark.lineage import capture_checkpoints
 
         with capture_checkpoints() as stages:
-            kmeans_fit(emb, k=8, iters=1)
-        small_plans = "\n".join(
+            kmeans_fit(emb, k=8, iters=1, vectorized_assign=False)
+        fold_plans = "\n".join(
             st.df._jdf.queryExecution().toString() for st in stages
         )
-        assert "MapInPandas" not in small_plans
-        assert "mapInPandas" not in small_plans
-        with capture_checkpoints() as stages:
-            kmeans_fit(emb, k=VECTORIZED_ASSIGN_MIN_K, iters=1)
-        big_plans = "\n".join(
-            st.df._jdf.queryExecution().executedPlan().toString()
-            for st in stages
-        )
-        assert "MapInPandas" in big_plans
+        assert "MapInPandas" not in fold_plans
+        assert "mapInPandas" not in fold_plans
+        for k in (8, VECTORIZED_ASSIGN_MIN_K):
+            with capture_checkpoints() as stages:
+                kmeans_fit(emb, k=k, iters=1)
+            default_plans = "\n".join(
+                st.df._jdf.queryExecution().executedPlan().toString()
+                for st in stages
+            )
+            assert "MapInPandas" in default_plans, k
 
     def test_kernel_partition_invariant(self, emb):
         """The integer-moment exactness claim holds for the kernel too:
