@@ -315,7 +315,8 @@ def anf_ball_sizes(
         hll_numerator,
     )
 
-    assert b % 4 == 0 and 4 <= b <= 8, "b must be 4 or 8"
+    if b % 4 != 0 or not (4 <= b <= 8):
+        raise ValueError("b must be 4 or 8")
     hx = b // 4
     m = 1 << b
     num = hll_numerator(m)
@@ -419,7 +420,7 @@ def kcore_membership(
     bound replaces only the tail rounds. Pinned against the
     distributed fixpoint by tests/test_round15_kcore_local.py."""
     from oic_options_chains_spark.operators.clusters import (
-        LOCAL_FINISH_MAX_EDGES,
+        local_finish_max_edges,
     )
 
     # materialize the (sparse, <= n*k) edge list once: the undirected
@@ -429,12 +430,16 @@ def kcore_membership(
     surv = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
+    local_bound = local_finish_max_edges(surv.sparkSession)
     n_edges = surv.count()
     final_deg = None
     for i in range(rounds):
-        if n_edges <= LOCAL_FINISH_MAX_EDGES:
+        if n_edges <= local_bound:
             rows = surv.limit(n_edges + 1).collect()
-            assert len(rows) <= n_edges, "edge set grew past its count"
+            # a real raise, not assert: guards an unbounded driver
+            # collect at scale and must survive python -O
+            if len(rows) > n_edges:
+                raise RuntimeError("edge set grew past its count")
             es = [(r["src"], r["dst"]) for r in rows]
             for _ in range(rounds - i):
                 deg: dict = {}

@@ -106,14 +106,14 @@ def _centroid_state(assigned: DataFrame) -> DataFrame:
     )
 
 
-# Lloyd assignment switches from the interpreted JVM fold to the
-# BLAS-vectorized Arrow kernel at this centroid count: the fold is
-# O(n*k*d) INTERPRETED expression evaluation (HOFs never reach codegen),
-# which is the superlinear term when k scales with the corpus (the
-# SemDeDup scaled-k curve measured slope 1.16 on it); the kernel is one
-# int64 matmul per Arrow batch. Both paths are bit-identical by
-# construction (see _assign_clusters_vectorized) and property-tested
-# against each other, so the threshold is a pure cost knob.
+# Historical routing threshold (r11-r14): Lloyd assignment used to
+# switch from the interpreted JVM fold to the BLAS-vectorized Arrow
+# kernel at this centroid count. Since optimization r15 ``kmeans_fit``
+# defaults EVERY batch fit to the kernel, so the constant routes
+# nothing — it survives only as a test parameter (the kernel==fold
+# parity suite pins both sides of the old boundary) and as the mirrored
+# comment in similarity.py. Both paths remain bit-identical by
+# construction (see _assign_clusters_vectorized).
 VECTORIZED_ASSIGN_MIN_K = 32
 
 
@@ -141,9 +141,12 @@ def _assign_clusters_vectorized(qv: DataFrame, centroids: DataFrame, k_bound: in
     from pyspark.sql.types import StructField, StructType
 
     rows = centroids.select("cid", "sarr", "n", "ss").limit(k_bound + 1).collect()
-    assert len(rows) <= k_bound, (
-        f"centroid relation holds >{k_bound} rows; pass the true k as k_bound"
-    )
+    # a real raise, not assert: this guards an oversized driver collect
+    # and a silently-truncated centroid set, and must survive python -O
+    if len(rows) > k_bound:
+        raise ValueError(
+            f"centroid relation holds >{k_bound} rows; pass the true k as k_bound"
+        )
     rows.sort(key=lambda r: r["cid"])
     import numpy as np
 
@@ -216,6 +219,37 @@ def assign_clusters(qv: DataFrame, centroids: DataFrame) -> DataFrame:
     # hot loop. Struct ordering (d, then cid) IS the tie-break.
     best = F.array_min(F.transform(F.col("cents"), scored))
     return with_a.select("vec_id", "qarr", best["cid"].alias("cid"))
+
+
+def assign_cells(
+    qv: DataFrame, centroids: DataFrame, k_bound: int | None = None
+) -> DataFrame:
+    """(vec_id, cid): public assignment-only entry for consumers that
+    never read ``qarr`` back (ADVICE r15 — q_drift_cells-style direct
+    passes that fit on one slice and assign the whole corpus once).
+
+    Default (``k_bound=None``) routes through the declarative fold, not
+    the Arrow kernel: a DIRECT pass scans its input exactly once, so the
+    kernel's eager k-row centroid collect is one extra serialized driver
+    job before the main query — inside a fit that job is amortized (the
+    collected state also feeds the next Lloyd round), in a direct pass
+    it is pure added latency. The fold form instead resolves the packed
+    centroid row lazily as a broadcast subquery of the main job.
+    Measured on q_drift_cells at sf0.1 (r16 in-session A/B, min-of-3
+    x2): fold 1.68 s vs kernel 2.16 s vs kernel-with-qarr-dropped
+    1.83 s — the fold wins at the k=8 direct shape, and both paths are
+    bit-identical (tests/test_round11_semdedup.py).
+
+    Pass ``k_bound`` (the true k) to opt into the kernel for
+    corpus-sized direct passes at large k, where the O(n*k*d)
+    interpreted fold dominates the one collect job; the kernel output is
+    projected to (vec_id, cid) so ``qarr`` never crosses the Arrow
+    boundary outbound."""
+    if k_bound is not None:
+        return _assign_clusters_vectorized(qv, centroids, k_bound).select(
+            "vec_id", "cid"
+        )
+    return assign_clusters(qv, centroids).select("vec_id", "cid")
 
 
 def kmeans_fit(
@@ -503,7 +537,8 @@ def _resolved_hot_cells(assigned: DataFrame, cap: int, k: int) -> DataFrame | No
     ~0.4 s of per-query overhead at bench scale for the in-plan join
     form, all of it for nothing when the relation is empty)."""
     rows = _hot_cell_widths(assigned, cap).limit(k + 1).collect()
-    assert len(rows) <= k, "hot-cell relation exceeded the centroid count"
+    if len(rows) > k:  # bounded-collect guard; must survive python -O
+        raise ValueError("hot-cell relation exceeded the centroid count")
     if not rows:
         return None
     spark = assigned.sparkSession

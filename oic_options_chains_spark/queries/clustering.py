@@ -840,10 +840,13 @@ def q_drift_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     each cell's basis-point population share per half — the shift
     report a curation pipeline reads before trusting a new crawl batch
     (a cell whose share moved is a topic that grew or vanished).
-    Assignment is the bit-identical Arrow matmul kernel (r15); counts and
+    Assignment is the public assignment-only wrapper (fold-routed for
+    this k=8 direct pass — optimization r16 reclaimed the r15 kernel
+    regression here: the kernel's eager centroid collect is a serialized
+    extra job a once-scanned direct pass never amortizes); counts and
     shares are exact integers in the bounded-numerator floor regime."""
     from oic_options_chains_spark.operators.kmeans import (
-        _assign_clusters_vectorized,
+        assign_cells,
         kmeans_fit,
         quantize,
     )
@@ -851,7 +854,7 @@ def q_drift_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _spread(load_table(spark, sf_dir, "embeddings"))
     ref = e.filter(F.col("vec_id") % 2 == 0)
     _, cents = kmeans_fit(ref, k=_K, iters=_ITERS)
-    assigned = _assign_clusters_vectorized(quantize(e), cents, k_bound=_K)
+    assigned = assign_cells(quantize(e), cents)
     counts = assigned.groupBy(F.col("cid").alias("cell")).agg(
         F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0))
         .cast("bigint")

@@ -34,11 +34,13 @@ def emb(spark, sf_dir):
 
 
 class TestVectorizedAssignment:
-    def test_kernel_matches_fold_bit_for_bit(self, emb):
+    @pytest.mark.parametrize("k", [8, 40])
+    def test_kernel_matches_fold_bit_for_bit(self, emb, k):
         """Same corpus, same k, both assignment paths: identical
-        (vec_id, cid) for every row — the exactness contract that lets
-        the threshold be a pure cost knob."""
-        k = 40  # over the threshold: default routes to the kernel
+        (vec_id, cid) for every row. The kernel is the default at ANY
+        k since r15, so parity is pinned at a small oracle-checked k
+        (8) as well as past the historical threshold (40) — ADVICE
+        r15."""
         a_kernel, _ = kmeans_fit(emb, k=k, iters=2)
         a_fold, _ = kmeans_fit(emb, k=k, iters=2, vectorized_assign=False)
         kern = sorted((r.vec_id, r.cid) for r in a_kernel.collect())
