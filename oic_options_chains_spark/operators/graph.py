@@ -36,10 +36,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from oic_options_chains_spark.operators.kmeans import QUANT, quantize
-from oic_options_chains_spark.operators.similarity import (
-    _probe_partitions,
-    _resolve_bits,
-)
+from oic_options_chains_spark.operators.similarity import _resolve_bits
 
 
 def _l2_int(a: Column, b: Column) -> Column:
@@ -70,6 +67,74 @@ def brute_knn_edges(
     return knn_from_candidates(pairs, k)
 
 
+def _bucket_knn_kernel(q: DataFrame, k: int) -> DataFrame:
+    """(src, dst, dist): each node's k nearest same-bucket neighbors,
+    computed per sign bucket with ONE int64 Gram matmul instead of the
+    pair join + interpreted fold + mirror checkpoint + ranking window
+    (optimization r16, guide §4/§2.4).
+
+    ``q`` is (vec_id, qarr, __b). The whole bucket arrives as one
+    pandas group; dist(i,j) = s_i + s_j - 2*(q_i . q_j) with
+    s = sum(q^2) — every moment an exact int64 (|q| <= 4096, d = 64,
+    so q_i . q_j <= 2^30 and dist <= 2^33), bit-identical to the
+    ``_l2_int`` fold the verification path keeps. Per row, the k
+    nearest by (dist, dst) via lexsort — the same deterministic
+    tie-break as ``knn_from_candidates``'s row_number window. A pair
+    join materializes O(sum c_b^2) rows THROUGH the plan (the measured
+    CPU term of the whole kNN-graph family); here only the n input
+    rows and the n*k output rows cross the Arrow boundary, and the c^2
+    term lives inside BLAS. The Gram matrix is computed in row blocks
+    bounded to ~32 MB so a degenerate giant bucket cannot OOM a task
+    (the same O(c^2) compute the pair join would also pay; the
+    ``bits_for`` width derivation keeps real buckets ~target rows)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("src", q.schema["vec_id"].dataType),
+            StructField("dst", q.schema["vec_id"].dataType),
+            StructField("dist", LongType()),
+        ]
+    )
+    sentinel = np.iinfo(np.int64).max  # > any real dist (<= 2^33)
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n <= 1:
+            return pd.DataFrame(
+                {
+                    "src": pd.Series([], dtype="int64"),
+                    "dst": pd.Series([], dtype="int64"),
+                    "dist": pd.Series([], dtype="int64"),
+                }
+            )
+        ids = pdf["vec_id"].to_numpy()
+        qm = np.array(pdf["qarr"].tolist(), dtype=np.int64)
+        s = (qm * qm).sum(axis=1)
+        m = min(k, n - 1)
+        srcs = np.empty(n * m, dtype=np.int64)
+        dsts = np.empty(n * m, dtype=np.int64)
+        dists = np.empty(n * m, dtype=np.int64)
+        block = max(1, (4 << 20) // n)  # ~32 MB of int64 per Gram block
+        pos = 0
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            d = s[lo:hi, None] + s[None, :] - 2 * (qm[lo:hi] @ qm.T)
+            for i in range(hi - lo):
+                row = d[i]
+                row[lo + i] = sentinel  # exclude self (ids are unique)
+                order = np.lexsort((ids, row))[:m]
+                srcs[pos : pos + m] = ids[lo + i]
+                dsts[pos : pos + m] = ids[order]
+                dists[pos : pos + m] = row[order]
+                pos += m
+        return pd.DataFrame({"src": srcs, "dst": dsts, "dist": dists})
+
+    return q.groupBy("__b").applyInPandas(kernel, schema)
+
+
 def bucketed_knn_edges(
     embeddings: DataFrame,
     k: int,
@@ -92,12 +157,19 @@ def bucketed_knn_edges(
     scaled, SCALE_CURVE round 6). Pin ``bits`` explicitly only for
     oracle determinism on derived inputs.
 
-    ``broadcast_candidates`` follows the ``similarity.near_dup_pairs``
-    convention: False (default) is the scale-safe bucket-keyed shuffle
-    join; True broadcasts the candidate side and hash-repartitions the
-    probe side so the CPU-dense distance fold parallelizes past the
-    scan's file-split count — the bench-scale opt-in, proven to fit
-    memory before use."""
+    ``broadcast_candidates`` is retained for API stability but no
+    longer changes the plan (optimization r16): the candidate pairing,
+    distance and ranking all happen inside the per-bucket Gram kernel
+    (``_bucket_knn_kernel``), so there is no pair join left to
+    broadcast or repartition. The r15 shape (bucket equi-join +
+    interpreted ``_l2_int`` fold on the src < dst half + mirror
+    checkpoint + ranking window) paid the O(sum c_b^2) pair relation
+    through the plan plus one interpreted 64-dim fold per pair — the
+    measured CPU term of q_anf / q_kcore / q_knn_triangles. The kernel
+    moves the c^2 term into one int64 matmul per bucket and ships only
+    n input rows and n*k output rows across the Arrow boundary
+    (bit-identical results; a pair-rows-through-Arrow variant was
+    measured WORSE — see OPTIMIZATION_r16.md)."""
     bits = _resolve_bits(embeddings, bits)
     sign = F.concat(
         *[
@@ -114,36 +186,7 @@ def bucketed_knn_edges(
         ).alias("qarr"),
         sign.alias("__b"),
     )
-    a = q.select(
-        F.col("vec_id").alias("src"), F.col("qarr").alias("__qa"), "__b"
-    )
-    b = q.select(
-        F.col("vec_id").alias("dst"), F.col("qarr").alias("__qb"), "__b"
-    )
-    if broadcast_candidates:
-        n_parts = _probe_partitions(embeddings)
-        a = a.repartition(n_parts, F.col("src"))
-        b = F.broadcast(b)
-    # L2 is symmetric, so each unordered bucket pair's interpreted
-    # distance fold (the CPU term: n * E[bucket] * d interpreted ops)
-    # runs ONCE on the src < dst half; the mirrored direction reads the
-    # materialized (src, dst, dist) rows — 3 scalar columns — instead
-    # of re-folding. The checkpoint is the price (the mutual_edges
-    # precedent; on a real cluster checkpoint to reliable storage):
-    # measured ~2x on the pair stage at bench sf0.1, and the pair
-    # relation is the candidate output LSH already bounds.
-    half = (
-        a.join(b, "__b")
-        .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst", _l2_int(F.col("__qa"), F.col("__qb")).alias("dist"))
-        .localCheckpoint(eager=True)
-    )
-    pairs = half.union(
-        half.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst"), "dist"
-        )
-    )
-    return knn_from_candidates(pairs, k)
+    return _bucket_knn_kernel(q, k)
 
 
 def knn_from_candidates(pairs: DataFrame, k: int) -> DataFrame:
@@ -306,6 +349,17 @@ def anf_ball_sizes(
     Estimates use the scaled-integer harmonic sum and the precomputed
     small-range table (hll_numerator / hll_linear_table literals), so
     no double exists anywhere and any engine replays the same integers.
+
+    Layout note (optimization r16, examined and kept AS IS): a packed
+    bit-per-rho register layout — one row per node, m bigint masks,
+    register-wise MAX as ``bit_or``, per-round estimate as a pure
+    projection — was built, proven bit-identical, and A/B'd WORSE at
+    bench sf0.1 (isolated suffix 0.64 s rows vs 0.82 s bitmap,
+    min-of-4 x2) and a WASH at sf0.5 (1.34 s both): the sparse
+    (node, reg, rho) relation at small radii carries ~E[regs] <= m
+    rows per node and the wide 16-column bit_or/IF codegen costs more
+    than the row-count it saves. Re-try only past the radius/scale
+    where ball register sets saturate (rows form stops being sparse).
 
     Returns (node, r, n_zero_regs, estimate) for every input node and
     radius; an isolated node estimates its singleton ball at every r.

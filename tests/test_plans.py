@@ -273,14 +273,12 @@ def test_round4_additions_have_no_cartesian_and_no_python(spark, sf_dir):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
 
 
-def test_knn_triangle_candidates_are_bucket_equi_join(spark, sf_dir):
-    """The kNN candidate join must key on the sign bucket (broadcast or
-    shuffled EQUI join) — never an all-pairs nested loop. Inspected on
-    the graph-build operator itself over its FULL lineage: the
-    half-pair distance stage is behind a localCheckpoint (optimization
-    r15 — symmetric distances fold once), so the final plan alone only
-    shows the mirrored union; the captured pre-checkpoint stage holds
-    the bucket join."""
+def test_knn_triangle_candidates_are_bucket_bounded(spark, sf_dir):
+    """The kNN candidate pairing must be bounded by the sign bucket —
+    never an all-pairs nested loop. Since optimization r16 the pairing,
+    distance and ranking happen inside ONE per-bucket Gram kernel
+    (grouped on __b): the plan must show the bucket-keyed grouped
+    pandas node and no nested-loop join anywhere in the lineage."""
     from oic_options_chains_spark.lineage import capture_checkpoints
     from oic_options_chains_spark.operators.graph import bucketed_knn_edges
 
@@ -291,7 +289,8 @@ def test_knn_triangle_candidates_are_bucket_equi_join(spark, sf_dir):
         plans = [_plan(df)] + [_plan(s.df) for s in stages]
         full = "\n".join(plans)
         assert "BroadcastNestedLoopJoin" not in full
-        assert "__b" in full  # the bucket key appears as a join key
+        assert "FlatMapGroupsInPandas" in full  # per-bucket Gram kernel
+        assert "__b" in full  # grouped on the bucket key
 
 
 def test_round5_selection_plans(spark, sf_dir):

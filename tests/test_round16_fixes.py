@@ -120,6 +120,88 @@ class TestLocalFinishConf:
         assert base == dist
 
 
+class TestBucketKnnKernel:
+    """The per-bucket Gram kernel (r16) must replay the r15 pair-join +
+    interpreted-fold + ranking-window construction bit-for-bit: same
+    distances (moment expansion == elementwise fold, both exact int64)
+    and the same (dist, dst) tie-break."""
+
+    @pytest.mark.parametrize("bits", [None, 4])
+    def test_kernel_matches_join_window_construction(self, emb, bits):
+        from oic_options_chains_spark.operators.graph import (
+            _l2_int,
+            bucketed_knn_edges,
+            knn_from_candidates,
+        )
+        from oic_options_chains_spark.operators.kmeans import QUANT
+        from oic_options_chains_spark.operators.similarity import (
+            _resolve_bits,
+        )
+
+        new = sorted(
+            (r.src, r.dst, r.dist)
+            for r in bucketed_knn_edges(emb, k=6, bits=bits).collect()
+        )
+        b_ = _resolve_bits(emb, bits)
+        sign = F.concat(
+            *[
+                F.when(
+                    F.element_at(F.col("embedding"), i + 1) > 0, F.lit("1")
+                ).otherwise(F.lit("0"))
+                for i in range(b_)
+            ]
+        )
+        q = emb.select(
+            F.col("vec_id"),
+            F.transform(
+                "embedding", lambda x: F.floor(x.cast("double") * QUANT)
+            ).alias("qarr"),
+            sign.alias("__b"),
+        )
+        a = q.select(
+            F.col("vec_id").alias("src"), F.col("qarr").alias("__qa"), "__b"
+        )
+        b = q.select(
+            F.col("vec_id").alias("dst"), F.col("qarr").alias("__qb"), "__b"
+        )
+        half = (
+            a.join(b, "__b")
+            .filter(F.col("src") < F.col("dst"))
+            .select(
+                "src",
+                "dst",
+                _l2_int(F.col("__qa"), F.col("__qb")).alias("dist"),
+            )
+        )
+        pairs = half.union(
+            half.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "dist"
+            )
+        )
+        old = sorted(
+            (r.src, r.dst, r.dist)
+            for r in knn_from_candidates(pairs, 6).collect()
+        )
+        assert new == old
+
+    def test_kernel_partition_invariant(self, emb):
+        from oic_options_chains_spark.operators.graph import (
+            bucketed_knn_edges,
+        )
+
+        e1 = sorted(
+            (r.src, r.dst, r.dist)
+            for r in bucketed_knn_edges(emb.repartition(1), k=6).collect()
+        )
+        e7 = sorted(
+            (r.src, r.dst, r.dist)
+            for r in bucketed_knn_edges(
+                emb.repartition(7, "label"), k=6
+            ).collect()
+        )
+        assert e1 == e7
+
+
 def test_drift_cells_uses_fold_route(spark, sf_dir):
     """q_drift_cells' direct assignment stays Python-free (the r16
     reclaim): its captured lineage must not contain a MapInPandas node
