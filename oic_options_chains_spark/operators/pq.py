@@ -159,10 +159,166 @@ def _pack_codebooks(codebooks: DataFrame, n_sub: int) -> DataFrame:
     )
 
 
-def assign_codes(qv: DataFrame, codebooks: DataFrame, n_sub: int, sub_dim: int) -> DataFrame:
+def _assign_codes_vectorized(
+    qv: DataFrame,
+    codebooks: DataFrame,
+    n_sub: int,
+    sub_dim: int,
+    k_bound: int,
+) -> DataFrame:
+    """The Arrow path for PQ code assignment (optimization r16,
+    VERDICT r15 item 8): bit-identical to the ``_argmin_code`` fold.
+
+    The fold is the family's most expensive per-row expression — an
+    INTERPRETED decimal(38,0) cross-multiplied argmin over n_sub * k_sub
+    cells per row (measured 0.62 s per assignment pass at bench sf0.1,
+    and every fit runs ``iters`` passes). The exact comparator cannot
+    run in int64 (num ~ a*n^2 + ss overflows at corpus-sized n, and the
+    cross-product num_i * nn_j squares that), so the kernel uses a
+    FLOAT64 SCREEN WITH AN EXACT FALLBACK:
+
+    - per subspace, a = sum(q^2) and b = q . sarr are exact int64
+      matmuls (same legal range as the JVM bigint fold);
+    - the screening score f = a - 2b/n + ss/n^2 is float64 — each term
+      correctly rounded, total error provably under ~2^-48 of the
+      summed magnitudes M;
+    - every cell with f <= f_min + 1e-12 * M_row (thousands of ulps of
+      slack, so the true rational argmin can never be screened out) is
+      re-compared EXACTLY in arbitrary-precision Python ints with the
+      fold's strict-< / earlier-cid-wins rule. On real data the screen
+      keeps one cell and the exact path never runs; exact ties resolve
+      identically to the fold.
+
+    Parity is pinned by tests/test_round16_pq_kernel.py (kernel == fold
+    over the registry corpora, plus adversarial exact-tie fixtures).
+    The codebook collect is k_bound-guarded (raise, not assert) and
+    amortized inside fits exactly like the coarse kernel's."""
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    rows = (
+        codebooks.select("sub", "cid", "sarr", "n", "ss")
+        .limit(n_sub * k_bound + 1)
+        .collect()
+    )
+    if len(rows) > n_sub * k_bound:
+        raise ValueError(
+            f"codebook relation holds >{n_sub * k_bound} rows; pass the"
+            " true k_sub as k_bound"
+        )
+    import numpy as np
+
+    subs: list[dict] = []
+    for s in range(n_sub):
+        cells = sorted(
+            (r for r in rows if r["sub"] == s), key=lambda r: r["cid"]
+        )
+        if not cells:
+            raise ValueError(f"subspace {s} has no codebook cells")
+        nf = np.array([r["n"] for r in cells], dtype=np.float64)
+        ss_f = np.array([float(r["ss"]) for r in cells], dtype=np.float64)
+        subs.append(
+            {
+                "cids": np.array([r["cid"] for r in cells], dtype=np.int64),
+                "S": np.array([r["sarr"] for r in cells], dtype=np.int64),
+                "nf": nf,
+                "ssn_f": ss_f / (nf * nf),
+                "n_int": [int(r["n"]) for r in cells],
+                "nn_int": [int(r["n"]) ** 2 for r in cells],
+                "ss_int": [int(r["ss"]) for r in cells],
+            }
+        )
+
+    schema = StructType(
+        [
+            qv.schema["vec_id"],
+            qv.schema["qarr"],
+            # nullable=False: matches the fold's transform-over-sequence
+            # output (the kernel never emits a null codes array either)
+            StructField("codes", ArrayType(IntegerType()), False),
+        ]
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"vec_id": [], "qarr": [], "codes": []})
+                continue
+            qm = np.array(pdf["qarr"].tolist(), dtype=np.int64)
+            nrows = len(pdf)
+            codes = np.empty((nrows, n_sub), dtype=np.int64)
+            for s, cb in enumerate(subs):
+                qs = qm[:, s * sub_dim : (s + 1) * sub_dim]
+                a = (qs * qs).sum(axis=1)
+                bmat = qs @ cb["S"].T
+                af = a.astype(np.float64)
+                t2 = (2.0 * bmat) / cb["nf"][None, :]
+                f = af[:, None] - t2 + cb["ssn_f"][None, :]
+                best = np.argmin(f, axis=1)
+                fmin = f[np.arange(nrows), best]
+                mag = (
+                    af[:, None] + np.abs(t2) + cb["ssn_f"][None, :]
+                )
+                eps = 1e-12 * mag.max(axis=1)
+                cand_count = (f <= (fmin + eps)[:, None]).sum(axis=1)
+                for i in np.nonzero(cand_count > 1)[0]:
+                    cand = np.nonzero(f[i] <= fmin[i] + eps[i])[0]
+                    ai = int(a[i])
+                    bj = None
+                    bnum = bnn = 0
+                    for j in cand:  # ascending cid order
+                        num = (
+                            ai * cb["nn_int"][j]
+                            - 2 * int(bmat[i, j]) * cb["n_int"][j]
+                            + cb["ss_int"][j]
+                        )
+                        nn = cb["nn_int"][j]
+                        if bj is None or num * bnn < bnum * nn:
+                            bj, bnum, bnn = j, num, nn
+                    best[i] = bj
+                codes[:, s] = cb["cids"][best]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "qarr": pdf["qarr"],
+                    "codes": list(codes.astype(np.int32)),
+                }
+            )
+
+    return qv.mapInPandas(kernel, schema)
+
+
+def assign_codes(
+    qv: DataFrame,
+    codebooks: DataFrame,
+    n_sub: int,
+    sub_dim: int,
+    vectorized: bool | None = None,
+    k_bound: int | None = None,
+) -> DataFrame:
     """(vec_id, qarr, codes): every vector's n_sub nearest sub-centroid
-    ids, as a pure broadcast-fold projection — zero shuffle, like the
-    coarse ``assign_clusters``."""
+    ids.
+
+    Default routes through the float64-screened exact Arrow kernel
+    (``_assign_codes_vectorized``, optimization r16) when ``k_bound``
+    is known — the interpreted decimal argmin fold costs 0.62 s per
+    pass at bench sf0.1 and runs ``iters`` times per fit. Pass
+    ``vectorized=False`` (or omit ``k_bound``) for the declarative
+    broadcast-fold projection — zero shuffle and zero driver collect,
+    kept as the executable documentation of the exact comparator and
+    the parity test's reference."""
+    if vectorized is None:
+        vectorized = k_bound is not None
+    if vectorized:
+        if k_bound is None:
+            raise ValueError("vectorized assign_codes requires k_bound")
+        return _assign_codes_vectorized(qv, codebooks, n_sub, sub_dim, k_bound)
     packed = _pack_codebooks(codebooks, n_sub)
     with_books = qv.crossJoin(F.broadcast(packed))
     codes = F.transform(
@@ -199,12 +355,23 @@ def pq_fit(
 
 
 def _pq_fit_qv(
-    qv: DataFrame, n_sub: int, k_sub: int, iters: int, sub_dim: int = 8
+    qv: DataFrame,
+    n_sub: int,
+    k_sub: int,
+    iters: int,
+    sub_dim: int = 8,
+    vectorized_assign: bool | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     # iters=0 would fall through the update loop with coded=None and
     # crash downstream callers (ivf_pq_topk) far from the cause
     if iters < 1:
         raise ValueError(f"pq_fit requires iters >= 1, got {iters}")
+    if vectorized_assign is None:
+        # the kernel is the fit default (optimization r16, the r15
+        # kmeans_fit precedent): the codebook collect amortizes across
+        # iterations, and the screened-exact argmin replaces the most
+        # expensive interpreted expression in the family
+        vectorized_assign = True
     seeds = qv.orderBy("vec_id").limit(k_sub)
     seed_long = seeds.select(
         "vec_id",
@@ -218,7 +385,14 @@ def _pq_fit_qv(
     codebooks = _pq_centroid_state(seed_long, F.col("sq")).cache()
     coded = None
     for it in range(iters):
-        coded = assign_codes(qv, codebooks, n_sub, sub_dim)
+        coded = assign_codes(
+            qv,
+            codebooks,
+            n_sub,
+            sub_dim,
+            vectorized=vectorized_assign,
+            k_bound=k_sub if vectorized_assign else None,
+        )
         if it == iters - 1:
             # the final encode pass used to run twice — once filling
             # the last codebook cache and once for the consumer of
@@ -272,7 +446,18 @@ def _fit_both(
             id_col,
             vec_col,
         )
-        f_pq = pool.submit(_pq_fit_qv, qv, n_sub, k_sub, iters)
+        # the CONCURRENT pq fit keeps the JVM fold (vectorized_assign
+        #=False): the coarse fit's Arrow assignment kernel already
+        # saturates the Python worker pool, and routing the pq side
+        # through mapInPandas too makes the two fits contend for it
+        # instead of overlapping JVM work with Python work (interleaved
+        # min-of-5 A/B at sf0.1: q_ann_ivf_pq 2.71/2.74 s kernel vs
+        # 2.27/2.52 s fold; q_pq_codes — a STANDALONE fit, no coarse
+        # twin — moves the other way, 1.13/1.38 kernel vs 1.39/1.58
+        # fold, which is why _pq_fit_qv keeps the kernel default)
+        f_pq = pool.submit(
+            _pq_fit_qv, qv, n_sub, k_sub, iters, vectorized_assign=False
+        )
         return f_coarse.result(), f_pq.result()
 
 
