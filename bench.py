@@ -219,6 +219,12 @@ SCALE_QUERIES = (
     # ANN form — the flat-at-scale claim is their point
     "q_decontam_t08",
     "q_ann_pq_served",
+    # round-16 (VERDICT r15 item 2): the graph family's distributed
+    # path back under committed evidence — at sf0.1 the 64k bounded
+    # driver finish swallows the whole edge set, so only the sf0.5
+    # rows exercise the distributed peel/star rounds
+    "q_kcore",
+    "q_anf",
 )
 SCALE_RUNS_PER_QUERY = 2
 

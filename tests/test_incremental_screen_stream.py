@@ -10,6 +10,10 @@ from __future__ import annotations
 import json
 
 import pytest
+
+# full-profile only (r16): scale-heavy suite moved out of the driver's
+# default pytest budget; tools/run_suite.py (-m "") still runs it
+pytestmark = pytest.mark.full
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 

@@ -30,7 +30,7 @@ import pytest
 # full-registry gate: ~minutes per suite. The FULL profile (default,
 # what the driver and CI run) includes these; the fast inner loop is
 #   python -m pytest tests/ -m 'not parity'
-pytestmark = pytest.mark.parity
+pytestmark = [pytest.mark.parity, pytest.mark.full]
 
 from oic_options_chains_spark.queries import ORACLE, QUERIES
 

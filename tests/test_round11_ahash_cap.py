@@ -16,6 +16,10 @@ from __future__ import annotations
 import random
 
 import pytest
+
+# full-profile only (r16): scale-heavy suite moved out of the driver's
+# default pytest budget; tools/run_suite.py (-m "") still runs it
+pytestmark = pytest.mark.full
 from hypothesis import given, settings
 from hypothesis import strategies as st
 

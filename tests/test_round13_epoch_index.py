@@ -19,6 +19,10 @@ family:
 from __future__ import annotations
 
 import pytest
+
+# full-profile only (r16): scale-heavy suite moved out of the driver's
+# default pytest budget; tools/run_suite.py (-m "") still runs it
+pytestmark = pytest.mark.full
 from pyspark.sql import functions as F
 
 from oic_options_chains_spark.operators.phash import (

@@ -25,7 +25,7 @@ from oic_options_chains_spark.streaming.neardup_screen_stream import (
     streaming_minhash_candidate_screen,
 )
 
-pytestmark = pytest.mark.parity  # sf0.1-sized: full-profile only
+pytestmark = [pytest.mark.parity, pytest.mark.full]  # sf0.1-sized: full-profile only
 
 SCHEMA = T.StructType(
     [

@@ -101,6 +101,11 @@ def main() -> int:
             "-p",
             "no:cacheprovider",
             f"--rootdir={REPO}",
+            # the COMPLETE profile: override pytest.ini's default
+            # `-m "not full"` (the driver-budget fast profile, r16) —
+            # an explicit -m in passthrough still wins (last -m counts)
+            "-m",
+            "",
             *passthrough,
         ]
         procs.append(
